@@ -1,0 +1,204 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines, each designed as a
+  * shuffle-bounded distributed algorithm:
+  *
+  *  - exact: fingerprint → groupBy — one shuffle on the 128-bit hash; at
+  *    100 TB the shuffle carries (hash, id), never the text;
+  *  - MinHash+LSH: shingle → K minhashes → B bands → bucket-join — the
+  *    classic near-dup pipeline (Broder '97; used by every large LM corpus
+  *    cleanup). Candidate pairs are generated per-bucket (self-join within
+  *    band buckets, never a global cross join) and verified with exact
+  *    Jaccard;
+  *  - SimHash: 64-bit signature per doc; Hamming-≤k pairs found by pigeonhole
+  *    blocking on signature chunks (k+1 chunks → any pair within distance k
+  *    shares ≥1 exact chunk) — again bucket-join, no cross join;
+  *  - n-gram Jaccard: exact sparse similarity join via token posting lists
+  *    (explode → join on token → count shared / union);
+  *  - embedding cosine: see [[graft.sim.Similarity]].
+  *
+  * All hashing uses xxhash64 (engine-native, codegen'd). Oracle note: only
+  * the hash-free operators (exact-dup groups via md5, n-gram Jaccard) have
+  * DuckDB twins; LSH/SimHash outputs are checked rows-only + by ScalaTest
+  * with planted near-duplicates.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per duplicated normalized text, with the
+    * canonical (min) id, the duplicate count, and all member ids. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("fingerprint"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col(idCol)).as("canonical_id"),
+        sort_array(collect_list(col(idCol))).as("member_ids"))
+      .filter(col("n_copies") > 1)
+
+  /** Exact dedup: keep one row per distinct normalized text (the min-id
+    * member). Equivalent to ROW_NUMBER-over-fingerprint = 1 but cheaper:
+    * a single partial/final min aggregation + semi join. */
+  def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val keep = docs
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------ MinHash LSH
+
+  /** Distinct character shingles (k-grams) of the normalized text. */
+  def shingles(text: Column, k: Int = 5): Column = {
+    val norm = TextAnalysis.normalized(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
+      i => norm.substr(i, lit(k))))
+  }
+
+  /** MinHash signature: for seed s, min over shingles of xxhash64(shingle, s).
+    * Computed via explode + groupBy-min: one shuffle keyed by doc id; the
+    * K mins aggregate map-side, so shuffle volume is K longs per doc. */
+  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5, numHashes: Int = 16): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
+    val minExprs = (0 until numHashes).map(s =>
+      min(xxhash64(col("shingle"), lit(s))).as(s"mh_$s"))
+    exploded.groupBy(col(idCol)).agg(minExprs.head, minExprs.tail: _*)
+  }
+
+  /** LSH candidate pairs: split the K minhashes into B bands of R rows
+    * (K = B·R); docs sharing any full band land in a bucket; pairs are
+    * generated within buckets only. */
+  def lshCandidatePairs(signatures: DataFrame, idCol: String = "doc_id",
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
+          .as("bucket"))
+    }
+    val bucketed = signatures
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val left = bucketed.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"))
+    val right = bucketed.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"))
+    left.join(right, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over word 1-gram sets via posting-list join — the
+    * verification stage after LSH, and a standalone exact operator.
+    * shared(a,b) / (|a| + |b| − shared). No cross join: only token-sharing
+    * pairs materialize. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.8): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextAnalysis.tokens(
+        TextAnalysis.normalized(col(textCol))))).as("tok"))
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val shared = toks.select(col("id").as("id_a"), col("tok"))
+      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(sizes).withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(broadcast(sizes).withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .withColumn("jaccard", round(
+        col("shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("shared")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** DuckDB twin of [[ngramJaccardPairs]] over a docs relation `D(id, text)`
+    * provided as a CTE named `docs`. */
+  def ngramJaccardSql(threshold: Double): String = {
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    s"""WITH toks AS (
+       |  SELECT id, unnest(list_distinct(regexp_split_to_array($norm, '\\s+')))
+       |    AS tok FROM docs),
+       |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+       |shared AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+       |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(CAST(shared AS DOUBLE)
+       |    / CAST(sa.sz + sb.sz - shared AS DOUBLE), 4) AS jaccard
+       |FROM shared
+       |JOIN sizes sa ON sa.id = id_a
+       |JOIN sizes sb ON sb.id = id_b
+       |WHERE round(CAST(shared AS DOUBLE)
+       |  / CAST(sa.sz + sb.sz - shared AS DOUBLE), 4) >= $threshold"""
+      .stripMargin.replace('\n', ' ')
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash from word tokens: per bit, sum ±1 weighted by token
+    * hash bit; sign → bit. Computed via explode + bitwise aggregation. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(array_distinct(TextAnalysis.tokens(
+        TextAnalysis.normalized(col(textCol))))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"bit_$b")
+    }
+    val summed = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"bit_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    summed.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Hamming-distance-≤ maxDist pairs via pigeonhole blocking: split the
+    * 64-bit signature into (maxDist+1) chunks; any qualifying pair must
+    * share at least one exact chunk → bucket-join on (chunkIdx, chunkVal),
+    * then exact popcount filter. */
+  def simhashNearPairs(sigs: DataFrame, idCol: String = "doc_id",
+      maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val chunkCols = (0 until chunks).map { c =>
+      struct(lit(c).as("ci"),
+        shiftright(col("simhash"), c * width)
+          .bitwiseAND((1L << width) - 1).as("cv"))
+    }
+    val blocked = sigs
+      .select(col(idCol), col("simhash"),
+        explode(array(chunkCols: _*)).as("ch"))
+      .select(col(idCol), col("simhash"), col("ch.ci"), col("ch.cv"))
+    val left = blocked.select(col("ci"), col("cv"), col(idCol).as("id_a"),
+      col("simhash").as("sig_a"))
+    val right = blocked.select(col("ci"), col("cv"), col(idCol).as("id_b"),
+      col("simhash").as("sig_b"))
+    left.join(right, Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.features
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ML feature engineering (SURVEY.md §1.5, §2.5, §2.7 R5-R7) — the
+  * reference builds these in pandas (ml_training/data_loader.py:121-175);
+  * here they are Window transforms, so the feature matrix is computed
+  * distributed instead of on a single driver.
+  *
+  * Semantics pinned to pandas (SURVEY.md §7.4-2):
+  *  - all windows are ROW-count frames (`rowsBetween`), not time ranges —
+  *    gaps in the hourly grid shift the lookback horizon, as in the
+  *    reference (quirk §2.10-4);
+  *  - rolling std is the SAMPLE std (ddof=1), null for 1-row windows;
+  *  - `min_periods=1` ⇒ aggregates over however many rows are available;
+  *  - day_of_week is Mon=0 (pandas), not Spark's Sun=1 `dayofweek`.
+  *
+  * Scale: each Window is partitioned by location_id — one shuffle shared
+  * by all lag/rolling features (Catalyst collapses same-spec windows into
+  * a single Window operator), state bounded by the frame length.
+  */
+object Features {
+
+  private val byLocation = Window.partitionBy(col("location_id"))
+    .orderBy(col("datetime"))
+
+  /** R5: calendar features (data_loader.py:134-138). `weekday()` is
+    * Spark's Mon=0 function, matching pandas `dt.dayofweek`. */
+  def timeFeatures(gold: DataFrame): DataFrame =
+    gold
+      .withColumn("hour", hour(col("datetime")))
+      .withColumn("day_of_week", weekday(col("datetime")))
+      .withColumn("month_num", month(col("datetime")))
+      .withColumn("day_of_year", dayofyear(col("datetime")))
+      .withColumn("is_weekend", weekday(col("datetime")) >= 5)
+
+  /** W1: AQI lags at 1/24/168 rows per station (data_loader.py:141-143). */
+  def lagFeatures(gold: DataFrame): DataFrame =
+    Seq(1, 24, 168).foldLeft(gold) { (df, k) =>
+      df.withColumn(s"aqi_lag_${k}h", lag(col("aqi"), k).over(byLocation))
+    }
+
+  /** W2: the training target — next-hour AQI (lead 1 row), dropping each
+    * station's last row (train_lightgbm.py:167-171). */
+  def withTarget(gold: DataFrame): DataFrame =
+    gold
+      .withColumn("aqi_next", lead(col("aqi"), 1).over(byLocation))
+      .filter(col("aqi_next").isNotNull)
+
+  /** W3+W4: rolling stats over 168-row (≈7 d) and 720-row (≈30 d) frames
+    * (data_loader.py:146-160). Std is stddev_samp (pandas ddof=1). */
+  def rollingFeatures(gold: DataFrame): DataFrame = {
+    val w7 = byLocation.rowsBetween(-167, 0)
+    val w30 = byLocation.rowsBetween(-719, 0)
+    gold
+      .withColumn("aqi_mean_7d", avg(col("aqi")).over(w7))
+      .withColumn("aqi_std_7d", stddev_samp(col("aqi")).over(w7))
+      .withColumn("aqi_max_7d", max(col("aqi")).over(w7))
+      .withColumn("aqi_min_7d", min(col("aqi")).over(w7))
+      .withColumn("aqi_mean_30d", avg(col("aqi")).over(w30))
+  }
+
+  /** R6: un-pivot the Gold parallel arrays into per-pollutant columns,
+    * missing → 0.0 (data_loader.py:166-173 + 177-194). Spark's
+    * `array_position` returns 0 when absent (and element_at(0) throws),
+    * so the lookup is guarded by pos > 0. */
+  val pollutants: Seq[String] = Seq("pm25", "pm10", "o3", "co", "so2", "no2")
+
+  def pollutantColumns(gold: DataFrame): DataFrame =
+    pollutants.foldLeft(gold) { (df, p) =>
+      val pos = array_position(col("parameters"), p)
+      df.withColumn(p,
+        coalesce(
+          when(pos > 0, element_at(col("values"), pos.cast("int"))),
+          lit(0.0)))
+    }
+
+  /** R7: deterministic label-encoding of country (alphabetical → 0..n−1),
+    * matching sklearn LabelEncoder (data_loader.py:47,163).
+    * Scale path: aggregate to the tiny distinct set FIRST, window over
+    * that (9 rows), broadcast-join back — never a global window over the
+    * fact table. */
+  def countryEncoding(anyLayer: DataFrame): DataFrame = {
+    val distinctCountries = anyLayer.select(col("country")).distinct()
+    distinctCountries
+      .withColumn("country_encoded",
+        (dense_rank().over(Window.orderBy(col("country"))) - 1).cast("int"))
+  }
+
+  def withCountryEncoded(gold: DataFrame): DataFrame =
+    gold.join(broadcast(countryEncoding(gold)), Seq("country"), "left")
+
+  /** The full 22-feature matrix + target (ML_TRAINING.md:57-148, A4 fixture
+    * in FIXTURES.md). One shuffle for all window features + one broadcast
+    * join for the encoding. */
+  def featureMatrix(gold: DataFrame): DataFrame = {
+    val staged = withTarget(
+      rollingFeatures(lagFeatures(timeFeatures(pollutantColumns(gold)))))
+    withCountryEncoded(staged)
+      .select(
+        col("location_id"), col("datetime"),
+        col("hour"), col("day_of_week"), col("month_num"),
+        col("day_of_year"), col("is_weekend"),
+        col("aqi_lag_1h"), col("aqi_lag_24h"), col("aqi_lag_168h"),
+        col("aqi_mean_7d"), col("aqi_std_7d"), col("aqi_max_7d"),
+        col("aqi_min_7d"), col("aqi_mean_30d"),
+        col("country_encoded"), col("latitude"), col("longitude"),
+        col("pm25"), col("pm10"), col("o3"), col("co"), col("so2"),
+        col("no2"),
+        col("aqi"), col("aqi_next"))
+  }
+}

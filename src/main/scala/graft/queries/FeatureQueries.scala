@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.features.Features
+import graft.queries.PipelineQueries.{gold, withPipeline}
+
+/** Registry + DuckDB oracle twins for the feature-engineering surface
+  * (SURVEY.md §2.5 W1-W4, §2.7 R5-R7). Float-unstable aggregates
+  * (rolling mean/std) are rounded to 4 decimals on both sides. */
+object FeatureQueries {
+
+  private val lagSql =
+    """SELECT location_id, datetime, aqi,
+      |  lag(aqi, 1) OVER w AS aqi_lag_1h,
+      |  lag(aqi, 24) OVER w AS aqi_lag_24h,
+      |  lag(aqi, 168) OVER w AS aqi_lag_168h,
+      |  lead(aqi, 1) OVER w AS aqi_next
+      |FROM gold
+      |WINDOW w AS (PARTITION BY location_id ORDER BY datetime)
+      |QUALIFY aqi_next IS NOT NULL
+      |ORDER BY location_id, datetime""".stripMargin.replace('\n', ' ')
+
+  private val rollingSql =
+    """SELECT location_id, datetime, aqi,
+      |  round(avg(aqi) OVER w7, 4) AS aqi_mean_7d,
+      |  round(stddev_samp(aqi) OVER w7, 4) AS aqi_std_7d,
+      |  max(aqi) OVER w7 AS aqi_max_7d,
+      |  min(aqi) OVER w7 AS aqi_min_7d,
+      |  round(avg(aqi) OVER w30, 4) AS aqi_mean_30d
+      |FROM gold
+      |WINDOW
+      |  w7 AS (PARTITION BY location_id ORDER BY datetime
+      |    ROWS BETWEEN 167 PRECEDING AND CURRENT ROW),
+      |  w30 AS (PARTITION BY location_id ORDER BY datetime
+      |    ROWS BETWEEN 719 PRECEDING AND CURRENT ROW)
+      |ORDER BY location_id, datetime""".stripMargin.replace('\n', ' ')
+
+  private val pollutantSql = Features.pollutants
+    .map(p =>
+      s"""coalesce("values"[list_position(parameters, '$p')], 0.0) AS $p""")
+    .mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r5_time_features" -> ((s, d) =>
+      Features.timeFeatures(gold(s, d))
+        .select("location_id", "datetime", "hour", "day_of_week",
+          "month_num", "day_of_year", "is_weekend")
+        .orderBy("location_id", "datetime")),
+    "w1_lag_lead" -> ((s, d) =>
+      Features.withTarget(Features.lagFeatures(gold(s, d)))
+        .select("location_id", "datetime", "aqi", "aqi_lag_1h",
+          "aqi_lag_24h", "aqi_lag_168h", "aqi_next")
+        .orderBy("location_id", "datetime")),
+    "w3_rolling_stats" -> ((s, d) =>
+      Features.rollingFeatures(gold(s, d))
+        .select(col("location_id"), col("datetime"), col("aqi"),
+          round(col("aqi_mean_7d"), 4).as("aqi_mean_7d"),
+          round(col("aqi_std_7d"), 4).as("aqi_std_7d"),
+          col("aqi_max_7d"), col("aqi_min_7d"),
+          round(col("aqi_mean_30d"), 4).as("aqi_mean_30d"))
+        .orderBy("location_id", "datetime")),
+    "r6_pollutant_columns" -> ((s, d) =>
+      Features.pollutantColumns(gold(s, d))
+        .select(Seq(col("location_id"), col("datetime")) ++
+          Features.pollutants.map(col): _*)
+        .orderBy("location_id", "datetime")),
+    "r7_country_encoding" -> ((s, d) =>
+      Features.countryEncoding(gold(s, d)).orderBy("country")),
+    "ml_feature_matrix" -> ((s, d) =>
+      Features.featureMatrix(gold(s, d))
+        .withColumn("aqi_mean_7d", round(col("aqi_mean_7d"), 4))
+        .withColumn("aqi_std_7d", round(col("aqi_std_7d"), 4))
+        .withColumn("aqi_mean_30d", round(col("aqi_mean_30d"), 4))
+        .orderBy("location_id", "datetime"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "r5_time_features" -> withPipeline(
+      """SELECT location_id, datetime,
+        |  CAST(hour(datetime) AS INT) AS hour,
+        |  CAST(isodow(datetime) - 1 AS INT) AS day_of_week,
+        |  CAST(month(datetime) AS INT) AS month_num,
+        |  CAST(dayofyear(datetime) AS INT) AS day_of_year,
+        |  isodow(datetime) - 1 >= 5 AS is_weekend
+        |FROM gold ORDER BY location_id, datetime"""
+        .stripMargin.replace('\n', ' ')),
+    "w1_lag_lead" -> withPipeline(lagSql),
+    "w3_rolling_stats" -> withPipeline(rollingSql),
+    "r6_pollutant_columns" -> withPipeline(
+      s"SELECT location_id, datetime, $pollutantSql " +
+        "FROM gold ORDER BY location_id, datetime"),
+    "r7_country_encoding" -> withPipeline(
+      """SELECT country,
+        |  CAST(dense_rank() OVER (ORDER BY country) - 1 AS INT)
+        |    AS country_encoded
+        |FROM (SELECT DISTINCT country FROM gold)
+        |ORDER BY country""".stripMargin.replace('\n', ' ')),
+    "ml_feature_matrix" -> withPipeline(
+      s"""SELECT location_id, datetime,
+         |  CAST(hour(datetime) AS INT) AS hour,
+         |  CAST(isodow(datetime) - 1 AS INT) AS day_of_week,
+         |  CAST(month(datetime) AS INT) AS month_num,
+         |  CAST(dayofyear(datetime) AS INT) AS day_of_year,
+         |  isodow(datetime) - 1 >= 5 AS is_weekend,
+         |  lag(aqi, 1) OVER w AS aqi_lag_1h,
+         |  lag(aqi, 24) OVER w AS aqi_lag_24h,
+         |  lag(aqi, 168) OVER w AS aqi_lag_168h,
+         |  round(avg(aqi) OVER w7, 4) AS aqi_mean_7d,
+         |  round(stddev_samp(aqi) OVER w7, 4) AS aqi_std_7d,
+         |  max(aqi) OVER w7 AS aqi_max_7d,
+         |  min(aqi) OVER w7 AS aqi_min_7d,
+         |  round(avg(aqi) OVER w30, 4) AS aqi_mean_30d,
+         |  CAST(dense_rank() OVER (ORDER BY country) - 1 AS INT)
+         |    AS country_encoded,
+         |  latitude, longitude, $pollutantSql, aqi,
+         |  lead(aqi, 1) OVER w AS aqi_next
+         |FROM gold
+         |WINDOW
+         |  w AS (PARTITION BY location_id ORDER BY datetime),
+         |  w7 AS (PARTITION BY location_id ORDER BY datetime
+         |    ROWS BETWEEN 167 PRECEDING AND CURRENT ROW),
+         |  w30 AS (PARTITION BY location_id ORDER BY datetime
+         |    ROWS BETWEEN 719 PRECEDING AND CURRENT ROW)
+         |QUALIFY aqi_next IS NOT NULL
+         |ORDER BY location_id, datetime""".stripMargin.replace('\n', ' '))
+  )
+}

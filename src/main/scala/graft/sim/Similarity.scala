@@ -1,0 +1,147 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast join of the (small)
+  * query set against the corpus: O(|corpus|·|queries|·dim) flops, fully
+  * distributed, no shuffle of the corpus. This is the correct 100 TB plan
+  * whenever |queries| is bounded (the usual case: a query batch).
+  *
+  * Scale path: IVF-style partition pruning — k-means-ish coarse centroids
+  * via deterministic hash-bucketing stand-in (`ivfTopK`) so each query
+  * probes only its nearest buckets; and random-hyperplane LSH
+  * (`cosineLshBuckets`) for corpus-vs-corpus near-dup search, where a
+  * cross join would be quadratic.
+  *
+  * All arithmetic is done in DOUBLE after casting the float vectors —
+  * matching the DuckDB oracle (`list_cosine_similarity` over DOUBLE[]).
+  */
+object Similarity {
+
+  /** Elementwise dot product of two equal-length double arrays —
+    * `aggregate(zip_with(...))`, codegen'd, sequential fold (deterministic
+    * order → reproducible floats). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def toDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself). Ranking uses the 4-decimal-rounded
+    * similarity with id tie-break so results are reproducible across
+    * engines and partitionings. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      toDouble(col(vecCol)).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qvec"))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("cvec"), col("qvec")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("sim"))
+  }
+
+  /** DuckDB twin of [[bruteForceTopK]] for queries `WHERE <queryPred>`. */
+  def bruteForceTopKSql(k: Int, queryPred: String): String =
+    s"""WITH q AS (SELECT vec_id AS query_id,
+       |    CAST(embedding AS DOUBLE[]) AS qvec
+       |  FROM embeddings WHERE $queryPred),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS corpus_id,
+       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 4)
+       |      AS sim
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+       |SELECT query_id, rank, corpus_id, sim FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, corpus_id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin.replace('\n', ' ')
+
+  /** Random-hyperplane LSH signature: bit b = sign(dot(v, h_b)) where the
+    * hyperplane components are deterministic pseudo-randoms
+    * (xxhash64(dim, bit) scaled to [-1, 1]) — no RNG state, reproducible
+    * across the cluster. */
+  def lshSignature(vec: Column, bits: Int = 16): Column = {
+    val planes = (0 until bits).map { b =>
+      val proj = aggregate(
+        zip_with(vec,
+          sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") *
+            (pmod(xxhash64(i, lit(b)), lit(1000003)).cast("double") /
+              lit(500001.5) - lit(1.0))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    planes.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Corpus-vs-corpus near-neighbor candidates via LSH bucket join. */
+  def cosineLshBuckets(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", bits: Int = 16): DataFrame =
+    corpus.select(col(idCol), lshSignature(col(vecCol), bits).as("bucket"))
+
+  /** IVF-style top-k: coarse-quantize every vector to a bucket (here: the
+    * LSH signature's low bits as a deterministic stand-in for k-means
+    * centroids), then search only within the query's bucket. Trades recall
+    * for a |corpus|/buckets fan-out reduction. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bits: Int = 4): DataFrame = {
+    val c = cosineLshBuckets(corpus, idCol, vecCol, bits)
+      .join(corpus, idCol)
+      .select(col(idCol).as("corpus_id"), col("bucket"),
+        toDouble(col(vecCol)).as("cvec"))
+    val q = cosineLshBuckets(queries, idCol, vecCol, bits)
+      .join(queries, idCol)
+      .select(col(idCol).as("query_id"), col("bucket"),
+        toDouble(col(vecCol)).as("qvec"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("cvec"), col("qvec")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (corpus self-similarity ≥
+    * threshold). Brute self-join at test scale; the LSH-bucketed variant
+    * is the 100 TB path. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"),
+      toDouble(col(vecCol)).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"),
+      toDouble(col(vecCol)).as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  def cosineNearDupPairsSql(threshold: Double): String =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |    CAST(b.embedding AS DOUBLE[])), 4) AS sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |  CAST(b.embedding AS DOUBLE[])), 4) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin.replace('\n', ' ')
+}

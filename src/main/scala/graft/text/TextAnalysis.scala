@@ -1,0 +1,171 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * quality scoring, language ID, token statistics, fingerprinting.
+  * All are narrow per-row transforms (no shuffle, fully codegen'd —
+  * they run at parquet-scan speed on any cluster size).
+  *
+  * Each operator has a DuckDB SQL twin generated from the same token
+  * lists / regexes, so the oracle gate covers them.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer — the shared definition for every operator. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  val tokensSql: String => String =
+    t => s"regexp_split_to_array(trim($t), '\\s+')"
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation. */
+  val bpeRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  // ------------------------------------------------------- quality scoring
+
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Per-document quality features: lengths, ratios, stopword share.
+    * (Heuristics in the C4/Gopher style: length bounds + symbol ratios.) */
+  def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t)
+    val nTokens = size(toks)
+    val stopArr = array(stopwords.map(lit): _*)
+    docs
+      .withColumn("n_chars_actual", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("avg_token_len",
+        round(nChars.cast("double") / greatest(nTokens, lit(1)), 4))
+      .withColumn("digit_ratio", round(
+        (nChars - length(regexp_replace(t, "[0-9]", ""))).cast("double") /
+          greatest(nChars, lit(1)), 4))
+      .withColumn("punct_ratio", round(
+        (nChars - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") /
+          greatest(nChars, lit(1)), 4))
+      .withColumn("stopword_ratio", round(
+        size(filter(toks, tk => array_contains(stopArr, tk))).cast("double") /
+          greatest(nTokens, lit(1)), 4))
+      .withColumn("is_quality",
+        nTokens >= 10 && nTokens <= 100000 &&
+          col("punct_ratio") < 0.3 && col("digit_ratio") < 0.3)
+  }
+
+  /** DuckDB twin of [[qualityFeatures]] as a SELECT-list fragment. */
+  def qualityFeaturesSql(t: String): String = {
+    val toks = tokensSql(t)
+    val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""length($t) AS n_chars_actual,
+       |  len($toks) AS n_tokens,
+       |  round(CAST(length($t) AS DOUBLE)
+       |    / greatest(len($toks), 1), 4) AS avg_token_len,
+       |  round(CAST(length($t) - length(regexp_replace($t, '[0-9]', '', 'g'))
+       |    AS DOUBLE) / greatest(length($t), 1), 4) AS digit_ratio,
+       |  round(CAST(length($t) - length(regexp_replace($t, '[.,!?;:]', '', 'g'))
+       |    AS DOUBLE) / greatest(length($t), 1), 4) AS punct_ratio,
+       |  round(CAST(len(list_filter($toks,
+       |    tk -> list_contains($stopList, tk))) AS DOUBLE)
+       |    / greatest(len($toks), 1), 4) AS stopword_ratio,
+       |  len($toks) >= 10 AND len($toks) <= 100000
+       |    AND round(CAST(length($t) - length(regexp_replace($t, '[.,!?;:]', '', 'g'))
+       |      AS DOUBLE) / greatest(length($t), 1), 4) < 0.3
+       |    AND round(CAST(length($t) - length(regexp_replace($t, '[0-9]', '', 'g'))
+       |      AS DOUBLE) / greatest(length($t), 1), 4) < 0.3 AS is_quality"""
+      .stripMargin.replace('\n', ' ')
+  }
+
+  // ----------------------------------------------------------- language ID
+
+  /** Tiny per-language marker lexicons (n-gram-heuristic stand-in; the
+    * architecture point is the scoring pipeline, not lexicon quality). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it"),
+    "es" -> Seq("el", "la", "los", "las", "que", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "que", "est", "une"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"))
+
+  /** Language-ID scores + argmax prediction. Tie-break: language earlier
+    * in reverse-alphabetical CASE order wins — fixed chain shared with
+    * the SQL twin. */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val scored = langMarkers.foldLeft(docs) { case (df, (lang, markers)) =>
+      val arr = array(markers.map(lit): _*)
+      df.withColumn(s"score_$lang",
+        size(filter(toks, tk => array_contains(arr, tk))))
+    }
+    val langs = langMarkers.map(_._1)
+    val predicted = langs.reverse
+      .foldLeft(null.asInstanceOf[Column]) {
+        case (null, l) => when(isMax(l, langs), lit(l))
+        case (acc, l)  => acc.when(isMax(l, langs), lit(l))
+      }
+      .otherwise(lit(langs.head))
+    scored.withColumn("predicted_lang", predicted)
+  }
+
+  private def isMax(l: String, langs: Seq[String]): Column =
+    langs.filter(_ != l)
+      .map(o => col(s"score_$l") >= col(s"score_$o"))
+      .reduce(_ && _)
+
+  /** DuckDB twin: same scores + the same reverse-order argmax chain.
+    * Emits a full SELECT over `documents`-shaped input named `d`. */
+  def langIdSql(t: String): String = {
+    val toks = tokensSql(s"lower($t)")
+    val scores = langMarkers.map { case (lang, markers) =>
+      val list = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_filter($toks, tk -> list_contains($list, tk))) AS score_$lang"
+    }.mkString(", ")
+    val langs = langMarkers.map(_._1)
+    val whens = langs.reverse.map { l =>
+      val cond = langs.filter(_ != l)
+        .map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"$scores, (CASE $whens ELSE '${langs.head}' END) AS predicted_lang"
+  }
+
+  // ------------------------------------------------------ token statistics
+
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val ws = tokens(t)
+    val bpe = regexp_extract_all(t, lit(bpeRegex), lit(0))
+    docs
+      .withColumn("n_ws_tokens", size(ws))
+      .withColumn("n_bpe_tokens", size(bpe))
+      .withColumn("n_unique_tokens", size(array_distinct(ws)))
+  }
+
+  def tokenStatsSql(t: String): String = {
+    val toks = tokensSql(t)
+    s"""len($toks) AS n_ws_tokens,
+       |  len(regexp_extract_all($t, '$bpeRegex')) AS n_bpe_tokens,
+       |  len(list_distinct($toks)) AS n_unique_tokens"""
+      .stripMargin.replace('\n', ' ')
+  }
+
+  // -------------------------------------------------------- fingerprinting
+
+  /** Canonical normalization: lowercase, collapse whitespace, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  val normalizedSql: String => String =
+    t => s"trim(regexp_replace(lower($t), '\\s+', ' ', 'g'))"
+
+  /** Content fingerprint = md5 of the normalized text (stable across
+    * engines; xxhash64 variant exists Spark-side for joins/dedup). */
+  def fingerprint(text: Column): Column =
+    md5(normalized(text).cast("binary"))
+
+  def fingerprintSql(t: String): String = s"md5(${normalizedSql(t)})"
+
+  /** 64-bit fast fingerprint for shuffle keys (Spark-side only). */
+  def fingerprint64(text: Column): Column = xxhash64(normalized(text))
+}
