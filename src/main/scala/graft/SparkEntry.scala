@@ -20,11 +20,17 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     PipelineQueries.queries ++ AnalyticsQueries.queries ++
-      FeatureQueries.queries
+      FeatureQueries.queries ++ RelationalQueries.queries ++
+      TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ StreamingQueries.queries ++
+      SinkQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     PipelineQueries.oracle ++ AnalyticsQueries.oracle ++
-      FeatureQueries.oracle
+      FeatureQueries.oracle ++ RelationalQueries.oracle ++
+      TextQueries.oracle ++ DedupQueries.oracle ++
+      SimilarityQueries.oracle ++ StreamingQueries.oracle ++
+      SinkQueries.oracle
 }

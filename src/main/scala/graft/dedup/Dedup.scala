@@ -129,11 +129,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** DuckDB twin of [[ngramJaccardPairs]] over a docs relation `D(id, text)`
-    * provided as a CTE named `docs`. */
-  def ngramJaccardSql(threshold: Double): String = {
+  /** DuckDB twin of [[ngramJaccardPairs]]. `docsRel` is any relation
+    * expression with columns (id, text), e.g.
+    * `(SELECT doc_id AS id, text FROM documents WHERE doc_id < 200)`. */
+  def ngramJaccardSql(docsRel: String, threshold: Double): String = {
     val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-    s"""WITH toks AS (
+    s"""WITH docs AS (SELECT * FROM $docsRel),
+       |toks AS (
        |  SELECT id, unnest(list_distinct(regexp_split_to_array($norm, '\\s+')))
        |    AS tok FROM docs),
        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),

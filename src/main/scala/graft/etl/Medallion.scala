@@ -101,8 +101,26 @@ object Gold {
   def fromSilver(
       silver: DataFrame,
       strictCategory: Boolean = false,
-      deterministicArrays: Boolean = false): DataFrame = {
-    val hourly = silver.withColumn("datetime", date_trunc("hour", col("datetime")))
+      deterministicArrays: Boolean = false): DataFrame =
+    rollup(silver, strictCategory, deterministicArrays)
+
+  /** The roll-up itself. `truncated = true` means `datetime` is already
+    * hour-truncated and is grouped as a BARE attribute — required in
+    * streaming, where the watermark tag lives on the attribute and does
+    * not survive a derived-expression group key. (The reference's own
+    * stream gold groups on an aliased date_trunc column,
+    * stream_processor.py:200-209, which Spark's unsupported-operation
+    * checker rejects — a latent crash we fix by truncating BEFORE the
+    * watermark; see StreamPipeline.goldStream.) */
+  def rollup(
+      silverLike: DataFrame,
+      strictCategory: Boolean = false,
+      deterministicArrays: Boolean = false,
+      truncated: Boolean = false): DataFrame = {
+    val hourKey =
+      if (truncated) col("datetime")
+      else date_trunc("hour", col("datetime")).as("datetime")
+    val keys = hourKey +: Schemas.goldKeys.tail.map(col)
     val pairs = sort_array(collect_list(struct(col("parameter"), col("value"))))
     val (params, values) =
       if (deterministicArrays)
@@ -112,8 +130,8 @@ object Gold {
     val maxAqi = max(col("aqi"))
     val category =
       if (strictCategory) Aqi.category(maxAqi) else max(col("aqi_category"))
-    hourly
-      .groupBy(Schemas.goldKeys.map(col): _*)
+    silverLike
+      .groupBy(keys: _*)
       .agg(
         maxAqi.as("aqi"),
         params.as("parameters"),

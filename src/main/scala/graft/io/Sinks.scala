@@ -1,0 +1,37 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sources & sinks (SURVEY.md §2.1): partitioned parquet (S4), CSV export
+  * (S9), S3A wiring (S6). The medallion writes are hive-partitioned by
+  * year/month/day — at 100 TB this is what makes downstream partition
+  * pruning (filter on year=…) skip data at the file-listing level. */
+object Sinks {
+
+  /** S4: `mode(Overwrite).partitionBy(year,month,day).parquet(path)`
+    * (batch_processor.py:125-129). */
+  def writePartitioned(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy("year", "month", "day")
+      .parquet(path)
+
+  /** S9: CSV export with header (clickhouse_queries.sql:167-183 analog). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S6: object-store (S3A) wiring — same Hadoop keys as
+    * batch_processor.py:57-62; inert unless an endpoint is configured. */
+  def configureS3a(spark: SparkSession, endpoint: String, accessKey: String,
+      secretKey: String, pathStyle: Boolean = true): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.endpoint", endpoint)
+    conf.set("fs.s3a.access.key", accessKey)
+    conf.set("fs.s3a.secret.key", secretKey)
+    conf.set("fs.s3a.path.style.access", pathStyle.toString)
+    conf.set("fs.s3a.connection.ssl.enabled", "false")
+  }
+}

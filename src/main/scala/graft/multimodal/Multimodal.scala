@@ -1,0 +1,92 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns + typed metadata, with decode / feature-extraction plumbing.
+  *
+  * The real pipeline shape at 100 TB: media bytes live in parquet binary
+  * columns (or object-store pointers), partitioned so one task holds a
+  * batch of blobs; decode + feature extraction run per-partition (the
+  * Scala analog of `mapInPandas`: `mapPartitions` over an iterator, so
+  * codec state is reused across a batch and memory stays bounded).
+  *
+  * The codec itself is STUBBED (no image/audio libs in this container):
+  * `decodeStub` produces deterministic fake features from the bytes.
+  * Everything around it — schema, batching, partitioning, lazy iterator —
+  * is real and tested.
+  */
+object Multimodal {
+
+  /** Media metadata schema carried alongside the blob. */
+  val metadataSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** Synthesize binary payloads + metadata from `documents` (testdata has
+    * no real media; payload = utf-8 bytes of the text, metadata derived
+    * deterministically from doc_id). */
+  def withBinaryPayload(docs: DataFrame): DataFrame = {
+    val mt = when(col("doc_id") % 3 === 0, "image")
+      .when(col("doc_id") % 3 === 1, "audio")
+      .otherwise("video")
+    docs
+      .withColumn("media", encode(col("text"), "UTF-8"))
+      .withColumn("media_type", mt)
+      .withColumn("metadata", struct(
+        mt.as("media_type"),
+        when(mt === "image", (col("doc_id") % 1024 + 64).cast("int"))
+          .otherwise(lit(null).cast("int")).as("width"),
+        when(mt === "image", (col("doc_id") % 768 + 48).cast("int"))
+          .otherwise(lit(null).cast("int")).as("height"),
+        when(mt === "audio", lit(16000)).otherwise(lit(null).cast("int"))
+          .as("sample_rate"),
+        when(mt === "video", (col("doc_id") % 300 + 1).cast("int"))
+          .otherwise(lit(null).cast("int")).as("n_frames")))
+  }
+
+  /** Output schema of the feature extractor. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_type", StringType),
+    StructField("byte_len", IntegerType),
+    StructField("feature", ArrayType(DoubleType))))
+
+  /** Per-partition decode + feature extraction over (id, media_type, blob)
+    * batches. The decode is a deterministic STUB: a real deployment swaps
+    * `decodeStub` for an actual codec call; the Spark-side contract
+    * (iterator-in/iterator-out, one codec init per partition) is the part
+    * that matters for scale. */
+  def extractFeatures(withMedia: DataFrame): DataFrame = {
+    val spark = withMedia.sparkSession
+    val input = withMedia.select(col("doc_id"), col("media_type"),
+      col("media"))
+    val rdd = input.rdd.mapPartitions { it =>
+      // real impl: initialize codec once per partition here
+      it.map { r =>
+        val id = r.getLong(0)
+        val mt = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        Row(id, mt, bytes.length, decodeStub(bytes))
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** STUB for the media codec: 4 deterministic moments of the byte
+    * stream standing in for decoded-content features. */
+  private def decodeStub(bytes: Array[Byte]): Seq[Double] = {
+    var sum = 0L; var min = 255; var max = 0
+    bytes.foreach { b =>
+      val u = b & 0xff
+      sum += u; if (u < min) min = u; if (u > max) max = u
+    }
+    val n = math.max(bytes.length, 1)
+    Seq(bytes.length.toDouble, sum.toDouble / n, min.toDouble, max.toDouble)
+  }
+}

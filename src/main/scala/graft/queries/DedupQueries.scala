@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.queries.PipelineQueries.table
+import graft.text.TextAnalysis
+
+/** Registry + oracles for deduplication over `documents`.
+  *
+  * d1/d3 have exact DuckDB twins. d2 (MinHash+LSH) and d4 (SimHash) depend
+  * on xxhash64, which DuckDB cannot reproduce → rows-only harness check;
+  * their algorithmic correctness is asserted in ScalaTest with planted
+  * near-duplicates (DedupSpec).
+  *
+  * The testdata has no verbatim duplicates, so d1 plants them: the corpus
+  * unioned with an id-shifted copy of itself — every text then has exactly
+  * one duplicate and the operator must pick the min-id canonical. */
+object DedupQueries {
+
+  /** documents ∪ id-shifted copy (planted exact duplicates). */
+  private def doubled(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents")
+    docs.unionAll(docs.withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  private val doubledSql =
+    """(SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents)"""
+      .stripMargin.replace('\n', ' ')
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> ((s, d) =>
+      Dedup.exactGroups(doubled(s, d))
+        .select(col("fingerprint"), col("n_copies"), col("canonical_id"),
+          array_join(col("member_ids"), ",").as("member_ids"))
+        .orderBy("canonical_id")),
+    "d1_drop_duplicates" -> ((s, d) =>
+      Dedup.dropExactDuplicates(doubled(s, d))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+    "d2_minhash_lsh_pairs" -> ((s, d) => {
+      // LSH candidates → exact-Jaccard verification ≥ 0.7 on shingles
+      val docs = table(s, d, "documents").filter(col("doc_id") < 200)
+      val sigs = Dedup.minhashSignatures(docs)
+      val cands = Dedup.lshCandidatePairs(sigs)
+      val sh = docs.select(col("doc_id"),
+        Dedup.shingles(col("text")).as("sh"))
+      cands
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("jaccard", round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+        .filter(col("jaccard") >= 0.7)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+    "d3_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        table(s, d, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text")),
+        threshold = 0.98)
+        .orderBy("id_a", "id_b")),
+    "d4_simhash_pairs" -> ((s, d) => {
+      val docs = table(s, d, "documents").filter(col("doc_id") < 200)
+      Dedup.simhashNearPairs(Dedup.simhash(docs), maxDist = 3)
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" -> {
+      val fp = TextAnalysis.fingerprintSql("text")
+      s"""SELECT $fp AS fingerprint, count(*) AS n_copies,
+         |  min(doc_id) AS canonical_id,
+         |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS member_ids
+         |FROM $doubledSql
+         |GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY canonical_id""".stripMargin.replace('\n', ' ')
+    },
+    "d1_drop_duplicates" -> {
+      val fp = TextAnalysis.fingerprintSql("text")
+      s"""SELECT doc_id, lang, source, n_chars FROM (
+         |  SELECT *, min(doc_id) OVER (PARTITION BY $fp) AS keep_id
+         |  FROM (SELECT doc_id, text, lang, source, n_chars FROM documents
+         |    UNION ALL SELECT doc_id + 100000, text, lang, source, n_chars
+         |    FROM documents))
+         |WHERE doc_id = keep_id
+         |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+    },
+    "d3_ngram_jaccard" ->
+      (Dedup.ngramJaccardSql(
+        "(SELECT doc_id AS id, text FROM documents WHERE doc_id < 200)",
+        0.98) + " ORDER BY id_a, id_b")
+  )
+}

@@ -54,7 +54,7 @@ object PipelineQueries {
       s"gold AS ($goldSql) " + body
 
   /** Spark-side canonical string form of the Gold arrays. */
-  private def goldCanonical(g: DataFrame): DataFrame =
+  def goldCanonical(g: DataFrame): DataFrame =
     g.select(
       col("datetime"), col("location_id"), col("location_name"),
       col("country"), col("latitude"), col("longitude"),

@@ -29,8 +29,11 @@ object RelationalQueries {
     val li = table(s, d, "lineitem")
     val revenue = (col("l_extendedprice") * (lit(1) - col("l_discount")))
       .cast("decimal(18,4)")
+    // scale 6: price(2dp)·(1−disc)(2dp)·(1+tax)(2dp) has ≤6 exact decimals,
+    // so the double→decimal cast never lands on a rounding tie (HALF_UP vs
+    // half-even would diverge at scale 4)
     val charge = (col("l_extendedprice") * (lit(1) - col("l_discount")) *
-      (lit(1) + col("l_tax"))).cast("decimal(18,4)")
+      (lit(1) + col("l_tax"))).cast("decimal(18,6)")
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
@@ -134,7 +137,7 @@ object RelationalQueries {
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
         |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_extendedprice), 4) AS avg_price,
         |  round(avg(l_discount), 4) AS avg_disc,

@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.PipelineQueries.table
+import graft.sim.Similarity
+
+/** Registry + oracles for similarity search over `embeddings`.
+  * sim1/sim3 have DuckDB twins (cosine over DOUBLE[], rounded to 4
+  * decimals; ranking ties broken by id so top-k is deterministic).
+  * sim2 (IVF/LSH bucketed) uses xxhash64-derived hyperplanes → rows-only
+  * check + ScalaTest recall assertion vs. the brute-force baseline. */
+object SimilarityQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim1_knn_bruteforce" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "sim2_knn_ivf" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "sim3_cosine_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(table(s, d, "embeddings"),
+        threshold = 0.4)
+        .orderBy("id_a", "id_b"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sim1_knn_bruteforce" ->
+      Similarity.bruteForceTopKSql(5, "vec_id < 20"),
+    "sim3_cosine_neardup" -> Similarity.cosineNearDupPairsSql(0.4)
+  )
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Queries => A}
+import graft.io.{Sinks, Sources}
+import graft.multimodal.Multimodal
+import graft.queries.PipelineQueries._
+
+/** Registry + oracles for sinks (S4 partitioned parquet, S9 CSV), the
+  * Spark-SQL OLAP surface (S8 collapse), and the multimodal plumbing. */
+object SinkQueries {
+
+  private def tmp(name: String, dir: String) =
+    s"/tmp/graft_sink_${dir.hashCode.toHexString}/$name"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S4: partitionBy(year,month,day) parquet write → re-read (S3: partition
+    // recovery) → per-partition counts
+    "s4_partitioned_write" -> ((s, d) => {
+      val path = tmp("bronze_part", d)
+      Sinks.writePartitioned(bronze(s, d).drop("props"), path)
+      s.read.parquet(path)
+        .groupBy(col("year"), col("month"), col("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("location_id")).as("n_locations"))
+        .orderBy("year", "month", "day")
+    }),
+    // S9: CSV export with header → schema-checked re-read (µs-precision
+    // timestamp format preserved both ways)
+    "s9_csv_roundtrip" -> ((s, d) => {
+      val inv = A.stationInventory(silver(s, d))
+      val path = tmp("inventory_csv", d)
+      inv.write.mode("overwrite").option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+      s.read.option("header", "true").schema(inv.schema)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+        .orderBy("location_id")
+    }),
+    // S8 collapse: the ClickHouse SQL surface becomes spark.sql over
+    // registered layer views (A4 via raw SQL text)
+    "ch1_sql_surface" -> ((s, d) => {
+      Sources.registerLayers(s, Map("gold_view" -> gold(s, d)))
+      s.sql(
+        """SELECT country, count(*) AS n_records,
+          |  round(avg(aqi), 4) AS avg_aqi, max(aqi) AS max_aqi,
+          |  min(aqi) AS min_aqi, round(stddev_pop(aqi), 4) AS std_aqi
+          |FROM gold_view GROUP BY country
+          |ORDER BY avg_aqi DESC, country""".stripMargin)
+    }),
+    // multimodal: binary column + metadata + hash/length features
+    "mm1_media_features" -> ((s, d) =>
+      Multimodal.withBinaryPayload(table(s, d, "documents"))
+        .select(col("doc_id"), col("media_type"),
+          length(col("media")).as("byte_len"),
+          md5(col("media")).as("media_md5"),
+          col("metadata.width").as("width"),
+          col("metadata.sample_rate").as("sample_rate"),
+          col("metadata.n_frames").as("n_frames"))
+        .orderBy("doc_id")),
+    // multimodal decode stub via mapPartitions (rows-only: RDD plumbing)
+    "mm2_decode_stub" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.withBinaryPayload(table(s, d, "documents")))
+        .select(col("doc_id"), col("media_type"), col("byte_len"),
+          array_join(transform(col("feature"),
+            v => format_string("%.4f", v)), ",").as("feature"))
+        .orderBy("doc_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s4_partitioned_write" -> withPipeline(
+      """SELECT year, month, day, count(*) AS n_rows,
+        |  count(DISTINCT location_id) AS n_locations
+        |FROM bronze GROUP BY 1, 2, 3
+        |ORDER BY year, month, day""".stripMargin.replace('\n', ' ')),
+    "s9_csv_roundtrip" -> withPipeline(
+      """SELECT location_id, location_name, country, count(*) AS n_records,
+        |  min(datetime) AS first_dt, max(datetime) AS last_dt
+        |FROM silver GROUP BY 1, 2, 3
+        |ORDER BY location_id""".stripMargin.replace('\n', ' ')),
+    "ch1_sql_surface" -> withPipeline(
+      """SELECT country, count(*) AS n_records,
+        |  round(avg(aqi), 4) AS avg_aqi, max(aqi) AS max_aqi,
+        |  min(aqi) AS min_aqi, round(stddev_pop(aqi), 4) AS std_aqi
+        |FROM gold GROUP BY country
+        |ORDER BY avg_aqi DESC, country""".stripMargin.replace('\n', ' ')),
+    // DuckDB md5 only accepts VARCHAR; md5(text) hashes the same UTF-8
+    // bytes as Spark's md5(encode(text,'UTF-8'))
+    "mm1_media_features" ->
+      """SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |    WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END) AS media_type,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  md5(text) AS media_md5,
+        |  (CASE WHEN doc_id % 3 = 0
+        |    THEN CAST(doc_id % 1024 + 64 AS INT) END) AS width,
+        |  (CASE WHEN doc_id % 3 = 1 THEN 16000 END) AS sample_rate,
+        |  (CASE WHEN doc_id % 3 = 2
+        |    THEN CAST(doc_id % 300 + 1 AS INT) END) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  )
+}

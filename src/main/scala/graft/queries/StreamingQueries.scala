@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Bronze, EventsAdapter, Silver}
+import graft.queries.PipelineQueries.{goldCanonical, withPipeline}
+import graft.streaming.StreamPipeline
+
+/** Registry + oracles for the Structured Streaming surface (SURVEY.md §2.8).
+  * The harness replays the bounded `events` table as a file stream with
+  * `Trigger.AvailableNow` into a memory sink, so the streaming engine
+  * (micro-batches, state store, watermark) actually executes.
+  *
+  * s2 (stateless) must equal the batch Silver exactly. s5 (stateful,
+  * append mode) emits only groups finalized by the 1 h watermark — the
+  * oracle reproduces that cutoff declaratively: hours strictly below
+  * (max event time − 1 h) over the P8-filtered stream. */
+object StreamingQueries {
+
+  /** The file stream source requires a DIRECTORY; expose the single
+    * events.parquet through a per-sf symlink dir under /tmp. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$d/events.parquet")
+    val dir = Paths.get(s"/tmp/graft_stream_${d.hashCode.toHexString}/events")
+    Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    val schema = s.read.parquet(src.toString).schema
+    EventsAdapter.wire(s.readStream.schema(schema).parquet(dir.toString))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s2_stream_silver" -> ((s, d) => {
+      val silver = StreamPipeline
+        .silverStream(StreamPipeline.bronzeStream(eventsStream(s, d)))
+        .drop("processing_timestamp") // P7 audit col is wall-clock
+      StreamPipeline.replayToMemory(s, silver, "s2_stream_silver")
+        .orderBy("location_id", "datetime", "parameter", "value")
+    }),
+    "s5_stream_gold" -> ((s, d) => {
+      val silver = StreamPipeline
+        .silverStream(StreamPipeline.bronzeStream(eventsStream(s, d)))
+      val gold = StreamPipeline.goldStream(silver,
+        deterministicArrays = true)
+      goldCanonical(
+        StreamPipeline.replayToMemory(s, gold, "s5_stream_gold"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s2_stream_silver" -> withPipeline(
+      "SELECT * FROM silver ORDER BY location_id, datetime, parameter, value"),
+    "s5_stream_gold" -> {
+      // Gold over the aqi-filtered stream (P8), cut at the watermark.
+      // goldStream watermarks the hour-truncated event time, so the final
+      // watermark is trunc(max event time) − 1 h and an hour is emitted
+      // iff hour <= that bound (empirically: state is evicted when
+      // key <= watermark — verified against Spark 4.1 at sf0.01).
+      val sgold = PipelineQueries.goldSql
+        .replace("FROM silver", "FROM (SELECT * FROM silver " +
+          "WHERE aqi IS NOT NULL)")
+      s"WITH wire AS (${EventsAdapter.wireSql}), " +
+        s"bronze AS (${Bronze.sqlFromWire}), " +
+        s"silver AS (${Silver.sqlFromBronze}), " +
+        s"gold AS (SELECT * FROM ($sgold) WHERE datetime <= " +
+        "(SELECT date_trunc('hour', max(datetime)) - INTERVAL 1 HOUR " +
+        "FROM silver WHERE aqi IS NOT NULL)) " +
+        """SELECT datetime, location_id, location_name, country, latitude,
+          |  longitude, year, month, day, aqi,
+          |  array_to_string(parameters, ',') AS parameters,
+          |  array_to_string(list_transform("values", v -> printf('%.4f', v)), ',')
+          |    AS "values",
+          |  aqi_category
+          |FROM gold
+          |ORDER BY location_id, datetime""".stripMargin.replace('\n', ' ')
+    }
+  )
+}

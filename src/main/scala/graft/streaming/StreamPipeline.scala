@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.etl.{Bronze, Gold, Silver}
+import graft.model.Schemas
+
+/** Structured Streaming pipeline (SURVEY.md §2.8 T1-T7): one unbounded
+  * source fanned into Bronze/Silver/Gold sinks — the streaming twin of the
+  * batch medallion, sharing the SAME transform code (source-agnostic
+  * DataFrames, SURVEY.md §7.4-4).
+  *
+  * Production wiring (stream_processor.py:236-283): Kafka source, parquet
+  * sinks, processing-time triggers 10 s/10 s/60 s, per-query checkpoints.
+  * Harness wiring: file/memory source + `Trigger.AvailableNow` so tests
+  * and the oracle gate can replay bounded data synchronously.
+  *
+  * Scale notes: Bronze/Silver are stateless appends (no state store, no
+  * shuffle — they scale with source partitions). Gold keeps one state row
+  * per (location, hour) group; the 1 h watermark (T3) bounds state: groups
+  * older than (max event time − 1 h) are finalized and evicted each
+  * micro-batch. State store is the default HDFS-backed one, keyed by the
+  * same group columns as the batch shuffle.
+  */
+object StreamPipeline {
+
+  /** T1/S2: Kafka unbounded source (production path; not exercisable in
+    * the offline harness — config parity with stream_processor.py:244-251). */
+  def kafkaSource(spark: SparkSession, brokers: String,
+      topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("failOnDataLoss", "false")
+      .load()
+
+  /** Kafka bytes → wire columns (P1 on a stream). */
+  def parseKafka(raw: DataFrame): DataFrame = Bronze.parseWire(raw)
+
+  /** T2: stateless Bronze stream = the batch transform applied to an
+    * unbounded DataFrame. */
+  def bronzeStream(wire: DataFrame): DataFrame = Bronze.fromWire(wire)
+
+  /** T2 + P7: Silver stream with the streaming-only audit column. */
+  def silverStream(bronze: DataFrame): DataFrame =
+    Silver.fromBronze(bronze)
+      .withColumn("processing_timestamp", current_timestamp())
+
+  /** T3-T5: watermarked hourly Gold aggregation in append mode.
+    * Grouping is on the date_trunc'd event-time column (T4) — same output
+    * schema as batch Gold (plain timestamp, not a window struct). The
+    * P8 `aqi IS NOT NULL` pre-filter is the streaming-only quirk
+    * (stream_processor.py:185-193, SURVEY.md §2.10-3). */
+  def goldStream(silver: DataFrame, watermark: String = "1 hour",
+      deterministicArrays: Boolean = false): DataFrame = {
+    val cols = silver.columns.toSet
+    val filtered = (if (cols.contains("processing_timestamp"))
+      silver.drop("processing_timestamp") else silver)
+      .filter(col("aqi").isNotNull)
+    // Truncate FIRST, then watermark the truncated attribute, then group
+    // by it bare: watermark metadata only survives on direct attribute
+    // group keys. (The reference watermarks the raw datetime and groups on
+    // an aliased date_trunc — stream_processor.py:197,200 — which Spark
+    // rejects at query start; truncating first is the working equivalent:
+    // the watermark now advances in hour quanta, so an hour closes once an
+    // event ≥ that hour + 1 h + 1 h-quantum arrives.)
+    val hourly = filtered
+      .withColumn("datetime", date_trunc("hour", col("datetime")))
+      .withWatermark("datetime", watermark)
+    Gold.rollup(hourly, deterministicArrays = deterministicArrays,
+      truncated = true)
+  }
+
+  /** S5: parquet streaming sink with checkpoint + partitioning + trigger
+    * (stream_processor.py:105-112). */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("year", "month", "day")
+      .trigger(trigger)
+
+  /** T1: run all three layers concurrently off one source and block —
+    * awaitAnyTermination replaces the reference's 3 hand-rolled threads
+    * (stream_processor.py:262-280). */
+  def runAll(spark: SparkSession, wire: DataFrame, outRoot: String,
+      checkpointRoot: String): Unit = {
+    val bronze = bronzeStream(wire)
+    val silver = silverStream(bronze)
+    val gold = goldStream(silver.drop("processing_timestamp"))
+    parquetSink(bronze, s"$outRoot/bronze", s"$checkpointRoot/bronze").start()
+    parquetSink(silver, s"$outRoot/silver", s"$checkpointRoot/silver").start()
+    parquetSink(gold, s"$outRoot/gold", s"$checkpointRoot/gold",
+      Trigger.ProcessingTime("1 minute")).start()
+    spark.streams.awaitAnyTermination()
+  }
+
+  /** Harness entry: replay a bounded wire DataFrame through the streaming
+    * engine via a file re-read as stream + AvailableNow, collecting into a
+    * memory sink. Returns the materialized result table. */
+  def replayToMemory(spark: SparkSession, stream: DataFrame,
+      name: String): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -58,8 +58,8 @@ object TextAnalysis {
   def qualityFeaturesSql(t: String): String = {
     val toks = tokensSql(t)
     val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
-    s"""length($t) AS n_chars_actual,
-       |  len($toks) AS n_tokens,
+    s"""CAST(length($t) AS INT) AS n_chars_actual,
+       |  CAST(len($toks) AS INT) AS n_tokens,
        |  round(CAST(length($t) AS DOUBLE)
        |    / greatest(len($toks), 1), 4) AS avg_token_len,
        |  round(CAST(length($t) - length(regexp_replace($t, '[0-9]', '', 'g'))
@@ -119,7 +119,8 @@ object TextAnalysis {
     val toks = tokensSql(s"lower($t)")
     val scores = langMarkers.map { case (lang, markers) =>
       val list = markers.map(m => s"'$m'").mkString("[", ", ", "]")
-      s"len(list_filter($toks, tk -> list_contains($list, tk))) AS score_$lang"
+      s"CAST(len(list_filter($toks, tk -> list_contains($list, tk))) AS INT)" +
+        s" AS score_$lang"
     }.mkString(", ")
     val langs = langMarkers.map(_._1)
     val whens = langs.reverse.map { l =>
@@ -144,9 +145,10 @@ object TextAnalysis {
 
   def tokenStatsSql(t: String): String = {
     val toks = tokensSql(t)
-    s"""len($toks) AS n_ws_tokens,
-       |  len(regexp_extract_all($t, '$bpeRegex')) AS n_bpe_tokens,
-       |  len(list_distinct($toks)) AS n_unique_tokens"""
+    s"""CAST(len($toks) AS INT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all($t, '$bpeRegex')) AS INT)
+       |    AS n_bpe_tokens,
+       |  CAST(len(list_distinct($toks)) AS INT) AS n_unique_tokens"""
       .stripMargin.replace('\n', ' ')
   }
 

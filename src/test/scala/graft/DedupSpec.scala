@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+
+/** Dedup operators on planted duplicates / near-duplicates. */
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "on the warm windowsill in the afternoon sun near the garden"
+
+  private def docs = Seq(
+    (1L, base),
+    (2L, base + " today"),                       // near-dup of 1
+    (3L, "  THE quick   brown fox jumps over the lazy dog while the cat " +
+      "sleeps on the warm windowsill in the afternoon sun near the garden "),
+    // 3 = exact dup of 1 after normalization
+    (4L, "completely different content about distributed query engines " +
+      "and columnar storage formats with vectorized execution pipelines"),
+    (5L, "another unrelated text mentioning parquet files shuffle " +
+      "partitions broadcast joins and adaptive execution in spark clusters")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates, keeps min id") {
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length === 1)
+    assert(groups(0).getAs[Long]("canonical_id") === 1L)
+    assert(groups(0).getAs[Seq[Long]]("member_ids") === Seq(1L, 3L))
+    val kept = Dedup.dropExactDuplicates(docs)
+    assert(kept.select("doc_id").as[Long].collect().sorted ===
+      Array(1L, 2L, 4L, 5L))
+  }
+
+  test("minhash LSH surfaces the planted near-dup pair, not the " +
+    "unrelated ones") {
+    val sigs = Dedup.minhashSignatures(docs)
+    assert(sigs.count() === 5)
+    val cands = Dedup.lshCandidatePairs(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 3L))) // identical shingle sets
+    assert(cands.contains((1L, 2L)) || cands.contains((2L, 3L)),
+      s"near-dup pair missed: $cands")
+    assert(!cands.contains((4L, 5L)))
+  }
+
+  test("ngram jaccard verifies near-dups with exact similarity") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val m = pairs.map(p => ((p._1, p._2), p._3)).toMap
+    assert(m((1L, 3L)) === 1.0)
+    assert(m.contains((1L, 2L)) && m((1L, 2L)) > 0.9)
+    assert(!m.contains((4L, 5L)))
+  }
+
+  test("simhash: identical docs distance 0; similar docs closer than " +
+    "unrelated ones") {
+    val sigs = Dedup.simhash(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(1L, 3L) === 0)
+    assert(ham(1L, 2L) < ham(1L, 4L))
+    val pairs = Dedup.simhashNearPairs(Dedup.simhash(docs), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val m = pairs.map(p => ((p._1, p._2), p._3)).toMap
+    assert(m((1L, 3L)) === 0)
+    assert(!m.contains((4L, 5L)))
+  }
+
+  test("shingles: distinct k-grams of the normalized text") {
+    val sh = docs.filter(col("doc_id") === 1L)
+      .select(Dedup.shingles(col("text"), k = 5).as("sh"))
+      .head().getAs[collection.Seq[String]]("sh")
+    assert(sh.contains("quick"))
+    assert(sh.distinct.length === sh.length)
+  }
+}

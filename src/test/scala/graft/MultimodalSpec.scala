@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "hello world"),
+    (1L, "abc"),
+    (2L, "zzzz zzzz")
+  ).toDF("doc_id", "text")
+
+  test("binary payload + typed metadata per media type") {
+    val m = Multimodal.withBinaryPayload(docs).orderBy("doc_id").collect()
+    assert(m(0).getAs[String]("media_type") === "image")
+    assert(m(1).getAs[String]("media_type") === "audio")
+    assert(m(2).getAs[String]("media_type") === "video")
+    val meta0 = m(0).getAs[org.apache.spark.sql.Row]("metadata")
+    assert(meta0.getAs[Int]("width") === 64)
+    assert(meta0.isNullAt(meta0.fieldIndex("sample_rate")))
+    val meta1 = m(1).getAs[org.apache.spark.sql.Row]("metadata")
+    assert(meta1.getAs[Int]("sample_rate") === 16000)
+    assert(m(0).getAs[Array[Byte]]("media") ===
+      "hello world".getBytes("UTF-8"))
+  }
+
+  test("feature extraction: schema + deterministic stub features") {
+    val f = Multimodal
+      .extractFeatures(Multimodal.withBinaryPayload(docs))
+      .orderBy("doc_id").collect()
+    assert(f.length === 3)
+    val r = f(1) // "abc" = bytes 97,98,99
+    assert(r.getAs[Int]("byte_len") === 3)
+    assert(r.getAs[Seq[Double]]("feature") === Seq(3.0, 98.0, 97.0, 99.0))
+  }
+}

