@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection utility: prints formatted physical plans for headline
+  * queries so shuffle counts / pushdown / broadcast choices can be
+  * reviewed (SCALE.md evidence). Not part of the driver contract. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("p5_silver_clean", "a1_gold_hourly", "a4_country_stats",
+        "q5_revenue_by_nation", "w3_rolling_stats", "ml_feature_matrix",
+        "sim1_knn_bruteforce", "d3_ngram_jaccard")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -154,6 +154,41 @@ object Aqi {
     categoryBounds.collectFirst { case (b, n) if aqi <= b => n }
       .getOrElse("Hazardous")
 
+  // -------------------------------------------------- R4: recommendation
+
+  /** app.py:65-104 — the serving-layer 6-way bucket mapping AQI to a UI
+    * payload (message, icon, color). Emitted as a struct column. */
+  val recommendations: Seq[(Int, (String, String, String))] = Seq(
+    50 -> (("Air quality is good. Enjoy outdoor activities!", "😊", "#00E400")),
+    100 -> (("Air quality is acceptable for most people.", "🙂", "#FFFF00")),
+    150 -> (("Sensitive groups should reduce outdoor exertion.", "😐", "#FF7E00")),
+    200 -> (("Everyone should limit prolonged outdoor exertion.", "😷", "#FF0000")),
+    300 -> (("Avoid outdoor activities. Wear a mask outside.", "🤢", "#8F3F97")))
+
+  private val hazardRec =
+    ("Stay indoors. Health emergency conditions.", "☠️", "#7E0023")
+
+  def recommendation(aqi: Column): Column = {
+    def asStruct(r: (String, String, String)) = struct(
+      lit(r._1).as("message"), lit(r._2).as("icon"), lit(r._3).as("color"))
+    recommendations
+      .foldLeft(when(aqi.isNull, lit(null).cast(
+        "struct<message:string,icon:string,color:string>"))) {
+        case (acc, (bound, r)) => acc.when(aqi <= bound, asStruct(r))
+      }
+      .otherwise(asStruct(hazardRec))
+  }
+
+  /** Flat SQL twin (three parallel CASEs — struct-free for the oracle). */
+  def recommendationSql(a: String, field: Int): String = {
+    val pick: ((String, String, String)) => String =
+      r => Seq(r._1, r._2, r._3)(field)
+    val whens = recommendations
+      .map { case (b, r) => s"WHEN $a <= $b THEN '${pick(r)}'" }
+      .mkString(" ")
+    s"(CASE WHEN $a IS NULL THEN NULL $whens ELSE '${pick(hazardRec)}' END)"
+  }
+
   // ------------------------------------------------------ R2: unit-to-standard
 
   /** aqi_calculator.py:91-112: ppm passthrough; µg/m³ → ppm for gases;

@@ -27,7 +27,47 @@ object AnalyticsQueries {
     "w5_latest_topn" -> ((s, d) => Queries.latestTopN(silver(s, d))),
     "w6_latest_per_location" -> ((s, d) =>
       Queries.latestPerLocation(silver(s, d))),
-    "o1_export_sorted" -> ((s, d) => Queries.exportSorted(silver(s, d)))
+    "o1_export_sorted" -> ((s, d) => Queries.exportSorted(silver(s, d))),
+    // R4: serving-layer recommendation payload (struct → flattened)
+    "r4_recommendation" -> ((s, d) => {
+      val st = Queries.stationMaxAqi(silver(s, d))
+        .withColumn("rec", Aqi.recommendation(org.apache.spark.sql.functions.col("aqi")))
+      st.select(
+        org.apache.spark.sql.functions.col("location_id"),
+        org.apache.spark.sql.functions.col("aqi"),
+        org.apache.spark.sql.functions.col("aqi_category"),
+        org.apache.spark.sql.functions.col("rec.message").as("message"),
+        org.apache.spark.sql.functions.col("rec.icon").as("icon"),
+        org.apache.spark.sql.functions.col("rec.color").as("color"))
+        .orderBy("location_id")
+    }),
+    // P10: date/country slice (pandas df[dt>=..][country.isin(..)] analog)
+    "p10_slice" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      silver(s, d)
+        .filter(col("datetime") >= lit("2024-01-10 00:00:00") &&
+          col("datetime") < lit("2024-01-20 00:00:00") &&
+          col("country").isin("VN", "TH", "KH"))
+        .groupBy(col("country"))
+        .agg(count(lit(1)).as("n_records"),
+          min(col("datetime")).as("min_dt"),
+          max(col("datetime")).as("max_dt"))
+        .orderBy("country")
+    }),
+    // P11: null imputation (load_to_clickhouse.py:87-96 analog) via na.fill
+    "p11_impute" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      gold(s, d)
+        .na.fill(Map("aqi" -> 0.0, "aqi_category" -> ""))
+        .select(col("location_id"), col("datetime"), col("aqi"),
+          col("aqi_category"),
+          coalesce(col("parameters"), array()).as("params"))
+        .groupBy(col("aqi_category"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(avg(col("aqi")), 4).as("avg_aqi"),
+          sum(size(col("params"))).as("n_values"))
+        .orderBy("aqi_category")
+    })
   )
 
   // `a3_approx_distinct` is deliberately omitted from the oracle: HLL
@@ -112,6 +152,28 @@ object AnalyticsQueries {
         |  aqi_category
         |FROM silver
         |ORDER BY country, datetime, location_id, parameter, value"""
+        .stripMargin.replace('\n', ' ')),
+    "r4_recommendation" -> withPipeline(
+      "SELECT location_id, max(aqi) AS aqi, " +
+        Aqi.categorySql("max(aqi)") + " AS aqi_category, " +
+        Aqi.recommendationSql("max(aqi)", 0) + " AS message, " +
+        Aqi.recommendationSql("max(aqi)", 1) + " AS icon, " +
+        Aqi.recommendationSql("max(aqi)", 2) + " AS color " +
+        "FROM silver GROUP BY 1 ORDER BY location_id"),
+    "p10_slice" -> withPipeline(
+      """SELECT country, count(*) AS n_records, min(datetime) AS min_dt,
+        |  max(datetime) AS max_dt
+        |FROM silver
+        |WHERE datetime >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND datetime < TIMESTAMP '2024-01-20 00:00:00'
+        |  AND country IN ('VN', 'TH', 'KH')
+        |GROUP BY 1 ORDER BY country""".stripMargin.replace('\n', ' ')),
+    "p11_impute" -> withPipeline(
+      """SELECT coalesce(aqi_category, '') AS aqi_category,
+        |  count(*) AS n_rows,
+        |  round(avg(coalesce(aqi, 0.0)), 4) AS avg_aqi,
+        |  CAST(sum(len(coalesce(parameters, []))) AS BIGINT) AS n_values
+        |FROM gold GROUP BY 1 ORDER BY aqi_category"""
         .stripMargin.replace('\n', ' '))
   )
 }
