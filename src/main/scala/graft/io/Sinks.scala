@@ -9,11 +9,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Sinks {
 
   /** S4: `mode(Overwrite).partitionBy(year,month,day).parquet(path)`
-    * (batch_processor.py:125-129). */
-  def writePartitioned(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    * (batch_processor.py:125-129). Repartitions by the partition keys
+    * first: without it every task writes a file into every partition dir
+    * (tasks × partitions small files — the classic at-scale
+    * anti-pattern); with it each hive partition is written by the task(s)
+    * owning that key. AQE coalescing keeps per-task output reasonable. */
+  def writePartitioned(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(col("year"), col("month"), col("day"))
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("year", "month", "day")
       .parquet(path)
+  }
 
   /** S9: CSV export with header (clickhouse_queries.sql:167-183 analog). */
   def writeCsv(df: DataFrame, path: String): Unit =
