@@ -69,6 +69,16 @@ object Silver {
         col("year"), col("month"), col("day"))
       .filter(col("value").isNotNull && col("value") >= 0 && !isnan(col("value")))
 
+  /** Typed view for compile-time field checks where ergonomics help
+    * (SURVEY.md §1.6: Dataset[Measurement] for the core API; DataFrame
+    * stays the default for dynamic-schema paths). */
+  def typed(silver: DataFrame)
+      : org.apache.spark.sql.Dataset[graft.model.Measurement] = {
+    val spark = silver.sparkSession
+    import spark.implicits._
+    silver.as[graft.model.Measurement]
+  }
+
   /** Twin CTE body over `bronze`. */
   def sqlFromBronze: String =
     """SELECT datetime, location_id, location_name, country, latitude,

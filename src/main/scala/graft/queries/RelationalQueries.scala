@@ -97,10 +97,12 @@ object RelationalQueries {
       .orderBy(col("o_orderstatus"))
   }
 
-  /** Left-anti join: customers who never ordered, counted per segment. */
+  /** Left-anti join: customers with no Finalized order, per segment
+    * (plain no-orders is empty at small SFs — filter makes the anti path
+    * produce real rows at every scale). */
   def antiCustomersNoOrders(s: SparkSession, d: String): DataFrame =
     table(s, d, "customer")
-      .join(table(s, d, "orders"),
+      .join(table(s, d, "orders").filter(col("o_orderstatus") === "F"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"))
@@ -180,7 +182,8 @@ object RelationalQueries {
     "j2_anti_customers_no_orders" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin.replace('\n', ' '),
     "j3_left_join_coverage" ->
       """SELECT c_mktsegment,
