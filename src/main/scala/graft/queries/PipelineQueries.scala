@@ -17,8 +17,12 @@ import graft.etl.{Bronze, EventsAdapter, Gold, Silver}
   */
 object PipelineQueries {
 
-  def table(s: SparkSession, dir: String, name: String): DataFrame =
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    // defensive: testdata events.ts is TIMESTAMP(NANOS); make every
+    // caller's session read it as long nanos (runtime-settable, idempotent)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/$name.parquet")
+  }
 
   def wire(s: SparkSession, dir: String): DataFrame =
     EventsAdapter.wire(table(s, dir, "events"))

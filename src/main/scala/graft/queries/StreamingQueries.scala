@@ -22,6 +22,7 @@ object StreamingQueries {
     * events.parquet through a per-sf symlink dir under /tmp. */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = Paths.get(s"$d/events.parquet")
     val dir = Paths.get(s"/tmp/graft_stream_${d.hashCode.toHexString}/events")
     Files.createDirectories(dir)

@@ -19,10 +19,10 @@ class EntrySmokeSpec extends AnyFunSuite {
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"query $name runs on sf0.001") {
+    test(s"query $name runs non-empty on sf0.001") {
       val df = fn(spark, dir)
       assert(df.columns.nonEmpty)
-      df.count() // forces execution
+      assert(df.count() > 0, s"$name returned 0 rows")
     }
   }
 }
