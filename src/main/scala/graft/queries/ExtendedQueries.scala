@@ -75,7 +75,53 @@ object ExtendedQueries {
               x => format_string("%.4f", x.getField("dim_avg")))
             , ",").as("centroid"))
         .orderBy("label")
-    })
+    }),
+    // multi-level aggregation: ROLLUP (country, parameter) totals
+    "x5_rollup" -> ((s, d) =>
+      PipelineQueries.silver(s, d)
+        .rollup(col("country"), col("parameter"))
+        .agg(count(lit(1)).as("n_records"),
+          round(avg(col("aqi")), 4).as("avg_aqi"))
+        .select(
+          coalesce(col("country"), lit("ALL")).as("country"),
+          coalesce(col("parameter"), lit("ALL")).as("parameter"),
+          col("n_records"), col("avg_aqi"))
+        .orderBy("country", "parameter")),
+    // ranking functions: dense_rank + ntile of stations within country
+    "x6_rank_stations" -> ((s, d) => {
+      val perStation = PipelineQueries.silver(s, d)
+        .groupBy(col("country"), col("location_id"))
+        .agg(round(avg(col("aqi")), 4).as("avg_aqi"))
+      val w = Window.partitionBy(col("country"))
+        .orderBy(desc("avg_aqi"), col("location_id"))
+      perStation
+        .withColumn("rnk", dense_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .orderBy("country", "rnk", "location_id")
+    }),
+    // set operations: INTERSECT / EXCEPT over customer key sets
+    "x7_setops" -> ((s, d) => {
+      val building = table(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val withF = table(s, d, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      building.intersect(withF).withColumn("tag", lit("both"))
+        .unionAll(
+          building.except(withF).withColumn("tag", lit("only_building")))
+        .orderBy("tag", "custkey")
+    }),
+    // exact percentiles (linear interpolation — same rule as DuckDB's
+    // quantile_cont); at 100 TB swap for approx_percentile
+    "x8_percentiles" -> ((s, d) =>
+      PipelineQueries.silver(s, d)
+        .groupBy(col("parameter"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy("parameter"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -128,6 +174,41 @@ object ExtendedQueries {
         |  array_to_string(list(printf('%.4f', dim_avg) ORDER BY pos), ',')
         |    AS centroid
         |FROM dims GROUP BY label
-        |ORDER BY label""".stripMargin.replace('\n', ' ')
+        |ORDER BY label""".stripMargin.replace('\n', ' '),
+    "x5_rollup" -> withPipeline(
+      """SELECT coalesce(country, 'ALL') AS country,
+        |  coalesce(parameter, 'ALL') AS parameter,
+        |  count(*) AS n_records, round(avg(aqi), 4) AS avg_aqi
+        |FROM silver GROUP BY ROLLUP (country, parameter)
+        |ORDER BY country, parameter""".stripMargin.replace('\n', ' ')),
+    "x6_rank_stations" -> withPipeline(
+      """SELECT country, location_id, avg_aqi,
+        |  CAST(dense_rank() OVER w AS INT) AS rnk,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM (SELECT country, location_id, round(avg(aqi), 4) AS avg_aqi
+        |  FROM silver GROUP BY 1, 2)
+        |WINDOW w AS (PARTITION BY country
+        |  ORDER BY avg_aqi DESC, location_id)
+        |ORDER BY country, rnk, location_id""".stripMargin.replace('\n', ' ')),
+    "x7_setops" ->
+      """SELECT custkey, 'both' AS tag FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |    WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT custkey, 'only_building' AS tag FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |    WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY tag, custkey""".stripMargin.replace('\n', ' '),
+    "x8_percentiles" -> withPipeline(
+      """SELECT parameter,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM silver GROUP BY parameter
+        |ORDER BY parameter""".stripMargin.replace('\n', ' '))
   )
 }
