@@ -17,9 +17,11 @@ object ExtendedQueries {
     * the running session counter is a cumulative sum over the gap flags. */
   def sessionize(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    val gap = col("ts").cast("long") -
-      lag(col("ts"), 1).over(byUser).cast("long")
-    val isNew = when(gap.isNull || gap > 1800, 1).otherwise(0)
+    // µs-exact gap: cast-to-long floors to seconds and would disagree
+    // with the oracle (and the streaming twin) on gaps in (1800, 1801) s
+    val gap = unix_micros(col("ts")) -
+      lag(unix_micros(col("ts")), 1).over(byUser)
+    val isNew = when(gap.isNull || gap > 1800L * 1000000, 1).otherwise(0)
     events
       .withColumn("is_new", isNew)
       .withColumn("session_seq",
@@ -130,8 +132,8 @@ object ExtendedQueries {
         |  FROM events),
         |flagged AS (
         |  SELECT user_id, ts, value,
-        |    CASE WHEN epoch(ts) - epoch(lag(ts, 1) OVER w) IS NULL
-        |      OR epoch(ts) - epoch(lag(ts, 1) OVER w) > 1800
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
         |      THEN 1 ELSE 0 END AS is_new
         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |sessions AS (

@@ -32,7 +32,34 @@ object StreamingQueries {
     EventsAdapter.wire(s.readStream.schema(schema).parquet(dir.toString))
   }
 
+  /** Raw (user_id, ts, value) file stream for the session operator. */
+  private def rawEventsStream(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Paths.get(s"$d/events.parquet")
+    val dir = Paths.get(s"/tmp/graft_stream_${d.hashCode.toHexString}/events")
+    Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    val schema = s.read.parquet(src.toString).schema
+    s.readStream.schema(schema).parquet(dir.toString)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x9_stream_sessions" -> ((s, d) => {
+      val sessions = graft.streaming.SessionStream
+        .sessionizeStream(rawEventsStream(s, d))
+      StreamPipeline.replayToMemory(s, sessions.toDF(),
+        "x9_stream_sessions")
+        .select(col("user_id"),
+          timestamp_micros(col("start_us")).as("session_start"),
+          timestamp_micros(col("end_us")).as("session_end"),
+          col("n_events"),
+          round(col("session_value"), 4).as("session_value"))
+        .orderBy("user_id", "session_start")
+    }),
     "s2_stream_silver" -> ((s, d) => {
       val silver = StreamPipeline
         .silverStream(StreamPipeline.bronzeStream(eventsStream(s, d)))
@@ -51,6 +78,36 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // batch sessionization restricted to sessions the watermark closed:
+    // end + gap <= (ms-floored max event time − 1 h), all in epoch µs —
+    // exactly SessionStream's emission rule.
+    "x9_stream_sessions" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_seq
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |    count(*) AS n_events,
+        |    round(CAST(sum(value) AS DOUBLE), 4) AS session_value
+        |  FROM sessions GROUP BY user_id, session_seq),
+        |wm AS (SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000
+        |  AS wm_us FROM ev)
+        |SELECT user_id, session_start, session_end, n_events,
+        |  session_value
+        |FROM agg, wm
+        |WHERE epoch_us(session_end) + 1800000000 <= wm_us
+        |ORDER BY user_id, session_start""".stripMargin.replace('\n', ' '),
     "s2_stream_silver" -> withPipeline(
       "SELECT * FROM silver ORDER BY location_id, datetime, parameter, value"),
     "s5_stream_gold" -> {

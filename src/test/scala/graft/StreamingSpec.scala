@@ -90,6 +90,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(hours.forall(_ < "2024-01-01 13:10:00"))
   }
 
+  test("session stream merges out-of-order events that bridge two open " +
+    "sessions, emits on watermark close") {
+    import graft.streaming.SessionStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    val q = SessionStream.sessionizeStream(df).toDF()
+      .writeStream.format("memory").queryName("spec_sessions")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // two sessions 50 min apart (> gap)...
+    mem.addData((1L, t("2024-01-01 10:00:00"), 1.0),
+      (1L, t("2024-01-01 10:50:00"), 2.0))
+    q.processAllAvailable()
+    // ...bridged by a late-but-in-watermark 10:25 event (≤30 min from
+    // both), then closed by advancing the watermark past end+gap
+    mem.addData((1L, t("2024-01-01 10:25:00"), 4.0))
+    q.processAllAvailable()
+    mem.addData((1L, t("2024-01-01 14:00:00"), 8.0))
+    q.processAllAvailable()
+    mem.addData((2L, t("2024-01-01 18:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("spec_sessions")
+      .orderBy("user_id", "start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    // one merged session (3 events, sum 7.0); the 14:00 single closed later
+    assert(out.take(2).toSeq === Seq((1L, 3L, 7.0), (1L, 1L, 8.0)))
+  }
+
   test("streaming gold equals batch gold on the emitted (closed) hours") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
