@@ -105,16 +105,28 @@ object StreamPipeline {
 
   /** Harness entry: replay a bounded wire DataFrame through the streaming
     * engine via a file re-read as stream + AvailableNow, collecting into a
-    * memory sink. Returns the materialized result table. */
+    * memory sink. Returns the materialized result table.
+    *
+    * Streaming queries pin `shuffle.partitions` low for the duration of the
+    * replay (the reference does the same: 10 vs 2×cores for batch,
+    * stream_processor.py:64): state-store cost is per-partition-per-batch
+    * (one HDFS-backed store + delta file each), so 32 partitions for a few
+    * thousand keys is pure overhead. The number is fixed into the query's
+    * checkpoint at start, so restoring the session conf afterwards is safe. */
   def replayToMemory(spark: SparkSession, stream: DataFrame,
       name: String): DataFrame = {
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, saved)
     spark.table(name)
   }
 }
