@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.graph.ConnectedComponents
 import graft.queries.PipelineQueries.table
 import graft.text.TextAnalysis
 
@@ -67,7 +68,16 @@ object DedupQueries {
       val docs = table(s, d, "documents").filter(col("doc_id") < 200)
       Dedup.simhashNearPairs(Dedup.simhash(docs), maxDist = 3)
         .orderBy("id_a", "id_b")
-    })
+    }),
+    // near-dup pairs → clusters: connected components by min-label
+    // propagation (one canonical doc per component)
+    "d5_dedup_clusters" -> ((s, d) =>
+      ConnectedComponents.run(
+        Dedup.ngramJaccardPairs(
+          table(s, d, "documents").filter(col("doc_id") < 200)
+            .select(col("doc_id"), col("text")),
+          threshold = 0.98).select("id_a", "id_b"))
+        .orderBy("node"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -93,6 +103,21 @@ object DedupQueries {
     "d3_ngram_jaccard" ->
       (Dedup.ngramJaccardSql(
         "(SELECT doc_id AS id, text FROM documents WHERE doc_id < 200)",
-        0.98) + " ORDER BY id_a, id_b")
+        0.98) + " ORDER BY id_a, id_b"),
+    // transitive closure of the d3 pair graph; min reachable id per node
+    "d5_dedup_clusters" -> {
+      val pairs = Dedup.ngramJaccardSql(
+        "(SELECT doc_id AS id, text FROM documents WHERE doc_id < 200)",
+        0.98)
+      s"""WITH RECURSIVE pairs AS (SELECT * FROM ($pairs)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(node, root) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+         |SELECT node, min(root) AS component FROM reach
+         |GROUP BY 1 ORDER BY node""".stripMargin.replace('\n', ' ')
+    }
   )
 }

@@ -32,7 +32,10 @@ object TextQueries {
       table(s, d, "documents")
         .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "t5_tfidf_top3" -> ((s, d) =>
+      TextAnalysis.tfIdfTopK(table(s, d, "documents"))
+        .orderBy("doc_id", "rnk"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -49,6 +52,8 @@ object TextQueries {
         "FROM documents ORDER BY doc_id"),
     "t4_fingerprint" ->
       (s"SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} " +
-        "AS fingerprint FROM documents ORDER BY doc_id")
+        "AS fingerprint FROM documents ORDER BY doc_id"),
+    "t5_tfidf_top3" ->
+      (TextAnalysis.tfIdfTopKSql(3) + " ORDER BY doc_id, rnk")
   )
 }

@@ -170,4 +170,54 @@ object TextAnalysis {
 
   /** 64-bit fast fingerprint for shuffle keys (Spark-side only). */
   def fingerprint64(text: Column): Column = xxhash64(normalized(text))
+
+  // ---------------------------------------------------------------- TF-IDF
+
+  /** Top-k characteristic terms per document by smoothed TF-IDF
+    * (`tf · (ln((1+N)/(1+df)) + 1)` — sklearn's smooth_idf formula).
+    *
+    * Fully distributed: term frequencies and document frequencies are two
+    * hash aggregations over the exploded token stream; the corpus size N
+    * and the df table join back via broadcast (both tiny relative to the
+    * corpus — df is the vocabulary), so the per-document scoring never
+    * reshuffles the corpus. Top-k is a per-document row_number, rank on
+    * the ROUNDED score + term tie-break so results are reproducible
+    * across engines. */
+  def tfIdfTopK(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      explode(tokens(normalized(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) +
+          lit(1.0)), 4))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(desc("tfidf"), col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"), col("tf"), col("tfidf"))
+  }
+
+  /** DuckDB twin of [[tfIdfTopK]] over the `documents` table. */
+  def tfIdfTopKSql(k: Int): String = {
+    val toks = tokensSql(normalizedSql("text"))
+    s"""WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf,
+       |    round(tf * (ln((1 + n_docs) / (1 + df)) + 1), 4) AS tfidf
+       |  FROM tf JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, rnk, term, tf, tfidf FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY tfidf DESC, term) AS INT) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $k""".stripMargin.replace('\n', ' ')
+  }
 }
