@@ -35,7 +35,12 @@ object TextQueries {
         .orderBy("doc_id")),
     "t5_tfidf_top3" -> ((s, d) =>
       TextAnalysis.tfIdfTopK(table(s, d, "documents"))
-        .orderBy("doc_id", "rnk"))
+        .orderBy("doc_id", "rnk")),
+    // deterministic 30% content-hash sample (dedup-aligned, RNG-free)
+    "t6_stable_sample" -> ((s, d) =>
+      TextAnalysis.stableSample(table(s, d, "documents"), "text", 0.3)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -54,6 +59,10 @@ object TextQueries {
       (s"SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} " +
         "AS fingerprint FROM documents ORDER BY doc_id"),
     "t5_tfidf_top3" ->
-      (TextAnalysis.tfIdfTopKSql(3) + " ORDER BY doc_id, rnk")
+      (TextAnalysis.tfIdfTopKSql(3) + " ORDER BY doc_id, rnk"),
+    "t6_stable_sample" ->
+      (s"SELECT doc_id, lang, source, n_chars FROM documents " +
+        s"WHERE ${TextAnalysis.stableSampleSql("text", 0.3)} " +
+        "ORDER BY doc_id")
   )
 }

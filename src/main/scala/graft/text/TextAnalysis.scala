@@ -171,6 +171,28 @@ object TextAnalysis {
   /** 64-bit fast fingerprint for shuffle keys (Spark-side only). */
   def fingerprint64(text: Column): Column = xxhash64(normalized(text))
 
+  // ------------------------------------------------- stable hash sampling
+
+  /** Deterministic content-hash sampling (CCNet/C4-style): keep a doc iff
+    * the first 16 bits of its content fingerprint fall below
+    * `rate · 2¹⁶`. No RNG state, reproducible across engines and runs,
+    * and duplicate texts always land on the same side of the cut —
+    * sampling composes correctly with dedup. Pure filter: no shuffle,
+    * pushes to the scan boundary. */
+  def stableSample(docs: DataFrame, textCol: String,
+      rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate out of [0,1]: $rate")
+    docs.filter(
+      substring(fingerprint(col(textCol)), 1, 4) < lit(sampleCut(rate)))
+  }
+
+  private def sampleCut(rate: Double): String =
+    f"${math.round(rate * 65536).toInt}%04x"
+
+  /** DuckDB twin of the [[stableSample]] predicate. */
+  def stableSampleSql(t: String, rate: Double): String =
+    s"substr(${fingerprintSql(t)}, 1, 4) < '${sampleCut(rate)}'"
+
   // ---------------------------------------------------------------- TF-IDF
 
   /** Top-k characteristic terms per document by smoothed TF-IDF
