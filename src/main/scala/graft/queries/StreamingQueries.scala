@@ -47,7 +47,32 @@ object StreamingQueries {
         timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
   }
 
+  /** Full-width raw file stream (all events columns, µs timestamps). */
+  private def fullEventsStream(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Paths.get(s"$d/events.parquet")
+    val dir = Paths.get(s"/tmp/graft_stream_${d.hashCode.toHexString}/events")
+    Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    val schema = s.read.parquet(src.toString).schema
+    s.readStream.schema(schema).parquet(dir.toString)
+      .select(col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // at-least-once replay dedup: the stream self-unioned (every row
+    // delivered twice) must come out exactly once
+    "s7_stream_dedup" -> ((s, d) => {
+      val raw = fullEventsStream(s, d)
+      val dedup = StreamPipeline.dedupStream(raw.unionAll(raw),
+        eventTime = "ts", delay = "1 hour", keys = Seq("event_id"))
+      StreamPipeline.replayToMemory(s, dedup, "s7_stream_dedup")
+        .orderBy("event_id")
+    }),
     "x9_stream_sessions" -> ((s, d) => {
       val sessions = graft.streaming.SessionStream
         .sessionizeStream(rawEventsStream(s, d))
@@ -78,6 +103,11 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // dedup of the doubled stream ≡ the original table
+    "s7_stream_dedup" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |  event_type, value
+        |FROM events ORDER BY event_id""".stripMargin.replace('\n', ' '),
     // batch sessionization restricted to sessions the watermark closed:
     // end + gap <= (ms-floored max event time − 1 h), all in epoch µs —
     // exactly SessionStream's emission rule.

@@ -75,6 +75,17 @@ object StreamPipeline {
       truncated = true)
   }
 
+  /** Streaming deduplication with bounded state: exact-dup rows are
+    * dropped across micro-batches; including the event-time column in the
+    * dedup keys lets the watermark evict state for closed time ranges, so
+    * state size is (arrival rate × delay), not stream length. The
+    * training-data use: a re-delivered ingest feed (Kafka at-least-once)
+    * deduped before it ever lands in Bronze. */
+  def dedupStream(stream: DataFrame, eventTime: String, delay: String,
+      keys: Seq[String]): DataFrame =
+    stream.withWatermark(eventTime, delay)
+      .dropDuplicates(keys :+ eventTime)
+
   /** S5: parquet streaming sink with checkpoint + partitioning + trigger
     * (stream_processor.py:105-112). */
   def parquetSink(df: DataFrame, path: String, checkpoint: String,
