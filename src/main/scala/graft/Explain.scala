@@ -11,7 +11,8 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("p5_silver_clean", "a1_gold_hourly", "a4_country_stats",
         "q5_revenue_by_nation", "w3_rolling_stats", "ml_feature_matrix",
-        "sim1_knn_bruteforce", "d3_ngram_jaccard")
+        "sim1_knn_bruteforce", "d3_ngram_jaccard", "xj1_asof_join",
+        "xj2_range_join", "t5_tfidf_top3", "t6_stable_sample")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
