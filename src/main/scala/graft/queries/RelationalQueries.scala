@@ -108,6 +108,40 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("c_mktsegment"))
 
+  /** TPC-H Q6-shaped: pure filter + single-row aggregate — the predicate
+    * pushdown showcase (all three filters reach the parquet scan as
+    * `PushedFilters`; only 3 columns are read). */
+  def q6FilterAgg(s: SparkSession, d: String): DataFrame =
+    table(s, d, "lineitem")
+      .filter(col("l_quantity") < 24 &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07)
+      .agg(
+        sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** Scalar-subquery surface: customers whose order total exceeds 2× the
+    * average order total of their market segment (broadcast the 5-row
+    * per-segment averages back — the fact side never reshuffles twice). */
+  def q7AboveAvgCustomers(s: SparkSession, d: String): DataFrame = {
+    val perCust = table(s, d, "orders")
+      .join(broadcast(table(s, d, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(sum(dec2(col("o_totalprice"))).cast("double").as("cust_total"))
+    // exact decimal segment sums; the threshold test multiplies instead
+    // of dividing so both engines compare identical IEEE operands
+    val segAvg = perCust.groupBy(col("c_mktsegment").as("seg"))
+      .agg(sum(dec2(col("cust_total"))).cast("double").as("seg_sum"),
+        count(lit(1)).as("seg_n"))
+    perCust.join(broadcast(segAvg), col("c_mktsegment") === col("seg"))
+      .filter(col("cust_total") * col("seg_n") > lit(2.0) * col("seg_sum"))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("cust_total"),
+        round(col("seg_sum") / col("seg_n"), 4).as("seg_avg"))
+      .orderBy("c_custkey")
+  }
+
   /** Left outer join + conditional agg: per-segment order coverage. */
   def leftJoinCoverage(s: SparkSession, d: String): DataFrame =
     table(s, d, "customer")
@@ -125,6 +159,8 @@ object RelationalQueries {
     "q1_pricing_summary" -> q1Pricing,
     "q3_top_orders" -> q3TopOrders,
     "q5_revenue_by_nation" -> q5RevenueByNation,
+    "q6_filter_agg" -> q6FilterAgg,
+    "q7_above_avg_customers" -> q7AboveAvgCustomers,
     "j1_semi_returned_orders" -> semiReturnedOrders,
     "j2_anti_customers_no_orders" -> antiCustomersNoOrders,
     "j3_left_join_coverage" -> leftJoinCoverage
@@ -171,6 +207,32 @@ object RelationalQueries {
         |WHERE r_name = 'ASIA'
         |GROUP BY 1
         |ORDER BY revenue DESC, n_name""".stripMargin.replace('\n', ' '),
+    "q6_filter_agg" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_quantity < 24 AND l_discount >= CAST('0.05' AS DOUBLE)
+        |  AND l_discount <= CAST('0.07' AS DOUBLE)"""
+        .stripMargin.replace('\n', ' '),
+    "q7_above_avg_customers" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS cust_total
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(sum(CAST(cust_total AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS seg_sum,
+        |    count(*) AS seg_n
+        |  FROM per_cust GROUP BY 1)
+        |SELECT c_custkey, c_mktsegment, cust_total,
+        |  round(seg_sum / seg_n, 4) AS seg_avg
+        |FROM per_cust JOIN seg ON c_mktsegment = seg
+        |WHERE cust_total * seg_n > 2 * seg_sum
+        |ORDER BY c_custkey""".stripMargin.replace('\n', ' '),
     "j1_semi_returned_orders" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
