@@ -128,7 +128,7 @@ object StreamPipeline {
       name: String): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
     try {
       val q = stream.writeStream
         .format("memory")

@@ -186,8 +186,12 @@ object TextAnalysis {
       substring(fingerprint(col(textCol)), 1, 4) < lit(sampleCut(rate)))
   }
 
-  private def sampleCut(rate: Double): String =
-    f"${math.round(rate * 65536).toInt}%04x"
+  private def sampleCut(rate: Double): String = {
+    val cut = math.round(rate * 65536).toInt
+    // cut > 0xffff must keep EVERY doc: "10000" would sort before "ffff"
+    // lexicographically; "g" sorts after every hex digit.
+    if (cut > 0xffff) "g" else f"$cut%04x"
+  }
 
   /** DuckDB twin of the [[stableSample]] predicate. */
   def stableSampleSql(t: String, rate: Double): String =
