@@ -40,36 +40,51 @@ object Joins {
     * (key, ts) the winner is unspecified — same as DuckDB ASOF.
     *
     * @param payload right-side columns to carry; emitted as `asof_<name>`
+    * @param toleranceMicros max lookback in µs: a match older than
+    *   `left.ts − tolerance` is discarded (payload nulled, left row kept)
     */
   def asOfBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, payload: Seq[String],
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val leftExtra = left.columns.toSeq.filterNot(keys.contains)
     // Unified shape: keys ++ leftExtra (null on right rows) ++ __match
-    // candidate struct (null on left rows) + the ordering pair.
+    // candidate struct (null on left rows; carries the right ts for the
+    // tolerance test) + the ordering pair.
+    val candFields = ("__rts" -> right.schema(rightTs).dataType) +:
+      payload.map(p => p -> right.schema(p).dataType)
     val lSide = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .withColumn("__cand",
         lit(null).cast(org.apache.spark.sql.types.StructType(
-          payload.map(p => org.apache.spark.sql.types.StructField(
-            p, right.schema(p).dataType, nullable = true)))))
+          candFields.map { case (n, t) =>
+            org.apache.spark.sql.types.StructField(n, t, nullable = true) })))
     val rSide = {
       val base = right.select(
         keys.map(col) ++ Seq(
           col(rightTs).as("__ts"), lit(0).as("__side"),
-          struct(payload.map(col): _*).as("__cand")): _*)
+          struct(col(rightTs).as("__rts") +: payload.map(col): _*)
+            .as("__cand")): _*)
       leftExtra.foldLeft(base)((df, c) =>
         df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     }
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lSide.unionByName(rSide.select(lSide.columns.map(col): _*))
+    val matched = lSide
+      .unionByName(rSide.select(lSide.columns.map(col): _*))
       .withColumn("__match", last(col("__cand"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(
-        (keys ++ leftExtra).map(col) ++
-          payload.map(p => col("__match")(p).as(s"asof_$p")): _*)
+    val inWindow = toleranceMicros match {
+      case Some(tol) =>
+        unix_micros(col("__ts")) - unix_micros(col("__match")("__rts")) <=
+          lit(tol)
+      case None => lit(true)
+    }
+    matched.select(
+      (keys ++ leftExtra).map(col) ++
+        payload.map(p =>
+          when(inWindow, col("__match")(p)).as(s"asof_$p")): _*)
   }
 
   /** Interval containment join: `fact.valueCol ∈ [bands.lo, bands.hi)`.

@@ -31,6 +31,20 @@ object JoinQueries {
           col("asof_ts").as("click_ts"), col("asof_value").as("click_value"))
         .orderBy("event_id")
     }),
+    // as-of with 30-day max lookback: stale matches null out, rows kept
+    "xj4_asof_tolerance" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      Joins.asOfBackward(purchases, clicks, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", payload = Seq("value"),
+          toleranceMicros = Some(30L * 86400 * 1000000))
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("asof_value").as("click_value"))
+        .orderBy("event_id")
+    }),
     // broadcast range join: events binned into 20 fixed value bands
     "xj2_range_join" -> ((s, d) => {
       val bands = s.range(0, 20).select(
@@ -67,6 +81,17 @@ object JoinQueries {
         |SELECT l.event_id, l.user_id, l.ts AS purchase_ts,
         |  l.value AS purchase_value,
         |  r.ts AS click_ts, r.value AS click_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin.replace('\n', ' '),
+    "xj4_asof_tolerance" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |    FROM events WHERE event_type = 'purchase'),
+        |  r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |    FROM events WHERE event_type = 'click')
+        |SELECT l.event_id, l.user_id, l.ts AS purchase_ts,
+        |  CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 2592000000000
+        |    THEN r.value END AS click_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin.replace('\n', ' '),

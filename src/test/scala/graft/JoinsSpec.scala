@@ -39,6 +39,22 @@ class JoinsSpec extends AnyFunSuite {
     assert(out("l-otherkey") === None)      // keys don't leak
   }
 
+  test("asOfBackward tolerance nulls stale matches but keeps the rows") {
+    val left = Seq(
+      (1L, ts("2024-01-01 12:00:00"), "fresh"), // match age 0 → kept
+      (1L, ts("2024-01-01 13:30:00"), "stale")  // match age 30 min → null
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 12:00:00"), 20.0),
+      (1L, ts("2024-01-01 13:00:00"), 30.0)
+    ).toDF("k", "t", "v")
+    val out = Joins.asOfBackward(left, right, Seq("k"), "t", "t", Seq("v"),
+        toleranceMicros = Some(10L * 60 * 1000000))
+      .select($"tag", $"asof_v").as[(String, Option[Double])]
+      .collect().toMap
+    assert(out === Map("fresh" -> Some(20.0), "stale" -> None))
+  }
+
   test("asOfBackward carries null payload fields from a matched row " +
     "(a null field is not 'no match')") {
     val left = Seq((1L, ts("2024-01-01 12:00:00"))).toDF("k", "t")
