@@ -78,6 +78,34 @@ object ExtendedQueries {
             , ",").as("centroid"))
         .orderBy("label")
     }),
+    // k-means assignment step: every embedding → nearest label centroid
+    // (centroids from the x4 pipeline, 6-dp rounded for cross-engine
+    // stability; tiny centroid table broadcasts, corpus never shuffles)
+    "x10_centroid_assign" -> ((s, d) => {
+      import graft.sim.Similarity
+      val emb = table(s, d, "embeddings")
+      val centroids = emb
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("dim_avg"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("dim_avg")))),
+          x => x.getField("dim_avg")).as("centroid"))
+      val scored = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("vec"))
+        .join(broadcast(centroids))
+        .withColumn("sim",
+          round(Similarity.cosine(col("vec"), col("centroid")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(desc("sim"), col("label"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("label").as("assigned_label"),
+          col("sim"))
+        .orderBy("vec_id")
+    }),
     // multi-level aggregation: ROLLUP (country, parameter) totals
     "x5_rollup" -> ((s, d) =>
       PipelineQueries.silver(s, d)
@@ -177,6 +205,26 @@ object ExtendedQueries {
         |    AS centroid
         |FROM dims GROUP BY label
         |ORDER BY label""".stripMargin.replace('\n', ' '),
+    "x10_centroid_assign" ->
+      """WITH exploded AS (
+        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |    unnest(embedding) AS val
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 6) AS dim_avg
+        |  FROM exploded GROUP BY 1, 2),
+        |cents AS (
+        |  SELECT label, list(dim_avg ORDER BY pos) AS centroid
+        |  FROM dims GROUP BY label),
+        |scored AS (
+        |  SELECT e.vec_id, c.label,
+        |    round(list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), c.centroid), 4) AS sim
+        |  FROM embeddings e, cents c)
+        |SELECT vec_id, label AS assigned_label, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, label) AS rnk FROM scored)
+        |WHERE rnk = 1 ORDER BY vec_id""".stripMargin.replace('\n', ' '),
     "x5_rollup" -> withPipeline(
       """SELECT coalesce(country, 'ALL') AS country,
         |  coalesce(parameter, 'ALL') AS parameter,
