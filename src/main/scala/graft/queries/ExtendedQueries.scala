@@ -78,6 +78,26 @@ object ExtendedQueries {
             , ",").as("centroid"))
         .orderBy("label")
     }),
+    // SCD2 history build: each user's event_type change-log becomes
+    // validity intervals (valid_from, valid_to, is_current) — the
+    // change-data-capture → warehouse-dimension operator. One shuffle
+    // (window by user); consecutive same-type rows collapse first so
+    // intervals are maximal.
+    "x11_scd2_intervals" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val changes = ev
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      changes
+        .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from")
+    }),
     // k-means assignment step: every embedding → nearest label centroid
     // (centroids from the x4 pipeline, 6-dp rounded for cross-engine
     // stability; tiny centroid table broadcasts, corpus never shuffles)
@@ -205,6 +225,20 @@ object ExtendedQueries {
         |    AS centroid
         |FROM dims GROUP BY label
         |ORDER BY label""".stripMargin.replace('\n', ' '),
+    "x11_scd2_intervals" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |changes AS (
+        |  SELECT user_id, event_type, ts,
+        |    lag(event_type, 1) OVER w AS prev_type
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts, 1) OVER w2 AS valid_to,
+        |  lead(ts, 1) OVER w2 IS NULL AS is_current
+        |FROM changes
+        |WHERE prev_type IS NULL OR prev_type <> event_type
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+        |ORDER BY user_id, valid_from""".stripMargin.replace('\n', ' '),
     "x10_centroid_assign" ->
       """WITH exploded AS (
         |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
