@@ -137,6 +137,17 @@ object ExtendedQueries {
           coalesce(col("parameter"), lit("ALL")).as("parameter"),
           col("n_records"), col("avg_aqi"))
         .orderBy("country", "parameter")),
+    // CUBE (country, parameter): all 4 grouping combinations in one pass
+    "x12_cube" -> ((s, d) =>
+      PipelineQueries.silver(s, d)
+        .cube(col("country"), col("parameter"))
+        .agg(count(lit(1)).as("n_records"),
+          round(avg(col("aqi")), 4).as("avg_aqi"))
+        .select(
+          coalesce(col("country"), lit("ALL")).as("country"),
+          coalesce(col("parameter"), lit("ALL")).as("parameter"),
+          col("n_records"), col("avg_aqi"))
+        .orderBy("country", "parameter")),
     // ranking functions: dense_rank + ntile of stations within country
     "x6_rank_stations" -> ((s, d) => {
       val perStation = PipelineQueries.silver(s, d)
@@ -264,6 +275,12 @@ object ExtendedQueries {
         |  coalesce(parameter, 'ALL') AS parameter,
         |  count(*) AS n_records, round(avg(aqi), 4) AS avg_aqi
         |FROM silver GROUP BY ROLLUP (country, parameter)
+        |ORDER BY country, parameter""".stripMargin.replace('\n', ' ')),
+    "x12_cube" -> withPipeline(
+      """SELECT coalesce(country, 'ALL') AS country,
+        |  coalesce(parameter, 'ALL') AS parameter,
+        |  count(*) AS n_records, round(avg(aqi), 4) AS avg_aqi
+        |FROM silver GROUP BY CUBE (country, parameter)
         |ORDER BY country, parameter""".stripMargin.replace('\n', ' ')),
     "x6_rank_stations" -> withPipeline(
       """SELECT country, location_id, avg_aqi,
