@@ -1,16 +1,57 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable
+
+/** Benchmark main: runs the full query surface n times (default 3) and
+  * emits ONE compact JSON line (the LAST stdout line) with per-query
+  * MEDIAN seconds. The driver parses that line from a bounded tail of
+  * stdout, so the line is kept under ~1800 chars by adaptively lowering
+  * the per-query decimal precision; full per-iteration detail (every
+  * sample, min/median/max) goes to BENCH_FULL.json instead.
+  *
+  * Iteration passes smooth environment contention (a shared driver
+  * machine inflated single-shot round-1 numbers up to 37x); a wall-clock
+  * budget stops extra passes so the driver never waits unboundedly.
+  */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Round to `dp` decimals, drop trailing zeros ("2.100" -> "2.1"). */
+  private def fmt(v: Double, dp: Int): String = {
+    val bd = new java.math.BigDecimal(v)
+      .setScale(dp, java.math.RoundingMode.HALF_UP)
+      .stripTrailingZeros()
+    bd.toPlainString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+    // Total wall budget: a pass beyond this is skipped (not aborted).
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1500").toDouble
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // Shuffle/spill files on tmpfs when available: at bench scale they are
+    // small, and it removes disk-contention noise from a shared machine
+    // (round-1 driver runs saw 8-37x inflation consistent with slow /tmp).
+    val shm = Paths.get("/dev/shm")
+    if (Files.isWritable(shm)) {
+      val local = shm.resolve("graft_spark_local")
+      Files.createDirectories(local)
+      builder.config("spark.local.dir", local.toString)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM once on the smallest SF (codegen compilation, parquet
     // reader, shuffle + streaming machinery) so first-query JIT cost
@@ -28,15 +69,51 @@ object Bench {
       .map(_.split(',').map(_.trim).toSet)
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      .toSeq.sortBy(_._1)
+    val samples = mutable.LinkedHashMap[String, List[Double]]()
+    selected.foreach { case (n, _) => samples(n) = Nil }
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    var passes = 0
+    var lastPass = 0.0
+    while (passes < iters &&
+        (passes == 0 || elapsed + lastPass <= budgetSec)) {
+      val p0 = System.nanoTime()
+      selected.foreach { case (name, fn) =>
+        val q0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        samples(name) = samples(name) :+ (System.nanoTime() - q0) / 1e9
+      }
+      lastPass = (System.nanoTime() - p0) / 1e9
+      passes += 1
+      System.err.println(
+        f"[bench] pass $passes%d done in $lastPass%.1f s (total $elapsed%.1f s)")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val med = samples.map { case (k, v) => k -> median(v) }
+    val total = med.values.sum
+    // Full-precision detail for humans/the repo (not the parsed artifact).
+    try {
+      val detail = samples.map { case (k, v) =>
+        s""""$k":{"samples":[${v.map(x => f"$x%.3f").mkString(",")}],""" +
+          f""""median":${median(v)}%.3f,"min":${v.min}%.3f,"max":${v.max}%.3f}"""
+      }.mkString("{", ",", "}")
+      Files.writeString(Paths.get("/root/repo/BENCH_FULL.json"),
+        s"""{"sf":"$sfDir","passes":$passes,"cpus":$cpus,""" +
+          f""""total_median":$total%.3f,"wall":$elapsed%.1f,""" +
+          s""""queries":$detail}""")
+    } catch { case _: Throwable => () }
+    // Final line LAST on stdout, adaptively sized to survive a bounded
+    // stdout-tail capture (driver keeps ~2000 chars; sbt appends ~80 more).
+    val line = Seq(3, 2, 1).view.map { dp =>
+      val qs = med.map { case (k, v) => s""""$k":${fmt(v, dp)}""" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
+        s""""queries":$qs,"sf":"$sfDir","n":$passes}"""
+    }.find(_.length <= 1800).getOrElse {
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
+        s""""queries":{},"sf":"$sfDir","n":$passes}"""
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -7,7 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -15,7 +15,14 @@ object Verify {
       // testdata events.ts is TIMESTAMP(NANOS); read as long nanos
       // (EventsAdapter converts to µs timestamps losslessly)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // Shuffle/spill on tmpfs when available (see Bench for rationale).
+    val shm = Paths.get("/dev/shm")
+    if (Files.isWritable(shm)) {
+      val local = shm.resolve("graft_spark_local")
+      Files.createDirectories(local)
+      builder.config("spark.local.dir", local.toString)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated filter for iterating on specific queries
