@@ -102,25 +102,47 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard over word 1-gram sets via posting-list join — the
-    * verification stage after LSH, and a standalone exact operator.
-    * shared(a,b) / (|a| + |b| − shared). No cross join: only token-sharing
-    * pairs materialize. */
+  /** Jaccard over stop-token-pruned word 1-gram sets via posting-list
+    * join — the verification stage after LSH, and a standalone operator.
+    * shared(a,b) / (|a| + |b| − shared) over the pruned sets. No cross
+    * join: only token-sharing pairs materialize.
+    *
+    * Skew control: the self-join generates df² candidate rows per token,
+    * so a single stop-word-grade token (df in the millions) is quadratic
+    * death regardless of corpus fraction — the bound must be ABSOLUTE.
+    * Tokens with df > `maxDf` are pruned from the posting lists first —
+    * the standard stop-word cutoff every production similarity join
+    * applies (such tokens carry no discriminative signal anyway). Both
+    * sides of the Jaccard (shared counts AND set sizes) use the pruned
+    * sets, and the DuckDB twin mirrors the cutoff, so results stay
+    * engine-exact; at test scale (df ≪ 10k) nothing is pruned and the
+    * output equals the unpruned Jaccard.
+    *
+    * Scale shape: df table is vocabulary-sized and the hot-token set tiny
+    * (AQE broadcasts it on its own — no manual hint); the sizes join is a
+    * plain shuffle join keyed by id, never a corpus-cardinality
+    * broadcast. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", threshold: Double = 0.8): DataFrame = {
+      textCol: String = "text", threshold: Double = 0.8,
+      maxDf: Long = 10000L): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(array_distinct(TextAnalysis.tokens(
         TextAnalysis.normalized(col(textCol))))).as("tok"))
-    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val shared = toks.select(col("id").as("id_a"), col("tok"))
-      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("tok"))
+    // array_distinct upstream ⇒ count(*) per token IS document frequency
+    val hot = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("tok"))
+    val kept = toks.join(hot, Seq("tok"), "left_anti")
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val shared = kept.select(col("id").as("id_a"), col("tok"))
+      .join(kept.select(col("id").as("id_b"), col("tok")), Seq("tok"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
     shared
-      .join(broadcast(sizes).withColumnRenamed("id", "id_a")
+      .join(sizes.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sz", "sz_a"), Seq("id_a"))
-      .join(broadcast(sizes).withColumnRenamed("id", "id_b")
+      .join(sizes.withColumnRenamed("id", "id_b")
         .withColumnRenamed("sz", "sz_b"), Seq("id_b"))
       .withColumn("jaccard", round(
         col("shared").cast("double") /
@@ -129,19 +151,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** DuckDB twin of [[ngramJaccardPairs]]. `docsRel` is any relation
-    * expression with columns (id, text), e.g.
+  /** DuckDB twin of [[ngramJaccardPairs]] (including the df cutoff).
+    * `docsRel` is any relation expression with columns (id, text), e.g.
     * `(SELECT doc_id AS id, text FROM documents WHERE doc_id < 200)`. */
-  def ngramJaccardSql(docsRel: String, threshold: Double): String = {
+  def ngramJaccardSql(docsRel: String, threshold: Double,
+      maxDf: Long = 10000L): String = {
     val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     s"""WITH docs AS (SELECT * FROM $docsRel),
        |toks AS (
        |  SELECT id, unnest(list_distinct(regexp_split_to_array($norm, '\\s+')))
        |    AS tok FROM docs),
-       |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+       |hot AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM toks
+       |  GROUP BY tok) WHERE df > $maxDf),
+       |kept AS (SELECT * FROM toks
+       |  WHERE tok NOT IN (SELECT tok FROM hot)),
+       |sizes AS (SELECT id, count(*) AS sz FROM kept GROUP BY id),
        |shared AS (
        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
-       |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+       |  FROM kept a JOIN kept b ON a.tok = b.tok AND a.id < b.id
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b,
        |  round(CAST(shared AS DOUBLE)

@@ -39,7 +39,12 @@ object ConnectedComponents {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint()
-    var checksum = labels.agg(sum(col("component"))).first().getLong(0)
+    // sum() over zero rows is a null cell — Option-guard so an empty edge
+    // list returns the empty labels frame instead of an NPE
+    def sumOf(df: DataFrame): Long =
+      Option(df.agg(sum(col("component"))).first().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var checksum = sumOf(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -52,7 +57,7 @@ object ConnectedComponents {
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
         .localCheckpoint() // truncate lineage — plan is self-referencing
-      val nextSum = next.agg(sum(col("component"))).first().getLong(0)
+      val nextSum = sumOf(next)
       labels = next
       converged = nextSum == checksum // labels monotone ↓; equal sum = fixpoint
       checksum = nextSum

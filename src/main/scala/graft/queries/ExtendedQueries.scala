@@ -100,7 +100,13 @@ object ExtendedQueries {
     }),
     // k-means assignment step: every embedding → nearest label centroid
     // (centroids from the x4 pipeline, 6-dp rounded for cross-engine
-    // stability; tiny centroid table broadcasts, corpus never shuffles)
+    // stability; tiny centroid table broadcasts, corpus never shuffles).
+    // The argmax is max_by over the k scored rows: partial-aggregatable
+    // (map-side reduces each vec's k rows to 1 before the shuffle), so
+    // nothing ever sorts the corpus — the round-1 row_number window
+    // shuffled and sorted all |corpus|·k rows and was the worst query in
+    // the driver bench (37 s vs ~1 s-class). Tie-break matches the
+    // oracle's (sim DESC, label ASC) via the (sim, -label) ordering key.
     "x10_centroid_assign" -> ((s, d) => {
       import graft.sim.Similarity
       val emb = table(s, d, "embeddings")
@@ -118,12 +124,13 @@ object ExtendedQueries {
         .join(broadcast(centroids))
         .withColumn("sim",
           round(Similarity.cosine(col("vec"), col("centroid")), 4))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(desc("sim"), col("label"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select(col("vec_id"), col("label").as("assigned_label"),
-          col("sim"))
+      scored
+        .groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("label"), col("sim")),
+          struct(col("sim"), (-col("label")).as("neg_label"))).as("best"))
+        .select(col("vec_id"), col("best.label").as("assigned_label"),
+          col("best.sim").as("sim"))
         .orderBy("vec_id")
     }),
     // multi-level aggregation: ROLLUP (country, parameter) totals

@@ -21,11 +21,19 @@ object SimilarityQueries {
     }),
     "sim2_knn_ivf" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
+        probes = 3)
         .orderBy("query_id", "rank")
     }),
     "sim3_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(table(s, d, "embeddings"),
+        threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+    // the 100 TB near-dup path: banded-LSH candidates + exact verify
+    // (xxhash64 hyperplanes → rows-only check; recall vs brute force is
+    // asserted in SimilaritySpec)
+    "sim4_lsh_neardup" -> ((s, d) =>
+      Similarity.cosineLshNearDupPairs(table(s, d, "embeddings"),
         threshold = 0.4)
         .orderBy("id_a", "id_b"))
   )

@@ -19,49 +19,42 @@ import graft.streaming.StreamPipeline
 object StreamingQueries {
 
   /** The file stream source requires a DIRECTORY; expose the single
-    * events.parquet through a per-sf symlink dir under /tmp. */
-  private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    * events.parquet through a per-sf symlink dir (tmpfs-backed scratch).
+    * Returns (streaming DataFrame with the file's schema). NOFOLLOW +
+    * deleteIfExists: a stale link whose target was deleted (regenerated
+    * sf dir) must be re-created, and Files.exists on it follows the link
+    * and lies. */
+  private def eventsFileStream(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, LinkOption, Paths}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = Paths.get(s"$d/events.parquet")
     val dir = Paths.get(s"/tmp/graft_stream_${d.hashCode.toHexString}/events")
     Files.createDirectories(dir)
     val link = dir.resolve("events.parquet")
-    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS) ||
+        !Files.exists(link)) {
+      Files.deleteIfExists(link)
+      Files.createSymbolicLink(link, src)
+    }
     val schema = s.read.parquet(src.toString).schema
-    EventsAdapter.wire(s.readStream.schema(schema).parquet(dir.toString))
+    s.readStream.schema(schema).parquet(dir.toString)
   }
+
+  private def eventsStream(s: SparkSession, d: String): DataFrame =
+    EventsAdapter.wire(eventsFileStream(s, d))
 
   /** Raw (user_id, ts, value) file stream for the session operator. */
-  private def rawEventsStream(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = Paths.get(s"$d/events.parquet")
-    val dir = Paths.get(s"/tmp/graft_stream_${d.hashCode.toHexString}/events")
-    Files.createDirectories(dir)
-    val link = dir.resolve("events.parquet")
-    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
-    val schema = s.read.parquet(src.toString).schema
-    s.readStream.schema(schema).parquet(dir.toString)
+  private def rawEventsStream(s: SparkSession, d: String): DataFrame =
+    eventsFileStream(s, d)
       .select(col("user_id"),
         timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
-  }
 
   /** Full-width raw file stream (all events columns, µs timestamps). */
-  private def fullEventsStream(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = Paths.get(s"$d/events.parquet")
-    val dir = Paths.get(s"/tmp/graft_stream_${d.hashCode.toHexString}/events")
-    Files.createDirectories(dir)
-    val link = dir.resolve("events.parquet")
-    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
-    val schema = s.read.parquet(src.toString).schema
-    s.readStream.schema(schema).parquet(dir.toString)
+  private def fullEventsStream(s: SparkSession, d: String): DataFrame =
+    eventsFileStream(s, d)
       .select(col("event_id"),
         timestamp_micros(expr("ts div 1000")).as("ts"),
         col("user_id"), col("event_type"), col("value"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // at-least-once replay dedup: the stream self-unioned (every row

@@ -36,6 +36,31 @@ object Similarity {
   /** Native Cast (codegen'd) — not a per-element transform lambda. */
   private def toDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Two-phase distributed top-k: a single row_number window partitioned
+    * by query would hash ALL scored rows into only |queries| sort groups —
+    * on a 1000-executor cluster with a 20-query batch, 980 cores idle.
+    * Phase 1 ranks within (query, salt) — parallelism |queries|×salts —
+    * and keeps k rows per salt group; phase 2 ranks the surviving
+    * k×salts rows per query. The union of per-salt top-ks contains the
+    * global top-k, and the (sim DESC, corpus_id) ordering is total, so
+    * the result is identical to the single-window form. */
+  private def topKPerQuery(scored: DataFrame, k: Int,
+      salts: Int = 64): DataFrame = {
+    val salted = scored.withColumn("salt",
+      pmod(xxhash64(col("corpus_id")), lit(salts)))
+    val w1 = Window.partitionBy(col("query_id"), col("salt"))
+      .orderBy(desc("sim"), col("corpus_id"))
+    val partial = salted
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("corpus_id"))
+    partial
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("sim"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Ranking uses the 4-decimal-rounded
     * similarity with id tie-break so results are reproducible across
@@ -52,12 +77,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
       .withColumn("sim", round(
         dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("sim"), col("corpus_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), col("sim"))
+    topKPerQuery(scored, k)
   }
 
   /** DuckDB twin of [[bruteForceTopK]] for queries `WHERE <queryPred>`. */
@@ -102,35 +122,96 @@ object Similarity {
 
   /** IVF-style top-k: coarse-quantize every vector to a bucket (here: the
     * LSH signature's low bits as a deterministic stand-in for k-means
-    * centroids), then search only within the query's bucket. Trades recall
-    * for a |corpus|/buckets fan-out reduction. */
+    * centroids), then search only within the query's probed buckets.
+    * Trades recall for a |corpus|/buckets fan-out reduction.
+    *
+    * Multi-probe (`probes` > 1): each query also searches the buckets at
+    * Hamming distance 1 from its own (low bit flipped first) — the
+    * standard recall recovery for vectors near a hyperplane boundary,
+    * costing probes× query fan-out but never touching the corpus side.
+    * Corpus rows stay in exactly one bucket, so no candidate dedup is
+    * needed. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      bits: Int = 4): DataFrame = {
+      bits: Int = 4, probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= bits + 1,
+      s"probes must be in [1, bits+1]; got $probes for $bits bits")
     val c = cosineLshBuckets(corpus, idCol, vecCol, bits)
       .join(corpus, idCol)
       .select(col(idCol).as("corpus_id"), col("bucket"),
         toDouble(col(vecCol)).as("cvec"))
+    val probed = (0 until probes).map {
+      case 0 => col("bucket")
+      case i => col("bucket").bitwiseXOR(lit(1L << (i - 1)))
+    }
     val q = cosineLshBuckets(queries, idCol, vecCol, bits)
       .join(queries, idCol)
-      .select(col(idCol).as("query_id"), col("bucket"),
+      .select(col(idCol).as("query_id"),
+        explode(array(probed: _*)).as("bucket"),
         toDouble(col(vecCol)).as("qvec"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("cvec"), col("qvec")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("sim"), col("corpus_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), col("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Banded LSH bucketing for corpus self-similarity: `bands` bands of
+    * `bandBits` hyperplane bits each. A near-dup pair collides in a band
+    * with probability (1−θ/π)^bandBits, and is a candidate if ANY band
+    * collides — the same amplification trick as MinHash-LSH banding
+    * (Dedup.lshCandidatePairs). With 4×8 the collision probability for
+    * cosine ≥ 0.95 pairs is ≈ 0.99, while unrelated pairs almost never
+    * share a band. */
+  private def bandedBuckets(corpus: DataFrame, idCol: String,
+      vecCol: String, bands: Int, bandBits: Int): DataFrame = {
+    val sig = lshSignature(col(vecCol), bands * bandBits)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(sig, b * bandBits)
+          .bitwiseAND((1L << bandBits) - 1).as("bucket"))
+    }
+    corpus.select(col(idCol), toDouble(col(vecCol)).as("v"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("v"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Scale path for embedding near-dup: candidates from a banded-LSH
+    * bucket self-join (never a cross join — same shape as
+    * Dedup.simhashNearPairs), verified with exact cosine ≥ threshold.
+    * Approximate only in recall (a pair colliding in no band is missed);
+    * every emitted pair is exact-verified. Shuffle volume is
+    * bands × (id, vector) per row; the per-bucket self-join is quadratic
+    * only within a bucket, and hyperplane buckets split the corpus
+    * ~uniformly (data-independent), so no bucket is corpus-sized. */
+  def cosineLshNearDupPairs(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bands: Int = 4, bandBits: Int = 8): DataFrame = {
+    val blocked = bandedBuckets(corpus, idCol, vecCol, bands, bandBits)
+    val left = blocked.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"), col("v").as("va"))
+    val right = blocked.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"), col("v").as("vb"))
+    left.join(right, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      // a pair may collide in several bands: dedup AFTER the threshold
+      // filter so the distinct shuffles surviving scalars, not vectors
+      // (re-verifying a duplicate candidate is cheap codegen'd flops)
+      .distinct()
   }
 
   /** Embedding-cosine near-duplicate pairs (corpus self-similarity ≥
-    * threshold). Brute self-join at test scale; the LSH-bucketed variant
-    * is the 100 TB path. */
+    * threshold). Exact all-pairs is inherently O(n²): it is only run when
+    * the corpus is small enough to broadcast (≤ `bruteMaxRows`, checked
+    * with a real count); larger corpora route to the banded-LSH
+    * candidate + exact-verify path, which is the 100 TB plan. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bruteMaxRows: Long = 100000L): DataFrame = {
+    if (corpus.count() > bruteMaxRows)
+      return cosineLshNearDupPairs(corpus, threshold, idCol, vecCol)
     val a = corpus.select(col(idCol).as("id_a"),
       toDouble(col(vecCol)).as("va"))
       .withColumn("na", norm(col("va")))

@@ -204,11 +204,12 @@ object TextAnalysis {
     *
     * Fully distributed: term frequencies and document frequencies are two
     * hash aggregations over the exploded token stream; the corpus size N
-    * and the df table join back via broadcast (both tiny relative to the
-    * corpus — df is the vocabulary), so the per-document scoring never
-    * reshuffles the corpus. Top-k is a per-document row_number, rank on
-    * the ROUNDED score + term tie-break so results are reproducible
-    * across engines. */
+    * (1 row) joins back via broadcast. The df join carries no hint: the
+    * vocabulary grows with the corpus, so pinning it on every executor is
+    * wrong at scale — AQE broadcasts it when it is actually small and
+    * falls back to a shuffle join keyed by term otherwise. Top-k is a
+    * per-document row_number, rank on the ROUNDED score + term tie-break
+    * so results are reproducible across engines. */
   def tfIdfTopK(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -218,7 +219,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") *
         (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) +
           lit(1.0)), 4))

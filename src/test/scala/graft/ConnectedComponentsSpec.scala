@@ -36,4 +36,8 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val got = components(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)))
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("an empty edge list yields an empty labeling, not an NPE") {
+    assert(components(Seq.empty[(Long, Long)]) === Map.empty)
+  }
 }

@@ -58,6 +58,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!m.contains((4L, 5L)))
   }
 
+  test("ngram jaccard prunes tokens above the absolute df cap") {
+    // maxDf = 2 drops every token shared by docs 1, 2 AND 3 (df = 3),
+    // leaving doc 2 only its unique "today" — so the (1,3) exact-dup
+    // pair survives on nothing and no pair reaches the threshold.
+    val pruned = Dedup.ngramJaccardPairs(docs, threshold = 0.5, maxDf = 2)
+      .collect()
+    assert(pruned.isEmpty)
+    // default cap (10k) prunes nothing at fixture scale: identical result
+    // to the unpruned jaccard of the other test
+    val full = Dedup.ngramJaccardPairs(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(full.map(p => (p._1, p._2)).toSet === Set((1L, 3L), (1L, 2L),
+      (2L, 3L)))
+  }
+
   test("simhash: identical docs distance 0; similar docs closer than " +
     "unrelated ones") {
     val sigs = Dedup.simhash(docs).collect()

@@ -55,6 +55,63 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  /** 100 random 64-dim base vectors + 20 planted near-identical dups
+    * (tiny perturbation ⇒ cosine ≈ 0.999). Fixed seed: deterministic. */
+  private def plantedCorpus = {
+    val rnd = new scala.util.Random(42)
+    val bases = (0 until 100).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val dups = bases.take(20).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    (bases ++ dups).toDF("vec_id", "embedding")
+  }
+
+  test("banded LSH near-dup: ≥90% recall on planted dups, " +
+    "every emitted pair exact-verified") {
+    val corpus = plantedCorpus
+    val brute = Similarity.cosineNearDupPairs(corpus, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 20) // the 20 planted pairs are all above 0.95
+    val lsh = Similarity.cosineLshNearDupPairs(corpus, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute)) // exact verify ⇒ no false positives
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.9, s"banded-LSH recall $recall below 0.9 " +
+      s"(${lsh.size}/${brute.size})")
+  }
+
+  test("cosineNearDupPairs routes to the LSH path above the brute cap") {
+    val corpus = plantedCorpus
+    val routed = Similarity
+      .cosineNearDupPairs(corpus, threshold = 0.95, bruteMaxRows = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.cosineNearDupPairs(corpus, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed.nonEmpty && routed.subsetOf(brute))
+  }
+
+  test("multi-probe IVF recall ≥ single-probe, both score-exact vs brute") {
+    val corpus = plantedCorpus
+    val queries = corpus.filter(col("vec_id") < 20)
+    def hits(probes: Int): Set[(Long, Long)] =
+      Similarity.ivfTopK(corpus, queries, k = 5, probes = probes)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = hits(1)
+    val multi = hits(3)
+    val rSingle = (single & brute).size.toDouble / brute.size
+    val rMulti = (multi & brute).size.toDouble / brute.size
+    assert(rMulti >= rSingle,
+      s"multi-probe recall $rMulti < single-probe $rSingle")
+    assert(rMulti > rSingle,
+      s"fixture expected a strict recall gain ($rSingle -> $rMulti)")
+  }
+
   test("lsh signature is deterministic across evaluations") {
     val a = Similarity.cosineLshBuckets(vecs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
