@@ -99,18 +99,33 @@ object StreamPipeline {
       .partitionBy("year", "month", "day")
       .trigger(trigger)
 
-  /** T1: run all three layers concurrently off one source and block —
-    * awaitAnyTermination replaces the reference's 3 hand-rolled threads
-    * (stream_processor.py:262-280). */
-  def runAll(spark: SparkSession, wire: DataFrame, outRoot: String,
-      checkpointRoot: String): Unit = {
+  /** T1: start all three layers concurrently off one source — three
+    * independent queries with their own sinks and checkpoints, exactly
+    * the reference's fan-out (stream_processor.py:262-280). Returns the
+    * running queries; production triggers by default, overridable so a
+    * bounded harness replay (AvailableNow) can drive the same wiring to
+    * termination. */
+  def startAll(spark: SparkSession, wire: DataFrame, outRoot: String,
+      checkpointRoot: String,
+      trigger: Option[Trigger] = None)
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
     val bronze = bronzeStream(wire)
     val silver = silverStream(bronze)
     val gold = goldStream(silver.drop("processing_timestamp"))
-    parquetSink(bronze, s"$outRoot/bronze", s"$checkpointRoot/bronze").start()
-    parquetSink(silver, s"$outRoot/silver", s"$checkpointRoot/silver").start()
-    parquetSink(gold, s"$outRoot/gold", s"$checkpointRoot/gold",
-      Trigger.ProcessingTime("1 minute")).start()
+    Seq(
+      parquetSink(bronze, s"$outRoot/bronze", s"$checkpointRoot/bronze",
+        trigger.getOrElse(Trigger.ProcessingTime("10 seconds"))).start(),
+      parquetSink(silver, s"$outRoot/silver", s"$checkpointRoot/silver",
+        trigger.getOrElse(Trigger.ProcessingTime("10 seconds"))).start(),
+      parquetSink(gold, s"$outRoot/gold", s"$checkpointRoot/gold",
+        trigger.getOrElse(Trigger.ProcessingTime("1 minute"))).start())
+  }
+
+  /** T1: run the fan-out and block — awaitAnyTermination replaces the
+    * reference's 3 hand-rolled threads (stream_processor.py:262-280). */
+  def runAll(spark: SparkSession, wire: DataFrame, outRoot: String,
+      checkpointRoot: String): Unit = {
+    startAll(spark, wire, outRoot, checkpointRoot)
     spark.streams.awaitAnyTermination()
   }
 

@@ -121,6 +121,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.take(2).toSeq === Seq((1L, 3L, 7.0), (1L, 1L, 8.0)))
   }
 
+  test("T6: restarting a parquet sink from its checkpoint resumes " +
+    "exactly-once — no duplicates, no loss") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory(
+      StreamPipeline.scratchRoot(), "graft_t6_")
+    val inDir = root.resolve("in").toString
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val rows1 = (0 until 24).map(i =>
+      wireJson(f"2024-01-01 $i%02d:00:00", 1, "pm25", 10.0 + i, 40 + i))
+    val rows2 = (0 until 24).map(i =>
+      wireJson(f"2024-01-02 $i%02d:00:00", 2, "pm10", 20.0 + i, 50 + i))
+    // two files in phase 1 + maxFilesPerTrigger=1 ⇒ several committed
+    // micro-batches land in the checkpoint before the "crash"
+    rows1.toDF("value").repartition(2).write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val bronze = StreamPipeline.bronzeStream(
+        Bronze.parseWire(src, "value"))
+      val q = StreamPipeline.parquetSink(bronze, outDir, ckpt,
+        Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce() // consumes phase-1 files, then terminates (the "stop")
+    assert(spark.read.parquet(outDir).count() === 24)
+    rows2.toDF("value").repartition(2).write.mode("append").parquet(inDir)
+    runOnce() // restart from the SAME checkpoint
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === 48) // phase-1 rows not re-emitted, none lost
+    val batch = Bronze.fromWire(
+      Bronze.parseWire((rows1 ++ rows2).toDF("value"), "value"))
+    val key = Seq("location_id", "datetime", "parameter", "value")
+    assert(out.select(key.head, key.tail: _*).orderBy("datetime")
+      .collect().toSeq ===
+      batch.select(key.head, key.tail: _*).orderBy("datetime")
+        .collect().toSeq)
+  }
+
+  test("T1: one wire source fans out to three concurrent parquet sinks") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory(
+      StreamPipeline.scratchRoot(), "graft_t1_")
+    val inDir = root.resolve("in").toString
+    val rows = (0 until 48).map { i =>
+      wireJson(f"2024-01-01 ${i / 2}%02d:${30 * (i % 2)}%02d:00", 1L,
+        if (i % 2 == 0) "pm25" else "pm10", 10.0 + i, 40 + i)
+    }
+    rows.toDF("value").coalesce(1).write.parquet(inDir)
+    val src = spark.readStream.schema("value STRING").parquet(inDir)
+    val wire = Bronze.parseWire(src, "value")
+    val qs = StreamPipeline.startAll(spark, wire,
+      root.resolve("out").toString, root.resolve("ckpt").toString,
+      trigger = Some(Trigger.AvailableNow()))
+    assert(qs.size === 3)
+    qs.foreach(_.awaitTermination())
+    val bronze = spark.read.parquet(s"$root/out/bronze")
+    val silver = spark.read.parquet(s"$root/out/silver")
+    val gold = spark.read.parquet(s"$root/out/gold")
+    assert(bronze.count() === 48)
+    assert(silver.count() === 48) // all fixture rows pass validation
+    assert(silver.columns.contains("processing_timestamp"))
+    // gold holds the watermark-closed hours only: some, never all
+    val nGold = gold.count()
+    assert(nGold > 0 && nGold < 24)
+    assert(gold.select("location_id").distinct().head().getLong(0) === 1L)
+  }
+
   test("streaming gold equals batch gold on the emitted (closed) hours") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
