@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object Forecast {
 
+  /** The full 22-feature set — the reference trains on every engineered
+    * column incl. is_weekend (train_lightgbm.py excludes only metadata
+    * cols; data_loader.py creates is_weekend as a feature). */
   val featureCols: Seq[String] = Seq(
-    "hour", "day_of_week", "month_num", "day_of_year",
+    "hour", "day_of_week", "month_num", "day_of_year", "is_weekend",
     "aqi_lag_1h", "aqi_lag_24h", "aqi_lag_168h",
     "aqi_mean_7d", "aqi_std_7d", "aqi_max_7d", "aqi_min_7d", "aqi_mean_30d",
     "country_encoded", "latitude", "longitude",
@@ -35,18 +38,17 @@ object Forecast {
   }
 
   private def prepare(matrix: DataFrame): DataFrame = {
-    val filled = featureCols.foldLeft(
-      matrix.withColumn("ts_seconds",
-        unix_timestamp(col("datetime")).cast("double"))) {
+    val base = matrix
+      .withColumn("is_weekend", col("is_weekend").cast("int")) // bool → 0/1
+      .withColumn("ts_seconds",
+        unix_timestamp(col("datetime")).cast("double"))
+    val filled = featureCols.foldLeft(base) {
       (df, c) => df.withColumn(c, coalesce(col(c).cast("double"), lit(0.0)))
     }
     new VectorAssembler()
       .setInputCols(featureCols.toArray)
       .setOutputCol("features")
-      .transform(filled
-        .withColumn("is_weekend_d",
-          col("is_weekend").cast("int").cast("double"))
-        .filter(col("aqi_next").isNotNull))
+      .transform(filled.filter(col("aqi_next").isNotNull))
       .withColumn("label", col("aqi_next"))
   }
 
@@ -73,5 +75,44 @@ object Forecast {
       .head().getDouble(0) * 100
     Map("rmse" -> evalM("rmse"), "mae" -> evalM("mae"),
       "r2" -> evalM("r2"), "mape" -> mape)
+  }
+
+  /** Persistence baseline: predict aqi(t+1h) = aqi(t) — the naive
+    * forecaster every trained model must beat. Same test slice. */
+  def persistenceRmse(predictions: DataFrame): Double =
+    math.sqrt(predictions
+      .select(avg(pow(col("label") - col("aqi"), 2)))
+      .head().getDouble(0))
+}
+
+/** Parity-artifact main: trains the GBT on the sf-dir feature matrix and
+  * prints the metric set + persistence baseline as one JSON line
+  * (recorded in ML_PARITY.md next to the reference's published RMSE). */
+object TrainMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val gold = graft.queries.PipelineQueries.gold(spark, sfDir)
+    val matrix = graft.features.Features.featureMatrix(gold)
+    val t0 = System.nanoTime()
+    val (model, predictions) = Forecast.train(matrix)
+    predictions.cache()
+    val m = Forecast.metrics(predictions)
+    val baseline = Forecast.persistenceRmse(predictions)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"""{"sf":"$sfDir","n_test_rows":${predictions.count()},""" +
+      f""""rmse":${m("rmse")}%.4f,"mae":${m("mae")}%.4f,""" +
+      f""""mape":${m("mape")}%.4f,"r2":${m("r2")}%.4f,""" +
+      f""""persistence_rmse":$baseline%.4f,"train_sec":$secs%.1f,""" +
+      f""""n_trees":${model.getMaxIter},"features":${Forecast.featureCols.size}}""")
+    spark.stop()
   }
 }

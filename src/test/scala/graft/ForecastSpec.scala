@@ -22,6 +22,12 @@ class ForecastSpec extends AnyFunSuite {
     assert(m("rmse") > 0 && m("rmse") < 500, s"rmse out of range: $m")
     assert(m("mae") <= m("rmse"))
     assert(predictions.count() > 0)
+    assert(m.values.forall(v => !v.isNaN && !v.isInfinite),
+      s"non-finite metric: $m")
+    // the trained model must beat predicting last value (persistence)
+    val baseline = Forecast.persistenceRmse(predictions)
+    assert(m("rmse") < baseline,
+      s"GBT rmse ${m("rmse")} does not beat persistence $baseline")
   }
 
   test("time split holds out the LATEST slice (no leakage)") {
