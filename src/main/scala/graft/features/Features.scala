@@ -92,6 +92,69 @@ object Features {
   def withCountryEncoded(gold: DataFrame): DataFrame =
     gold.join(broadcast(countryEncoding(gold)), Seq("country"), "left")
 
+  /** Serving-time feature derivation — the engine twin of the
+    * reference's single-station inference path (app.py:148-229
+    * create_features_for_prediction + :247-398 fetch_lag_features):
+    * for EVERY station's latest snapshot, the same 22 features the model
+    * trained on, with the serving degradations the reference applies:
+    *
+    *  - time features come from "now" (here: the dataset's latest closed
+    *    hour, a deterministic stand-in for wall clock);
+    *  - lag features look up the hours at now−1/−24/−168 with the
+    *    reference's ±1 h tolerance, taking max(aqi) across matches
+    *    (app.py:386-388 maxes across sensors), falling back to the
+    *    current AQI when no measurement exists (app.py:207-219);
+    *  - rolling stats degrade to the current AQI with std 0 — the
+    *    min_periods=1 single-point behavior (app.py:221-227);
+    *  - unknown countries encode to 0 (app.py:196-198).
+    *
+    * Scale shape: one window shuffle for the latest-row pick, one hash
+    * aggregation for all three lag lookups (conditional max — no
+    * per-lag join), broadcast joins for the 1-row as-of and the tiny
+    * encoder table. The reference serves one station per HTTP call; this
+    * derives features for all stations in one distributed pass. */
+  def inferenceFeatures(gold: DataFrame): DataFrame = {
+    val usPerHour = 3600L * 1000000L
+    val asOf = broadcast(
+      gold.agg(date_trunc("hour", max(col("datetime"))).as("as_of")))
+    val w = Window.partitionBy(col("location_id"))
+      .orderBy(col("datetime").desc)
+    val latest = pollutantColumns(
+      gold.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn"))
+    val hourly = gold.crossJoin(asOf)
+      .withColumn("h_us", unix_micros(date_trunc("hour", col("datetime"))))
+      .withColumn("as_us", unix_micros(col("as_of")))
+    def lagMax(k: Int) = max(when(
+      abs(col("h_us") - (col("as_us") - lit(k * usPerHour))) <= usPerHour,
+      col("aqi")))
+    val lags = hourly.groupBy(col("location_id")).agg(
+      lagMax(1).as("lk_1"), lagMax(24).as("lk_24"),
+      lagMax(168).as("lk_168"))
+    latest.crossJoin(asOf)
+      .join(lags, Seq("location_id"), "left")
+      .join(broadcast(countryEncoding(gold)), Seq("country"), "left")
+      .select(Seq(
+        col("location_id"),
+        col("as_of").as("datetime"),
+        hour(col("as_of")).as("hour"),
+        weekday(col("as_of")).as("day_of_week"),
+        month(col("as_of")).as("month_num"),
+        dayofyear(col("as_of")).as("day_of_year"),
+        (weekday(col("as_of")) >= 5).as("is_weekend"),
+        coalesce(col("lk_1"), col("aqi")).as("aqi_lag_1h"),
+        coalesce(col("lk_24"), col("aqi")).as("aqi_lag_24h"),
+        coalesce(col("lk_168"), col("aqi")).as("aqi_lag_168h"),
+        col("aqi").as("aqi_mean_7d"),
+        lit(0.0).as("aqi_std_7d"),
+        col("aqi").as("aqi_max_7d"),
+        col("aqi").as("aqi_min_7d"),
+        col("aqi").as("aqi_mean_30d"),
+        coalesce(col("country_encoded"), lit(0)).as("country_encoded"),
+        col("latitude"), col("longitude")) ++
+        pollutants.map(col) :+ col("aqi"): _*)
+  }
+
   /** The full 22-feature matrix + target (ML_TRAINING.md:57-148, A4 fixture
     * in FIXTURES.md). One shuffle for all window features + one broadcast
     * join for the encoding. */

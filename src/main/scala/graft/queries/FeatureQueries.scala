@@ -73,7 +73,12 @@ object FeatureQueries {
         .withColumn("aqi_mean_7d", round(col("aqi_mean_7d"), 4))
         .withColumn("aqi_std_7d", round(col("aqi_std_7d"), 4))
         .withColumn("aqi_mean_30d", round(col("aqi_mean_30d"), 4))
-        .orderBy("location_id", "datetime"))
+        .orderBy("location_id", "datetime")),
+    // serving-time twin of app.py's create_features_for_prediction:
+    // every station's latest snapshot → the 22 inference features
+    "ml_infer_features" -> ((s, d) =>
+      Features.inferenceFeatures(gold(s, d))
+        .orderBy("location_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -124,6 +129,47 @@ object FeatureQueries {
          |  w30 AS (PARTITION BY location_id ORDER BY datetime
          |    ROWS BETWEEN 719 PRECEDING AND CURRENT ROW)
          |QUALIFY aqi_next IS NOT NULL
-         |ORDER BY location_id, datetime""".stripMargin.replace('\n', ' '))
+         |ORDER BY location_id, datetime""".stripMargin.replace('\n', ' ')),
+    "ml_infer_features" -> withPipeline(
+      s""", ao AS (
+         |  SELECT date_trunc('hour', max(datetime)) AS as_of FROM gold),
+         |latest AS (SELECT * FROM (
+         |  SELECT g.*, row_number() OVER (
+         |    PARTITION BY location_id ORDER BY datetime DESC) AS rn
+         |  FROM gold g) WHERE rn = 1),
+         |lags AS (
+         |  SELECT location_id,
+         |    max(CASE WHEN abs(epoch_us(date_trunc('hour', datetime))
+         |      - (epoch_us(as_of) - 3600000000)) <= 3600000000
+         |      THEN aqi END) AS lk_1,
+         |    max(CASE WHEN abs(epoch_us(date_trunc('hour', datetime))
+         |      - (epoch_us(as_of) - 86400000000)) <= 3600000000
+         |      THEN aqi END) AS lk_24,
+         |    max(CASE WHEN abs(epoch_us(date_trunc('hour', datetime))
+         |      - (epoch_us(as_of) - 604800000000)) <= 3600000000
+         |      THEN aqi END) AS lk_168
+         |  FROM gold, ao GROUP BY location_id),
+         |enc AS (
+         |  SELECT country, CAST(dense_rank() OVER (ORDER BY country) - 1
+         |    AS INT) AS country_encoded
+         |  FROM (SELECT DISTINCT country FROM gold))
+         |SELECT l.location_id, ao.as_of AS datetime,
+         |  CAST(hour(ao.as_of) AS INT) AS hour,
+         |  CAST(isodow(ao.as_of) - 1 AS INT) AS day_of_week,
+         |  CAST(month(ao.as_of) AS INT) AS month_num,
+         |  CAST(dayofyear(ao.as_of) AS INT) AS day_of_year,
+         |  isodow(ao.as_of) - 1 >= 5 AS is_weekend,
+         |  coalesce(lg.lk_1, l.aqi) AS aqi_lag_1h,
+         |  coalesce(lg.lk_24, l.aqi) AS aqi_lag_24h,
+         |  coalesce(lg.lk_168, l.aqi) AS aqi_lag_168h,
+         |  l.aqi AS aqi_mean_7d, CAST(0.0 AS DOUBLE) AS aqi_std_7d,
+         |  l.aqi AS aqi_max_7d, l.aqi AS aqi_min_7d,
+         |  l.aqi AS aqi_mean_30d,
+         |  coalesce(e.country_encoded, 0) AS country_encoded,
+         |  l.latitude, l.longitude, $pollutantSql, l.aqi
+         |FROM latest l CROSS JOIN ao
+         |LEFT JOIN lags lg ON lg.location_id = l.location_id
+         |LEFT JOIN enc e ON e.country = l.country
+         |ORDER BY l.location_id""".stripMargin.replace('\n', ' '))
   )
 }
