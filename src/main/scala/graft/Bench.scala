@@ -103,17 +103,24 @@ object Bench {
           s""""queries":$detail}""")
     } catch { case _: Throwable => () }
     // Final line LAST on stdout, adaptively sized to survive a bounded
-    // stdout-tail capture (driver keeps ~2000 chars; sbt appends ~80 more).
-    val line = Seq(3, 2, 1).view.map { dp =>
+    // stdout-tail capture: the driver keeps the last ~2000 chars, and sbt
+    // appends "[info] " + a ~75-char "[success] ..." footer, leaving
+    // ~1900 for the line itself. The ladder lowers per-query precision
+    // until it fits (sf is the dir basename — the full path spends 15
+    // chars the budget doesn't have).
+    val sfName = sfDir.split('/').last
+    val line = Seq(3, 2, 1, 0).view.map { dp =>
       val qs = med.map { case (k, v) => s""""$k":${fmt(v, dp)}""" }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
-        s""""queries":$qs,"sf":"$sfDir","n":$passes}"""
-    }.find(_.length <= 1800).getOrElse {
+        s""""queries":$qs,"sf":"$sfName","n":$passes}"""
+    }.find(_.length <= 1880).getOrElse {
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
-        s""""queries":{},"sf":"$sfDir","n":$passes}"""
+        s""""queries":{},"sf":"$sfName","n":$passes}"""
     }
+    // stop FIRST so no Spark shutdown warning can print after the JSON
+    // line — it must be the last stdout line for the driver's tail parse
+    try spark.stop() catch { case _: Throwable => () }
     println(line)
-    spark.stop()
   }
 }

@@ -162,16 +162,38 @@ object Similarity {
     * (Dedup.lshCandidatePairs). With 4×8 the collision probability for
     * cosine ≥ 0.95 pairs is ≈ 0.99, while unrelated pairs almost never
     * share a band. */
+  /** Signature computation for the banded self-join: posexplode + one
+    * codegen'd hash aggregate (32 conditional sums), NOT the interpreted
+    * higher-order-function form of [[lshSignature]] — inlining that tree
+    * once per band built bands×bits aggregate chains in one projection
+    * and dominated the whole bench (24 s for a 5 k-row corpus; this
+    * shape, the same as Dedup.minhashSignatures, is sub-second).
+    * Note the per-plane sum is a hash-aggregate partial sum, so float
+    * addition order is partition-dependent; a sign flip would need
+    * |projection| ≲ 1e-12, and candidates are exact-verified anyway. */
   private def bandedBuckets(corpus: DataFrame, idCol: String,
       vecCol: String, bands: Int, bandBits: Int): DataFrame = {
-    val sig = lshSignature(col(vecCol), bands * bandBits)
+    val bits = bands * bandBits
+    val vecs = corpus.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    val exploded = vecs.select(col(idCol), posexplode(col("v")))
+    val planeSums = (0 until bits).map { b =>
+      sum(col("col") *
+        (pmod(xxhash64(col("pos"), lit(b)), lit(1000003)).cast("double") /
+          lit(500001.5) - lit(1.0))).as(s"p_$b")
+    }
+    val projs = exploded.groupBy(col(idCol))
+      .agg(planeSums.head, planeSums.tail: _*)
+    val sig = (0 until bits).map { b =>
+      when(col(s"p_$b") >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val sigs = projs.select(col(idCol), sig.as("sig"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(sig, b * bandBits)
+        shiftright(col("sig"), b * bandBits)
           .bitwiseAND((1L << bandBits) - 1).as("bucket"))
     }
-    corpus.select(col(idCol), toDouble(col(vecCol)).as("v"),
-      explode(array(bandCols: _*)).as("bb"))
+    vecs.join(sigs, Seq(idCol))
+      .select(col(idCol), col("v"), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("v"), col("bb.band"), col("bb.bucket"))
   }
 
