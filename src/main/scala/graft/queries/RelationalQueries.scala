@@ -63,6 +63,32 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** TPC-H Q14-shaped: revenue share per part type over one shipping
+    * year — fact ⋈ broadcast(part) + conditional aggregation; the share
+    * denominator joins back as a broadcast 1-row total, and the division
+    * runs in DOUBLE on exact decimal sums (identical operands in the
+    * DuckDB twin, so no cross-engine rounding drift). */
+  def q14PromoShare(s: SparkSession, d: String): DataFrame = {
+    val li = table(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+    val revenue = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,4)")
+    val perType = li
+      .join(broadcast(table(s, d, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(sum(revenue).as("rev_d"), count(lit(1)).as("n_items"))
+    val total = perType.agg(sum(col("rev_d")).as("tot_d"))
+    perType.crossJoin(broadcast(total))
+      .select(col("p_type"),
+        col("rev_d").cast("double").as("revenue"),
+        col("n_items"),
+        round(col("rev_d").cast("double") * 100 /
+          col("tot_d").cast("double"), 4).as("share_pct"))
+      .orderBy("p_type")
+  }
+
   /** TPC-H Q5-shaped: snowflake join region→nation→customer→orders→
     * lineitem→supplier (co-located nation check), revenue per nation. */
   def q5RevenueByNation(s: SparkSession, d: String): DataFrame = {
@@ -160,6 +186,7 @@ object RelationalQueries {
     "q3_top_orders" -> q3TopOrders,
     "q5_revenue_by_nation" -> q5RevenueByNation,
     "q6_filter_agg" -> q6FilterAgg,
+    "q14_promo_share" -> q14PromoShare,
     "q7_above_avg_customers" -> q7AboveAvgCustomers,
     "j1_semi_returned_orders" -> semiReturnedOrders,
     "j2_anti_customers_no_orders" -> antiCustomersNoOrders,
@@ -215,6 +242,21 @@ object RelationalQueries {
         |WHERE l_quantity < 24 AND l_discount >= CAST('0.05' AS DOUBLE)
         |  AND l_discount <= CAST('0.07' AS DOUBLE)"""
         .stripMargin.replace('\n', ' '),
+    "q14_promo_share" ->
+      """WITH j AS (
+        |  SELECT p_type,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |      AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'),
+        |pt AS (SELECT p_type, sum(rev) AS rev_d, count(*) AS n_items
+        |  FROM j GROUP BY 1),
+        |tot AS (SELECT sum(rev_d) AS tot_d FROM pt)
+        |SELECT p_type, CAST(rev_d AS DOUBLE) AS revenue, n_items,
+        |  round(CAST(rev_d AS DOUBLE) * 100 / CAST(tot_d AS DOUBLE), 4)
+        |    AS share_pct
+        |FROM pt, tot ORDER BY p_type""".stripMargin.replace('\n', ' '),
     "q7_above_avg_customers" ->
       """WITH per_cust AS (
         |  SELECT c_custkey, c_mktsegment,
