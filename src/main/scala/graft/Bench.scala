@@ -42,6 +42,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
     // Shuffle/spill files on tmpfs when available: at bench scale they are
     // small, and it removes disk-contention noise from a shared machine
     // (round-1 driver runs saw 8-37x inflation consistent with slow /tmp).

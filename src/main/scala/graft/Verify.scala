@@ -15,6 +15,7 @@ object Verify {
       // testdata events.ts is TIMESTAMP(NANOS); read as long nanos
       // (EventsAdapter converts to µs timestamps losslessly)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
     // Shuffle/spill on tmpfs when available (see Bench for rationale).
     val shm = Paths.get("/dev/shm")
     if (Files.isWritable(shm)) {

@@ -157,11 +157,21 @@ object Features {
 
   /** The full 22-feature matrix + target (ML_TRAINING.md:57-148, A4 fixture
     * in FIXTURES.md). One shuffle for all window features + one broadcast
-    * join for the encoding. */
-  def featureMatrix(gold: DataFrame): DataFrame = {
+    * join for the encoding.
+    *
+    * The encoder's distinct-country set comes from the INPUT gold frame
+    * (optionally an even earlier layer via `encodeFrom` — country is
+    * untouched by the gold aggregation, so silver gives the same set
+    * without re-running the roll-up on the encoding branch). Encoding from
+    * the post-window matrix would recompute the whole window pipeline just
+    * to list ~10 countries, and the reference's LabelEncoder fits on the
+    * loaded frame (data_loader.py:47,163), not the feature matrix. */
+  def featureMatrix(gold: DataFrame,
+      encodeFrom: Option[DataFrame] = None): DataFrame = {
     val staged = withTarget(
       rollingFeatures(lagFeatures(timeFeatures(pollutantColumns(gold)))))
-    withCountryEncoded(staged)
+    staged.join(broadcast(countryEncoding(encodeFrom.getOrElse(gold))),
+        Seq("country"), "left")
       .select(
         col("location_id"), col("datetime"),
         col("hour"), col("day_of_week"), col("month_num"),

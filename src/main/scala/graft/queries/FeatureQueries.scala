@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.features.Features
-import graft.queries.PipelineQueries.{gold, withPipeline}
+import graft.queries.PipelineQueries.{gold, silver, withPipeline}
 
 /** Registry + DuckDB oracle twins for the feature-engineering surface
   * (SURVEY.md §2.5 W1-W4, §2.7 R5-R7). Float-unstable aggregates
@@ -69,7 +69,9 @@ object FeatureQueries {
     "r7_country_encoding" -> ((s, d) =>
       Features.countryEncoding(gold(s, d)).orderBy("country")),
     "ml_feature_matrix" -> ((s, d) =>
-      Features.featureMatrix(gold(s, d))
+      // encode from silver: same distinct-country set, but the encoding
+      // branch never re-runs the gold roll-up (plan-shape test pins this)
+      Features.featureMatrix(gold(s, d), Some(silver(s, d)))
         .withColumn("aqi_mean_7d", round(col("aqi_mean_7d"), 4))
         .withColumn("aqi_std_7d", round(col("aqi_std_7d"), 4))
         .withColumn("aqi_mean_30d", round(col("aqi_mean_30d"), 4))

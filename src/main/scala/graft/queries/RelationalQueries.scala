@@ -168,6 +168,31 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
+  /** TPC-H Q10-shaped: revenue lost to returns per customer over a
+    * half-year order window — date-filtered fact ⋈ orders shuffle join,
+    * then broadcast customer/nation enrichment, top-20 by lost revenue.
+    * The only shuffles are the fact⋈orders join and the final customer
+    * aggregate; top-N is TakeOrderedAndProject. */
+  def q10ReturnedCustomers(s: SparkSession, d: String): DataFrame = {
+    val orders = table(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-07-01"))
+    val li = table(s, d, "lineitem").filter(col("l_returnflag") === "R")
+    val revenue = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,4)")
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(s, d, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("n_name"))
+      .agg(sum(revenue).cast("double").as("lost_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("lost_revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
   /** Left outer join + conditional agg: per-segment order coverage. */
   def leftJoinCoverage(s: SparkSession, d: String): DataFrame =
     table(s, d, "customer")
@@ -187,6 +212,7 @@ object RelationalQueries {
     "q5_revenue_by_nation" -> q5RevenueByNation,
     "q6_filter_agg" -> q6FilterAgg,
     "q14_promo_share" -> q14PromoShare,
+    "q10_returned_customers" -> q10ReturnedCustomers,
     "q7_above_avg_customers" -> q7AboveAvgCustomers,
     "j1_semi_returned_orders" -> semiReturnedOrders,
     "j2_anti_customers_no_orders" -> antiCustomersNoOrders,
@@ -257,6 +283,21 @@ object RelationalQueries {
         |  round(CAST(rev_d AS DOUBLE) * 100 / CAST(tot_d AS DOUBLE), 4)
         |    AS share_pct
         |FROM pt, tot ORDER BY p_type""".stripMargin.replace('\n', ' '),
+    "q10_returned_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS lost_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY lost_revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin.replace('\n', ' '),
     "q7_above_avg_customers" ->
       """WITH per_cust AS (
         |  SELECT c_custkey, c_mktsegment,

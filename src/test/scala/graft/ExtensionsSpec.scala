@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions: the custom expression is a real SQL function when the
+  * extension is installed via `spark.sql.extensions`. */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("graft_dot is registered and evaluates in pure SQL") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head().getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("graft_dot agrees with the Column API on table data") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.5, 2.0)), (2L, Array(-1.0, 4.0)))
+      .toDF("id", "v")
+    df.createOrReplaceTempView("ext_vecs")
+    val sql = spark.sql(
+      "SELECT id, graft_dot(v, v) AS d FROM ext_vecs ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val api = df.select($"id",
+        graft.expr.VectorExprs.dotProduct($"v", $"v").as("d"))
+      .orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(sql.sameElements(api))
+    assert(sql.map(_._2).toSeq == Seq(4.25, 17.0))
+  }
+
+  test("graft_dot rejects non-double-array inputs at analysis time") {
+    val ex = intercept[AnalysisException] {
+      spark.sql("SELECT graft_dot(array('a'), array('b'))").collect()
+    }
+    assert(ex.getMessage.contains("graft_dot") ||
+      ex.getMessage.toLowerCase.contains("mismatch"))
+  }
+
+  test("graft_dot wrong arity fails analysis") {
+    intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0d))").collect()
+    }
+  }
+}

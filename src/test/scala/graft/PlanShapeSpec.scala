@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the scale properties SCALE.md claims
+  * (pushdown, broadcast choice, shuffle counts, no windows over corpora)
+  * asserted on the actual physical plans, so a refactor that silently
+  * de-optimizes a query fails the suite rather than only the bench.
+  *
+  * Assertions run on the static physical plan (AQE disabled for the
+  * planning call): it is deterministic at any data scale, whereas AQE's
+  * final plan depends on runtime sizes. Shuffle-count upper bounds are
+  * therefore conservative — AQE can only remove/convert exchanges at
+  * runtime, not add them. `sparkPlan` would miss the exchanges entirely
+  * (EnsureRequirements inserts them in the executedPlan preparation). */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, dir)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  private def shuffles(p: SparkPlan): Int =
+    p.collect { case e: ShuffleExchangeExec => e }.size
+
+  test("q6: all three predicates reach the parquet scan; 3-column read") {
+    val f = formatted("q6_filter_agg")
+    assert(f.contains("PushedFilters:"))
+    assert(f.contains("LessThan(l_quantity,24.0)"))
+    assert(f.contains("GreaterThanOrEqual(l_discount,0.05)"))
+    assert(f.contains(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double>"))
+    // partial agg + one single-partition gather — nothing else
+    assert(shuffles(plan("q6_filter_agg")) == 1)
+  }
+
+  test("q5: every dimension joins as broadcast; no cartesian product") {
+    val p = plan("q5_revenue_by_nation")
+    val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 4, s"expected >=4 broadcast joins, got ${bhj.size}")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q10: broadcast enrichment + TakeOrderedAndProject top-20") {
+    val p = plan("q10_returned_customers")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.size >= 2)
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "top-N must be TakeOrderedAndProject, not a global sort")
+  }
+
+  test("a1 gold roll-up: one group-by shuffle + presentation sort only") {
+    // shuffle 1 = the hash aggregate; shuffle 2 = the deterministic
+    // output ordering the harness adds (range partitioning, export-only)
+    assert(shuffles(plan("a1_gold_hourly")) == 2)
+  }
+
+  test("x10 centroid assignment: no window over the corpus (max_by agg)") {
+    val p = plan("x10_centroid_assign")
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "argmax must be a partial-aggregating max_by, not row_number")
+    assert(formatted("x10_centroid_assign").contains("max_by"))
+  }
+
+  test("w5 latest top-n: TakeOrderedAndProject, zero shuffles") {
+    val p = plan("w5_latest_topn")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty)
+    assert(shuffles(p) == 0)
+  }
+
+  test("o1 export sort: the single global sort uses range partitioning") {
+    val p = plan("o1_export_sorted")
+    val ex = p.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.size == 1)
+    assert(ex.head.outputPartitioning.toString.contains("range"),
+      s"expected RangePartitioning, got ${ex.head.outputPartitioning}")
+  }
+
+  test("sim1 brute-force knn: corpus side never shuffles before scoring") {
+    val p = plan("sim1_knn_bruteforce")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "query set must broadcast — a cartesian product shuffles the corpus")
+    // two-phase top-k: first window partitions by (query_id, salt)
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.exists(_.partitionSpec.size == 2),
+      "phase-1 ranking must partition by (query_id, salt) for parallelism")
+  }
+
+  test("ml feature matrix: windows share one shuffle; encoder skips gold") {
+    val p = plan("ml_feature_matrix")
+    // main side: gold agg + the single shared window spec + output sort;
+    // encoding side: distinct-country agg (the rank window over ≤10 rows
+    // is a single-partition exchange). More shuffles means either a
+    // window spec stopped aligning or the encoder branch is re-running
+    // the gold roll-up / window pipeline again.
+    assert(shuffles(p) <= 5, s"expected <=5 shuffles, got ${shuffles(p)}")
+    // exactly one fact-sized Window operator spec group: the encoder must
+    // not drag lag/rolling windows into its branch
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.size <= 2, s"expected <=2 Window ops, got ${wins.size}")
+  }
+}
