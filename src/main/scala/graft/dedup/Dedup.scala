@@ -230,4 +230,23 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** End-to-end near-duplicate removal: given a candidate near-dup PAIR
+    * list from any of the pair generators (MinHash-LSH, SimHash, n-gram
+    * Jaccard, embedding cosine), cluster pairs transitively (connected
+    * components) and drop every clustered document except its canonical
+    * (min-id) member. Unpaired documents pass through untouched.
+    *
+    * Scale: the non-canonical id list is |clustered docs| rows of a single
+    * long — tiny relative to the corpus (near-dup rates are single-digit
+    * percents in practice), so the anti join broadcasts under AQE; the
+    * corpus itself never shuffles. */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val clusters = graft.graph.ConnectedComponents.run(
+      pairs.select(col("id_a"), col("id_b")))
+    val losers = clusters.filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -77,7 +77,17 @@ object DedupQueries {
           table(s, d, "documents").filter(col("doc_id") < 200)
             .select(col("doc_id"), col("text")),
           threshold = 0.98).select("id_a", "id_b"))
-        .orderBy("node"))
+        .orderBy("node")),
+    // the full dedup pipeline: pairs → clusters → corpus minus
+    // non-canonical cluster members
+    "d6_drop_near_duplicates" -> ((s, d) => {
+      val docs = table(s, d, "documents").filter(col("doc_id") < 200)
+      Dedup.dropNearDuplicates(docs,
+        Dedup.ngramJaccardPairs(docs.select(col("doc_id"), col("text")),
+          threshold = 0.98))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -118,6 +128,23 @@ object DedupQueries {
          |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
          |SELECT node, min(root) AS component FROM reach
          |GROUP BY 1 ORDER BY node""".stripMargin.replace('\n', ' ')
+    },
+    "d6_drop_near_duplicates" -> {
+      val pairs = Dedup.ngramJaccardSql(
+        "(SELECT doc_id AS id, text FROM documents WHERE doc_id < 200)",
+        0.98)
+      s"""WITH RECURSIVE pairs AS (SELECT * FROM ($pairs)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(node, root) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT node, min(root) AS component FROM reach GROUP BY 1)
+         |SELECT doc_id, lang, source, n_chars
+         |FROM documents WHERE doc_id < 200
+         |  AND doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+         |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
     }
   )
 }

@@ -35,12 +35,23 @@ object SimilarityQueries {
     "sim4_lsh_neardup" -> ((s, d) =>
       Similarity.cosineLshNearDupPairs(table(s, d, "embeddings"),
         threshold = 0.4)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+    // int8 scalar quantization (embedding compression for ANN at scale);
+    // the int8 array is CSV-joined because the harness compare hashes
+    // scalar cells, not lists (same convention as a1's parallel arrays)
+    "sim5_quantize_int8" -> ((s, d) => {
+      val (mx, q) = Similarity.quantizeInt8(col("embedding"))
+      table(s, d, "embeddings")
+        .select(col("vec_id"), round(mx, 6).as("max_abs"),
+          array_join(q.cast("array<string>"), ",").as("q"))
+        .orderBy("vec_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
     "sim1_knn_bruteforce" ->
       Similarity.bruteForceTopKSql(5, "vec_id < 20"),
-    "sim3_cosine_neardup" -> Similarity.cosineNearDupPairsSql(0.4)
+    "sim3_cosine_neardup" -> Similarity.cosineNearDupPairsSql(0.4),
+    "sim5_quantize_int8" -> Similarity.quantizeInt8Sql
   )
 }

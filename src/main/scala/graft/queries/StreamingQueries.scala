@@ -92,6 +92,29 @@ object StreamingQueries {
         deterministicArrays = true)
       goldCanonical(
         StreamPipeline.replayToMemory(s, gold, "s5_stream_gold"))
+    }),
+    // stream-static enrichment: each streamed measurement joins a STATIC
+    // per-station reference (historical max + observation count from the
+    // batch layer) — the standard "enrich events with a dimension" shape.
+    // The static side is broadcast: no stream-side shuffle, no state.
+    // Only order-independent aggregates (max, count) keep the oracle
+    // exact.
+    "x13_stream_enrich" -> ((s, d) => {
+      val stationRef = PipelineQueries.silver(s, d)
+        .groupBy(col("location_id"))
+        .agg(max(col("aqi")).as("hist_max_aqi"),
+          count(col("aqi")).as("n_obs"))
+      val silver = StreamPipeline
+        .silverStream(StreamPipeline.bronzeStream(eventsStream(s, d)))
+        .drop("processing_timestamp")
+      val enriched = silver
+        .join(broadcast(stationRef), Seq("location_id"))
+        .withColumn("is_peak", col("aqi") >= col("hist_max_aqi"))
+      StreamPipeline.replayToMemory(s, enriched, "x13_stream_enrich")
+        .select(col("location_id"), col("datetime"), col("parameter"),
+          col("value"), col("aqi"), col("hist_max_aqi"), col("n_obs"),
+          col("is_peak"))
+        .orderBy("location_id", "datetime", "parameter", "value")
     })
   )
 
@@ -133,6 +156,15 @@ object StreamingQueries {
         |ORDER BY user_id, session_start""".stripMargin.replace('\n', ' '),
     "s2_stream_silver" -> withPipeline(
       "SELECT * FROM silver ORDER BY location_id, datetime, parameter, value"),
+    "x13_stream_enrich" -> withPipeline(
+      """SELECT s.location_id, s.datetime, s.parameter, s.value, s.aqi,
+        |  r.hist_max_aqi, r.n_obs, s.aqi >= r.hist_max_aqi AS is_peak
+        |FROM silver s
+        |JOIN (SELECT location_id, max(aqi) AS hist_max_aqi,
+        |    count(aqi) AS n_obs
+        |  FROM silver GROUP BY 1) r USING (location_id)
+        |ORDER BY s.location_id, s.datetime, s.parameter, s.value"""
+        .stripMargin.replace('\n', ' ')),
     "s5_stream_gold" -> {
       // Gold over the aqi-filtered stream (P8), cut at the watermark.
       // goldStream watermarks the hour-truncated event time, so the final

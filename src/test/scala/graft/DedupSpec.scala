@@ -94,4 +94,12 @@ class DedupSpec extends AnyFunSuite {
     assert(sh.contains("quick"))
     assert(sh.distinct.length === sh.length)
   }
+
+  test("dropNearDuplicates keeps canonical members + unpaired docs") {
+    // 1-2-3 cluster near-dups (1 canonical); 4 and 5 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicates(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 4L, 5L))
+  }
 }

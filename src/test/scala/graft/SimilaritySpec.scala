@@ -121,4 +121,24 @@ class SimilaritySpec extends AnyFunSuite {
     // opposite vectors get complementary signatures → different buckets
     assert(a(1L) !== a(4L))
   }
+
+  test("int8 quantization: bounded reconstruction error, zero-vector safe") {
+    val withZero = vecs.unionAll(
+      Seq((6L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val (mx, q) = Similarity.quantizeInt8(col("embedding"))
+    val rows = withZero.select(col("vec_id"), col("embedding"),
+        mx.as("mx"), q.as("q")).collect()
+    rows.foreach { r =>
+      val orig = r.getAs[collection.Seq[Float]]("embedding")
+      val scale = r.getDouble(2)
+      val quant = r.getAs[collection.Seq[Byte]]("q")
+      assert(quant.length === orig.length)
+      if (scale == 0.0) assert(quant.forall(_ === 0))
+      else orig.zip(quant).foreach { case (x, qi) =>
+        assert(qi >= -127 && qi <= 127)
+        // dequantized value within half a quantization step
+        assert(math.abs(qi * scale / 127.0 - x) <= scale / 127.0 / 2 + 1e-9)
+      }
+    }
+  }
 }
