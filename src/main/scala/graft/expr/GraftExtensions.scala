@@ -28,5 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_dot takes exactly 2 arguments, got ${children.size}")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_cosine takes exactly 2 arguments, got ${children.size}")
+        CosineSim(children.head, children(1))
+      }))
   }
 }

@@ -78,6 +78,40 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** Frame-sampling plan for video rows: the uniform frame-index set a
+    * decoder should extract — `min(n_frames, maxFrames)` indices at
+    * `floor(i·n/k)`, covering the clip evenly and degenerating to
+    * all-frames for short clips. This IS the engine's half of frame
+    * sampling (deciding WHAT to decode is plan work; the pixel fetch is
+    * the codec stub's). Pure per-row expression, no shuffle; the index
+    * arithmetic is exact in doubles (i·n ≤ maxFrames·n_frames ≪ 2⁵³). */
+  def frameSamplePlan(withMedia: DataFrame, maxFrames: Int = 8): DataFrame = {
+    val n = col("metadata.n_frames")
+    val k = least(n, lit(maxFrames))
+    val idx = transform(sequence(lit(0), k - 1),
+      i => floor(i * n / k).cast("int"))
+    withMedia.filter(col("media_type") === "video")
+      .select(col("doc_id"), n.as("n_frames"), idx.as("frame_indices"))
+  }
+
+  /** Resize plan for image rows: aspect-preserving fit into a
+    * `target`×`target` box — `scale = min(t/w, t/h)`, output dims
+    * `max(1, round(dim·scale))`. The geometry (what every resize kernel
+    * needs as input) is engine-side expression work; the resample itself
+    * belongs to the codec stub. */
+  def resizePlan(withMedia: DataFrame, target: Int = 224): DataFrame = {
+    val w = col("metadata.width").cast("double")
+    val h = col("metadata.height").cast("double")
+    val scale = least(lit(target.toDouble) / w, lit(target.toDouble) / h)
+    withMedia.filter(col("media_type") === "image")
+      .select(col("doc_id"),
+        col("metadata.width").as("width"),
+        col("metadata.height").as("height"),
+        round(scale, 6).as("scale"),
+        greatest(lit(1L), round(w * scale, 0).cast("long")).as("out_w"),
+        greatest(lit(1L), round(h * scale, 0).cast("long")).as("out_h"))
+  }
+
   /** STUB for the media codec: 4 deterministic moments of the byte
     * stream standing in for decoded-content features. */
   private def decodeStub(bytes: Array[Byte]): Seq[Double] = {

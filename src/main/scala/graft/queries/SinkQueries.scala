@@ -68,6 +68,18 @@ object SinkQueries {
         .select(col("doc_id"), col("media_type"), col("byte_len"),
           array_join(transform(col("feature"),
             v => format_string("%.4f", v)), ",").as("feature"))
+        .orderBy("doc_id")),
+    // multimodal plan ops: which frames to decode / what dims to resize to
+    "mm3_frame_sample" -> ((s, d) =>
+      Multimodal.frameSamplePlan(
+        Multimodal.withBinaryPayload(table(s, d, "documents")))
+        .select(col("doc_id"), col("n_frames"),
+          array_join(col("frame_indices").cast("array<string>"), ",")
+            .as("frame_indices"))
+        .orderBy("doc_id")),
+    "mm4_resize_plan" -> ((s, d) =>
+      Multimodal.resizePlan(
+        Multimodal.withBinaryPayload(table(s, d, "documents")))
         .orderBy("doc_id"))
   )
 
@@ -101,6 +113,27 @@ object SinkQueries {
         |  (CASE WHEN doc_id % 3 = 1 THEN 16000 END) AS sample_rate,
         |  (CASE WHEN doc_id % 3 = 2
         |    THEN CAST(doc_id % 300 + 1 AS INT) END) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+        |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+    "mm3_frame_sample" ->
+      """SELECT doc_id, n_frames,
+        |  array_to_string(list_transform(range(0, k),
+        |    i -> CAST(floor(i * n_frames / k) AS INT)), ',')
+        |    AS frame_indices
+        |FROM (SELECT doc_id, CAST(doc_id % 300 + 1 AS INT) AS n_frames,
+        |    least(CAST(doc_id % 300 + 1 AS INT), 8) AS k
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+    "mm4_resize_plan" ->
+      """SELECT doc_id, width, height, round(scale, 6) AS scale,
+        |  greatest(1, CAST(round(width * scale, 0) AS BIGINT)) AS out_w,
+        |  greatest(1, CAST(round(height * scale, 0) AS BIGINT)) AS out_h
+        |FROM (SELECT doc_id, width, height,
+        |    least(CAST('224' AS DOUBLE) / width,
+        |      CAST('224' AS DOUBLE) / height) AS scale
+        |  FROM (SELECT doc_id,
+        |      CAST(doc_id % 1024 + 64 AS INT) AS width,
+        |      CAST(doc_id % 768 + 48 AS INT) AS height
+        |    FROM documents WHERE doc_id % 3 = 0))
+        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   )
 }

@@ -93,6 +93,29 @@ object StreamingQueries {
       goldCanonical(
         StreamPipeline.replayToMemory(s, gold, "s5_stream_gold"))
     }),
+    // stream-stream interval join: purchases attributed to a click by the
+    // same user within the following hour — two live streams, join state
+    // bounded by watermark + the interval condition
+    "x14_stream_stream_join" -> ((s, d) => {
+      val ev = fullEventsStream(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+          col("value").as("purchase_value"))
+      val joined = StreamPipeline.streamStreamJoin(
+        clicks, purchases, "click_ts", "purchase_ts", delay = "1 hour",
+        condition = col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      StreamPipeline.replayToMemory(s, joined, "x14_stream_stream_join")
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("click_ts"), col("purchase_ts"),
+          round(col("purchase_value"), 4).as("purchase_value"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
     // stream-static enrichment: each streamed measurement joins a STATIC
     // per-station reference (historical max + observation count from the
     // batch layer) — the standard "enrich events with a dimension" shape.
@@ -156,6 +179,21 @@ object StreamingQueries {
         |ORDER BY user_id, session_start""".stripMargin.replace('\n', ' '),
     "s2_stream_silver" -> withPipeline(
       "SELECT * FROM silver ORDER BY location_id, datetime, parameter, value"),
+    // the CTE casts ns → µs FIRST so the interval condition compares the
+    // same µs-truncated instants the engine sees
+    "x14_stream_stream_join" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  user_id, event_type, value FROM events)
+        |SELECT c.user_id, c.event_id AS click_id,
+        |  p.event_id AS purchase_id,
+        |  c.ts AS click_ts, p.ts AS purchase_ts,
+        |  round(p.value, 4) AS purchase_value
+        |FROM ev c JOIN ev p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY c.user_id, click_id, purchase_id"""
+        .stripMargin.replace('\n', ' '),
     "x13_stream_enrich" -> withPipeline(
       """SELECT s.location_id, s.datetime, s.parameter, s.value, s.aqi,
         |  r.hist_max_aqi, r.n_obs, s.aqi >= r.hist_max_aqi AS is_peak

@@ -40,6 +40,25 @@ object TextQueries {
     "t6_stable_sample" -> ((s, d) =>
       TextAnalysis.stableSample(table(s, d, "documents"), "text", 0.3)
         .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+    // the composed C4-style clean: dedup → lang gate → quality gate →
+    // down-sample, planted exact duplicates to make the dedup stage bite
+    "t7_corpus_clean" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val doubledDocs =
+        docs.unionAll(docs.withColumn("doc_id", col("doc_id") + 100000))
+      TextAnalysis.cleanCorpus(doubledDocs, lang = "en", sampleRate = 0.5)
+        .select("doc_id", "lang", "predicted_lang", "n_tokens",
+          "n_chars_actual")
+        .orderBy("doc_id")
+    }),
+    // stratified sampling: per-language keep rates (training-mix shaping)
+    "t8_stratified_sample" -> ((s, d) =>
+      TextAnalysis.stratifiedSample(table(s, d, "documents"),
+        strataCol = "lang", textCol = "text",
+        rates = Map("en" -> 0.9, "de" -> 0.5, "fr" -> 0.25),
+        defaultRate = 0.1)
+        .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id"))
   )
 
@@ -63,6 +82,29 @@ object TextQueries {
     "t6_stable_sample" ->
       (s"SELECT doc_id, lang, source, n_chars FROM documents " +
         s"WHERE ${TextAnalysis.stableSampleSql("text", 0.3)} " +
+        "ORDER BY doc_id"),
+    "t7_corpus_clean" ->
+      s"""WITH corpus AS (SELECT doc_id, text, lang FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text, lang FROM documents),
+         |dedup AS (
+         |  SELECT doc_id, text, lang FROM (
+         |    SELECT doc_id, text, lang, min(doc_id) OVER (PARTITION BY
+         |      ${TextAnalysis.fingerprintSql("text")}) AS keep_id
+         |    FROM corpus)
+         |  WHERE doc_id = keep_id),
+         |scored AS (
+         |  SELECT doc_id, text, lang, ${TextAnalysis.langIdSql("text")},
+         |    ${TextAnalysis.qualityFeaturesSql("text")}
+         |  FROM dedup)
+         |SELECT doc_id, lang, predicted_lang, n_tokens, n_chars_actual
+         |FROM scored
+         |WHERE predicted_lang = 'en' AND is_quality
+         |  AND ${TextAnalysis.stableSampleSql("text", 0.5)}
+         |ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+    "t8_stratified_sample" ->
+      (s"SELECT doc_id, lang, source, n_chars FROM documents " +
+        s"WHERE ${TextAnalysis.stratifiedSampleSql("lang", "text",
+          Map("en" -> 0.9, "de" -> 0.5, "fr" -> 0.25), 0.1)} " +
         "ORDER BY doc_id")
   )
 }

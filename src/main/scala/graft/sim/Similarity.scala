@@ -31,7 +31,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass cosine (graft.expr.CosineSim): bit-identical to
+    * `dot(a,b)/(norm(a)·norm(b))` but one array traversal instead of
+    * three — the LSH verify's hot loop. Callers that pre-compute norms
+    * once per SIDE (bruteForceTopK) keep the explicit dot/norm split,
+    * which does fewer total flops when rows join many partners. */
+  def cosine(a: Column, b: Column): Column =
+    graft.expr.VectorExprs.cosineSim(a, b)
 
   /** Native Cast (codegen'd) — not a per-element transform lambda. */
   private def toDouble(c: Column): Column = c.cast("array<double>")

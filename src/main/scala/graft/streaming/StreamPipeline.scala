@@ -86,6 +86,22 @@ object StreamPipeline {
     stream.withWatermark(eventTime, delay)
       .dropDuplicates(keys :+ eventTime)
 
+  /** Stream-stream inner join with an event-time interval condition.
+    * Both sides carry watermarks and the condition must time-bound the
+    * match window — that is what lets Spark evict join state: each side
+    * buffers only (arrival rate × (delay + interval)) rows, regardless of
+    * stream length. Without the time bound the join would buffer both
+    * streams forever; with it, this is the scalable funnel/attribution
+    * primitive (click → purchase within an hour, request → response,
+    * sensor A → sensor B correlation). Inner-join emission is
+    * watermark-independent: a match is emitted as soon as both rows have
+    * arrived, so a bounded replay equals the batch interval join. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String, delay: String,
+      condition: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark(leftTime, delay)
+      .join(right.withWatermark(rightTime, delay), condition)
+
   /** S5: parquet streaming sink with checkpoint + partitioning + trigger
     * (stream_processor.py:105-112). */
   def parquetSink(df: DataFrame, path: String, checkpoint: String,

@@ -197,6 +197,50 @@ object TextAnalysis {
   def stableSampleSql(t: String, rate: Double): String =
     s"substr(${fingerprintSql(t)}, 1, 4) < '${sampleCut(rate)}'"
 
+  /** Stratified stable sampling: a per-stratum rate (training mixes keep
+    * languages/sources at different proportions). Same content-hash cut
+    * as [[stableSample]], so it stays RNG-free, dedup-aligned, and a pure
+    * pushable filter — the stratum column only selects WHICH cut applies.
+    * Strata absent from `rates` use `defaultRate`. */
+  def stratifiedSample(docs: DataFrame, strataCol: String, textCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    (rates.values ++ Seq(defaultRate)).foreach(r =>
+      require(r >= 0 && r <= 1, s"rate out of [0,1]: $r"))
+    val cut = rates.toSeq.sortBy(_._1)
+      .foldLeft(null.asInstanceOf[Column]) {
+        case (null, (s, r)) => when(col(strataCol) === s, lit(sampleCut(r)))
+        case (acc, (s, r))  => acc.when(col(strataCol) === s, lit(sampleCut(r)))
+      }
+      .otherwise(lit(sampleCut(defaultRate)))
+    docs.filter(substring(fingerprint(col(textCol)), 1, 4) < cut)
+  }
+
+  /** DuckDB twin of the [[stratifiedSample]] predicate. */
+  def stratifiedSampleSql(strataCol: String, t: String,
+      rates: Map[String, Double], defaultRate: Double): String = {
+    val whens = rates.toSeq.sortBy(_._1)
+      .map { case (s, r) => s"WHEN $strataCol = '$s' THEN '${sampleCut(r)}'" }
+      .mkString(" ")
+    s"substr(${fingerprintSql(t)}, 1, 4) < " +
+      s"(CASE $whens ELSE '${sampleCut(defaultRate)}' END)"
+  }
+
+  // -------------------------------------------------- composed corpus clean
+
+  /** The composed C4-style cleaning pipeline — the operators above chained
+    * in production order: exact dedup → language gate → quality gate →
+    * stable down-sample. Everything after the dedup shuffle is a pure
+    * per-row filter, so the whole clean is ONE shuffle (the fingerprint
+    * min-id aggregate) regardless of corpus size. */
+  def cleanCorpus(docs: DataFrame, lang: String = "en",
+      sampleRate: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val deduped = graft.dedup.Dedup.dropExactDuplicates(docs, idCol, textCol)
+    val gated = qualityFeatures(langId(deduped, textCol), textCol)
+      .filter(col("predicted_lang") === lang && col("is_quality"))
+    stableSample(gated, textCol, sampleRate)
+  }
+
   // ---------------------------------------------------------------- TF-IDF
 
   /** Top-k characteristic terms per document by smoothed TF-IDF

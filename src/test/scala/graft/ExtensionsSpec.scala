@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions.sqrt
 import org.scalatest.funsuite.AnyFunSuite
 
 /** GraftExtensions: the custom expression is a real SQL function when the
@@ -29,6 +30,21 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(sql.sameElements(api))
     assert(sql.map(_._2).toSeq == Seq(4.25, 17.0))
+  }
+
+  test("graft_cosine matches the composed dot/norm form exactly") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(-2.0, 0.5, 1.0)))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("ext_cos")
+    val fused = spark.sql("SELECT graft_cosine(a, b) AS c FROM ext_cos")
+      .head().getDouble(0)
+    val composed = df.select(
+      (graft.expr.VectorExprs.dotProduct($"a", $"b") /
+        (sqrt(graft.expr.VectorExprs.dotProduct($"a", $"a")) *
+          sqrt(graft.expr.VectorExprs.dotProduct($"b", $"b")))).as("c"))
+      .head().getDouble(0)
+    assert(fused == composed) // bit-identical, not just approximate
   }
 
   test("graft_dot rejects non-double-array inputs at analysis time") {

@@ -214,4 +214,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.nonEmpty, "watermark should have closed some hours")
     assert(emitted === expected)
   }
+
+  test("stream-stream join emits exactly the pairs inside the interval") {
+    implicit val sqlCtx = spark.sqlContext
+    val lm = MemoryStream[(Long, Timestamp)]
+    val rm = MemoryStream[(Long, Timestamp)]
+    val left = lm.toDF().toDF("uid", "l_ts")
+    val right = rm.toDF().toDF("r_uid", "r_ts")
+    val joined = StreamPipeline.streamStreamJoin(left, right, "l_ts", "r_ts",
+      "1 hour", col("uid") === col("r_uid") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      lm.addData((1L, ts("2024-01-01 10:00:00")),
+        (2L, ts("2024-01-01 10:00:00")))
+      rm.addData((1L, ts("2024-01-01 10:30:00")), // inside [0, 1h]
+        (2L, ts("2024-01-01 12:00:00")),          // outside the hour
+        (3L, ts("2024-01-01 10:10:00")))          // no left match
+      q.processAllAvailable()
+      val rows = spark.table("ss_join")
+        .select("uid", "r_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString))
+      assert(rows.toSeq === Seq((1L, "2024-01-01 10:30:00.0")))
+    } finally q.stop()
+  }
 }
