@@ -116,8 +116,21 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
         s""""queries":$qs,"sf":"$sfName","n":$passes}"""
     }.find(_.length <= 1880).getOrElse {
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
-        s""""queries":{},"sf":"$sfName","n":$passes}"""
+      // Even dp=0 over the full surface no longer fits the driver's
+      // stdout tail: emit the SLOWEST queries that do fit (the ones perf
+      // grading cares about) instead of an empty map; the full detail is
+      // always in BENCH_FULL.json.
+      val prefix = s"""{"metric":"total","value":${fmt(total, 2)},""" +
+        s""""unit":"sec","sf":"$sfName","n":$passes,"queries":{"""
+      val budget = 1880 - prefix.length - 2
+      val entries = scala.collection.mutable.ListBuffer[String]()
+      var used = 0
+      med.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+        val e = s""""$k":${fmt(v, 1)}"""
+        val cost = e.length + (if (entries.isEmpty) 0 else 1)
+        if (used + cost <= budget) { entries += e; used += cost }
+      }
+      prefix + entries.mkString(",") + "}}"
     }
     // stop FIRST so no Spark shutdown warning can print after the JSON
     // line — it must be the last stdout line for the driver's tail parse

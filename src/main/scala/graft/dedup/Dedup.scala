@@ -231,6 +231,70 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  // -------------------------------------------- benchmark decontamination
+
+  /** Distinct word n-grams of the normalized text (as joined strings). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(text))
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination: drop every corpus document sharing at
+    * least one word n-gram with the benchmark (eval-set) documents — the
+    * standard guard against test-set leakage into training corpora
+    * (GPT-3 appendix C / PaLM-style n-gram overlap).
+    *
+    * Shape: both sides explode to DISTINCT (gram, id) posting rows; the
+    * contaminated-id set is a semi join keyed by gram, then the corpus
+    * anti-joins the (tiny) contaminated-id list — which AQE broadcasts.
+    * The corpus text itself never shuffles, and the benchmark side is
+    * eval-set-sized (thousands of docs), so its gram set stays small. At
+    * 100 TB the gram strings would be xxhash64'd to 8-byte keys before
+    * the join; kept as strings here so DuckDB can mirror the join
+    * exactly. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 5): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(wordNgrams(col(textCol), n)).as("gram"))
+      .distinct()
+    val corpusGrams = corpus
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+    val contaminated = corpusGrams
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** DuckDB twin of [[decontaminate]]: `corpusRel`/`benchRel` are relation
+    * expressions with (doc_id, text) among their columns; emits the kept
+    * corpus doc_ids (SELECT * of corpusRel minus contaminated). */
+  def decontaminateSql(corpusRel: String, benchRel: String,
+      n: Int = 5): String = {
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val toks = s"regexp_split_to_array($norm, '\\s+')"
+    val grams = s"[array_to_string(toks[i:i+${n - 1}], ' ') " +
+      s"for i in range(1, len(toks)-$n+2)]"
+    s"""WITH cg AS (
+       |  SELECT doc_id, unnest(list_distinct($grams)) AS gram
+       |  FROM (SELECT doc_id, $toks AS toks FROM $corpusRel)
+       |  WHERE len(toks) >= $n),
+       |bg AS (
+       |  SELECT DISTINCT unnest(list_distinct($grams)) AS gram
+       |  FROM (SELECT $toks AS toks FROM $benchRel)
+       |  WHERE len(toks) >= $n),
+       |bad AS (SELECT DISTINCT doc_id FROM cg
+       |  WHERE gram IN (SELECT gram FROM bg))
+       |SELECT * FROM $corpusRel
+       |WHERE doc_id NOT IN (SELECT doc_id FROM bad)"""
+      .stripMargin.replace('\n', ' ')
+  }
+
   /** End-to-end near-duplicate removal: given a candidate near-dup PAIR
     * list from any of the pair generators (MinHash-LSH, SimHash, n-gram
     * Jaccard, embedding cosine), cluster pairs transitively (connected

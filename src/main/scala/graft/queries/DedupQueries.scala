@@ -87,6 +87,16 @@ object DedupQueries {
           threshold = 0.98))
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    }),
+    // benchmark decontamination: docs 0-19 play the eval set; any corpus
+    // doc sharing a 5-gram with them is dropped (test-set leakage guard)
+    "d7_decontaminate" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.decontaminate(
+        corpus = docs.filter(col("doc_id") >= 20),
+        benchmark = docs.filter(col("doc_id") < 20))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -145,6 +155,13 @@ object DedupQueries {
          |FROM documents WHERE doc_id < 200
          |  AND doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
          |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+    },
+    "d7_decontaminate" -> {
+      val kept = Dedup.decontaminateSql(
+        "(SELECT doc_id, text, lang, source, n_chars FROM documents " +
+          "WHERE doc_id >= 20)",
+        "(SELECT doc_id, text FROM documents WHERE doc_id < 20)")
+      s"SELECT doc_id, lang, source, n_chars FROM ($kept) ORDER BY doc_id"
     }
   )
 }

@@ -189,7 +189,27 @@ object ExtendedQueries {
           round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.9)"), 4).as("p90"),
           round(expr("percentile(value, 0.99)"), 4).as("p99"))
-        .orderBy("parameter"))
+        .orderBy("parameter")),
+    // CDC upsert (MERGE): base window collapses to a per-user snapshot,
+    // then the post-cutoff changelog upserts into it — both steps are the
+    // same max_by collapse (graft.etl.Cdc), no window over the data
+    "x15_cdc_upsert" -> ((s, d) => {
+      import graft.etl.Cdc
+      val ev = table(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
+      val cols = (Seq("user_id"), Seq("event_type", "value"),
+        Seq("ts", "event_id"))
+      val snapshot = Cdc.compactLatest(ev.filter(col("ts") < cutoff),
+        cols._1, cols._2, cols._3)
+      Cdc.upsertLatest(snapshot, ev.filter(col("ts") >= cutoff),
+        cols._1, cols._2, cols._3)
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"), col("ts").as("last_ts"),
+          col("event_id").as("last_event_id"),
+          (col("ts") >= cutoff).as("was_updated"))
+        .orderBy("user_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -317,6 +337,21 @@ object ExtendedQueries {
         |  round(quantile_cont(value, 0.9), 4) AS p90,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM silver GROUP BY parameter
-        |ORDER BY parameter""".stripMargin.replace('\n', ' '))
+        |ORDER BY parameter""".stripMargin.replace('\n', ' ')),
+    // snapshot ∪ changelog → latest per key ≡ latest overall; row_number
+    // is the oracle's formulation, max_by the engine's
+    "x15_cdc_upsert" ->
+      """WITH ev AS (SELECT user_id, event_type, value,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |latest AS (
+        |  SELECT user_id, event_type AS last_type, value AS last_value,
+        |    ts AS last_ts, event_id AS last_event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, last_type, last_value, last_ts, last_event_id,
+        |  last_ts >= TIMESTAMP '2024-01-21 00:00:00' AS was_updated
+        |FROM latest WHERE rn = 1
+        |ORDER BY user_id""".stripMargin.replace('\n', ' ')
   )
 }

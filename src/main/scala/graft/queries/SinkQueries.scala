@@ -80,7 +80,12 @@ object SinkQueries {
     "mm4_resize_plan" -> ((s, d) =>
       Multimodal.resizePlan(
         Multimodal.withBinaryPayload(table(s, d, "documents")))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // bucketed layout → co-located join: zero Exchange on either join
+    // side (PlanShapeSpec pins the plan; the oracle checks the result
+    // equals the plain join)
+    "b1_bucketed_join" -> ((s, d) =>
+      graft.io.Bucketed.coLocatedSegmentRevenue(s, d))
   )
 
   val oracle: Map[String, String] = Map(
@@ -134,6 +139,12 @@ object SinkQueries {
         |      CAST(doc_id % 1024 + 64 AS INT) AS width,
         |      CAST(doc_id % 768 + 48 AS INT) AS height
         |    FROM documents WHERE doc_id % 3 = 0))
-        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+        |ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+    "b1_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin.replace('\n', ' ')
   )
 }

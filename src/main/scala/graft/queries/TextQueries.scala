@@ -59,6 +59,12 @@ object TextQueries {
         rates = Map("en" -> 0.9, "de" -> 0.5, "fr" -> 0.25),
         defaultRate = 0.1)
         .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+    // Gopher-style repetition gates (dup-word / top-word / dup-bigram)
+    "t9_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionFeatures(table(s, d, "documents"))
+        .select("doc_id", "n_tokens", "dup_word_frac", "top_word_frac",
+          "dup_bigram_frac", "is_repetitive")
         .orderBy("doc_id"))
   )
 
@@ -105,6 +111,9 @@ object TextQueries {
       (s"SELECT doc_id, lang, source, n_chars FROM documents " +
         s"WHERE ${TextAnalysis.stratifiedSampleSql("lang", "text",
           Map("en" -> 0.9, "de" -> 0.5, "fr" -> 0.25), 0.1)} " +
-        "ORDER BY doc_id")
+        "ORDER BY doc_id"),
+    "t9_repetition" ->
+      (s"SELECT doc_id, ${TextAnalysis.repetitionSql("text")} " +
+        "FROM documents ORDER BY doc_id")
   )
 }

@@ -225,6 +225,68 @@ object TextAnalysis {
       s"(CASE $whens ELSE '${sampleCut(defaultRate)}' END)"
   }
 
+  // ---------------------------------------------------- repetition scoring
+
+  /** Gopher-style repetition gates (Rae et al. '21 §A1.1): duplicate-word
+    * fraction, most-frequent-word share, and duplicate-bigram fraction
+    * over the normalized token stream. Repetitious text (boilerplate,
+    * keyword stuffing, generation loops) scores high and is gated out.
+    *
+    * Pure per-row array math — no shuffle, no UDF; like the other quality
+    * gates it runs at parquet-scan speed at any corpus size. Token counts
+    * per document are bounded (docs, not corpora), so the per-row
+    * distinct/filter loops are O(len·vocab) on short arrays, not a
+    * scale concern. */
+  def repetitionFeatures(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(normalized(col(textCol)))
+    val n = size(toks)
+    val uniq = size(array_distinct(toks))
+    // adjacent-word bigrams; length-1 docs have none (sequence(1,0) would
+    // count DOWN in Spark, so the <2 branch must short-circuit)
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(1), n - 1),
+        i => concat(element_at(toks, i), lit(" "),
+          element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val maxFreq = array_max(transform(array_distinct(toks),
+      x => size(filter(toks, y => y === x))))
+    docs
+      .withColumn("n_tokens", n)
+      .withColumn("dup_word_frac", round(
+        lit(1) - uniq.cast("double") / greatest(n, lit(1)), 4))
+      .withColumn("top_word_frac", round(
+        maxFreq.cast("double") / greatest(n, lit(1)), 4))
+      .withColumn("dup_bigram_frac", round(
+        lit(1) - size(array_distinct(bigrams)).cast("double") /
+          greatest(size(bigrams), lit(1)), 4))
+      .withColumn("is_repetitive",
+        col("dup_word_frac") > 0.6 || col("top_word_frac") > 0.15 ||
+          col("dup_bigram_frac") > 0.08)
+  }
+
+  /** DuckDB twin of [[repetitionFeatures]] as a SELECT-list fragment. */
+  def repetitionSql(t: String): String = {
+    val toks = tokensSql(normalizedSql(t))
+    val bigrams = s"""(CASE WHEN len($toks) >= 2 THEN
+       |    [list_extract($toks, i) || ' ' || list_extract($toks, i + 1)
+       |      for i in range(1, len($toks))]
+       |    ELSE []::VARCHAR[] END)""".stripMargin.replace('\n', ' ')
+    val dw = s"round(1 - CAST(len(list_distinct($toks)) AS DOUBLE)" +
+      s" / greatest(len($toks), 1), 4)"
+    val tw = s"round(CAST(list_max(list_transform(list_distinct($toks)," +
+      s" x -> len(list_filter($toks, y -> y = x)))) AS DOUBLE)" +
+      s" / greatest(len($toks), 1), 4)"
+    val db = s"round(1 - CAST(len(list_distinct($bigrams)) AS DOUBLE)" +
+      s" / greatest(len($bigrams), 1), 4)"
+    s"""CAST(len($toks) AS INT) AS n_tokens,
+       |  $dw AS dup_word_frac,
+       |  $tw AS top_word_frac,
+       |  $db AS dup_bigram_frac,
+       |  ($dw > 0.6 OR $tw > 0.15 OR $db > 0.08) AS is_repetitive"""
+      .stripMargin.replace('\n', ' ')
+  }
+
   // -------------------------------------------------- composed corpus clean
 
   /** The composed C4-style cleaning pipeline — the operators above chained

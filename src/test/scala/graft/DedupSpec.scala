@@ -102,4 +102,28 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq === Seq(1L, 4L, 5L))
   }
+
+  test("decontaminate drops docs sharing an n-gram with the benchmark") {
+    // doc 2 embeds a verbatim 5-gram of benchmark doc 1; docs 4/5 share
+    // no 5-gram with it (case/whitespace-insensitive via normalization)
+    val benchmark = Seq((1L, base)).toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") > 1)
+    val kept = Dedup.decontaminate(corpus, benchmark)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(4L, 5L))
+    // short docs (< n tokens) can never be flagged
+    val shorty = Seq((9L, "tiny doc")).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(shorty, benchmark).count() === 1)
+  }
+
+  test("wordNgrams: joined windows of the normalized token stream") {
+    val grams = Seq((1L, "A  b c d")).toDF("doc_id", "text")
+      .select(Dedup.wordNgrams(col("text"), 3).as("g"))
+      .head().getAs[collection.Seq[String]]("g")
+    assert(grams.toSeq === Seq("a b c", "b c d"))
+    val empty = Seq((1L, "a b")).toDF("doc_id", "text")
+      .select(Dedup.wordNgrams(col("text"), 3).as("g"))
+      .head().getAs[collection.Seq[String]]("g")
+    assert(empty.isEmpty)
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -100,6 +100,38 @@ class PlanShapeSpec extends AnyFunSuite {
     val wins = p.collect { case w: WindowExec => w }
     assert(wins.exists(_.partitionSpec.size == 2),
       "phase-1 ranking must partition by (query_id, salt) for parallelism")
+  }
+
+  test("t7 corpus clean: gates push past the dedup semi-join; no " +
+      "cartesian; shuffles stay bounded") {
+    val p = plan("t7_corpus_clean")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    // fingerprint keep-set aggregate (once per union branch of the
+    // planted-duplicates corpus) + the final presentation sort; the
+    // lang/quality/sample gates must all be scan-level filters, adding
+    // zero shuffles
+    assert(shuffles(p) <= 3, s"expected <=3 shuffles, got ${shuffles(p)}")
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "dedup keep-set must be an aggregate, not a row_number window")
+  }
+
+  test("b1 bucketed join: zero Exchange on either side of the SMJ") {
+    val p = plan("b1_bucketed_join")
+    val smj = p.collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, "co-located join must plan as sort-merge")
+    assert(smj.head.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "bucketed layout must satisfy the join's distribution — an " +
+        "Exchange below the SMJ means the bucketing was not picked up")
+    // whole query: segment aggregate + presentation sort only
+    assert(shuffles(p) <= 2, s"expected <=2 shuffles, got ${shuffles(p)}")
+  }
+
+  test("x15 cdc upsert: latest-state collapse is max_by, not a window") {
+    val p = plan("x15_cdc_upsert")
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "snapshot/changelog collapse must partial-aggregate (max_by), " +
+        "not row_number over the changelog")
+    assert(formatted("x15_cdc_upsert").contains("max_by"))
   }
 
   test("ml feature matrix: windows share one shuffle; encoder skips gold") {
