@@ -58,13 +58,20 @@ object Dedup {
 
   // ------------------------------------------------------------ MinHash LSH
 
-  /** Distinct character shingles (k-grams) of the normalized text. */
-  def shingles(text: Column, k: Int = 5): Column = {
-    val norm = TextAnalysis.normalized(text)
+  /** Distinct character shingles (k-grams) from an already-materialized
+    * normalized-text COLUMN (see [[ngramsFromTokens]] for why the input
+    * must be a bound column, not the normalization expression: the
+    * interpreted lambda would re-normalize the text per position). */
+  def shinglesFromNorm(norm: Column, k: Int = 5): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
       i => norm.substr(i, lit(k))))
-  }
+
+  /** Distinct character shingles (k-grams) of the normalized text.
+    * Convenience form for one-off expressions; pipelines should
+    * materialize the normalized column once. */
+  def shingles(text: Column, k: Int = 5): Column =
+    shinglesFromNorm(TextAnalysis.normalized(text), k)
 
   /** MinHash signature: for seed s, min over shingles of xxhash64(shingle, s).
     * Computed via explode + groupBy-min: one shuffle keyed by doc id; the
@@ -72,7 +79,10 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 5, numHashes: Int = 16): DataFrame = {
     val exploded = docs
-      .select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
+      .select(col(idCol),
+        TextAnalysis.normalized(col(textCol)).as("__norm"))
+      .select(col(idCol),
+        explode(shinglesFromNorm(col("__norm"), k)).as("shingle"))
     val minExprs = (0 until numHashes).map(s =>
       min(xxhash64(col("shingle"), lit(s))).as(s"mh_$s"))
     exploded.groupBy(col(idCol)).agg(minExprs.head, minExprs.tail: _*)
@@ -233,15 +243,34 @@ object Dedup {
 
   // -------------------------------------------- benchmark decontamination
 
-  /** Distinct word n-grams of the normalized text (as joined strings). */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(TextAnalysis.normalized(text))
+  /** Distinct word n-grams from an already-materialized token-array
+    * COLUMN. The distinction matters for performance: higher-order
+    * functions evaluate interpreted, re-computing their child expression
+    * per element — if `toks` were the split-regex expression itself, the
+    * text would be re-tokenized at every gram position (O(len²) regex
+    * work per doc; measured 3× the whole query's runtime). A bound
+    * column reference is free to re-evaluate. */
+  def ngramsFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(
         sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Distinct word n-grams of the normalized text (as joined strings).
+    * Convenience form for one-off expressions; pipelines should
+    * materialize the token column once and use [[ngramsFromTokens]]. */
+  def wordNgrams(text: Column, n: Int): Column =
+    ngramsFromTokens(
+      TextAnalysis.tokens(TextAnalysis.normalized(text)), n)
+
+  /** (id, gram) posting rows via a materialized token projection. */
+  private def gramRows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol), TextAnalysis.tokens(
+        TextAnalysis.normalized(col(textCol))).as("toks"))
+      .select(col(idCol),
+        explode(ngramsFromTokens(col("toks"), n)).as("gram"))
 
   /** Benchmark decontamination: drop every corpus document sharing at
     * least one word n-gram with the benchmark (eval-set) documents — the
@@ -259,12 +288,9 @@ object Dedup {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 5): DataFrame = {
-    val benchGrams = benchmark
-      .select(explode(wordNgrams(col(textCol), n)).as("gram"))
-      .distinct()
-    val corpusGrams = corpus
-      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
-    val contaminated = corpusGrams
+    val benchGrams = gramRows(benchmark, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    val contaminated = gramRows(corpus, idCol, textCol, n)
       .join(benchGrams, Seq("gram"), "left_semi")
       .select(col(idCol))
       .distinct()

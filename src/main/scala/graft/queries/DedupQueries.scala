@@ -46,8 +46,10 @@ object DedupQueries {
       val docs = table(s, d, "documents").filter(col("doc_id") < 200)
       val sigs = Dedup.minhashSignatures(docs)
       val cands = Dedup.lshCandidatePairs(sigs)
-      val sh = docs.select(col("doc_id"),
-        Dedup.shingles(col("text")).as("sh"))
+      val sh = docs
+        .select(col("doc_id"), TextAnalysis.normalized(col("text"))
+          .as("norm"))
+        .select(col("doc_id"), Dedup.shinglesFromNorm(col("norm")).as("sh"))
       cands
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")

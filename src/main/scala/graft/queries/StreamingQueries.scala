@@ -40,6 +40,33 @@ object StreamingQueries {
     s.readStream.schema(schema).parquet(dir.toString)
   }
 
+  /** Same table exposed TWICE (two symlinks) with maxFilesPerTrigger=1:
+    * an at-least-once changelog replay in two micro-batches, every row
+    * delivered in both. Drives the idempotent-merge path of the upsert
+    * sink. A separate dir from [[eventsFileStream]] — the single-copy
+    * queries must not see the duplicate file. */
+  private def doubledEventsFileStream(s: SparkSession,
+      d: String): DataFrame = {
+    import java.nio.file.{Files, LinkOption, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Paths.get(s"$d/events.parquet")
+    val dir =
+      Paths.get(s"/tmp/graft_stream_${d.hashCode.toHexString}/events2x")
+    Files.createDirectories(dir)
+    Seq("events_a.parquet", "events_b.parquet").foreach { name =>
+      val link = dir.resolve(name)
+      if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS) ||
+          !Files.exists(link)) {
+        Files.deleteIfExists(link)
+        Files.createSymbolicLink(link, src)
+      }
+    }
+    val schema = s.read.parquet(src.toString).schema
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+  }
+
   private def eventsStream(s: SparkSession, d: String): DataFrame =
     EventsAdapter.wire(eventsFileStream(s, d))
 
@@ -115,6 +142,28 @@ object StreamingQueries {
           col("click_ts"), col("purchase_ts"),
           round(col("purchase_value"), 4).as("purchase_value"))
         .orderBy("user_id", "click_id", "purchase_id")
+    }),
+    // streaming MERGE: a twice-delivered changelog (2 micro-batches, every
+    // row in both) upserts into a versioned parquet snapshot via
+    // foreachBatch — final state must equal exactly-once latest-per-key
+    "x16_stream_upsert" -> ((s, d) => {
+      val changelog = doubledEventsFileStream(s, d)
+        .select(col("user_id"), col("event_type"), col("value"),
+          timestamp_micros(expr("ts div 1000")).as("ts"), col("event_id"))
+      // deterministic per-sf target (no scratch leak across runs),
+      // cleared at start: the query demonstrates a fresh changelog →
+      // snapshot build, not resumption into a prior run's state
+      val target = StreamPipeline.scratchRoot().resolve(
+        s"graft_upsert_${d.hashCode.toHexString}")
+      StreamPipeline.clearDir(target)
+      val state = StreamPipeline.streamUpsert(s, changelog,
+        target.toString, Seq("user_id"), Seq("event_type", "value"),
+        Seq("ts", "event_id"))
+      state
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"), col("ts").as("last_ts"),
+          col("event_id").as("last_event_id"))
+        .orderBy("user_id")
     }),
     // stream-static enrichment: each streamed measurement joins a STATIC
     // per-station reference (historical max + observation count from the
@@ -194,6 +243,20 @@ object StreamingQueries {
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |ORDER BY c.user_id, click_id, purchase_id"""
         .stripMargin.replace('\n', ' '),
+    // at-least-once delivery folds away: latest per key over the ORIGINAL
+    // table — if the duplicate batch double-applied, counts/values diverge
+    "x16_stream_upsert" ->
+      """WITH ev AS (SELECT user_id, event_type, value,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |latest AS (
+        |  SELECT user_id, event_type AS last_type, value AS last_value,
+        |    ts AS last_ts, event_id AS last_event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, last_type, last_value, last_ts, last_event_id
+        |FROM latest WHERE rn = 1
+        |ORDER BY user_id""".stripMargin.replace('\n', ' '),
     "x13_stream_enrich" -> withPipeline(
       """SELECT s.location_id, s.datetime, s.parameter, s.value, s.aqi,
         |  r.hist_max_aqi, r.n_obs, s.aqi >= r.hist_max_aqi AS is_peak

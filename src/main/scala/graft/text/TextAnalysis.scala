@@ -239,30 +239,38 @@ object TextAnalysis {
     * scale concern. */
   def repetitionFeatures(docs: DataFrame,
       textCol: String = "text"): DataFrame = {
-    val toks = tokens(normalized(col(textCol)))
-    val n = size(toks)
-    val uniq = size(array_distinct(toks))
-    // adjacent-word bigrams; length-1 docs have none (sequence(1,0) would
-    // count DOWN in Spark, so the <2 branch must short-circuit)
-    val bigrams = when(n >= 2,
-      transform(sequence(lit(1), n - 1),
-        i => concat(element_at(toks, i), lit(" "),
-          element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val maxFreq = array_max(transform(array_distinct(toks),
-      x => size(filter(toks, y => y === x))))
-    docs
+    // Materialize the token array (and its distinct set / bigram list)
+    // as real columns BEFORE any lambda references them: higher-order
+    // functions evaluate interpreted and re-compute child expressions
+    // per element, so an inlined split-regex would re-tokenize the text
+    // at every position. Each temp is referenced more than once, which
+    // stops CollapseProject from inlining the non-cheap expressions.
+    val withToks = docs
+      .withColumn("__toks", tokens(normalized(col(textCol))))
+      .withColumn("__utoks", array_distinct(col("__toks")))
+      .withColumn("__bigrams", when(size(col("__toks")) >= 2,
+        // length-1 docs have none (sequence(1,0) would count DOWN)
+        transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => concat(element_at(col("__toks"), i), lit(" "),
+            element_at(col("__toks"), i + 1))))
+        .otherwise(array().cast("array<string>")))
+    val n = size(col("__toks"))
+    val maxFreq = array_max(transform(col("__utoks"),
+      x => size(filter(col("__toks"), y => y === x))))
+    withToks
       .withColumn("n_tokens", n)
       .withColumn("dup_word_frac", round(
-        lit(1) - uniq.cast("double") / greatest(n, lit(1)), 4))
+        lit(1) - size(col("__utoks")).cast("double") /
+          greatest(n, lit(1)), 4))
       .withColumn("top_word_frac", round(
         maxFreq.cast("double") / greatest(n, lit(1)), 4))
       .withColumn("dup_bigram_frac", round(
-        lit(1) - size(array_distinct(bigrams)).cast("double") /
-          greatest(size(bigrams), lit(1)), 4))
+        lit(1) - size(array_distinct(col("__bigrams"))).cast("double") /
+          greatest(size(col("__bigrams")), lit(1)), 4))
       .withColumn("is_repetitive",
         col("dup_word_frac") > 0.6 || col("top_word_frac") > 0.15 ||
           col("dup_bigram_frac") > 0.08)
+      .drop("__toks", "__utoks", "__bigrams")
   }
 
   /** DuckDB twin of [[repetitionFeatures]] as a SELECT-list fragment. */

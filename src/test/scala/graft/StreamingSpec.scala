@@ -160,6 +160,39 @@ class StreamingSpec extends AnyFunSuite {
         .collect().toSeq)
   }
 
+  test("streamUpsert: multi-batch changelog with redelivery folds to " +
+    "exactly-once latest state") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory(
+      StreamPipeline.scratchRoot(), "graft_upsert_spec_")
+    val inDir = root.resolve("in").toString
+    val target = root.resolve("target").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    val batch1 = Seq(
+      (1L, "a", 1.0, ts("2024-01-01 00:00:00"), 1L),
+      (2L, "b", 2.0, ts("2024-01-01 01:00:00"), 2L))
+    val batch2 = Seq(
+      (1L, "a2", 9.0, ts("2024-01-02 00:00:00"), 3L), // update key 1
+      (2L, "b", 2.0, ts("2024-01-01 01:00:00"), 2L),  // redelivered row
+      (3L, "c", 3.0, ts("2024-01-02 01:00:00"), 4L))  // insert key 3
+    val cols = Seq("user_id", "state", "value", "ts", "event_id")
+    batch1.toDF(cols: _*).coalesce(1).write.mode("append").parquet(inDir)
+    batch2.toDF(cols: _*).coalesce(1).write.mode("append").parquet(inDir)
+    val changelog = spark.readStream
+      .schema(spark.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val state = StreamPipeline.streamUpsert(spark, changelog, target,
+      Seq("user_id"), Seq("state", "value"), Seq("ts", "event_id"))
+    assert(state.orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "a2", 9.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    // two committed micro-batches ⇒ two snapshot versions (incremental
+    // merge, not a single-batch collapse)
+    val versions = Files.list(java.nio.file.Paths.get(target)).toArray
+      .map(_.toString).count(_.contains("/v0"))
+    assert(versions === 2, s"expected 2 snapshot versions, got $versions")
+  }
+
   test("T1: one wire source fans out to three concurrent parquet sinks") {
     import java.nio.file.Files
     val root = Files.createTempDirectory(
