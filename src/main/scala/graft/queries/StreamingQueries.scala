@@ -143,6 +143,26 @@ object StreamingQueries {
           round(col("purchase_value"), 4).as("purchase_value"))
         .orderBy("user_id", "click_id", "purchase_id")
     }),
+    // sliding-window streaming aggregate: 2 h windows advancing every 1 h
+    // (each event lands in TWO windows) — the windowing mode tumbling
+    // (T4/s5) doesn't cover; append mode emits a window once the
+    // watermark passes its end
+    "x17_stream_sliding" -> ((s, d) => {
+      val ev = fullEventsStream(s, d)
+      val agg = ev.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        // decimal-exact sum, not avg(): a 2-dp sum ÷ count lands on exact
+        // 4th-decimal ties (S·10⁴/n) that the engines' round() split in
+        // opposite directions, and raw double avg partial-sums reorder
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .select(col("window.start").as("w_start"),
+          col("window.end").as("w_end"), col("event_type"),
+          col("n_events"), col("sum_value"))
+      StreamPipeline.replayToMemory(s, agg, "x17_stream_sliding")
+        .orderBy("w_start", "event_type")
+    }),
     // streaming MERGE: a twice-delivered changelog (2 micro-batches, every
     // row in both) upserts into a versioned parquet snapshot via
     // foreachBatch — final state must equal exactly-once latest-per-key
@@ -243,6 +263,31 @@ object StreamingQueries {
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |ORDER BY c.user_id, click_id, purchase_id"""
         .stripMargin.replace('\n', ' '),
+    // every event expands to its two enclosing 2h-windows; a window is
+    // emitted iff its END is at or before the watermark (ms-floored max
+    // event time − 1 h) — same emission rule family as s5/x9
+    "x17_stream_sliding" ->
+      """WITH ev AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |expanded AS (
+        |  SELECT event_type, value, date_trunc('hour', ts) AS w_start
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT event_type, value,
+        |    date_trunc('hour', ts) - INTERVAL 1 HOUR
+        |  FROM ev),
+        |agg AS (
+        |  SELECT w_start, w_start + INTERVAL 2 HOUR AS w_end, event_type,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_value
+        |  FROM expanded GROUP BY 1, 2, 3),
+        |wm AS (SELECT make_timestamp(
+        |    (epoch_us(max(ts)) // 1000 - 3600000) * 1000) AS wm_ts
+        |  FROM ev)
+        |SELECT w_start, w_end, event_type, n_events, sum_value
+        |FROM agg, wm WHERE w_end <= wm_ts
+        |ORDER BY w_start, event_type""".stripMargin.replace('\n', ' '),
     // at-least-once delivery folds away: latest per key over the ORIGINAL
     // table — if the duplicate batch double-applied, counts/values diverge
     "x16_stream_upsert" ->
