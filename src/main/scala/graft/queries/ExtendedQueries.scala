@@ -190,6 +190,15 @@ object ExtendedQueries {
           round(expr("percentile(value, 0.9)"), 4).as("p90"),
           round(expr("percentile(value, 0.99)"), 4).as("p99"))
         .orderBy("parameter")),
+    // distributed contiguous id assignment: range-partition + parallel
+    // per-partition ranks + broadcast offsets — never a single-partition
+    // row_number over the data (graft.etl.Ids)
+    "x18_global_ids" -> ((s, d) =>
+      graft.etl.Ids.withOrderedIds(
+        table(s, d, "documents"), orderCol = "doc_id")
+        .select(col("doc_id"), col("assigned_id"), col("lang"),
+          col("source"))
+        .orderBy("doc_id")),
     // CDC upsert (MERGE): base window collapses to a per-user snapshot,
     // then the post-cutoff changelog upserts into it — both steps are the
     // same max_by collapse (graft.etl.Cdc), no window over the data
@@ -338,6 +347,11 @@ object ExtendedQueries {
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM silver GROUP BY parameter
         |ORDER BY parameter""".stripMargin.replace('\n', ' ')),
+    "x18_global_ids" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY doc_id) AS assigned_id,
+        |  lang, source
+        |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' '),
     // snapshot ∪ changelog → latest per key ≡ latest overall; row_number
     // is the oracle's formulation, max_by the engine's
     "x15_cdc_upsert" ->

@@ -134,6 +134,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(formatted("x15_cdc_upsert").contains("max_by"))
   }
 
+  test("x18 global ids: corpus window is partition-parallel; offsets " +
+      "broadcast back") {
+    val p = plan("x18_global_ids")
+    val wins = p.collect { case w: WindowExec => w }
+    // the data-sized rank window partitions by spark_partition_id; the
+    // only unpartitioned window runs over the partition-count-sized
+    // offsets table (metadata, not data)
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "per-partition rank window missing")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "offsets must broadcast-join back to the ranked corpus")
+  }
+
   test("ml feature matrix: windows share one shuffle; encoder skips gold") {
     val p = plan("ml_feature_matrix")
     // main side: gold agg + the single shared window spec + output sort;
