@@ -29,6 +29,44 @@ import org.apache.spark.sql.functions._
   * per partition. */
 object Ids {
 
+  /** Distributed keyed cumulative sum: running total of `valueCol` per
+    * `keyCol` in `orderCol` order — the same two-phase offsets shape as
+    * [[withOrderedIds]], generalized to keyed prefix sums.
+    *
+    * A plain `sum().over(Window.partitionBy(key).orderBy(ord))` funnels
+    * each key through ONE task — with low-cardinality keys (languages,
+    * sources) that is a handful of tasks doing all the work. Here the
+    * data range-partitions on (key, ord) — each key's rows are
+    * contiguous and ordered ACROSS partitions, large keys span many
+    * partitions — the running sum within each (key, partition) slice is
+    * a parallel window, and per-slice totals (|keys|·|partitions| rows,
+    * metadata-sized) roll into broadcast offsets. */
+  def keyedCumsum(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, outName: String = "cumsum",
+      partitions: Int = 0): DataFrame = {
+    val parts = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts,
+        (keyCol +: orderCols).map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = Window.partitionBy(col(keyCol), col("__pid"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withLocal = ranged.withColumn("__local",
+      sum(col(valueCol)).over(local))
+    val offsets = ranged.groupBy(col(keyCol), col("__pid"))
+      .agg(sum(col(valueCol)).as("__tot"))
+      .withColumn("__offset",
+        coalesce(sum(col("__tot")).over(
+          Window.partitionBy(col(keyCol)).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(keyCol), col("__pid"), col("__offset"))
+    withLocal
+      .join(broadcast(offsets), Seq(keyCol, "__pid"))
+      .withColumn(outName, col("__offset") + col("__local"))
+      .drop("__pid", "__local", "__offset")
+  }
+
   def withOrderedIds(df: DataFrame, orderCol: String,
       idName: String = "assigned_id", partitions: Int = 0): DataFrame = {
     val parts = if (partitions > 0) partitions

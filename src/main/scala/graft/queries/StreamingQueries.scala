@@ -143,6 +143,23 @@ object StreamingQueries {
           round(col("purchase_value"), 4).as("purchase_value"))
         .orderBy("user_id", "click_id", "purchase_id")
     }),
+    // complete-mode streaming aggregate: the memory sink holds the FULL
+    // current result each micro-batch (no watermark, no eviction) — after
+    // a bounded replay it must equal the batch aggregate exactly. The
+    // third output mode next to append (s5) and the foreachBatch upsert
+    // (x16); complete mode only scales while the RESULT is small (here:
+    // one row per (event_type, user bucket)), state = result size.
+    "x19_stream_complete" -> ((s, d) => {
+      val agg = fullEventsStream(s, d)
+        .groupBy(col("event_type"), (col("user_id") % 10).as("user_bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"),
+          max(col("ts")).as("last_ts"))
+      StreamPipeline.replayToMemory(s, agg, "x19_stream_complete",
+        outputMode = "complete")
+        .orderBy("event_type", "user_bucket")
+    }),
     // sliding-window streaming aggregate: 2 h windows advancing every 1 h
     // (each event lands in TWO windows) — the windowing mode tumbling
     // (T4/s5) doesn't cover; append mode emits a window once the
@@ -263,6 +280,14 @@ object StreamingQueries {
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |ORDER BY c.user_id, click_id, purchase_id"""
         .stripMargin.replace('\n', ' '),
+    // complete mode over bounded input ≡ the plain batch aggregate
+    "x19_stream_complete" ->
+      """SELECT event_type, user_id % 10 AS user_bucket,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(max(ts) AS TIMESTAMP) AS last_ts
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, user_bucket""".stripMargin.replace('\n', ' '),
     // every event expands to its two enclosing 2h-windows; a window is
     // emitted iff its END is at or before the watermark (ms-floored max
     // event time − 1 h) — same emission rule family as s5/x9

@@ -65,6 +65,14 @@ object TextQueries {
       TextAnalysis.repetitionFeatures(table(s, d, "documents"))
         .select("doc_id", "n_tokens", "dup_word_frac", "top_word_frac",
           "dup_bigram_frac", "is_repetitive")
+        .orderBy("doc_id")),
+    // token-budget training mix: greedy fingerprint-ordered prefix per
+    // language up to a per-language token budget
+    "t10_token_budget" -> ((s, d) =>
+      TextAnalysis.tokenBudgetSample(table(s, d, "documents"),
+        strataCol = "lang", budgets = Map("en" -> 6000L),
+        defaultBudget = 2000L)
+        .select("doc_id", "lang", "source", "n_tokens", "cum_tokens")
         .orderBy("doc_id"))
   )
 
@@ -114,6 +122,10 @@ object TextQueries {
         "ORDER BY doc_id"),
     "t9_repetition" ->
       (s"SELECT doc_id, ${TextAnalysis.repetitionSql("text")} " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+    "t10_token_budget" ->
+      (s"SELECT doc_id, lang, source, n_tokens, cum_tokens FROM (" +
+        TextAnalysis.tokenBudgetSampleSql("lang",
+          Map("en" -> 6000L), 2000L) + ") ORDER BY doc_id")
   )
 }

@@ -253,7 +253,7 @@ object StreamPipeline {
     * thousand keys is pure overhead. The number is fixed into the query's
     * checkpoint at start, so restoring the session conf afterwards is safe. */
   def replayToMemory(spark: SparkSession, stream: DataFrame,
-      name: String): DataFrame = {
+      name: String, outputMode: String = "append"): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)
     spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
@@ -264,7 +264,7 @@ object StreamPipeline {
       val q = stream.writeStream
         .format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(outputMode)
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()

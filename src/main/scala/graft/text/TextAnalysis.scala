@@ -225,6 +225,58 @@ object TextAnalysis {
       s"(CASE $whens ELSE '${sampleCut(defaultRate)}' END)"
   }
 
+  // ------------------------------------------------- token-budget sampling
+
+  /** Token-budget sampling: per stratum (language/source), keep the
+    * greedy prefix of documents — in content-fingerprint order, so the
+    * choice is deterministic, RNG-free, and stable across runs — whose
+    * cumulative token count stays within the stratum's budget. This is
+    * how training mixes are actually specified ("200 B tokens of web,
+    * 30 B of code"): a budget per source, not a rate.
+    *
+    * The running total uses [[graft.etl.Ids.keyedCumsum]] — the
+    * two-phase offsets shape — because a plain per-stratum window would
+    * funnel each stratum through one task (strata are low-cardinality:
+    * this must scale by DATA size, not key count). Ties in the
+    * fingerprint order are broken by id so the kept SET is exact. */
+  def tokenBudgetSample(docs: DataFrame, strataCol: String,
+      budgets: Map[String, Long], defaultBudget: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val withTok = docs
+      .withColumn("__fp", fingerprint(col(textCol)))
+      .withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+    val cum = graft.etl.Ids.keyedCumsum(withTok, strataCol,
+      Seq("__fp", idCol), "n_tokens", "cum_tokens")
+    val budget = budgets.toSeq.sortBy(_._1)
+      .foldLeft(null.asInstanceOf[Column]) {
+        case (null, (s, b)) => when(col(strataCol) === s, lit(b))
+        case (acc, (s, b))  => acc.when(col(strataCol) === s, lit(b))
+      }
+      .otherwise(lit(defaultBudget))
+    cum.filter(col("cum_tokens") <= budget).drop("__fp")
+  }
+
+  /** DuckDB twin of [[tokenBudgetSample]] over `documents` (single-task
+    * window is fine oracle-side — the oracle runs at test scale). */
+  def tokenBudgetSampleSql(strataCol: String,
+      budgets: Map[String, Long], defaultBudget: Long): String = {
+    val toks = tokensSql("text")
+    val whens = budgets.toSeq.sortBy(_._1)
+      .map { case (s, b) => s"WHEN $strataCol = '$s' THEN $b" }
+      .mkString(" ")
+    s"""SELECT * FROM (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CAST(len($toks) AS BIGINT)) OVER (
+       |      PARTITION BY $strataCol
+       |      ORDER BY ${fingerprintSql("text")}, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_tokens
+       |  FROM documents)
+       |WHERE cum_tokens <= (CASE $whens ELSE $defaultBudget END)"""
+      .stripMargin.replace('\n', ' ')
+  }
+
   // ---------------------------------------------------- repetition scoring
 
   /** Gopher-style repetition gates (Rae et al. '21 §A1.1): duplicate-word

@@ -147,6 +147,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "offsets must broadcast-join back to the ranked corpus")
   }
 
+  test("t10 token budget: every window is partitioned — no " +
+      "single-task cumsum over a stratum") {
+    val p = plan("t10_token_budget")
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "keyedCumsum must rank within (stratum, partition) slices and " +
+        "roll offsets per stratum — an unpartitioned window funnels a " +
+        "stratum through one task")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+  }
+
   test("ml feature matrix: windows share one shuffle; encoder skips gold") {
     val p = plan("ml_feature_matrix")
     // main side: gold agg + the single shared window spec + output sort;
