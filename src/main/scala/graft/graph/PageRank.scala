@@ -1,0 +1,123 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Damped PageRank over a directed edge list — the second iterative
+  * graph operator next to [[ConnectedComponents]] (importance scoring
+  * for reference/citation/link graphs; in training-data pipelines:
+  * domain-authority weighting of web documents).
+  *
+  * Arithmetic is EXACT integer fixed-point (ranks in 1e-9 units, `div`
+  * for every division): floating-point PageRank is not reproducible
+  * across engines because per-node contribution sums reorder (1-ulp
+  * drift compounds over iterations), while BIGINT sums are associative
+  * — the DuckDB oracle unrolls the same iterations as chained CTEs and
+  * hash-matches bit-for-bit. Dangling mass is dropped (the common
+  * simplification), identically on both sides.
+  *
+  * Scale notes: each iteration is one shuffle join (ranks ⋈ edges on
+  * src — at scale pre-partition both by src so iterations reuse the
+  * partitioning) plus one groupBy(dst) hash aggregate with map-side
+  * partials. The outdegree table joins broadcast when small, AQE
+  * decides otherwise. Rank frames are `localCheckpoint`ed per round
+  * (lineage truncation, same reasoning as ConnectedComponents).
+  */
+object PageRank {
+
+  private val Unit9 = 1000000000L // 1.0 in fixed-point units
+
+  /** @param edges   (src, dst) directed edge list (distinct rows)
+    * @param iters   fixed iteration count (deterministic termination)
+    * @param damping damping numerator out of 100 (85 = the classic 0.85)
+    * @param broadcastRanks hint the |nodes|-sized rank frame as the
+    *        broadcast side, so the (much larger) cached edge table never
+    *        re-shuffles — without it each iteration pays a full edge
+    *        shuffle for the sort-merge join. Right whenever node count
+    *        fits executor memory (dimension-like graphs); for web-scale
+    *        node counts leave false and pre-partition edges by src so
+    *        the per-iteration shuffle only moves the rank side
+    * @param assumeDistinct input edge rows are already distinct — skips
+    *        the dedup shuffle (callers that build edges from a distinct
+    *        pair set should pre-dedup the HALF-size pair list instead)
+    * @return (node, rank_units, rank) — rank = rank_units / 1e9 */
+  def run(edges: DataFrame, iters: Int = 10, damping: Int = 85,
+      broadcastRanks: Boolean = false, assumeDistinct: Boolean = false)
+      : DataFrame = {
+    // the edge list is materialized exactly ONCE (cache); outdeg is
+    // |distinct src|-sized and always broadcast, so each iteration
+    // streams the cached edges map-side — with broadcastRanks the whole
+    // per-iteration join is shuffle-free except the final
+    // partial-aggregating groupBy(dst). Each round localCheckpoints:
+    // the NEXT round's broadcast would otherwise rebuild the entire
+    // prior chain every time it is referenced (quadratic recompute).
+    val raw = edges.select(col("src"), col("dst"))
+    val e = (if (assumeDistinct) raw else raw.distinct()).persist()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count()
+    val init = Unit9 / n                       // uniform start
+    val base = (Unit9 / n) * (100L - damping) / 100L // teleport term
+    var ranks = nodes.withColumn("rank_units", lit(init))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val rankSide = if (broadcastRanks) broadcast(ranks) else ranks
+      val contribs = e
+        .join(broadcast(outdeg), "src")
+        .join(rankSide, rankSide("node") === e("src"))
+        .select(col("dst").as("node"),
+          expr("rank_units div outdeg").as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("in_mass"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($damping * coalesce(in_mass, 0L)) div 100"))
+            .as("rank_units"))
+        .localCheckpoint()
+    }
+    // the result is materialized (checkpointed) — the caches backing the
+    // iterations can drop so repeated runs in one session don't pile up
+    val out = ranks.withColumn("rank",
+      col("rank_units").cast("double") / 1e9)
+    e.unpersist()
+    nodes.unpersist()
+    out
+  }
+
+  /** DuckDB twin: the same fixed-point iterations unrolled as chained
+    * CTEs (`//` is DuckDB's integer division; all BIGINT casts mirror
+    * the engine's long arithmetic). `edgesRel` must yield (src, dst). */
+  def sql(edgesRel: String, iters: Int = 10, damping: Int = 85): String = {
+    val pre =
+      s"""edges AS (SELECT DISTINCT src, dst FROM $edgesRel),
+         |nodes AS (SELECT src AS node FROM edges
+         |  UNION SELECT dst FROM edges),
+         |n AS (SELECT count(*) AS n FROM nodes),
+         |params AS (SELECT
+         |    CAST($Unit9 // n AS BIGINT) AS init,
+         |    CAST(($Unit9 // n) * ${100L - damping} // 100 AS BIGINT)
+         |      AS base FROM n),
+         |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |it0 AS (SELECT node, init AS rank_units FROM nodes, params)"""
+        .stripMargin.replace('\n', ' ')
+    val steps = (1 to iters).map { k =>
+      s"""it$k AS (
+         |  SELECT n.node, CAST(base
+         |    + ($damping * COALESCE(c.in_mass, 0)) // 100 AS BIGINT)
+         |    AS rank_units
+         |  FROM nodes n CROSS JOIN params
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum(r.rank_units // o.outdeg) AS BIGINT) AS in_mass
+         |    FROM it${k - 1} r
+         |    JOIN edges e ON r.node = e.src
+         |    JOIN outdeg o ON e.src = o.src
+         |    GROUP BY 1) c ON n.node = c.node)""".stripMargin
+        .replace('\n', ' ')
+    }.mkString(", ")
+    s"WITH $pre, $steps SELECT node, rank_units, " +
+      s"CAST(rank_units AS DOUBLE) / 1e9 AS rank FROM it$iters"
+  }
+}

@@ -190,6 +190,33 @@ object ExtendedQueries {
           round(expr("percentile(value, 0.9)"), 4).as("p90"),
           round(expr("percentile(value, 0.99)"), 4).as("p99"))
         .orderBy("parameter")),
+    // damped PageRank (exact integer fixed-point, 5 iterations) over the
+    // bipartite supplier↔customer graph induced by orders — the second
+    // iterative graph operator next to connected components
+    "g1_pagerank" -> ((s, d) => {
+      import graft.graph.PageRank
+      // numeric node ids (even = supplier·2, odd = customer·2+1): long
+      // shuffle keys, not concat'd strings. Dedup the HALF-size pair
+      // set; the two directions are disjoint (even→odd vs odd→even) so
+      // the union stays distinct — run() skips its dedup shuffle
+      val pairs = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("s_node"),
+          (col("o_custkey") * 2 + 1).as("c_node"))
+        .distinct()
+      val edges = pairs
+        .select(col("s_node").as("src"), col("c_node").as("dst"))
+        .unionAll(pairs
+          .select(col("c_node").as("src"), col("s_node").as("dst")))
+      // supplier+customer node set is dimension-sized → ranks broadcast;
+      // the cached edge table never re-shuffles across iterations
+      PageRank.run(edges, iters = 5, broadcastRanks = true,
+        assumeDistinct = true)
+        .orderBy("node")
+    }),
     // distributed contiguous id assignment: range-partition + parallel
     // per-partition ranks + broadcast offsets — never a single-partition
     // row_number over the data (graft.etl.Ids)
@@ -347,6 +374,13 @@ object ExtendedQueries {
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM silver GROUP BY parameter
         |ORDER BY parameter""".stripMargin.replace('\n', ' ')),
+    "g1_pagerank" -> (graft.graph.PageRank.sql(
+      """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT o_custkey * 2 + 1, l_suppkey * 2
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
+        .stripMargin.replace('\n', ' '), iters = 5) + " ORDER BY node"),
     "x18_global_ids" ->
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY doc_id) AS assigned_id,

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.PageRank
+
+/** PageRank on planted graphs with hand-checkable structure. */
+class PageRankSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("symmetric 2-cycle: equal ranks; mass bounded by 1") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = PageRank.run(edges, iters = 10).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("a") === r("b"))
+    // integer truncation only ever loses mass — never creates it
+    assert(r.values.sum <= 1000000000L)
+    assert(r.values.sum > 900000000L)
+  }
+
+  test("star graph: the hub out-ranks the spokes") {
+    val edges = Seq(
+      ("hub", "s1"), ("hub", "s2"), ("hub", "s3"),
+      ("s1", "hub"), ("s2", "hub"), ("s3", "hub")
+    ).toDF("src", "dst")
+    val r = PageRank.run(edges, iters = 10).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("hub") > r("s1"))
+    assert(r("s1") === r("s2"))
+    assert(r("s2") === r("s3"))
+  }
+
+  test("sink node collects rank from its pointers") {
+    // chain a -> b -> c: c inherits the most flowed mass after a few
+    // rounds; a (no in-edges) sits at the teleport base
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val out = PageRank.run(edges, iters = 10).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val base = (1000000000L / 3) * 15L / 100L
+    assert(out("a") === base)
+    assert(out("b") > out("a"))
+    assert(out("c") > out("a"))
+  }
+}
