@@ -53,7 +53,11 @@ object PageRank {
     // prior chain every time it is referenced (quadratic recompute).
     val raw = edges.select(col("src"), col("dst"))
     val e = (if (assumeDistinct) raw else raw.distinct()).persist()
+    // materialized once — each iteration runs in its own job (the
+    // checkpoint boundary), so a lazy outdeg would re-aggregate the
+    // full edge list five times over
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count()
