@@ -12,7 +12,9 @@ object Explain {
       else Seq("p5_silver_clean", "a1_gold_hourly", "a4_country_stats",
         "q5_revenue_by_nation", "w3_rolling_stats", "ml_feature_matrix",
         "sim1_knn_bruteforce", "d3_ngram_jaccard", "xj1_asof_join",
-        "xj2_range_join", "t5_tfidf_top3", "t6_stable_sample")
+        "xj2_range_join", "t5_tfidf_top3", "t6_stable_sample",
+        "d7_decontaminate", "t10_token_budget", "x15_cdc_upsert",
+        "x18_global_ids", "b1_bucketed_join")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
