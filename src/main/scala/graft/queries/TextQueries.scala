@@ -73,7 +73,30 @@ object TextQueries {
         strataCol = "lang", budgets = Map("en" -> 6000L),
         defaultBudget = 2000L)
         .select("doc_id", "lang", "source", "n_tokens", "cum_tokens")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // corpus health report: the per-row gates (quality, repetition,
+    // language agreement) rolled up per (source, lang) — one pass over
+    // the corpus, one metadata-sized aggregate; the monitoring query a
+    // production cleaning pipeline runs after every ingest batch
+    "t11_corpus_stats" -> ((s, d) => {
+      val scored = TextAnalysis.repetitionFeatures(
+        TextAnalysis.qualityFeatures(
+          TextAnalysis.langId(table(s, d, "documents"))))
+      // sums not averages: a 4-dp-ratio mean lands on round() ties the
+      // engines split oppositely (the x17 lesson); consumers divide
+      scored.groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          sum(col("stopword_ratio").cast("decimal(8,4)")).cast("double")
+            .as("sum_stopword_ratio"),
+          sum(when(col("is_quality"), 1).otherwise(0)).as("n_quality"),
+          sum(when(col("is_repetitive"), 1).otherwise(0))
+            .as("n_repetitive"),
+          sum(when(col("predicted_lang") === col("lang"), 1).otherwise(0))
+            .as("n_lang_match"))
+        .orderBy("source", "lang")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -126,6 +149,28 @@ object TextQueries {
     "t10_token_budget" ->
       (s"SELECT doc_id, lang, source, n_tokens, cum_tokens FROM (" +
         TextAnalysis.tokenBudgetSampleSql("lang",
-          Map("en" -> 6000L), 2000L) + ") ORDER BY doc_id")
+          Map("en" -> 6000L), 2000L) + ") ORDER BY doc_id"),
+    // quality/langid and repetition fragments both emit n_tokens →
+    // separate CTEs joined on doc_id, qualified references
+    "t11_corpus_stats" ->
+      s"""WITH q AS (SELECT doc_id, source, lang,
+         |    ${TextAnalysis.langIdSql("text")},
+         |    ${TextAnalysis.qualityFeaturesSql("text")}
+         |  FROM documents),
+         |r AS (SELECT doc_id, ${TextAnalysis.repetitionSql("text")}
+         |  FROM documents)
+         |SELECT q.source, q.lang, count(*) AS n_docs,
+         |  CAST(sum(r.n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CAST(q.stopword_ratio AS DECIMAL(8,4))) AS DOUBLE)
+         |    AS sum_stopword_ratio,
+         |  CAST(sum(CASE WHEN q.is_quality THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality,
+         |  CAST(sum(CASE WHEN r.is_repetitive THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_repetitive,
+         |  CAST(sum(CASE WHEN q.predicted_lang = q.lang THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_lang_match
+         |FROM q JOIN r USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY source, lang"""
+        .stripMargin.replace('\n', ' ')
   )
 }
