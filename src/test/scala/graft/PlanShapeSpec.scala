@@ -134,6 +134,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(formatted("x15_cdc_upsert").contains("max_by"))
   }
 
+  test("d7 decontamination: no cartesian; corpus text never enters a " +
+      "join — only (gram, id) posting rows shuffle") {
+    val p = plan("d7_decontaminate")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    // gram semi-join + contaminated-id distinct + anti-join back: the
+    // shuffled rows are posting pairs and id lists, never documents
+    assert(shuffles(p) <= 5, s"expected <=5 shuffles, got ${shuffles(p)}")
+    assert(p.collect { case w: WindowExec => w }.isEmpty)
+  }
+
   test("x18 global ids: corpus window is partition-parallel; offsets " +
       "broadcast back") {
     val p = plan("x18_global_ids")
