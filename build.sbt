@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST stdout line as JSON. Under the
+// default output strategy sbt re-logs the forked JVM's stdout with an
+// "[info] " prefix and appends its own "[success] Total time: ..." footer,
+// both of which break that parse (BENCH_r01/r02 "parsed": null). Stream
+// the forked process's output raw, and drop the success footer.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -98,17 +98,20 @@ object Bench {
         s""""$k":{"samples":[${v.map(x => f"$x%.3f").mkString(",")}],""" +
           f""""median":${median(v)}%.3f,"min":${v.min}%.3f,"max":${v.max}%.3f}"""
       }.mkString("{", ",", "}")
-      Files.writeString(Paths.get("/root/repo/BENCH_FULL.json"),
+      val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .map(Paths.get(_))
+        .getOrElse(Paths.get(sys.props("user.dir"), "BENCH_FULL.json"))
+      Files.writeString(outPath,
         s"""{"sf":"$sfDir","passes":$passes,"cpus":$cpus,""" +
           f""""total_median":$total%.3f,"wall":$elapsed%.1f,""" +
           s""""queries":$detail}""")
     } catch { case _: Throwable => () }
     // Final line LAST on stdout, adaptively sized to survive a bounded
-    // stdout-tail capture: the driver keeps the last ~2000 chars, and sbt
-    // appends "[info] " + a ~75-char "[success] ..." footer, leaving
-    // ~1900 for the line itself. The ladder lowers per-query precision
-    // until it fits (sf is the dir basename — the full path spends 15
-    // chars the budget doesn't have).
+    // stdout-tail capture: the driver keeps the last ~2000 chars
+    // (build.sbt streams the forked output raw and suppresses sbt's
+    // "[success]" footer so this line really is last and unprefixed).
+    // The ladder lowers per-query precision until it fits (sf is the dir
+    // basename — the full path spends 15 chars the budget doesn't have).
     val sfName = sfDir.split('/').last
     val line = Seq(3, 2, 1, 0).view.map { dp =>
       val qs = med.map { case (k, v) => s""""$k":${fmt(v, dp)}""" }

@@ -76,11 +76,14 @@ case class DotProduct(left: Expression, right: Expression)
   * in the LSH near-dup verify (|candidate pairs|·dim element reads) the
   * fusion is a ~3× cut on the hot loop.
   *
-  * Float caveat: the result is bit-identical to the composed form only
+  * Float caveat: the result is bit-identical to the composed form
   * because each accumulator keeps the same left-to-right order the
   * separate passes use; the final combination `d / (sqrt(na)·sqrt(nb))`
-  * mirrors the composed expression tree exactly. Zero-norm inputs yield
-  * NaN/Infinity exactly as the composed form does. */
+  * mirrors the composed expression tree exactly. On unequal-length
+  * inputs the dot runs over the common prefix (as `zip_with` would) but
+  * each norm covers its OWN full array — matching `dot(a,a)`/`dot(b,b)`
+  * in the composed form. Zero-norm inputs yield NaN/Infinity exactly as
+  * the composed form does. */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -99,7 +102,8 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val nx = x.numElements(); val ny = y.numElements()
+    val n = math.min(nx, ny)
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -107,6 +111,10 @@ case class CosineSim(left: Expression, right: Expression)
       d += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
+    // norm tails beyond the common prefix (no-ops when lengths match)
+    while (i < nx) { val xi = x.getDouble(i); na += xi * xi; i += 1 }
+    i = n
+    while (i < ny) { val yi = y.getDouble(i); nb += yi * yi; i += 1 }
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -120,13 +128,23 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $n = java.lang.Math.min($nx, $ny);
          |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |int $i = 0;
+         |for (; $i < $n; $i++) {
          |  double $xi = $a.getDouble($i);
          |  double $yi = $b.getDouble($i);
          |  $d += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |for (; $i < $nx; $i++) {
+         |  double $xi = $a.getDouble($i); $na += $xi * $xi;
+         |}
+         |for ($i = $n; $i < $ny; $i++) {
+         |  double $yi = $b.getDouble($i); $nb += $yi * $yi;
          |}
          |${ev.value} = $d /
          |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

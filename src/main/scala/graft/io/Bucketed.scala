@@ -36,9 +36,16 @@ object Bucketed {
     * itself plans with zero Exchange operators (pinned by
     * PlanShapeSpec); the only shuffles in the query are the layout
     * writes and the 5-row segment aggregate. */
+  // Per-JVM token in table names and layout paths: concurrent sessions
+  // on the same dataset (a bench pass overlapping a test run) must not
+  // race on one catalog entry / external-table directory. Within a JVM
+  // the token is stable, so repeated passes reuse (overwrite) one layout.
+  private lazy val jvmToken: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   def coLocatedSegmentRevenue(s: SparkSession, d: String,
       buckets: Int = 8): DataFrame = {
-    val tag = d.split('/').last.replace('.', '_')
+    val tag = s"${d.split('/').last.replace('.', '_')}_$jvmToken"
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
     val orders = s.read.parquet(s"$d/orders.parquet")
     val customer = s.read.parquet(s"$d/customer.parquet")

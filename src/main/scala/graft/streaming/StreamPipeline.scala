@@ -180,6 +180,11 @@ object StreamPipeline {
     * (key, ord) row folded twice changes nothing) AND each batch writes
     * `v<batchId>` — a re-delivered batch after a crash overwrites its
     * own version deterministically, so replays cannot double-apply.
+    * Crash-safety: parquet directory writes are not atomic, so a version
+    * counts as committed only once its `_SUCCESS` marker exists; a batch
+    * replayed after a mid-write crash merges from the last FULLY
+    * committed snapshot (skipping the torn `v<batchId>` dir it is about
+    * to overwrite) instead of silently folding a partial state in.
     *
     * Scale note: rewriting the full snapshot per batch is the
     * plain-parquet cost of this demo; a production deployment points the
@@ -201,6 +206,9 @@ object StreamPipeline {
     def latestVersion(): Option[java.nio.file.Path] = {
       val s = Files.list(root)
       try s.filter(p => p.getFileName.toString.startsWith("v"))
+        // committed = Spark finished the write and dropped its marker;
+        // a torn directory from a crash mid-write never qualifies
+        .filter(p => Files.exists(p.resolve("_SUCCESS")))
         .sorted().toArray.lastOption.map(_.asInstanceOf[java.nio.file.Path])
       finally s.close()
     }

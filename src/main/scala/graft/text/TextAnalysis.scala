@@ -210,8 +210,11 @@ object TextAnalysis {
       .foldLeft(null.asInstanceOf[Column]) {
         case (null, (s, r)) => when(col(strataCol) === s, lit(sampleCut(r)))
         case (acc, (s, r))  => acc.when(col(strataCol) === s, lit(sampleCut(r)))
+      } match {
+        // empty rates map: every stratum takes the default
+        case null => lit(sampleCut(defaultRate))
+        case acc  => acc.otherwise(lit(sampleCut(defaultRate)))
       }
-      .otherwise(lit(sampleCut(defaultRate)))
     docs.filter(substring(fingerprint(col(textCol)), 1, 4) < cut)
   }
 
@@ -251,8 +254,11 @@ object TextAnalysis {
       .foldLeft(null.asInstanceOf[Column]) {
         case (null, (s, b)) => when(col(strataCol) === s, lit(b))
         case (acc, (s, b))  => acc.when(col(strataCol) === s, lit(b))
+      } match {
+        // empty budgets map: every stratum takes the default
+        case null => lit(defaultBudget)
+        case acc  => acc.otherwise(lit(defaultBudget))
       }
-      .otherwise(lit(defaultBudget))
     cum.filter(col("cum_tokens") <= budget).drop("__fp")
   }
 
