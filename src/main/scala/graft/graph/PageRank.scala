@@ -40,17 +40,23 @@ object PageRank {
     * @param assumeDistinct input edge rows are already distinct — skips
     *        the dedup shuffle (callers that build edges from a distinct
     *        pair set should pre-dedup the HALF-size pair list instead)
+    * @param symmetric every edge (a,b) has its reverse (b,a) — true for
+    *        undirected/bipartite-doubled graphs. Then every node is a
+    *        src, so the node set IS outdeg's key set (skips a full-edge
+    *        union+distinct shuffle) and every node receives in-mass each
+    *        round (skips the per-iteration left join back to nodes)
     * @return (node, rank_units, rank) — rank = rank_units / 1e9 */
   def run(edges: DataFrame, iters: Int = 10, damping: Int = 85,
-      broadcastRanks: Boolean = false, assumeDistinct: Boolean = false)
-      : DataFrame = {
-    // the edge list is materialized exactly ONCE (cache); outdeg is
-    // |distinct src|-sized and always broadcast, so each iteration
-    // streams the cached edges map-side — with broadcastRanks the whole
-    // per-iteration join is shuffle-free except the final
-    // partial-aggregating groupBy(dst). Each round localCheckpoints:
-    // the NEXT round's broadcast would otherwise rebuild the entire
-    // prior chain every time it is referenced (quadratic recompute).
+      broadcastRanks: Boolean = false, assumeDistinct: Boolean = false,
+      symmetric: Boolean = false): DataFrame = {
+    // the edge list is materialized exactly ONCE (cache); each iteration
+    // first folds rank/outdeg into a node-sized "rate" table (a tiny
+    // 16k⋈16k-class join, never touching edges), so the per-iteration
+    // work over the big cached edge table is ONE join + the
+    // partial-aggregating groupBy(dst) — with broadcastRanks the join is
+    // shuffle-free too. Each round localCheckpoints: the NEXT round's
+    // broadcast would otherwise rebuild the entire prior chain every
+    // time it is referenced (quadratic recompute).
     val raw = edges.select(col("src"), col("dst"))
     val e = (if (assumeDistinct) raw else raw.distinct()).persist()
     // materialized once — each iteration runs in its own job (the
@@ -58,24 +64,29 @@ object PageRank {
     // full edge list five times over
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node"))).distinct().persist()
+    val nodes =
+      if (symmetric) outdeg.select(col("src").as("node"))
+      else e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count()
     val init = Unit9 / n                       // uniform start
     val base = (Unit9 / n) * (100L - damping) / 100L // teleport term
     var ranks = nodes.withColumn("rank_units", lit(init))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val rankSide = if (broadcastRanks) broadcast(ranks) else ranks
-      val contribs = e
-        .join(broadcast(outdeg), "src")
-        .join(rankSide, rankSide("node") === e("src"))
-        .select(col("dst").as("node"),
-          expr("rank_units div outdeg").as("contrib"))
+      // node-sized: rank_units div outdeg, computed BEFORE the edge join
+      // (integer division per src — same value either side of the join)
+      val rates = ranks.join(outdeg, ranks("node") === outdeg("src"))
+        .select(outdeg("src"), expr("rank_units div outdeg").as("contrib"))
+      val rateSide = if (broadcastRanks) broadcast(rates) else rates
+      val contribs = e.join(rateSide, "src")
+        .select(col("dst").as("node"), col("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("in_mass"))
-      ranks = nodes
-        .join(contribs, Seq("node"), "left")
+      val next =
+        if (symmetric) contribs // reverse edges guarantee full coverage
+        else nodes.join(contribs, Seq("node"), "left")
+      ranks = next
         .select(col("node"),
           (lit(base) + expr(s"($damping * coalesce(in_mass, 0L)) div 100"))
             .as("rank_units"))
@@ -86,7 +97,7 @@ object PageRank {
     val out = ranks.withColumn("rank",
       col("rank_units").cast("double") / 1e9)
     e.unpersist()
-    nodes.unpersist()
+    if (!symmetric) nodes.unpersist()
     out
   }
 

@@ -212,9 +212,11 @@ object ExtendedQueries {
         .unionAll(pairs
           .select(col("c_node").as("src"), col("s_node").as("dst")))
       // supplier+customer node set is dimension-sized → ranks broadcast;
-      // the cached edge table never re-shuffles across iterations
+      // the cached edge table never re-shuffles across iterations. The
+      // doubled bipartite edge set is symmetric: node set = outdeg keys,
+      // no per-iteration join back to the node list
       PageRank.run(edges, iters = 5, broadcastRanks = true,
-        assumeDistinct = true)
+        assumeDistinct = true, symmetric = true)
         .orderBy("node")
     }),
     // distributed contiguous id assignment: range-partition + parallel
