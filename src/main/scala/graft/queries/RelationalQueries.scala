@@ -193,6 +193,151 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** TPC-H Q4-shaped: priority distribution of 1996 orders with at least
+    * one lineitem shipped more than a year after ordering. The semi join
+    * carries the extra non-equi term inside the equi-join condition —
+    * Spark plans it as a hash semi join on l_orderkey with the date
+    * comparison as a residual, so the fact side still hash-partitions
+    * (no cartesian, no window). The testdata has no commit/receipt dates
+    * (TESTDATA.md), so "late" is ship-lag > 365 days. */
+  def q4PriorityLate(s: SparkSession, d: String): DataFrame = {
+    val orders = table(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+    val li = table(s, d, "lineitem")
+    orders
+      .join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q8-shaped: NATION_1's share of AMERICA's PROMO-part market
+    * per order year. Every dimension broadcasts; the share is a
+    * conditional sum over one fact aggregate (no second pass over the
+    * fact table, no join back), and the division runs in DOUBLE on
+    * exact decimal operands — same plan shape as [[q14PromoShare]]. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val nation = table(s, d, "nation")
+    val region = table(s, d, "region").filter(col("r_name") === "AMERICA")
+    // customer nation must lie in AMERICA (the market being measured);
+    // the SUPPLIER nation is what the share numerator keys on
+    val custSide = table(s, d, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = table(s, d, "supplier")
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val promoParts = table(s, d, "part")
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val revenue = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,4)")
+    table(s, d, "lineitem")
+      .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(custSide), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_1", revenue)
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("nation_rev"),
+        sum(revenue).as("total_rev"))
+      .select(col("o_year"),
+        col("nation_rev").cast("double").as("nation_revenue"),
+        col("total_rev").cast("double").as("total_revenue"),
+        round(col("nation_rev").cast("double") * 100 /
+          col("total_rev").cast("double"), 4).as("share_pct"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q13-shaped: distribution of customers by order count,
+    * including zero-order customers (left join). Two aggregates: the
+    * per-customer count reuses the join's hash partitioning; the
+    * distribution aggregate moves only |distinct counts| rows. */
+  def q13OrderCountDist(s: SparkSession, d: String): DataFrame =
+    table(s, d, "customer")
+      .join(table(s, d, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(desc("n_customers"), desc("n_orders"))
+
+  /** TPC-H Q18-shaped: large-quantity orders — groupBy(orderkey) HAVING
+    * sum(qty) > 250, joined back to orders + broadcast customer for
+    * presentation, top-50 via TakeOrderedAndProject. The HAVING filter
+    * runs on the aggregate output (map-side partials first), so only
+    * qualifying orderkeys reach the join back. */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = table(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    bigOrders
+      .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(s, d, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("sum_qty"), col("o_orderkey"))
+      .limit(50)
+  }
+
+  /** TPC-H Q19-shaped: revenue over three OR'd (brand, size-range,
+    * quantity-range) brackets. The OR mixes part and lineitem columns,
+    * which no optimizer can push through the join — so the part side is
+    * explicitly pre-filtered with the IMPLIED part-only disjunction
+    * (brand ∧ size per bracket) before broadcasting: at 100 TB that
+    * prunes the build side to the brands in play, and the full
+    * mixed-side predicate evaluates as the join residual. */
+  def q19BracketRevenue(s: SparkSession, d: String): DataFrame = {
+    val b1p = col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+    val b2p = col("p_brand") === "Brand#13" && col("p_size").between(10, 30)
+    val b3p = col("p_brand") === "Brand#22" && col("p_size").between(20, 50)
+    val part = table(s, d, "part").filter(b1p || b2p || b3p)
+    val li = table(s, d, "lineitem")
+    val bracket =
+      (b1p && col("l_quantity").between(1, 20)) ||
+      (b2p && col("l_quantity").between(10, 30)) ||
+      (b3p && col("l_quantity").between(20, 40))
+    val revenue = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,4)")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .agg(sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22-shaped: per-nation count + balance of "idle rich"
+    * customers — above-average positive account balance and no order
+    * after 1999-01-01. The global average is a broadcast 1-row
+    * aggregate (never a collect); the no-recent-orders test is a
+    * left-anti join on the date-filtered order side. */
+  def q22IdleRichCustomers(s: SparkSession, d: String): DataFrame = {
+    val cust = table(s, d, "customer")
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(dec2(col("c_acctbal"))) / count(lit(1)))
+        .cast("double").as("avg_bal"))
+    val recent = table(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1999-01-01"))
+    cust
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(table(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("total_acctbal"))
+      .orderBy(col("n_name"))
+  }
+
   /** Left outer join + conditional agg: per-segment order coverage. */
   def leftJoinCoverage(s: SparkSession, d: String): DataFrame =
     table(s, d, "customer")
@@ -214,6 +359,12 @@ object RelationalQueries {
     "q14_promo_share" -> q14PromoShare,
     "q10_returned_customers" -> q10ReturnedCustomers,
     "q7_above_avg_customers" -> q7AboveAvgCustomers,
+    "q4_priority_late" -> q4PriorityLate,
+    "q8_market_share" -> q8MarketShare,
+    "q13_order_count_dist" -> q13OrderCountDist,
+    "q18_large_orders" -> q18LargeOrders,
+    "q19_bracket_revenue" -> q19BracketRevenue,
+    "q22_idle_rich_customers" -> q22IdleRichCustomers,
     "j1_semi_returned_orders" -> semiReturnedOrders,
     "j2_anti_customers_no_orders" -> antiCustomersNoOrders,
     "j3_left_join_coverage" -> leftJoinCoverage
@@ -316,6 +467,96 @@ object RelationalQueries {
         |FROM per_cust JOIN seg ON c_mktsegment = seg
         |WHERE cust_total * seg_n > 2 * seg_sum
         |ORDER BY c_custkey""".stripMargin.replace('\n', ' '),
+    "q4_priority_late" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 365 DAY)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin.replace('\n', ' '),
+    "q8_market_share" ->
+      """WITH f AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |      AS rev,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE p_type = 'PROMO' AND r_name = 'AMERICA'),
+        |agg AS (
+        |  SELECT o_year,
+        |    sum(CASE WHEN supp_nation = 'NATION_1' THEN rev
+        |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS nation_rev,
+        |    sum(rev) AS total_rev
+        |  FROM f GROUP BY 1)
+        |SELECT o_year,
+        |  CAST(nation_rev AS DOUBLE) AS nation_revenue,
+        |  CAST(total_rev AS DOUBLE) AS total_revenue,
+        |  round(CAST(nation_rev AS DOUBLE) * 100 /
+        |    CAST(total_rev AS DOUBLE), 4) AS share_pct
+        |FROM agg ORDER BY o_year""".stripMargin.replace('\n', ' '),
+    "q13_order_count_dist" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT n_orders, count(*) AS n_customers
+        |FROM per_cust GROUP BY 1
+        |ORDER BY n_customers DESC, n_orders DESC"""
+        .stripMargin.replace('\n', ' '),
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey
+        |LIMIT 50""".stripMargin.replace('\n', ' '),
+    "q19_bracket_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE
+        |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 20)
+        |  OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+        |    AND l_quantity BETWEEN 10 AND 30)
+        |  OR (p_brand = 'Brand#22' AND p_size BETWEEN 20 AND 50
+        |    AND l_quantity BETWEEN 20 AND 40)"""
+        .stripMargin.replace('\n', ' '),
+    "q22_idle_rich_customers" ->
+      """WITH avg_bal AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) / count(*)
+        |    AS DOUBLE) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |CROSS JOIN avg_bal
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1 ORDER BY n_name""".stripMargin.replace('\n', ' '),
     "j1_semi_returned_orders" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
