@@ -40,6 +40,28 @@ object SinkQueries {
         .csv(path)
         .orderBy("location_id")
     }),
+    // JSON-lines export → schema'd re-read: the interchange format for
+    // downstream non-columnar consumers; µs timestamps preserved via an
+    // explicit format (JSON has no timestamp type)
+    "io1_json_roundtrip" -> ((s, d) => {
+      val inv = A.stationInventory(silver(s, d))
+      val path = tmp("inventory_json", d)
+      inv.write.mode("overwrite")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .json(path)
+      s.read.schema(inv.schema)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .json(path)
+        .orderBy("location_id")
+    }),
+    // ORC export → re-read: the second columnar format big estates mix
+    // with parquet; types round-trip losslessly, no format options
+    "io2_orc_roundtrip" -> ((s, d) => {
+      val inv = A.stationInventory(silver(s, d))
+      val path = tmp("inventory_orc", d)
+      inv.write.mode("overwrite").orc(path)
+      s.read.orc(path).orderBy("location_id")
+    }),
     // S8 collapse: the ClickHouse SQL surface becomes spark.sql over
     // registered layer views (A4 via raw SQL text)
     "ch1_sql_surface" -> ((s, d) => {
@@ -95,6 +117,16 @@ object SinkQueries {
         |FROM bronze GROUP BY 1, 2, 3
         |ORDER BY year, month, day""".stripMargin.replace('\n', ' ')),
     "s9_csv_roundtrip" -> withPipeline(
+      """SELECT location_id, location_name, country, count(*) AS n_records,
+        |  min(datetime) AS first_dt, max(datetime) AS last_dt
+        |FROM silver GROUP BY 1, 2, 3
+        |ORDER BY location_id""".stripMargin.replace('\n', ' ')),
+    "io1_json_roundtrip" -> withPipeline(
+      """SELECT location_id, location_name, country, count(*) AS n_records,
+        |  min(datetime) AS first_dt, max(datetime) AS last_dt
+        |FROM silver GROUP BY 1, 2, 3
+        |ORDER BY location_id""".stripMargin.replace('\n', ' ')),
+    "io2_orc_roundtrip" -> withPipeline(
       """SELECT location_id, location_name, country, count(*) AS n_records,
         |  min(datetime) AS first_dt, max(datetime) AS last_dt
         |FROM silver GROUP BY 1, 2, 3

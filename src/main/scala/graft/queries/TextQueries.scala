@@ -74,6 +74,37 @@ object TextQueries {
         defaultBudget = 2000L)
         .select("doc_id", "lang", "source", "n_tokens", "cum_tokens")
         .orderBy("doc_id")),
+    // PII scrub: the testdata text is synthetic word salad with no real
+    // PII, so the query plants emails/phones/IPs deterministically from
+    // doc columns (doc_id mod cycles vary the per-row counts 0..3),
+    // then counts and redacts them — both engines build and scrub the
+    // same dirty corpus, so the oracle exercises real redaction
+    "t12_pii_scrub" -> ((s, d) => {
+      val dirty = table(s, d, "documents").withColumn("text", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+          col("doc_id"), lit("@"), col("source"), lit(".com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") * 7 % 256).cast("string")))
+          .otherwise(lit(""))))
+      TextAnalysis.piiScrub(dirty)
+        .select("doc_id", "n_emails", "n_phones", "n_ips", "scrubbed",
+          "has_pii")
+        .orderBy("doc_id")
+    }),
+    // concat-and-chunk sequence packing into 512-token context windows,
+    // one token stream per source shard in fingerprint order
+    "t13_pack_sequences" -> ((s, d) =>
+      TextAnalysis.packSequences(table(s, d, "documents"),
+        strataCol = "source", capacity = 512)
+        .select("doc_id", "lang", "source", "n_tokens", "pack_id",
+          "offset_in_pack", "crosses_boundary")
+        .orderBy("doc_id")),
     // corpus health report: the per-row gates (quality, repetition,
     // language agreement) rolled up per (source, lang) — one pass over
     // the corpus, one metadata-sized aggregate; the monitoring query a
@@ -150,6 +181,25 @@ object TextQueries {
       (s"SELECT doc_id, lang, source, n_tokens, cum_tokens FROM (" +
         TextAnalysis.tokenBudgetSampleSql("lang",
           Map("en" -> 6000L), 2000L) + ") ORDER BY doc_id"),
+    "t12_pii_scrub" ->
+      s"""WITH dirty AS (
+         |  SELECT doc_id,
+         |    text
+         |    || (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id
+         |        || '@' || source || '.com' ELSE '' END)
+         |    || (CASE WHEN doc_id % 4 = 0 THEN ' call +1-555-'
+         |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |        ELSE '' END)
+         |    || (CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.'
+         |        || (doc_id % 256) || '.' || (doc_id * 7 % 256)
+         |        ELSE '' END) AS text
+         |  FROM documents)
+         |SELECT doc_id, ${TextAnalysis.piiScrubSql("text")}
+         |FROM dirty ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+    "t13_pack_sequences" ->
+      (s"SELECT doc_id, lang, source, n_tokens, pack_id, offset_in_pack, " +
+        "crosses_boundary FROM (" +
+        TextAnalysis.packSequencesSql("source", 512) + ") ORDER BY doc_id"),
     // quality/langid and repetition fragments both emit n_tokens →
     // separate CTEs joined on doc_id, qualified references
     "t11_corpus_stats" ->

@@ -419,4 +419,105 @@ object TextAnalysis {
        |  FROM scored)
        |WHERE rnk <= $k""".stripMargin.replace('\n', ' ')
   }
+
+  // ------------------------------------------------------------ PII scrub
+
+  /** PII patterns — the common subset of Java regex (Spark) and RE2
+    * (DuckDB): character classes, bounded repetition, no backrefs or
+    * lookaround, so both engines match identically. */
+  val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val ipRe    = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII detection + redaction (emails, phone numbers, IPv4 addresses):
+    * per-match counts and a scrubbed text with each occurrence replaced
+    * by a typed placeholder. The standard pre-release gate on training
+    * corpora. Pure per-row regex transforms — no shuffle, runs at scan
+    * speed; at 100 TB the only cost knob is regex complexity, which is
+    * why the patterns avoid backtracking-prone constructs. */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    // Column-API pattern literals (lit), NOT expr(): embedding the regex
+    // in a SQL string would re-interpret its backslashes in the parser
+    def nMatches(re: String) =
+      size(regexp_extract_all(t, lit(re), lit(0)))
+    docs
+      .withColumn("n_emails", nMatches(emailRe))
+      .withColumn("n_phones", nMatches(phoneRe))
+      .withColumn("n_ips", nMatches(ipRe))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(regexp_replace(t,
+          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ips") > 0)
+  }
+
+  /** DuckDB twin of [[piiScrub]] as a SELECT-list fragment over text
+    * expression `t`. DuckDB's regexp_replace is first-match-only by
+    * default — the 'g' flag mirrors Spark's replace-all. The regexes
+    * embed verbatim: DuckDB single-quoted literals keep backslashes. */
+  def piiScrubSql(t: String): String = {
+    val (e, p, i) = (emailRe, phoneRe, ipRe)
+    s"""CAST(len(regexp_extract_all($t, '$e', 0)) AS INT) AS n_emails,
+       |CAST(len(regexp_extract_all($t, '$p', 0)) AS INT) AS n_phones,
+       |CAST(len(regexp_extract_all($t, '$i', 0)) AS INT) AS n_ips,
+       |regexp_replace(regexp_replace(regexp_replace($t,
+       |  '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'), '$i', '<IP>', 'g')
+       |  AS scrubbed,
+       |len(regexp_extract_all($t, '$e', 0))
+       |  + len(regexp_extract_all($t, '$p', 0))
+       |  + len(regexp_extract_all($t, '$i', 0)) > 0 AS has_pii"""
+      .stripMargin.replace('\n', ' ')
+  }
+
+  // ------------------------------------------------------ sequence packing
+
+  /** Concat-and-chunk sequence packing: lay the corpus out as one token
+    * stream per stratum (source/shard) in content-fingerprint order —
+    * deterministic, RNG-free, the same order the samplers use — and cut
+    * it into fixed `capacity`-token context windows. Each document gets
+    * the pack it STARTS in, its token offset inside that pack, and
+    * whether it straddles a pack boundary (the fraction of straddlers is
+    * the packing-efficiency metric pretraining pipelines watch).
+    *
+    * The running position is [[graft.etl.Ids.keyedCumsum]] — two-phase
+    * offsets, so low-cardinality strata never funnel through one task:
+    * this must scale with corpus size, not stratum count. */
+  def packSequences(docs: DataFrame, strataCol: String, capacity: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val withTok = docs
+      .withColumn("__fp", fingerprint(col(textCol)))
+      .withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+    val cum = graft.etl.Ids.keyedCumsum(withTok, strataCol,
+      Seq("__fp", idCol), "n_tokens", "cum_tokens")
+    val start = col("cum_tokens") - col("n_tokens")
+    cum
+      .withColumn("pack_id", expr(s"(cum_tokens - n_tokens) div $capacity"))
+      .withColumn("offset_in_pack", start % capacity)
+      .withColumn("crosses_boundary",
+        start % capacity + col("n_tokens") > capacity)
+      .drop("__fp", "cum_tokens")
+  }
+
+  /** DuckDB twin of [[packSequences]] over `documents` (single-task
+    * window oracle-side — test scale only). */
+  def packSequencesSql(strataCol: String, capacity: Int): String = {
+    val toks = tokensSql("text")
+    s"""SELECT doc_id, lang, source, n_tokens,
+       |  CAST((cum_tokens - n_tokens) // $capacity AS BIGINT) AS pack_id,
+       |  CAST((cum_tokens - n_tokens) % $capacity AS BIGINT)
+       |    AS offset_in_pack,
+       |  (cum_tokens - n_tokens) % $capacity + n_tokens > $capacity
+       |    AS crosses_boundary
+       |FROM (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CAST(len($toks) AS BIGINT)) OVER (
+       |      PARTITION BY $strataCol
+       |      ORDER BY ${fingerprintSql("text")}, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_tokens
+       |  FROM documents)""".stripMargin.replace('\n', ' ')
+  }
 }
