@@ -105,6 +105,14 @@ object TextQueries {
         .select("doc_id", "lang", "source", "n_tokens", "pack_id",
           "offset_in_pack", "crosses_boundary")
         .orderBy("doc_id")),
+    // sliding-window chunking: 64-token chunks every 48 tokens (16-token
+    // overlap) — the RAG / long-context preprocessing fan-out
+    "t14_chunk_overlap" -> ((s, d) =>
+      TextAnalysis.chunkOverlap(table(s, d, "documents"),
+        window = 64, stride = 48)
+        .select("doc_id", "lang", "source", "n_tokens", "chunk_id",
+          "chunk_start", "chunk_len", "chunk_text")
+        .orderBy("doc_id", "chunk_id")),
     // corpus health report: the per-row gates (quality, repetition,
     // language agreement) rolled up per (source, lang) — one pass over
     // the corpus, one metadata-sized aggregate; the monitoring query a
@@ -200,6 +208,9 @@ object TextQueries {
       (s"SELECT doc_id, lang, source, n_tokens, pack_id, offset_in_pack, " +
         "crosses_boundary FROM (" +
         TextAnalysis.packSequencesSql("source", 512) + ") ORDER BY doc_id"),
+    "t14_chunk_overlap" ->
+      (TextAnalysis.chunkOverlapSql(64, 48) +
+        " ORDER BY doc_id, chunk_id"),
     // quality/langid and repetition fragments both emit n_tokens →
     // separate CTEs joined on doc_id, qualified references
     "t11_corpus_stats" ->

@@ -500,6 +500,64 @@ object TextAnalysis {
       .drop("__fp", "cum_tokens")
   }
 
+  // -------------------------------------------------- chunking w/ overlap
+
+  /** Sliding-window chunking: cut each document into `window`-token
+    * chunks every `stride` tokens (overlap = window − stride), the RAG /
+    * long-context preprocessing step. Chunk starts are 0, stride,
+    * 2·stride, …; a document shorter than one window yields exactly one
+    * chunk; the final chunk may be short (never empty).
+    *
+    * Purely row-local: materialize the token array once (interpreted
+    * higher-order functions re-evaluate child expressions per element —
+    * the d7 lesson), explode the per-doc chunk index range, slice. No
+    * shuffle; output size scales with corpus tokens / stride, each
+    * input row fanning out independently — embarrassingly parallel at
+    * any corpus size. */
+  def chunkOverlap(docs: DataFrame, window: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window: window=$window stride=$stride")
+    val n = col("n_tokens")
+    val nChunks = when(n <= window, lit(1L))
+      // exact integer ceil((n-window)/stride) + 1 — Column./ is double
+      // division in Spark, so the ceil goes through SQL `div`
+      .otherwise(
+        expr(s"(n_tokens - $window + $stride - 1) div $stride + 1"))
+    docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("chunk_start", col("chunk_id") * stride)
+      .withColumn("chunk_len",
+        least(lit(window), n - col("chunk_start")))
+      .withColumn("chunk_text", array_join(
+        slice(col("__toks"), (col("chunk_start") + 1).cast("int"),
+          lit(window)),
+        " "))
+      .drop("__toks")
+  }
+
+  /** DuckDB twin of [[chunkOverlap]] over `documents`. */
+  def chunkOverlapSql(window: Int, stride: Int): String = {
+    val toks = tokensSql("text")
+    s"""SELECT doc_id, lang, source, n_tokens, chunk_id,
+       |  chunk_id * $stride AS chunk_start,
+       |  least($window, n_tokens - chunk_id * $stride) AS chunk_len,
+       |  array_to_string(list_slice(toks,
+       |    chunk_id * $stride + 1, chunk_id * $stride + $window), ' ')
+       |    AS chunk_text
+       |FROM (
+       |  SELECT doc_id, lang, source, toks,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    unnest(range(0, CASE WHEN len(toks) <= $window THEN 1
+       |      ELSE (len(toks) - $window + $stride - 1) // $stride + 1
+       |      END)) AS chunk_id
+       |  FROM (SELECT doc_id, lang, source, $toks AS toks
+       |        FROM documents))""".stripMargin.replace('\n', ' ')
+  }
+
   /** DuckDB twin of [[packSequences]] over `documents` (single-task
     * window oracle-side — test scale only). */
   def packSequencesSql(strataCol: String, capacity: Int): String = {

@@ -65,6 +65,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "top-N must be TakeOrderedAndProject, not a global sort")
   }
 
+  test("q19: the implied part-side disjunction is pre-filtered and " +
+    "pushed to the part scan; part broadcasts") {
+    val f = formatted("q19_bracket_revenue")
+    // the brand/size disjunction reaches the part parquet scan as a
+    // pushed filter (Or(...Brand#...)); without the explicit prefilter
+    // the OR mixing lineitem columns blocks any part-side pruning
+    assert(f.contains("PushedFilters: [Or("), "part-side OR not pushed")
+    assert(f.contains("Brand#1"), "brand literal missing from scan")
+    val p = plan("q19_bracket_revenue")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("a1 gold roll-up: one group-by shuffle + presentation sort only") {
     // shuffle 1 = the hash aggregate; shuffle 2 = the deterministic
     // output ordering the harness adds (range partitioning, export-only)
