@@ -247,6 +247,28 @@ object ExtendedQueries {
           col("event_id").as("last_event_id"),
           (col("ts") >= cutoff).as("was_updated"))
         .orderBy("user_id")
+    }),
+    // the remaining ANSI window-function suite (ntile / percent_rank /
+    // cume_dist / first_value / running max) over per-customer order
+    // histories — one shuffle shared by all five functions (same window
+    // spec), partitions are customer-sized so parallelism scales with
+    // key count, not data size. Ratios stay unrounded: identical integer
+    // operands divide to identical doubles on both engines
+    "x20_window_suite" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      table(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("p_rank"),
+          cume_dist().over(w).as("c_dist"),
+          first_value(col("o_totalprice")).over(wAll).as("first_price"),
+          max(col("o_totalprice")).over(wAll).as("running_max"))
+        .orderBy("o_custkey", "o_orderkey")
     })
   )
 
@@ -402,6 +424,19 @@ object ExtendedQueries {
         |SELECT user_id, last_type, last_value, last_ts, last_event_id,
         |  last_ts >= TIMESTAMP '2024-01-21 00:00:00' AS was_updated
         |FROM latest WHERE rn = 1
-        |ORDER BY user_id""".stripMargin.replace('\n', ' ')
+        |ORDER BY user_id""".stripMargin.replace('\n', ' '),
+    "x20_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS p_rank,
+        |  cume_dist() OVER w AS c_dist,
+        |  first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS first_price,
+        |  max(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS running_max
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin.replace('\n', ' ')
   )
 }
