@@ -36,5 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_cosine takes exactly 2 arguments, got ${children.size}")
         CosineSim(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_nfc takes exactly 1 argument, got ${children.size}")
+        NfcNormalize(children.head)
+      }))
   }
 }

@@ -113,6 +113,21 @@ object TextQueries {
         .select("doc_id", "lang", "source", "n_tokens", "chunk_id",
           "chunk_start", "chunk_len", "chunk_text")
         .orderBy("doc_id", "chunk_id")),
+    // Unicode NFC normalization (custom codegen'd expression — Spark has
+    // no builtin): combining sequences planted on even doc_ids, the
+    // precomposed equivalents on odd ones; normalized outputs agree and
+    // only the combining side reports a change
+    "t15_unicode_normalize" -> ((s, d) => {
+      val planted = table(s, d, "documents").withColumn("dirty",
+        concat(col("text"), when(col("doc_id") % 2 === 0,
+          lit(" café naïve"))       // NFD: e/i + combining mark
+          .otherwise(lit(" café naïve")))) // precomposed NFC
+      planted.select(col("doc_id"),
+        graft.expr.NfcNormalize.nfc(col("dirty")).as("text_nfc"),
+        (graft.expr.NfcNormalize.nfc(col("dirty")) =!= col("dirty"))
+          .as("changed"))
+        .orderBy("doc_id")
+    }),
     // corpus health report: the per-row gates (quality, repetition,
     // language agreement) rolled up per (source, lang) — one pass over
     // the corpus, one metadata-sized aggregate; the monitoring query a
@@ -211,6 +226,19 @@ object TextQueries {
     "t14_chunk_overlap" ->
       (TextAnalysis.chunkOverlapSql(64, 48) +
         " ORDER BY doc_id, chunk_id"),
+    // chr(769)=U+0301 combining acute, chr(776)=U+0308 combining
+    // diaeresis; chr(233)=é, chr(239)=ï precomposed
+    "t15_unicode_normalize" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |      THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+        |      ELSE ' caf' || chr(233) || ' na' || chr(239) || 've'
+        |     END) AS t
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(t) AS text_nfc,
+        |  nfc_normalize(t) != t AS changed
+        |FROM dirty ORDER BY doc_id""".stripMargin.replace('\n', ' '),
     // quality/langid and repetition fragments both emit n_tokens →
     // separate CTEs joined on doc_id, qualified references
     "t11_corpus_stats" ->

@@ -60,4 +60,17 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT graft_dot(array(1.0d))").collect()
     }
   }
+
+  test("graft_nfc normalizes combining sequences in pure SQL and " +
+    "passes ASCII through untouched") {
+    // 'e' + U+0301 combining acute must normalize to precomposed U+00E9
+    // (Spark's chr() is ASCII-only — the codepoint goes in as \u escape)
+    val r = spark.sql(
+      "SELECT graft_nfc('cafe\\u0301') AS s").head.getString(0)
+    assert(r === "café")
+    assert(r.length === 4, "NFC output must be the precomposed form")
+    val ascii = spark.sql("SELECT graft_nfc('plain ascii') AS s")
+      .head.getString(0)
+    assert(ascii === "plain ascii")
+  }
 }
