@@ -15,7 +15,8 @@ object Explain {
         "xj2_range_join", "t5_tfidf_top3", "t6_stable_sample",
         "d7_decontaminate", "t10_token_budget", "x15_cdc_upsert",
         "x18_global_ids", "b1_bucketed_join", "q19_bracket_revenue",
-        "t12_pii_scrub", "t13_pack_sequences", "t14_chunk_overlap")
+        "t12_pii_scrub", "t13_pack_sequences", "t14_chunk_overlap",
+        "x20_window_suite", "t15_unicode_normalize")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
