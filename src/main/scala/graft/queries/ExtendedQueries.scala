@@ -248,6 +248,37 @@ object ExtendedQueries {
           (col("ts") >= cutoff).as("was_updated"))
         .orderBy("user_id")
     }),
+    // snapshot diff → changelog: the INVERSE of the x15 CDC apply —
+    // derive insert/update/delete/unchanged rows from two immutable
+    // per-key snapshots (how a plain-parquet lake emits a CDC feed).
+    // One full-outer hash join on the key; payload compare is row-local
+    // and null-safe (<=>); each snapshot is the x15 max_by collapse
+    "x21_snapshot_diff" -> ((s, d) => {
+      import graft.etl.Cdc
+      val ev = table(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def snap(lo: String, hi: String) = Cdc.compactLatest(
+        ev.filter(col("ts") >= lit(lo).cast("timestamp") &&
+          col("ts") < lit(hi).cast("timestamp")),
+        Seq("user_id"), Seq("event_type", "value"), Seq("ts", "event_id"))
+      val a = snap("2024-01-01 00:00:00", "2024-01-12 00:00:00")
+        .select(col("user_id"), col("event_type").as("old_type"),
+          col("value").as("old_value"))
+      val b = snap("2024-01-08 00:00:00", "2024-01-20 00:00:00")
+        .select(col("user_id").as("uid_b"),
+          col("event_type").as("new_type"), col("value").as("new_value"))
+      a.join(b, col("user_id") === col("uid_b"), "full_outer")
+        .select(
+          coalesce(col("user_id"), col("uid_b")).as("user_id"),
+          when(col("user_id").isNull, "insert")
+            .when(col("uid_b").isNull, "delete")
+            .when(col("old_type") <=> col("new_type") &&
+              col("old_value") <=> col("new_value"), "unchanged")
+            .otherwise("update").as("change_type"),
+          col("old_type"), col("old_value"), col("new_type"),
+          col("new_value"))
+        .orderBy("user_id")
+    }),
     // the remaining ANSI window-function suite (ntile / percent_rank /
     // cume_dist / first_value / running max) over per-customer order
     // histories — one shuffle shared by all five functions (same window
@@ -424,6 +455,34 @@ object ExtendedQueries {
         |SELECT user_id, last_type, last_value, last_ts, last_event_id,
         |  last_ts >= TIMESTAMP '2024-01-21 00:00:00' AS was_updated
         |FROM latest WHERE rn = 1
+        |ORDER BY user_id""".stripMargin.replace('\n', ' '),
+    "x21_snapshot_diff" ->
+      """WITH ev AS (SELECT user_id, event_type, value,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |a AS (SELECT user_id, event_type AS old_type, value AS old_value
+        |  FROM (SELECT user_id, event_type, value,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev WHERE ts >= TIMESTAMP '2024-01-01'
+        |      AND ts < TIMESTAMP '2024-01-12')
+        |  WHERE rn = 1),
+        |b AS (SELECT user_id AS uid_b, event_type AS new_type,
+        |    value AS new_value
+        |  FROM (SELECT user_id, event_type, value,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev WHERE ts >= TIMESTAMP '2024-01-08'
+        |      AND ts < TIMESTAMP '2024-01-20')
+        |  WHERE rn = 1)
+        |SELECT COALESCE(a.user_id, b.uid_b) AS user_id,
+        |  CASE WHEN a.user_id IS NULL THEN 'insert'
+        |       WHEN b.uid_b IS NULL THEN 'delete'
+        |       WHEN old_type IS NOT DISTINCT FROM new_type
+        |         AND old_value IS NOT DISTINCT FROM new_value
+        |         THEN 'unchanged'
+        |       ELSE 'update' END AS change_type,
+        |  old_type, old_value, new_type, new_value
+        |FROM a FULL JOIN b ON a.user_id = b.uid_b
         |ORDER BY user_id""".stripMargin.replace('\n', ' '),
     "x20_window_suite" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,

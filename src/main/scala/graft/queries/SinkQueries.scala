@@ -62,6 +62,30 @@ object SinkQueries {
       inv.write.mode("overwrite").orc(path)
       s.read.orc(path).orderBy("location_id")
     }),
+    // schema evolution: two parquet generations (a column added in v2)
+    // under one root, read with mergeSchema — the estate reality of
+    // long-lived datasets; the missing column nulls out for old files.
+    // At 100 TB mergeSchema=true costs a footer read per file at
+    // planning, which is why production tables pin the merged schema in
+    // a catalog — the READ semantics are what this exercises
+    "io3_schema_evolution" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val root = tmp("events_evolving", d)
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .write.mode("overwrite").parquet(s"$root/gen=1")
+      ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+        .write.mode("overwrite").parquet(s"$root/gen=2")
+      s.read.option("mergeSchema", "true").parquet(root)
+        .groupBy(col("gen"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("event_type").isNull, 1).otherwise(0))
+            .as("n_null_type"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("gen")
+    }),
     // S8 collapse: the ClickHouse SQL surface becomes spark.sql over
     // registered layer views (A4 via raw SQL text)
     "ch1_sql_surface" -> ((s, d) => {
@@ -131,6 +155,18 @@ object SinkQueries {
         |  min(datetime) AS first_dt, max(datetime) AS last_dt
         |FROM silver GROUP BY 1, 2, 3
         |ORDER BY location_id""".stripMargin.replace('\n', ' ')),
+    "io3_schema_evolution" ->
+      """WITH merged AS (
+        |  SELECT event_id, user_id, value, NULL AS event_type, 1 AS gen
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_id, user_id, value, event_type, 2 AS gen
+        |  FROM events WHERE event_id % 2 = 1)
+        |SELECT gen, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_null_type,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM merged GROUP BY 1 ORDER BY gen""".stripMargin.replace('\n', ' '),
     "ch1_sql_surface" -> withPipeline(
       """SELECT country, count(*) AS n_records,
         |  round(avg(aqi), 4) AS avg_aqi, max(aqi) AS max_aqi,
