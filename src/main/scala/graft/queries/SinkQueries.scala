@@ -86,6 +86,27 @@ object SinkQueries {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("gen")
     }),
+    // small-file compaction: a 64-file layout (the nightly-ingest
+    // reality) rewritten to a few right-sized files via repartition +
+    // maxRecordsPerFile — the maintenance job every parquet lake runs.
+    // The oracle checks content is preserved; IoSpec checks the file
+    // counts. At 100 TB the repartition count comes from target file
+    // size (≈128 MB-1 GB), not a constant
+    "io4_compaction" -> ((s, d) => {
+      val src = tmp("events_small_files", d)
+      val dst = tmp("events_compacted", d)
+      val ev = table(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      ev.repartition(64).write.mode("overwrite").parquet(src)
+      s.read.parquet(src).repartition(2).write.mode("overwrite")
+        .option("maxRecordsPerFile", "40000").parquet(dst)
+      s.read.parquet(dst).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+    }),
     // S8 collapse: the ClickHouse SQL surface becomes spark.sql over
     // registered layer views (A4 via raw SQL text)
     "ch1_sql_surface" -> ((s, d) => {
@@ -167,6 +188,11 @@ object SinkQueries {
         |    AS BIGINT) AS n_null_type,
         |  count(DISTINCT user_id) AS n_users
         |FROM merged GROUP BY 1 ORDER BY gen""".stripMargin.replace('\n', ' '),
+    "io4_compaction" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin.replace('\n', ' '),
     "ch1_sql_surface" -> withPipeline(
       """SELECT country, count(*) AS n_records,
         |  round(avg(aqi), 4) AS avg_aqi, max(aqi) AS max_aqi,
