@@ -7,6 +7,9 @@ import org.apache.spark.sql.SparkSession
   * reviewed (SCALE.md evidence). Not part of the driver contract. */
 object Explain {
   def main(args: Array[String]): Unit = {
+    // pin the bucketed-layout token so the committed plan text (b1's
+    // table names embed it) is byte-reproducible across regenerations
+    sys.props("graft.bucketed.token") = "explain"
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("p5_silver_clean", "a1_gold_hourly", "a4_country_stats",

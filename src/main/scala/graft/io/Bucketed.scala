@@ -39,14 +39,42 @@ object Bucketed {
   // Per-JVM token in table names and layout paths: concurrent sessions
   // on the same dataset (a bench pass overlapping a test run) must not
   // race on one catalog entry / external-table directory. Within a JVM
-  // the token is stable, so repeated passes reuse (overwrite) one layout.
+  // the token is stable, so repeated passes reuse (overwrite) one
+  // layout, and a shutdown hook removes it — tokens never accumulate
+  // dead copies in tmpdir. `graft.bucketed.token` pins the token when a
+  // deterministic artifact is needed (graft.Explain sets it so the
+  // committed EXPLAIN.md plan text is byte-reproducible across runs).
   private lazy val jvmToken: String =
-    java.util.UUID.randomUUID().toString.take(8)
+    sys.props.getOrElse("graft.bucketed.token",
+      java.util.UUID.randomUUID().toString.take(8))
+
+  // one hook, one base per dataset dir touched this JVM
+  private val cleanupBases =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cleanupBases.forEach { base =>
+        try {
+          val p = java.nio.file.Paths.get(base)
+          if (java.nio.file.Files.exists(p)) {
+            val walk = java.nio.file.Files.walk(p)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+            finally walk.close()
+          }
+        } catch { case _: Throwable => () }
+      }))
+
+  private def registerCleanup(base: String): Unit = {
+    cleanupHook
+    cleanupBases.add(base)
+  }
 
   def coLocatedSegmentRevenue(s: SparkSession, d: String,
       buckets: Int = 8): DataFrame = {
     val tag = s"${d.split('/').last.replace('.', '_')}_$jvmToken"
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
+    registerCleanup(base)
     val orders = s.read.parquet(s"$d/orders.parquet")
     val customer = s.read.parquet(s"$d/customer.parquet")
     writeBucketed(orders, s"b_orders_$tag", "o_custkey", buckets,

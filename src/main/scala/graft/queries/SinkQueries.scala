@@ -12,7 +12,9 @@ import graft.queries.PipelineQueries._
   * Spark-SQL OLAP surface (S8 collapse), and the multimodal plumbing. */
 object SinkQueries {
 
-  private def tmp(name: String, dir: String) =
+  // package-private: IoSpec asserts on the file layouts these queries
+  // write, so the path scheme must have exactly one definition
+  private[graft] def tmp(name: String, dir: String) =
     s"/tmp/graft_sink_${dir.hashCode.toHexString}/$name"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -181,10 +181,14 @@ object StreamPipeline {
     * `v<batchId>` — a re-delivered batch after a crash overwrites its
     * own version deterministically, so replays cannot double-apply.
     * Crash-safety: parquet directory writes are not atomic, so a version
-    * counts as committed only once its `_SUCCESS` marker exists; a batch
-    * replayed after a mid-write crash merges from the last FULLY
-    * committed snapshot (skipping the torn `v<batchId>` dir it is about
-    * to overwrite) instead of silently folding a partial state in.
+    * counts as committed only once its `_SUCCESS` marker exists — a
+    * replay after a mid-write crash never folds a torn snapshot in. The
+    * merge base is additionally the highest version STRICTLY BELOW the
+    * current batchId: if the crash landed between the parquet commit and
+    * the checkpoint commit, the replayed batch would otherwise read its
+    * own completed `v<batchId>` while overwriting the same path (an
+    * AnalysisException loop); merging batch N into v(N-1) instead is
+    * idempotent-identical to the lost write.
     *
     * Scale note: rewriting the full snapshot per batch is the
     * plain-parquet cost of this demo; a production deployment points the
@@ -203,11 +207,16 @@ object StreamPipeline {
     import graft.etl.Cdc
     val root = Paths.get(targetRoot)
     Files.createDirectories(root)
-    def latestVersion(): Option[java.nio.file.Path] = {
+    // Committed = Spark finished the write and dropped its _SUCCESS
+    // marker (a torn dir from a crash mid-write never qualifies), and —
+    // when merging for batch `below` — strictly older than the batch
+    // being (re)applied, so a replay never reads the path it overwrites.
+    def latestVersion(below: Long = Long.MaxValue)
+        : Option[java.nio.file.Path] = {
       val s = Files.list(root)
       try s.filter(p => p.getFileName.toString.startsWith("v"))
-        // committed = Spark finished the write and dropped its marker;
-        // a torn directory from a crash mid-write never qualifies
+        .filter(p => p.getFileName.toString.drop(1).toLongOption
+          .exists(_ < below))
         .filter(p => Files.exists(p.resolve("_SUCCESS")))
         .sorted().toArray.lastOption.map(_.asInstanceOf[java.nio.file.Path])
       finally s.close()
@@ -222,7 +231,7 @@ object StreamPipeline {
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
             org.apache.spark.sql.Row], batchId: Long) =>
           val b = batch.toDF()
-          val merged = latestVersion() match {
+          val merged = latestVersion(below = batchId) match {
             case Some(cur) => Cdc.upsertLatest(
               batch.sparkSession.read.parquet(cur.toString), b,
               keyCols, payloadCols, ordCols)

@@ -16,9 +16,8 @@ class IoSpec extends AnyFunSuite {
     assert(agg.length === 1 && agg(0).getLong(0) > 0)
     def files(p: String): Int =
       spark.read.parquet(p).inputFiles.length
-    val tag = dir.hashCode.toHexString
-    val src = s"/tmp/graft_sink_$tag/events_small_files"
-    val dst = s"/tmp/graft_sink_$tag/events_compacted"
+    val src = graft.queries.SinkQueries.tmp("events_small_files", dir)
+    val dst = graft.queries.SinkQueries.tmp("events_compacted", dir)
     val (nSrc, nDst) = (files(src), files(dst))
     assert(nSrc >= 64, s"small-file layout expected >=64 files, got $nSrc")
     // 2 partitions, maxRecordsPerFile 40k, sf0.001 has ~10k events:

@@ -31,7 +31,8 @@ class PiiPackingSpec extends AnyFunSuite {
       !out(2L).getString(4).contains("555"))
     assert(out(3L).getInt(3) === 2 &&
       out(3L).getString(4) === "server <IP> and backup <IP>")
-    assert(out(4L) === out(4L) && !out(4L).getBoolean(5) &&
+    assert(out(4L).getInt(1) === 0 && out(4L).getInt(2) === 0 &&
+      out(4L).getInt(3) === 0 && !out(4L).getBoolean(5) &&
       out(4L).getString(4) === "no pii here at all")
     assert(out(5L).getInt(1) === 1 && out(5L).getInt(2) === 1 &&
       out(5L).getInt(3) === 1 && out(5L).getBoolean(5))
