@@ -248,6 +248,25 @@ object ExtendedQueries {
           (col("ts") >= cutoff).as("was_updated"))
         .orderBy("user_id")
     }),
+    // exact top-3 events per user via the typed TopK Aggregator —
+    // bounded per-group state with map-side partials (only |groups|·k
+    // rows shuffle), vs a window that sorts every row of every group
+    "x22_topk_per_group" -> ((s, d) => {
+      import s.implicits._
+      import graft.agg.{TopItem, TopK}
+      val items = table(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("value"), col("event_id"))
+        .as[(Long, Double, Long)]
+      items.groupByKey(_._1)
+        .mapValues { case (_, v, id) => TopItem(v, id) }
+        .agg(new TopK(3).toColumn.name("top"))
+        .toDF("user_id", "top")
+        .select(col("user_id"), posexplode(col("top")))
+        .select(col("user_id"), (col("pos") + 1).cast("int").as("rnk"),
+          col("col.value").as("value"), col("col.id").as("event_id"))
+        .orderBy("user_id", "rnk")
+    }),
     // snapshot diff → changelog: the INVERSE of the x15 CDC apply —
     // derive insert/update/delete/unchanged rows from two immutable
     // per-key snapshots (how a plain-parquet lake emits a CDC feed).
@@ -456,6 +475,14 @@ object ExtendedQueries {
         |  last_ts >= TIMESTAMP '2024-01-21 00:00:00' AS was_updated
         |FROM latest WHERE rn = 1
         |ORDER BY user_id""".stripMargin.replace('\n', ' '),
+    "x22_topk_per_group" ->
+      """SELECT user_id, rnk, value, event_id FROM (
+        |  SELECT user_id, value, event_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS INT) AS rnk
+        |  FROM events WHERE value IS NOT NULL)
+        |WHERE rnk <= 3 ORDER BY user_id, rnk"""
+        .stripMargin.replace('\n', ' '),
     "x21_snapshot_diff" ->
       """WITH ev AS (SELECT user_id, event_type, value,
         |    CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
