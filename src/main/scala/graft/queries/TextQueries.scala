@@ -128,6 +128,11 @@ object TextQueries {
           .as("changed"))
         .orderBy("doc_id")
     }),
+    // unigram LM quality proxy: mean token log-prob under the corpus's
+    // own unigram distribution (the offline perplexity-filter stand-in)
+    "t16_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(table(s, d, "documents"))
+        .orderBy("doc_id")),
     // corpus health report: the per-row gates (quality, repetition,
     // language agreement) rolled up per (source, lang) — one pass over
     // the corpus, one metadata-sized aggregate; the monitoring query a
@@ -239,6 +244,8 @@ object TextQueries {
         |SELECT doc_id, nfc_normalize(t) AS text_nfc,
         |  nfc_normalize(t) != t AS changed
         |FROM dirty ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+    "t16_unigram_logprob" ->
+      (TextAnalysis.unigramLogProbSql() + " ORDER BY doc_id"),
     // quality/langid and repetition fragments both emit n_tokens →
     // separate CTEs joined on doc_id, qualified references
     "t11_corpus_stats" ->

@@ -420,6 +420,61 @@ object TextAnalysis {
        |WHERE rnk <= $k""".stripMargin.replace('\n', ' ')
   }
 
+  // ------------------------------------------- unigram LM quality proxy
+
+  /** Unigram log-probability scoring — the offline stand-in for LM
+    * perplexity filtering (CCNet-style): score each document by the
+    * mean log-probability of its tokens under the corpus's own unigram
+    * distribution. Gibberish / rare-token-stuffed docs score low.
+    *
+    * Distribution: term frequencies are one hash aggregate over the
+    * exploded token stream; the per-term log-prob joins back keyed by
+    * term with NO broadcast hint (vocabulary grows with the corpus —
+    * AQE broadcasts it only when actually small, the t5 lesson); the
+    * corpus size joins as a broadcast 1-row aggregate.
+    *
+    * Determinism: each token's log-prob is rounded to 6 decimals and
+    * summed in DECIMAL — float addition reorders across partitions, so
+    * the only IEEE ops are the per-token `ln` (bit-stable across both
+    * engines on these inputs — the t5 evidence) and the final
+    * sum/count division of identical operands. */
+  def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(tokens(normalized(col(textCol)))).as("term"))
+    val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n_corpus"))
+    val termLp = freq.crossJoin(broadcast(total))
+      .select(col("term"),
+        round(log(col("cnt").cast("double") / col("n_corpus")), 6)
+          .cast("decimal(12,6)").as("term_lp"))
+    toks.join(termLp, "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("term_lp")).as("sum_lp_d"))
+      .select(col(idCol), col("n_tokens"),
+        col("sum_lp_d").cast("double").as("sum_logprob"),
+        (col("sum_lp_d").cast("double") / col("n_tokens"))
+          .as("mean_logprob"))
+  }
+
+  /** DuckDB twin of [[unigramLogProb]] over `documents`. */
+  def unigramLogProbSql(): String = {
+    val toks = tokensSql(normalizedSql("text"))
+    s"""WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       |freq AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+       |total AS (SELECT count(*) AS n_corpus FROM toks),
+       |term_lp AS (SELECT term,
+       |    CAST(round(ln(CAST(cnt AS DOUBLE) / n_corpus), 6)
+       |      AS DECIMAL(12,6)) AS term_lp
+       |  FROM freq CROSS JOIN total)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(term_lp) AS DOUBLE) AS sum_logprob,
+       |  CAST(sum(term_lp) AS DOUBLE) / count(*) AS mean_logprob
+       |FROM toks JOIN term_lp USING (term)
+       |GROUP BY 1""".stripMargin.replace('\n', ' ')
+  }
+
   // ------------------------------------------------------------ PII scrub
 
   /** PII patterns — the common subset of Java regex (Spark) and RE2
