@@ -248,6 +248,59 @@ object ExtendedQueries {
           (col("ts") >= cutoff).as("was_updated"))
         .orderBy("user_id")
     }),
+    // first-touch funnel (view → click → purchase): one hash aggregate
+    // computes each user's first event time per stage, the stage logic
+    // is row-local, and conversion ratios are exact integer basis
+    // points (a 4-dp float pct can land on a rounding tie). ONE pass
+    // over events at any scale
+    "x23_funnel" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def firstTs(t: String) = min(when(col("event_type") === t, col("ts")))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(firstTs("view").as("t_view"), firstTs("click").as("t_click"),
+          firstTs("purchase").as("t_purchase"))
+        .select(col("user_id"),
+          col("t_view").isNotNull.as("s1"),
+          (col("t_view").isNotNull && col("t_click") > col("t_view"))
+            .as("s2"),
+          (col("t_view").isNotNull && col("t_click") > col("t_view") &&
+            col("t_purchase") > col("t_click")).as("s3"))
+      perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n_click_after_view"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n_purchase_after_click"))
+        .select(col("n_users"), col("n_view"), col("n_click_after_view"),
+          col("n_purchase_after_click"),
+          expr("(n_view * 10000) div n_users").as("view_bps"),
+          expr("(n_click_after_view * 10000) div n_users").as("click_bps"),
+          expr("(n_purchase_after_click * 10000) div n_users")
+            .as("purchase_bps"))
+    }),
+    // weekly cohort retention: cohort = signup week, activity = any
+    // event's week; one distinct + one join keyed by user + one
+    // metadata-sized aggregate — the standard growth-analytics matrix
+    "x24_cohort_retention" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).cast("date")
+          .as("cohort_week"))
+      val activity = ev
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("act_week"))
+        .distinct()
+      signup.join(activity, "user_id")
+        .filter(col("act_week") >= col("cohort_week"))
+        .select(col("user_id"), col("cohort_week"),
+          expr("datediff(act_week, cohort_week) div 7").cast("int")
+            .as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
     // exact top-3 events per user via the typed TopK Aggregator —
     // bounded per-group state with map-side partials (only |groups|·k
     // rows shuffle), vs a window that sorts every row of every group
@@ -475,6 +528,53 @@ object ExtendedQueries {
         |  last_ts >= TIMESTAMP '2024-01-21 00:00:00' AS was_updated
         |FROM latest WHERE rn = 1
         |ORDER BY user_id""".stripMargin.replace('\n', ' '),
+    "x23_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP)
+        |      END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP)
+        |      END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+        |  FROM events GROUP BY 1),
+        |stages AS (
+        |  SELECT user_id,
+        |    t_view IS NOT NULL AS s1,
+        |    (t_view IS NOT NULL AND t_click > t_view) AS s2,
+        |    (t_view IS NOT NULL AND t_click > t_view
+        |      AND t_purchase > t_click) AS s3
+        |  FROM per_user),
+        |agg AS (
+        |  SELECT count(*) AS n_users,
+        |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |    CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_click_after_view,
+        |    CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_purchase_after_click
+        |  FROM stages)
+        |SELECT n_users, n_view, n_click_after_view,
+        |  n_purchase_after_click,
+        |  (n_view * 10000) // n_users AS view_bps,
+        |  (n_click_after_view * 10000) // n_users AS click_bps,
+        |  (n_purchase_after_click * 10000) // n_users AS purchase_bps
+        |FROM agg""".stripMargin.replace('\n', ' '),
+    "x24_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |su AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS act_week FROM ev)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, act_week) // 7 AS INT)
+        |    AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM su JOIN act USING (user_id)
+        |WHERE act_week >= cohort_week
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
+        .stripMargin.replace('\n', ' '),
     "x22_topk_per_group" ->
       """SELECT user_id, rnk, value, event_id FROM (
         |  SELECT user_id, value, event_id,
