@@ -26,8 +26,17 @@ class TopK(k: Int)
     extends Aggregator[TopItem, List[TopItem], List[TopItem]] {
   require(k > 0, s"k must be positive: $k")
 
-  private def better(a: TopItem, b: TopItem): Boolean =
-    a.value > b.value || (a.value == b.value && a.id < b.id)
+  // Total order even for NaN (sorts largest, like Spark/DuckDB ORDER BY
+  // DESC) and for -0.0 == 0.0 (the == fast path keeps SQL equality);
+  // a non-total `>` made the kept set depend on arrival order when a
+  // NaN raced a full buffer.
+  private def cmpValue(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  private def better(a: TopItem, b: TopItem): Boolean = {
+    val c = cmpValue(a.value, b.value)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   private def insert(buf: List[TopItem], x: TopItem): List[TopItem] = {
     // skip the common no-op: full buffer and x worse than the floor

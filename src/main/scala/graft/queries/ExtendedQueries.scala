@@ -273,9 +273,10 @@ object ExtendedQueries {
         sum(when(col("s3"), 1L).otherwise(0L)).as("n_purchase_after_click"))
         .select(col("n_users"), col("n_view"), col("n_click_after_view"),
           col("n_purchase_after_click"),
-          expr("(n_view * 10000) div n_users").as("view_bps"),
-          expr("(n_click_after_view * 10000) div n_users").as("click_bps"),
-          expr("(n_purchase_after_click * 10000) div n_users")
+          expr("(n_view * 10000) div nullif(n_users, 0)").as("view_bps"),
+          expr("(n_click_after_view * 10000) div nullif(n_users, 0)")
+            .as("click_bps"),
+          expr("(n_purchase_after_click * 10000) div nullif(n_users, 0)")
             .as("purchase_bps"))
     }),
     // weekly cohort retention: cohort = signup week, activity = any
@@ -555,9 +556,9 @@ object ExtendedQueries {
         |  FROM stages)
         |SELECT n_users, n_view, n_click_after_view,
         |  n_purchase_after_click,
-        |  (n_view * 10000) // n_users AS view_bps,
-        |  (n_click_after_view * 10000) // n_users AS click_bps,
-        |  (n_purchase_after_click * 10000) // n_users AS purchase_bps
+        |  (n_view * 10000) // nullif(n_users, 0) AS view_bps,
+        |  (n_click_after_view * 10000) // nullif(n_users, 0) AS click_bps,
+        |  (n_purchase_after_click * 10000) // nullif(n_users, 0) AS purchase_bps
         |FROM agg""".stripMargin.replace('\n', ' '),
     "x24_cohort_retention" ->
       """WITH ev AS (SELECT user_id, event_type,

@@ -240,7 +240,9 @@ object RelationalQueries {
     table(s, d, "lineitem")
       .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(custSide), col("o_custkey") === col("c_custkey"))
+      // no hint: custSide is a region-filtered CUSTOMER projection —
+      // fact-proportional, so AQE must decide whether it broadcasts
+      .join(custSide, col("o_custkey") === col("c_custkey"))
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(

@@ -82,25 +82,31 @@ class PlanShapeSpec extends AnyFunSuite {
     "partition filters (pruned at planning, not scanned)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions.col
-    val path = s"/tmp/graft_sink_plan_prune_${dir.hashCode.toHexString}"
-    graft.io.Sinks.writePartitioned(
-      graft.queries.PipelineQueries.bronze(spark, dir).drop("props"), path)
-    val df = spark.read.parquet(path)
-      .filter(col("year") === 2024 && col("month") === 1 &&
-        col("day") === 15)
-      .select(col("event_id"))
-    val scans = df.queryExecution.executedPlan.collect {
-      case f: FileSourceScanExec => f
+    // per-run token so an overlapping bench/test pass can't race on the
+    // same directory; removed after the assertion
+    val path = s"/tmp/graft_sink_plan_prune_${java.util.UUID.randomUUID}"
+    try {
+      graft.io.Sinks.writePartitioned(
+        graft.queries.PipelineQueries.bronze(spark, dir).drop("props"), path)
+      val df = spark.read.parquet(path)
+        .filter(col("year") === 2024 && col("month") === 1 &&
+          col("day") === 15)
+        .select(col("event_id"))
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      // all three predicates live in partitionFilters — the scan never
+      // opens files outside (2024, 1, 15)
+      val pf = scans.head.partitionFilters.map(_.toString).mkString(" ")
+      assert(pf.contains("year") && pf.contains("month") &&
+        pf.contains("day"), s"partition filters missing: $pf")
+      // nothing left over as a per-row data filter
+      assert(scans.head.dataFilters.isEmpty,
+        s"expected pure partition pruning, got ${scans.head.dataFilters}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     }
-    assert(scans.nonEmpty)
-    // all three predicates live in partitionFilters — the scan never
-    // opens files outside (2024, 1, 15)
-    val pf = scans.head.partitionFilters.map(_.toString).mkString(" ")
-    assert(pf.contains("year") && pf.contains("month") &&
-      pf.contains("day"), s"partition filters missing: $pf")
-    // nothing left over as a per-row data filter
-    assert(scans.head.dataFilters.isEmpty,
-      s"expected pure partition pruning, got ${scans.head.dataFilters}")
   }
 
   test("a1 gold roll-up: one group-by shuffle + presentation sort only") {

@@ -27,6 +27,25 @@ class TopKSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN has a total, order-independent position (sorts largest, " +
+    "like ORDER BY value DESC)") {
+    val agg = new TopK(2)
+    val items = Seq(
+      TopItem(Double.NaN, 7), TopItem(3.0, 1),
+      TopItem(5.0, 2), TopItem(Double.NaN, 4))
+    // NaN first (largest under DESC), ties on id: keep NaN#4, NaN#7
+    val expected = List(TopItem(Double.NaN, 4), TopItem(Double.NaN, 7))
+    items.permutations.foreach { perm =>
+      val (l, r) = perm.splitAt(perm.length / 2)
+      val out = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce)))
+      // compare ids (NaN != NaN under ===)
+      assert(out.map(_.id) === expected.map(_.id), s"perm $perm")
+      assert(out.forall(_.value.isNaN))
+    }
+  }
+
   test("groups smaller than k keep everything, in order") {
     val agg = new TopK(5)
     val out = agg.finish(Seq(TopItem(1.0, 1), TopItem(2.0, 2))
