@@ -340,6 +340,132 @@ object RelationalQueries {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q9-shaped product profit (adapted: the testdata has no
+    * partsupp, so line cost is `p_retailprice · l_quantity` instead of
+    * `ps_supplycost · l_quantity`): profit per (supplier nation, order
+    * year) over parts whose name contains "red". Filtered part and the
+    * supplier→nation map broadcast; only lineitem↔orders shuffles.
+    * Profit is an exact decimal difference (≤4dp revenue, ≤1dp cost),
+    * summed in DECIMAL so partial-agg order can't perturb it. */
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
+    val redParts = table(s, d, "part")
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val suppNation = table(s, d, "supplier")
+      .join(broadcast(table(s, d, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val profit =
+      (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)") -
+      (col("p_retailprice") * col("l_quantity")).cast("decimal(18,4)")
+    table(s, d, "lineitem")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(profit).cast("double").as("sum_profit"))
+      .orderBy(col("n_name"), desc("o_year"))
+  }
+
+  /** TPC-H Q12-shaped (adapted: no l_shipmode/commit/receipt dates —
+    * the "late" predicate is ship-lag > 60 days and the grouping key is
+    * l_returnflag): two-level conditional count of high- vs low-priority
+    * orders among 1997-shipped late lines. The date bracket and the
+    * returnflag projection push to the lineitem scan; one shuffle join
+    * with orders (the lag predicate is a residual on the join), one
+    * metadata-sized aggregate. */
+  def q12LatePriority(s: SparkSession, d: String): DataFrame = {
+    val li = table(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+    val highPri = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(table(s, d, "orders"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") +
+            expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(highPri, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(highPri, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q15-shaped: the top-revenue supplier(s) of 1996Q1. The
+    * per-supplier revenue aggregate is supplier-cardinality (dimension
+    * -bounded), its global max is a broadcast single row, and the
+    * winner filter is an exact DECIMAL equality — the double cast
+    * happens after selection, so cross-engine float drift can't flip
+    * the argmax. Ties all surface (standard Q15 semantics). */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val revenue = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,4)")
+    val perSupp = table(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenue).as("total_rev"))
+    val maxRev = perSupp.agg(max(col("total_rev")).as("max_rev"))
+    perSupp
+      .crossJoin(broadcast(maxRev))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(table(s, d, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q16-shaped supplier-variety count (adapted: the part↔supplier
+    * link is lineitem, not partsupp, and "complaint" suppliers are the
+    * negative-balance ones): distinct suppliers per (brand, type, size)
+    * for a size whitelist, excluding Brand#1 / PROMO parts and bad
+    * suppliers. Part prefilter + the (tiny) exclusion list broadcast; the
+    * count-distinct dedups on (brand,type,size,suppkey) first, so the
+    * final aggregate only sees already-distinct pairs. */
+  def q16SupplierVariety(s: SparkSession, d: String): DataFrame = {
+    val parts = table(s, d, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 11, 17, 23, 29, 35, 41, 47))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size"))
+    val badSuppliers = table(s, d, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    table(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSuppliers),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue (adapted: p_container →
+    * p_type = SMALL): average yearly revenue that would vanish if
+    * sub-20%-of-average-quantity orders of Brand#3 SMALL parts stopped.
+    * The per-part average joins back broadcast (bounded by the filtered
+    * part count, a dimension); the 0.2·avg threshold is the same IEEE
+    * double expression in both engines, and the headline sum aggregates
+    * in DECIMAL before one final double division. */
+  def q17SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val target = table(s, d, "part")
+      .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
+      .select(col("p_partkey"))
+    val li = table(s, d, "lineitem")
+      .join(broadcast(target), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(broadcast(avgQty), col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        (sum(dec2(col("l_extendedprice"))).cast("double") /
+          lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Left outer join + conditional agg: per-segment order coverage. */
   def leftJoinCoverage(s: SparkSession, d: String): DataFrame =
     table(s, d, "customer")
@@ -367,12 +493,84 @@ object RelationalQueries {
     "q18_large_orders" -> q18LargeOrders,
     "q19_bracket_revenue" -> q19BracketRevenue,
     "q22_idle_rich_customers" -> q22IdleRichCustomers,
+    "q9_product_profit" -> q9ProductProfit,
+    "q12_late_priority" -> q12LatePriority,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q16_supplier_variety" -> q16SupplierVariety,
+    "q17_small_qty_revenue" -> q17SmallQtyRevenue,
     "j1_semi_returned_orders" -> semiReturnedOrders,
     "j2_anti_customers_no_orders" -> antiCustomersNoOrders,
     "j3_left_join_coverage" -> leftJoinCoverage
   )
 
   val oracle: Map[String, String] = Map(
+    "q9_product_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4)) -
+        |    CAST(p_retailprice * l_quantity AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY n_name, o_year DESC""".stripMargin.replace('\n', ' '),
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin.replace('\n', ' '),
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE)
+        |  AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin.replace('\n', ' '),
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 11, 17, 23, 29, 35, 41, 47)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+        .stripMargin.replace('\n', ' '),
+    "q17_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'),
+        |avgq AS (
+        |  SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
+        |  FROM li GROUP BY 1)
+        |SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST('7' AS DOUBLE) AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM li JOIN avgq ON l_partkey = a_partkey
+        |WHERE l_quantity < CAST('0.2' AS DOUBLE) * avg_qty"""
+        .stripMargin.replace('\n', ' '),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
