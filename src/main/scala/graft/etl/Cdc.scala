@@ -47,4 +47,25 @@ object Cdc {
       payloadCols: Seq[String], ordCols: Seq[String]): DataFrame =
     upsertLatest(changelog.limit(0), changelog, keyCols, payloadCols,
       ordCols)
+
+  /** MERGE with DELETE semantics: changelog rows matching `isDelete` are
+    * tombstones — a key whose LATEST op is a tombstone leaves the
+    * snapshot; a later upsert re-inserts it. Snapshot rows are never
+    * tombstones (a snapshot stores live state only).
+    *
+    * Still ONE max_by hash aggregate: the tombstone flag rides inside
+    * the payload struct through the same latest-op collapse, and the
+    * delete applies as a post-aggregate filter on |keys| rows — no
+    * second pass over the changelog, no join. */
+  def mergeWithTombstones(snapshot: DataFrame, changelog: DataFrame,
+      keyCols: Seq[String], payloadCols: Seq[String],
+      ordCols: Seq[String], isDelete: Column): DataFrame = {
+    val flag = "_graft_is_delete"
+    upsertLatest(
+      snapshot.withColumn(flag, lit(false)),
+      changelog.withColumn(flag, isDelete),
+      keyCols, payloadCols :+ flag, ordCols)
+      .filter(!col(flag))
+      .drop(flag)
+  }
 }

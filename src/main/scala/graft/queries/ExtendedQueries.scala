@@ -248,6 +248,52 @@ object ExtendedQueries {
           (col("ts") >= cutoff).as("was_updated"))
         .orderBy("user_id")
     }),
+    // MERGE with DELETE semantics: 'error' events are tombstones — the
+    // snapshot is the live pre-cutoff state, the changelog both upserts
+    // and deletes; a key whose latest op is a tombstone disappears, a
+    // later upsert re-inserts it. Same single max_by collapse as x15,
+    // the tombstone applies as a |keys|-sized post-filter
+    "x27_merge_tombstones" -> ((s, d) => {
+      import graft.etl.Cdc
+      val ev = table(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
+      val cols = (Seq("user_id"), Seq("event_type", "value"),
+        Seq("ts", "event_id"))
+      val isDelete = col("event_type") === "error"
+      // live pre-cutoff state: tombstoned keys already removed
+      val snapshot = Cdc.mergeWithTombstones(
+        ev.limit(0), ev.filter(col("ts") < cutoff),
+        cols._1, cols._2, cols._3, isDelete)
+      Cdc.mergeWithTombstones(snapshot, ev.filter(col("ts") >= cutoff),
+        cols._1, cols._2, cols._3, isDelete)
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"), col("ts").as("last_ts"),
+          col("event_id").as("last_event_id"))
+        .orderBy("user_id")
+    }),
+    // per-user event-sequence bigrams (Markov transition counts — the
+    // sequence-model / user-journey prep): one window lag ordered by
+    // (ts, event_id) inside each user partition, then a metadata-sized
+    // aggregate; transition probabilities are integer basis points over
+    // the aggregated (|types|² row) table, never over the data
+    "x26_event_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val counts = table(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+      counts
+        .withColumn("prob_bps",
+          expr("(n_transitions * 10000) div " +
+            "nullif(sum(n_transitions) over " +
+            "(partition by prev_type), 0)"))
+        .orderBy("prev_type", "next_type")
+    }),
     // first-touch funnel (view → click → purchase): one hash aggregate
     // computes each user's first event time per stage, the stage logic
     // is row-local, and conversion ratios are exact integer basis
@@ -529,6 +575,38 @@ object ExtendedQueries {
         |  last_ts >= TIMESTAMP '2024-01-21 00:00:00' AS was_updated
         |FROM latest WHERE rn = 1
         |ORDER BY user_id""".stripMargin.replace('\n', ' '),
+    // tombstone merge ≡ latest op per key, keys whose latest op is a
+    // tombstone removed (compaction of pre-cutoff deletes commutes with
+    // the global latest-op rule — a tombstoned key either stays gone or
+    // is re-inserted by a later op, in both derivations)
+    "x27_merge_tombstones" ->
+      """WITH ev AS (SELECT user_id, event_type, value,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |latest AS (
+        |  SELECT user_id, event_type AS last_type, value AS last_value,
+        |    ts AS last_ts, event_id AS last_event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, last_type, last_value, last_ts, last_event_id
+        |FROM latest WHERE rn = 1 AND last_type <> 'error'
+        |ORDER BY user_id""".stripMargin.replace('\n', ' '),
+    "x26_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |counts AS (
+        |  SELECT prev_type, event_type AS next_type,
+        |    count(*) AS n_transitions
+        |  FROM seq WHERE prev_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_transitions,
+        |  CAST((n_transitions * 10000) // nullif(sum(n_transitions)
+        |    OVER (PARTITION BY prev_type), 0) AS BIGINT) AS prob_bps
+        |FROM counts ORDER BY prev_type, next_type"""
+        .stripMargin.replace('\n', ' '),
     "x23_funnel" ->
       """WITH per_user AS (
         |  SELECT user_id,

@@ -49,6 +49,32 @@ class CdcSpec extends AnyFunSuite {
     assert(out(0).getAs[String]("state") === "b") // highest event_id
   }
 
+  test("mergeWithTombstones: latest tombstone deletes, later upsert " +
+    "re-inserts, snapshot-only keys survive") {
+    import org.apache.spark.sql.functions.col
+    val snapshot = Seq(
+      (1L, "live", 1.0, ts("2024-01-01 00:00:00"), 1L),
+      (2L, "live", 2.0, ts("2024-01-01 00:00:00"), 2L),
+      (3L, "live", 3.0, ts("2024-01-01 00:00:00"), 3L)
+    ).toDF("user_id", "state", "value", "ts", "event_id")
+    val changes = Seq(
+      // key 1: deleted, then re-inserted later → survives with new state
+      (1L, "DEL", 0.0, ts("2024-01-02 00:00:00"), 10L),
+      (1L, "back", 1.5, ts("2024-01-03 00:00:00"), 11L),
+      // key 2: latest op is the tombstone → gone
+      (2L, "upd", 2.5, ts("2024-01-02 00:00:00"), 12L),
+      (2L, "DEL", 0.0, ts("2024-01-04 00:00:00"), 13L),
+      // key 4: insert of an unseen key
+      (4L, "ins", 4.0, ts("2024-01-02 00:00:00"), 14L)
+    ).toDF("user_id", "state", "value", "ts", "event_id")
+    val out = Cdc.mergeWithTombstones(snapshot, changes, key, payload,
+      ord, col("state") === "DEL")
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq(
+      (1L, "back"), (3L, "live"), (4L, "ins")))
+  }
+
   test("compactLatest: changelog collapses to one row per key") {
     val changelog = Seq(
       (1L, "v1", 1.0, ts("2024-01-01 00:00:00"), 1L),
