@@ -143,6 +143,30 @@ object StreamingQueries {
           round(col("purchase_value"), 4).as("purchase_value"))
         .orderBy("user_id", "click_id", "purchase_id")
     }),
+    // stream-stream LEFT OUTER join: like x14 but UNconverted clicks
+    // survive — a click with no purchase in its hour emits once, with
+    // nulls, when the watermark proves no future purchase can match
+    // (state expiry is the only way streaming gets outer semantics)
+    "x25_stream_left_join" -> ((s, d) => {
+      val ev = fullEventsStream(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+          col("value").as("purchase_value"))
+      val joined = StreamPipeline.streamStreamLeftJoin(
+        clicks, purchases, "click_ts", "purchase_ts", delay = "1 hour",
+        condition = col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      StreamPipeline.replayToMemory(s, joined, "x25_stream_left_join")
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("click_ts"), col("purchase_ts"),
+          round(col("purchase_value"), 4).as("purchase_value"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
     // complete-mode streaming aggregate: the memory sink holds the FULL
     // current result each micro-batch (no watermark, no eviction) — after
     // a bounded replay it must equal the batch aggregate exactly. The
@@ -279,6 +303,44 @@ object StreamingQueries {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |ORDER BY c.user_id, click_id, purchase_id"""
+        .stripMargin.replace('\n', ' '),
+    // matched pairs ≡ the batch interval join (emitted eagerly); the
+    // null row for a match-less click emits iff its match window's
+    // upper bound (click_ts + 1 h) fell strictly below the final JOIN
+    // watermark — the MIN of the two sides' watermarks, each computed
+    // on its own filtered stream (ms-floored max side event time − 1 h).
+    // Empirically pinned at sf0.01: the purchase side's earlier max is
+    // what gates left-state eviction.
+    "x25_stream_left_join" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  user_id, event_type, value FROM events),
+        |clicks AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM ev WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id AS p_user, event_id AS purchase_id,
+        |  ts AS purchase_ts, value FROM ev WHERE event_type = 'purchase'),
+        |matched AS (
+        |  SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts,
+        |    p.purchase_ts, round(p.value, 4) AS purchase_value
+        |  FROM clicks c JOIN purchases p ON c.user_id = p.p_user
+        |    AND p.purchase_ts >= c.click_ts
+        |    AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR),
+        |wm AS (SELECT make_timestamp((epoch_us(least(
+        |    (SELECT max(click_ts) FROM clicks),
+        |    (SELECT max(purchase_ts) FROM purchases)))
+        |  // 1000 - 3600000) * 1000) AS wm_ts),
+        |unmatched AS (
+        |  SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT)
+        |      AS purchase_id,
+        |    c.click_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts,
+        |    CAST(NULL AS DOUBLE) AS purchase_value
+        |  FROM clicks c, wm
+        |  WHERE c.click_ts + INTERVAL 1 HOUR < wm_ts
+        |    AND NOT EXISTS (SELECT 1 FROM purchases p
+        |      WHERE p.p_user = c.user_id
+        |        AND p.purchase_ts >= c.click_ts
+        |        AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR))
+        |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+        |ORDER BY user_id, click_id, purchase_id"""
         .stripMargin.replace('\n', ' '),
     // complete mode over bounded input ≡ the plain batch aggregate
     "x19_stream_complete" ->

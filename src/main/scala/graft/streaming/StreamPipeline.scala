@@ -102,6 +102,20 @@ object StreamPipeline {
     left.withWatermark(leftTime, delay)
       .join(right.withWatermark(rightTime, delay), condition)
 
+  /** Stream-stream LEFT OUTER join: same watermark + interval-bounded
+    * state as [[streamStreamJoin]], but a left row with no match emits
+    * once — with nulls on the right — when the watermark proves no
+    * future right row can join it (its interval upper bound falls below
+    * the join watermark). Matches still emit eagerly like the inner
+    * join. This is the attribution shape that keeps UNconverted events
+    * (click with no purchase) in the output, which a batch left join
+    * gives for free but streaming only achieves via state expiry. */
+  def streamStreamLeftJoin(left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String, delay: String,
+      condition: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark(leftTime, delay)
+      .join(right.withWatermark(rightTime, delay), condition, "left_outer")
+
   /** S5: parquet streaming sink with checkpoint + partitioning + trigger
     * (stream_processor.py:105-112). */
   def parquetSink(df: DataFrame, path: String, checkpoint: String,
