@@ -109,6 +109,33 @@ object SinkQueries {
         sum(col("value").cast("decimal(18,2)")).cast("double")
           .as("sum_value"))
     }),
+    // Z-order layout rewrite: events re-clustered on the Morton curve
+    // of (user bucket, time bucket) so per-file min/max stats prune on
+    // EITHER dimension — the OPTIMIZE-ZORDER maintenance op. Content
+    // preservation is the oracle; IoSpec asserts the actual clustering
+    // (per-file spans shrink on both dims vs a time-sorted layout)
+    "io5_zorder_layout" -> ((s, d) => {
+      import graft.io.ZOrder
+      val dst = tmp("events_zorder", d)
+      val ev = table(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      val stats = ev.agg(
+        min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
+        min(col("ts")).as("tmin"), max(col("ts")).as("tmax"))
+      val bucketedEv = ev.crossJoin(broadcast(stats))
+        .withColumn("ub", ZOrder.bucketed(col("user_id"), col("umin"),
+          col("umax"), 64))
+        .withColumn("tb", ZOrder.bucketed(col("ts"), col("tmin"),
+          col("tmax"), 64))
+        .drop("umin", "umax", "tmin", "tmax")
+      ZOrder.writeZOrdered(bucketedEv, col("ub"), col("tb"), dst,
+        numFiles = 16, bits = 6)
+      s.read.parquet(dst)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .orderBy("event_id")
+    }),
     // S8 collapse: the ClickHouse SQL surface becomes spark.sql over
     // registered layer views (A4 via raw SQL text)
     "ch1_sql_surface" -> ((s, d) => {
@@ -190,6 +217,9 @@ object SinkQueries {
         |    AS BIGINT) AS n_null_type,
         |  count(DISTINCT user_id) AS n_users
         |FROM merged GROUP BY 1 ORDER BY gen""".stripMargin.replace('\n', ' '),
+    "io5_zorder_layout" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin.replace('\n', ' '),
     "io4_compaction" ->
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT user_id) AS n_users,

@@ -10,6 +10,9 @@ import graft.text.TextAnalysis
   * `documents` table (training-data pipeline operators). */
 object TextQueries {
 
+  /** The shared BM25 demo query (terms from the synthetic vocabulary). */
+  val bm25Query: Seq[String] = Seq("spark", "window", "hash")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_quality_features" -> ((s, d) =>
       TextAnalysis.qualityFeatures(table(s, d, "documents"))
@@ -133,6 +136,11 @@ object TextQueries {
     "t16_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(table(s, d, "documents"))
         .orderBy("doc_id")),
+    // BM25 retrieval: top-10 documents for a 3-term query — corpus
+    // curation / eval-set mining by relevance, not substring match
+    "t17_bm25_topk" -> ((s, d) =>
+      TextAnalysis.bm25TopK(table(s, d, "documents"),
+        TextQueries.bm25Query)),
     // corpus health report: the per-row gates (quality, repetition,
     // language agreement) rolled up per (source, lang) — one pass over
     // the corpus, one metadata-sized aggregate; the monitoring query a
@@ -175,6 +183,7 @@ object TextQueries {
         "AS fingerprint FROM documents ORDER BY doc_id"),
     "t5_tfidf_top3" ->
       (TextAnalysis.tfIdfTopKSql(3) + " ORDER BY doc_id, rnk"),
+    "t17_bm25_topk" -> TextAnalysis.bm25TopKSql(bm25Query, 10),
     "t6_stable_sample" ->
       (s"SELECT doc_id, lang, source, n_chars FROM documents " +
         s"WHERE ${TextAnalysis.stableSampleSql("text", 0.3)} " +

@@ -420,6 +420,83 @@ object TextAnalysis {
        |WHERE rnk <= $k""".stripMargin.replace('\n', ' ')
   }
 
+  // --------------------------------------------------------- BM25 retrieval
+
+  /** BM25 scoring of the corpus against a (small, driver-known) bag of
+    * query terms — the retrieval primitive behind quality-targeted
+    * corpus curation ("find documents about X") and search-style eval
+    * set mining. Lucene-shaped formula: `idf = ln(1 + (N − df + 0.5) /
+    * (df + 0.5))`, `tfNorm = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`
+    * with k1 = 1.2, b = 0.75.
+    *
+    * Scale: the token stream filters to the query terms BEFORE the tf
+    * aggregate (per-doc state only for matching terms); df and the
+    * corpus stats (N, avgdl) are metadata-sized aggregates that join
+    * back broadcast; the per-doc length table joins keyed by id with no
+    * hint (corpus-proportional — AQE decides); top-k is a
+    * TakeOrderedAndProject, never a global sort.
+    *
+    * Determinism: per-term scores are IEEE-identical in both engines
+    * (same literals, same parenthesization, ln bit-stable — the
+    * t5/t16 evidence), rounded to 6 dp and summed in DECIMAL so
+    * cross-partition addition order cannot perturb the total. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 10): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(tokens(normalized(col(textCol)))).as("term"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dlen"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dlen")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("term").isInCollection(queryTerms))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) *
+        (lit(0.25) + (lit(0.75) * col("dlen")) / col("avgdl")))
+    tf.join(broadcast(df), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        round(idf * tfNorm, 6).cast("decimal(14,6)").as("term_score"))
+      .groupBy(col(idCol))
+      .agg(sum(col("term_score")).cast("double").as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(desc("bm25"), col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[bm25TopK]] over the `documents` table. */
+  def bm25TopKSql(queryTerms: Seq[String], k: Int): String = {
+    val toks = tokensSql(normalizedSql("text"))
+    val qList = queryTerms.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs,
+       |  CAST(sum(dlen) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE list_contains($qList, term) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id, CAST(round(
+       |    ln(CAST('1' AS DOUBLE) +
+       |      (n_docs - df + CAST('0.5' AS DOUBLE)) /
+       |      (df + CAST('0.5' AS DOUBLE))) *
+       |    ((tf * CAST('2.2' AS DOUBLE)) /
+       |     (tf + CAST('1.2' AS DOUBLE) *
+       |      (CAST('0.25' AS DOUBLE) +
+       |       (CAST('0.75' AS DOUBLE) * dlen) / avgdl))), 6)
+       |    AS DECIMAL(14,6)) AS term_score
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+       |    CROSS JOIN stats)
+       |SELECT doc_id, CAST(sum(term_score) AS DOUBLE) AS bm25,
+       |  count(*) AS n_terms_hit
+       |FROM scored GROUP BY 1
+       |ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin.replace('\n', ' ')
+  }
+
   // ------------------------------------------- unigram LM quality proxy
 
   /** Unigram log-probability scoring — the offline stand-in for LM

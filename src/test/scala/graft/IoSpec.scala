@@ -26,4 +26,37 @@ class IoSpec extends AnyFunSuite {
     assert(spark.read.parquet(dst).count() ===
       spark.read.parquet(src).count())
   }
+
+  test("io5 z-order: every file covers a small rectangle of (user, " +
+    "time) — both dims cluster, unlike a time-sorted layout") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("io5_zorder_layout")(spark, dir)
+    assert(out.count() === spark.read.parquet(s"$dir/events.parquet")
+      .count())
+    val dst = graft.queries.SinkQueries.tmp("events_zorder", dir)
+    // mean per-file span of each bucketed dim, as a fraction of the
+    // 64-bucket domain; a single-dim-sorted layout leaves the OTHER
+    // dim's span at ~1.0 while z-order shrinks both
+    def spans(p: String): (Double, Double) = {
+      val r = spark.read.parquet(p)
+        .groupBy(input_file_name())
+        .agg((max(col("ub")) - min(col("ub"))).as("us"),
+          (max(col("tb")) - min(col("tb"))).as("ts"))
+        .agg(avg(col("us")), avg(col("ts"))).collect()(0)
+      (r.getDouble(0) / 64.0, r.getDouble(1) / 64.0)
+    }
+    val (uSpan, tSpan) = spans(dst)
+    assert(uSpan < 0.45, s"user-dim span $uSpan not clustered")
+    assert(tSpan < 0.45, s"time-dim span $tSpan not clustered")
+    // control: the same data range-sorted by time alone — time spans
+    // cluster tightly but user spans stay at ~the full domain
+    val ctrl = graft.queries.SinkQueries.tmp("events_tsorted", dir)
+    spark.read.parquet(dst)
+      .repartitionByRange(16, col("tb"), col("ts"))
+      .write.mode("overwrite").parquet(ctrl)
+    val (uCtrl, _) = spans(ctrl)
+    assert(uCtrl > 0.9, s"control layout unexpectedly clustered: $uCtrl")
+    assert(uSpan < uCtrl / 2,
+      s"z-order user span $uSpan not better than time-sorted $uCtrl")
+  }
 }
