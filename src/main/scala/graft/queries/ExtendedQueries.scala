@@ -219,6 +219,18 @@ object ExtendedQueries {
         assumeDistinct = true, symmetric = true)
         .orderBy("node")
     }),
+    // exact triangle count over the co-supplier graph (suppliers that
+    // share an order) via degree-ordered orientation — wedges generated
+    // only at each triangle's minimum-order vertex, O(|E|^1.5) total
+    "g2_triangle_count" -> ((s, d) => {
+      val sl = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val edges = sl.alias("x")
+        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      graft.graph.Triangles.count(edges)
+    }),
     // distributed contiguous id assignment: range-partition + parallel
     // per-partition ranks + broadcast offsets — never a single-partition
     // row_number over the data (graft.etl.Ids)
@@ -575,6 +587,21 @@ object ExtendedQueries {
         |  last_ts >= TIMESTAMP '2024-01-21 00:00:00' AS was_updated
         |FROM latest WHERE rn = 1
         |ORDER BY user_id""".stripMargin.replace('\n', ' '),
+    // triangles (a<b<c) counted once each via three canonical-edge joins
+    "g2_triangle_count" ->
+      """WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        |  FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_suppkey < y.l_suppkey),
+        |nodes AS (SELECT count(DISTINCT n) AS n_nodes FROM
+        |  (SELECT a AS n FROM e UNION ALL SELECT b FROM e)),
+        |edges AS (SELECT count(*) AS n_edges FROM e),
+        |tri AS (SELECT count(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT n_nodes, n_edges, n_triangles
+        |FROM nodes CROSS JOIN edges CROSS JOIN tri"""
+        .stripMargin.replace('\n', ' '),
     // tombstone merge ≡ latest op per key, keys whose latest op is a
     // tombstone removed (compaction of pre-cutoff deletes commutes with
     // the global latest-op rule — a tombstoned key either stays gone or
