@@ -223,7 +223,12 @@ object ExtendedQueries {
     // share an order) via degree-ordered orientation — wedges generated
     // only at each triangle's minimum-order vertex, O(|E|^1.5) total
     "g2_triangle_count" -> ((s, d) => {
+      // high-quantity lines only: the unfiltered co-supplier graph is
+      // near-complete (every supplier pair shares SOME order), which
+      // says nothing and costs |V|³ — the interesting clustering lives
+      // in the sparse co-occurrence graph
       val sl = table(s, d, "lineitem")
+        .filter(col("l_quantity") >= 45)
         .select(col("l_orderkey"), col("l_suppkey")).distinct()
       val edges = sl.alias("x")
         .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
@@ -589,7 +594,8 @@ object ExtendedQueries {
         |ORDER BY user_id""".stripMargin.replace('\n', ' '),
     // triangles (a<b<c) counted once each via three canonical-edge joins
     "g2_triangle_count" ->
-      """WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      """WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem WHERE l_quantity >= 45),
         |e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
         |  FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
         |    AND x.l_suppkey < y.l_suppkey),
