@@ -19,7 +19,9 @@ object Explain {
         "d7_decontaminate", "t10_token_budget", "x15_cdc_upsert",
         "x18_global_ids", "b1_bucketed_join", "q19_bracket_revenue",
         "t12_pii_scrub", "t13_pack_sequences", "t14_chunk_overlap",
-        "x20_window_suite", "t15_unicode_normalize")
+        "x20_window_suite", "t15_unicode_normalize",
+        "q9_product_profit", "t17_bm25_topk", "g2_triangle_count",
+        "x26_event_transitions", "x27_merge_tombstones")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
