@@ -219,6 +219,66 @@ object ExtendedQueries {
         assumeDistinct = true, symmetric = true)
         .orderBy("node")
     }),
+    // time-series gap fill: per-station hourly spine (sequence over the
+    // station's own [min, max] hours — a per-key bounds aggregate plus
+    // a row-local explode, no cross-key data motion) left-joined to the
+    // observed hours, then last-observation-carried-forward via one
+    // keyed window. The resample/LOCF primitive every sensor pipeline
+    // needs; at 100 TB bound the spine (dormant keys explode it) and
+    // partition the write by time
+    "x29_gap_fill" -> ((s, d) => {
+      val g = PipelineQueries.gold(s, d)
+        .select(col("location_id"), col("datetime"), col("aqi"))
+      val bounds = g.groupBy(col("location_id"))
+        .agg(min(col("datetime")).as("mn"), max(col("datetime")).as("mx"))
+      val spine = bounds.select(col("location_id"),
+        explode(expr("sequence(mn, mx, interval 1 hour)")).as("datetime"))
+      val w = Window.partitionBy(col("location_id"))
+        .orderBy(col("datetime"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(g, Seq("location_id", "datetime"), "left")
+        .withColumn("aqi_filled",
+          last(col("aqi"), ignoreNulls = true).over(w))
+        .withColumn("was_gap", col("aqi").isNull)
+        .select(col("location_id"), col("datetime"), col("aqi_filled"),
+          col("was_gap"))
+        .orderBy("location_id", "datetime")
+    }),
+    // Deequ-style declarative quality report: every row-local rule
+    // folds into ONE shared aggregate pass (conditional sums) and
+    // unpivots driver-free; the uniqueness constraint is its own
+    // count-distinct; the report is metadata-sized
+    "dq1_quality_rules" -> ((s, d) => {
+      import graft.quality.Checks
+      val ev = table(s, d, "events")
+      Checks.report(ev,
+        rules = Seq(
+          "value_non_negative" -> (col("value") >= 0),
+          "value_below_cap" -> (col("value") <= 400),
+          "event_type_known" ->
+            col("event_type").isin("view", "click", "purchase", "signup"),
+          "user_id_not_null" -> col("user_id").isNotNull),
+        uniqueKeys = Seq("unique_event_id" -> Seq("event_id")))
+        .orderBy("rule")
+    }),
+    // explicit GROUPING SETS with grouping_id — the third grouping
+    // construct next to rollup (x5) and cube (x12): only the requested
+    // combinations compute, one expand + one aggregate
+    "x28_grouping_sets" -> ((s, d) => {
+      PipelineQueries.silver(s, d)
+        .createOrReplaceTempView("graft_silver_gs")
+      // gid spelled as explicit grouping() arithmetic — the same
+      // expression the DuckDB twin uses (grouping_id() encodings are
+      // engine-specific)
+      s.sql(
+        """SELECT country, parameter,
+          |  CAST(grouping(country) * 2 + grouping(parameter) AS BIGINT)
+          |    AS gid,
+          |  count(*) AS n_records, round(avg(aqi), 4) AS avg_aqi
+          |FROM graft_silver_gs
+          |GROUP BY GROUPING SETS ((country), (parameter), ())
+          |ORDER BY gid, country, parameter""".stripMargin)
+    }),
     // exact triangle count over the co-supplier graph (suppliers that
     // share an order) via degree-ordered orientation — wedges generated
     // only at each triangle's minimum-order vertex, O(|E|^1.5) total
@@ -592,6 +652,60 @@ object ExtendedQueries {
         |  last_ts >= TIMESTAMP '2024-01-21 00:00:00' AS was_updated
         |FROM latest WHERE rn = 1
         |ORDER BY user_id""".stripMargin.replace('\n', ' '),
+    "x29_gap_fill" -> withPipeline(
+      """SELECT location_id, datetime, aqi_filled, was_gap FROM (
+        |  WITH g AS (SELECT location_id,
+        |      date_trunc('hour', datetime) AS datetime, max(aqi) AS aqi
+        |    FROM silver GROUP BY 1, 2),
+        |  b AS (SELECT location_id, min(datetime) AS mn,
+        |      max(datetime) AS mx FROM g GROUP BY 1),
+        |  spine AS (SELECT location_id,
+        |      unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+        |        AS datetime FROM b),
+        |  j AS (SELECT s.location_id, s.datetime, g.aqi
+        |    FROM spine s LEFT JOIN g
+        |      ON s.location_id = g.location_id
+        |      AND s.datetime = g.datetime)
+        |  SELECT location_id, datetime,
+        |    last_value(aqi IGNORE NULLS) OVER (PARTITION BY location_id
+        |      ORDER BY datetime
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS aqi_filled,
+        |    aqi IS NULL AS was_gap
+        |  FROM j)
+        |ORDER BY location_id, datetime""".stripMargin.replace('\n', ' ')),
+    // one scalar CTE mirrors the single shared aggregate; CASE WHEN p
+    // THEN 0 ELSE 1 reproduces the null-is-violation rule
+    "dq1_quality_rules" ->
+      """WITH t AS (SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN value >= 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS v_nonneg,
+        |  CAST(sum(CASE WHEN value <= 400 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS v_cap,
+        |  CAST(sum(CASE WHEN event_type IN
+        |    ('view', 'click', 'purchase', 'signup') THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS v_type,
+        |  CAST(sum(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS v_user,
+        |  count(*) - count(DISTINCT event_id) AS v_uniq
+        |  FROM events),
+        |r AS (
+        |  SELECT 'value_non_negative' AS rule, v_nonneg AS n_violations,
+        |    n_rows FROM t
+        |  UNION ALL SELECT 'value_below_cap', v_cap, n_rows FROM t
+        |  UNION ALL SELECT 'event_type_known', v_type, n_rows FROM t
+        |  UNION ALL SELECT 'user_id_not_null', v_user, n_rows FROM t
+        |  UNION ALL SELECT 'unique_event_id', v_uniq, n_rows FROM t)
+        |SELECT rule, n_violations, n_rows, n_violations = 0 AS pass
+        |FROM r ORDER BY rule""".stripMargin.replace('\n', ' '),
+    "x28_grouping_sets" -> withPipeline(
+      """SELECT country, parameter,
+        |  CAST(grouping(country) * 2 + grouping(parameter) AS BIGINT)
+        |    AS gid,
+        |  count(*) AS n_records, round(avg(aqi), 4) AS avg_aqi
+        |FROM silver
+        |GROUP BY GROUPING SETS ((country), (parameter), ())
+        |ORDER BY gid, country, parameter""".stripMargin.replace('\n', ' ')),
     // triangles (a<b<c) counted once each via three canonical-edge joins
     "g2_triangle_count" ->
       """WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey

@@ -39,6 +39,14 @@ object SimilarityQueries {
     // int8 scalar quantization (embedding compression for ANN at scale);
     // the int8 array is CSV-joined because the harness compare hashes
     // scalar cells, not lists (same convention as a1's parallel arrays)
+    "sim6_l2_normalize" -> ((s, d) => {
+      val (nrm, unit) = Similarity.l2Normalize(col("embedding"))
+      table(s, d, "embeddings")
+        .select(col("vec_id"), round(nrm, 6).as("norm"),
+          array_join(transform(unit,
+            x => format_string("%.6f", x)), ",").as("unit"))
+        .orderBy("vec_id")
+    }),
     "sim5_quantize_int8" -> ((s, d) => {
       val (mx, q) = Similarity.quantizeInt8(col("embedding"))
       table(s, d, "embeddings")
@@ -52,6 +60,7 @@ object SimilarityQueries {
     "sim1_knn_bruteforce" ->
       Similarity.bruteForceTopKSql(5, "vec_id < 20"),
     "sim3_cosine_neardup" -> Similarity.cosineNearDupPairsSql(0.4),
-    "sim5_quantize_int8" -> Similarity.quantizeInt8Sql
+    "sim5_quantize_int8" -> Similarity.quantizeInt8Sql,
+    "sim6_l2_normalize" -> Similarity.l2NormalizeSql
   )
 }

@@ -281,6 +281,32 @@ object Similarity {
       |    x -> abs(x))) AS mx FROM embeddings)
       |ORDER BY vec_id""".stripMargin.replace('\n', ' ')
 
+  /** L2 normalization to unit vectors — the preprocessing step that
+    * turns cosine similarity into a plain dot product (ANN indexes and
+    * the int8 path both want unit inputs). Pure higher-order-function
+    * row math (codegen'd fold + transform — no UDF, no shuffle, runs at
+    * scan speed); zero vectors yield null components instead of a
+    * division blow-up. */
+  def l2Normalize(vec: Column): (Column, Column) = {
+    val v = vec.cast("array<double>")
+    val nrm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    val unit = transform(v, x => x / nullif(nrm, lit(0.0)))
+    (nrm, unit)
+  }
+
+  /** DuckDB twin of [[l2Normalize]]: the sum-of-squares folds in array
+    * order in both engines, every divide has identical operands, and
+    * components render at 6 dp (the format_string/printf precedent from
+    * the gold arrays). */
+  def l2NormalizeSql: String =
+    """SELECT vec_id, round(nrm, 6) AS norm,
+      |  array_to_string(list_transform(v,
+      |    x -> printf('%.6f', x / nullif(nrm, 0.0))), ',') AS unit
+      |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> x * x))) AS nrm FROM embeddings)
+      |ORDER BY vec_id""".stripMargin.replace('\n', ' ')
+
   def cosineNearDupPairsSql(threshold: Double): String =
     s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
