@@ -219,6 +219,44 @@ object ExtendedQueries {
         assumeDistinct = true, symmetric = true)
         .orderBy("node")
     }),
+    // deterministic per-group mode: count per (user, type) reuses the
+    // group shuffle, then min_by((-cnt, type)) — max count with an
+    // alphabetic tie-break, partial-aggregatable, no window. Spark's
+    // builtin mode() is tie-nondeterministic; this one hash-matches a
+    // SQL oracle
+    "x30_mode_per_group" -> ((s, d) =>
+      table(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(min_by(
+          struct(col("event_type"), col("cnt")),
+          struct((-col("cnt")).as("nc"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.event_type").as("mode_type"),
+          col("m.cnt").as("n_occurrences"))
+        .orderBy("user_id")),
+    // incremental aggregate maintenance: per-key partials from two
+    // ingest batches MERGE (sum-of-counts, sum-of-sums, min-of-mins,
+    // max-of-maxes) instead of recomputing over all data — the
+    // materialized-view refresh algebra. The oracle recomputes from
+    // scratch; equality IS the correctness claim. Decimal sums so the
+    // merge is order-exact
+    "x31_incremental_agg" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
+      def partial(df: DataFrame) = df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"),
+          min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      partial(ev.filter(col("ts") < cutoff))
+        .unionByName(partial(ev.filter(col("ts") >= cutoff)))
+        .groupBy(col("user_id"))
+        .agg(sum(col("cnt")).as("n_events"),
+          sum(col("sv")).cast("double").as("sum_value"),
+          min(col("mn")).as("first_ts"), max(col("mx")).as("last_ts"))
+        .orderBy("user_id")
+    }),
     // time-series gap fill: per-station hourly spine (sequence over the
     // station's own [min, max] hours — a per-key bounds aggregate plus
     // a row-local explode, no cross-key data motion) left-joined to the
@@ -652,6 +690,24 @@ object ExtendedQueries {
         |  last_ts >= TIMESTAMP '2024-01-21 00:00:00' AS was_updated
         |FROM latest WHERE rn = 1
         |ORDER BY user_id""".stripMargin.replace('\n', ' '),
+    "x30_mode_per_group" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type AS mode_type,
+        |    cnt AS n_occurrences,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY cnt DESC, event_type) AS rn
+        |  FROM c)
+        |SELECT user_id, mode_type, n_occurrences
+        |FROM r WHERE rn = 1 ORDER BY user_id"""
+        .stripMargin.replace('\n', ' '),
+    "x31_incremental_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(CAST(ts AS TIMESTAMP)) AS first_ts,
+        |  max(CAST(ts AS TIMESTAMP)) AS last_ts
+        |FROM events GROUP BY 1 ORDER BY user_id"""
+        .stripMargin.replace('\n', ' '),
     "x29_gap_fill" -> withPipeline(
       """SELECT location_id, datetime, aqi_filled, was_gap FROM (
         |  WITH g AS (SELECT location_id,

@@ -61,6 +61,22 @@ object FeatureQueries {
           col("aqi_max_7d"), col("aqi_min_7d"),
           round(col("aqi_mean_30d"), 4).as("aqi_mean_30d"))
         .orderBy("location_id", "datetime")),
+    // TIME-range window (24 h by actual event time, not row count):
+    // over gappy series a ROWS frame silently widens its time span —
+    // the RANGE frame is the correct rolling-day semantics. Ordered on
+    // epoch seconds so both engines share one numeric frame definition
+    "w7_time_range_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("location_id"))
+        .orderBy(unix_timestamp(col("datetime")))
+        .rangeBetween(-82800, 0) // 23 h back + current hour = 24 h span
+      gold(s, d)
+        .select(col("location_id"), col("datetime"), col("aqi"),
+          count(col("aqi")).over(w).as("n_24h"),
+          round(avg(col("aqi")).over(w), 4).as("mean_24h"),
+          max(col("aqi")).over(w).as("max_24h"))
+        .orderBy("location_id", "datetime")
+    }),
     "r6_pollutant_columns" -> ((s, d) =>
       Features.pollutantColumns(gold(s, d))
         .select(Seq(col("location_id"), col("datetime")) ++
@@ -95,6 +111,15 @@ object FeatureQueries {
         .stripMargin.replace('\n', ' ')),
     "w1_lag_lead" -> withPipeline(lagSql),
     "w3_rolling_stats" -> withPipeline(rollingSql),
+    "w7_time_range_window" -> withPipeline(
+      """SELECT location_id, datetime, aqi,
+        |  count(aqi) OVER w AS n_24h,
+        |  round(avg(aqi) OVER w, 4) AS mean_24h,
+        |  max(aqi) OVER w AS max_24h
+        |FROM gold
+        |WINDOW w AS (PARTITION BY location_id ORDER BY epoch(datetime)
+        |  RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
+        |ORDER BY location_id, datetime""".stripMargin.replace('\n', ' ')),
     "r6_pollutant_columns" -> withPipeline(
       s"SELECT location_id, datetime, $pollutantSql " +
         "FROM gold ORDER BY location_id, datetime"),

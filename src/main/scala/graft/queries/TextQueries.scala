@@ -136,6 +136,15 @@ object TextQueries {
     "t16_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(table(s, d, "documents"))
         .orderBy("doc_id")),
+    // deterministic 90/5/5 train/val/test split: content-hash ordered,
+    // dup-aligned (no leakage through duplicate pairs), RNG-free
+    "t18_three_way_split" -> ((s, d) =>
+      TextAnalysis.threeWaySplit(table(s, d, "documents"), "text",
+        valRate = 0.05, testRate = 0.05)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split", "lang")),
     // BM25 retrieval: top-10 documents for a 3-term query — corpus
     // curation / eval-set mining by relevance, not substring match
     "t17_bm25_topk" -> ((s, d) =>
@@ -184,6 +193,13 @@ object TextQueries {
     "t5_tfidf_top3" ->
       (TextAnalysis.tfIdfTopKSql(3) + " ORDER BY doc_id, rnk"),
     "t17_bm25_topk" -> TextAnalysis.bm25TopKSql(bm25Query, 10),
+    "t18_three_way_split" ->
+      (s"""SELECT ${TextAnalysis.threeWaySplitSql("text", 0.05, 0.05)}
+         |    AS split,
+         |  lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1, 2
+         |ORDER BY split, lang""".stripMargin.replace('\n', ' ')),
     "t6_stable_sample" ->
       (s"SELECT doc_id, lang, source, n_chars FROM documents " +
         s"WHERE ${TextAnalysis.stableSampleSql("text", 0.3)} " +

@@ -197,6 +197,31 @@ object TextAnalysis {
   def stableSampleSql(t: String, rate: Double): String =
     s"substr(${fingerprintSql(t)}, 1, 4) < '${sampleCut(rate)}'"
 
+  /** Deterministic train/val/test split on the same content-hash order
+    * as [[stableSample]]: a document's split follows its TEXT, so exact
+    * duplicates land in the same split (no train/test leakage through
+    * dup pairs), re-runs are reproducible without RNG state, and the
+    * assignment is a pure pushable per-row expression. */
+  def threeWaySplit(docs: DataFrame, textCol: String,
+      valRate: Double, testRate: Double): DataFrame = {
+    require(valRate >= 0 && testRate >= 0 && valRate + testRate <= 1,
+      s"invalid rates: val=$valRate test=$testRate")
+    val prefix = substring(fingerprint(col(textCol)), 1, 4)
+    docs.withColumn("split",
+      when(prefix < lit(sampleCut(1 - valRate - testRate)), "train")
+        .when(prefix < lit(sampleCut(1 - testRate)), "val")
+        .otherwise("test"))
+  }
+
+  /** DuckDB twin of the [[threeWaySplit]] assignment expression. */
+  def threeWaySplitSql(t: String, valRate: Double,
+      testRate: Double): String = {
+    val p = s"substr(${fingerprintSql(t)}, 1, 4)"
+    s"""CASE WHEN $p < '${sampleCut(1 - valRate - testRate)}' THEN 'train'
+       |  WHEN $p < '${sampleCut(1 - testRate)}' THEN 'val'
+       |  ELSE 'test' END""".stripMargin.replace('\n', ' ')
+  }
+
   /** Stratified stable sampling: a per-stratum rate (training mixes keep
     * languages/sources at different proportions). Same content-hash cut
     * as [[stableSample]], so it stays RNG-free, dedup-aligned, and a pure

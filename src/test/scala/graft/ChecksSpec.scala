@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.quality.Checks
+
+/** Declarative quality checks on a planted dirty dataset. */
+class ChecksSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("planted violations are counted per rule; nulls violate; " +
+    "duplicates count in excess of one per key") {
+    val df = Seq(
+      (1L, Some(5.0), "ok"),
+      (2L, Some(-1.0), "ok"),   // negative
+      (3L, None, "ok"),         // null value -> violates value rule
+      (3L, Some(2.0), "bad"),   // dup id + unknown tag
+      (3L, Some(3.0), "ok")     // dup id again
+    ).toDF("id", "value", "tag")
+    val out = Checks.report(df,
+      rules = Seq(
+        "value_non_negative" -> (col("value") >= 0),
+        "tag_known" -> col("tag").isin("ok")),
+      uniqueKeys = Seq("unique_id" -> Seq("id")))
+      .orderBy("rule")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      ("tag_known", 1L, 5L, false),
+      // id 3 appears 3x -> 2 rows in excess
+      ("unique_id", 2L, 5L, false),
+      // -1 plus the NULL both violate
+      ("value_non_negative", 2L, 5L, false)))
+  }
+
+  test("clean data passes every rule") {
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "value")
+    val out = Checks.report(df,
+      rules = Seq("value_non_negative" -> (col("value") >= 0)),
+      uniqueKeys = Seq("unique_id" -> Seq("id")))
+      .collect()
+    assert(out.forall(_.getBoolean(3)))
+    assert(out.forall(_.getLong(1) === 0L))
+  }
+}
