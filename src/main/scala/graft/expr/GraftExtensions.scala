@@ -37,6 +37,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSim(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName,
+        "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_jaro_winkler takes exactly 2 arguments, " +
+            s"got ${children.size}")
+        JaroWinkler(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => {

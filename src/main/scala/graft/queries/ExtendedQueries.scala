@@ -219,6 +219,42 @@ object ExtendedQueries {
         assumeDistinct = true, symmetric = true)
         .orderBy("node")
     }),
+    // entity resolution: a deterministically perturbed 10% of customer
+    // names (swap/delete/replace in the id tail) re-matched to the
+    // clean table — blocking join on a stable 3-char key (never a
+    // cross join; real pipelines union several blocking keys), the
+    // codegen'd graft_jaro_winkler scores candidates inside the join's
+    // WholeStageCodegen span, best match via min_by((-jw, key)) with
+    // no window over the candidates
+    "er1_fuzzy_match" -> ((s, d) => {
+      import graft.expr.JaroWinkler
+      val cust = table(s, d, "customer")
+      val dirty = cust.filter(col("c_custkey") % 10 === 7)
+        .select(col("c_custkey").as("d_key"),
+          expr("""CASE CAST(c_custkey % 3 AS INT)
+            | WHEN 0 THEN concat(substring(c_name, 1, 14),
+            |   substring(c_name, 16, 1), substring(c_name, 15, 1),
+            |   substring(c_name, 17))
+            | WHEN 1 THEN concat(substring(c_name, 1, 16),
+            |   substring(c_name, 18))
+            | ELSE concat(substring(c_name, 1, 17), 'X')
+            |END""".stripMargin).as("dirty_name"))
+      dirty
+        .join(cust,
+          substring(col("dirty_name"), 12, 3) ===
+            substring(col("c_name"), 12, 3))
+        .withColumn("jw",
+          round(JaroWinkler.jw(col("dirty_name"), col("c_name")), 4))
+        .filter(col("jw") >= 0.9)
+        .groupBy(col("d_key"), col("dirty_name"))
+        .agg(min_by(
+          struct(col("c_custkey"), col("c_name"), col("jw")),
+          struct((-col("jw")).as("nj"), col("c_custkey"))).as("m"))
+        .select(col("d_key"), col("dirty_name"),
+          col("m.c_custkey").as("matched_key"),
+          col("m.c_name").as("matched_name"), col("m.jw").as("jw"))
+        .orderBy("d_key")
+    }),
     // deterministic per-group mode: count per (user, type) reuses the
     // group shuffle, then min_by((-cnt, type)) — max count with an
     // alphabetic tie-break, partial-aggregatable, no window. Spark's
@@ -690,6 +726,35 @@ object ExtendedQueries {
         |  last_ts >= TIMESTAMP '2024-01-21 00:00:00' AS was_updated
         |FROM latest WHERE rn = 1
         |ORDER BY user_id""".stripMargin.replace('\n', ' '),
+    // DuckDB's jaro_winkler_similarity implements the same classic
+    // algorithm (0.7 boost threshold, 0.1 prefix scale, cap 4 —
+    // verified on the textbook pairs); 4-dp rounding absorbs last-bit
+    // formula-grouping differences
+    "er1_fuzzy_match" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS d_key,
+        |    CASE c_custkey % 3
+        |      WHEN 0 THEN concat(substr(c_name, 1, 14),
+        |        substr(c_name, 16, 1), substr(c_name, 15, 1),
+        |        substr(c_name, 17))
+        |      WHEN 1 THEN concat(substr(c_name, 1, 16),
+        |        substr(c_name, 18))
+        |      ELSE concat(substr(c_name, 1, 17), 'X') END AS dirty_name
+        |  FROM customer WHERE c_custkey % 10 = 7),
+        |cand AS (
+        |  SELECT d_key, dirty_name, c_custkey, c_name,
+        |    round(jaro_winkler_similarity(dirty_name, c_name), 4) AS jw
+        |  FROM dirty JOIN customer
+        |    ON substr(dirty_name, 12, 3) = substr(c_name, 12, 3)),
+        |best AS (
+        |  SELECT d_key, dirty_name, c_custkey AS matched_key,
+        |    c_name AS matched_name, jw,
+        |    row_number() OVER (PARTITION BY d_key
+        |      ORDER BY jw DESC, c_custkey) AS rn
+        |  FROM cand WHERE jw >= CAST('0.9' AS DOUBLE))
+        |SELECT d_key, dirty_name, matched_key, matched_name, jw
+        |FROM best WHERE rn = 1 ORDER BY d_key"""
+        .stripMargin.replace('\n', ' '),
     "x30_mode_per_group" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
         |  FROM events GROUP BY 1, 2),

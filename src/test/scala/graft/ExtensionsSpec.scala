@@ -61,6 +61,25 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_jaro_winkler reproduces the textbook values in pure SQL " +
+    "(boost only above 0.7, prefix cap 4, empty-string edges)") {
+    def jw(a: String, b: String): Double = spark.sql(
+      s"SELECT graft_jaro_winkler('$a', '$b') AS v").head.getDouble(0)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    // jaro 0.8963 but zero common prefix: no boost
+    assert(math.abs(jw("JELLYFISH", "SMELLYFISH") -
+      0.8962962962962964) < 1e-12)
+    // below the 0.7 boost threshold: prefix must NOT boost
+    assert(math.abs(jw("abcdxxxx", "abcyyyyyyyyyy") -
+      0.5352564102564102) < 1e-12)
+    assert(jw("abc", "abc") === 1.0)
+    assert(jw("", "abc") === 0.0)
+    assert(spark.sql("SELECT graft_jaro_winkler('', '') AS v")
+      .head.getDouble(0) === 1.0)
+  }
+
   test("graft_nfc normalizes combining sequences in pure SQL and " +
     "passes ASCII through untouched") {
     // 'e' + U+0301 combining acute must normalize to precomposed U+00E9
