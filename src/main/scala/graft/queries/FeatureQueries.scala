@@ -77,6 +77,18 @@ object FeatureQueries {
           max(col("aqi")).over(w).as("max_24h"))
         .orderBy("location_id", "datetime")
     }),
+    // unpivot (melt): the wide pollutant matrix back to long — the
+    // inverse of r6/x2, one row-local expand (no shuffle); null-valued
+    // cells drop like the SQL UNPIVOT default
+    "x33_unpivot" -> ((s, d) =>
+      Features.pollutantColumns(gold(s, d))
+        .select((Seq("location_id", "datetime") ++
+          graft.features.Features.pollutants).map(col): _*)
+        .unpivot(Array(col("location_id"), col("datetime")),
+          graft.features.Features.pollutants.map(col).toArray,
+          "pollutant", "value")
+        .filter(col("value").isNotNull)
+        .orderBy("location_id", "datetime", "pollutant")),
     "r6_pollutant_columns" -> ((s, d) =>
       Features.pollutantColumns(gold(s, d))
         .select(Seq(col("location_id"), col("datetime")) ++
@@ -123,6 +135,13 @@ object FeatureQueries {
     "r6_pollutant_columns" -> withPipeline(
       s"SELECT location_id, datetime, $pollutantSql " +
         "FROM gold ORDER BY location_id, datetime"),
+    "x33_unpivot" -> withPipeline(
+      s"""SELECT location_id, datetime, pollutant, value FROM (
+         |  SELECT location_id, datetime, $pollutantSql FROM gold)
+         |UNPIVOT (value FOR pollutant IN
+         |  (${Features.pollutants.mkString(", ")}))
+         |ORDER BY location_id, datetime, pollutant"""
+        .stripMargin.replace('\n', ' ')),
     "r7_country_encoding" -> withPipeline(
       """SELECT country,
         |  CAST(dense_rank() OVER (ORDER BY country) - 1 AS INT)

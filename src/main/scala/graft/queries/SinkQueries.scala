@@ -136,6 +136,32 @@ object SinkQueries {
           col("value"))
         .orderBy("event_id")
     }),
+    // dynamic partition overwrite: a correction batch rewrites ONLY the
+    // partitions it touches (INSERT OVERWRITE ... PARTITION semantics)
+    // — static overwrite mode would wipe the whole table. The daily
+    // restatement op every partitioned lake needs; at 100 TB the saved
+    // work is the entire untouched history
+    "io6_dynamic_overwrite" -> ((s, d) => {
+      val dst = tmp("events_dyn_overwrite", d)
+      val ev = table(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), (col("user_id") % 8).as("bucket"))
+      ev.write.mode("overwrite").partitionBy("bucket").parquet(dst)
+      // restate buckets 0 and 1: doubled value, only those partitions
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try ev.filter(col("bucket") <= 1)
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite").partitionBy("bucket").parquet(dst)
+      finally
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.read.parquet(dst)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("bucket")
+    }),
     // S8 collapse: the ClickHouse SQL surface becomes spark.sql over
     // registered layer views (A4 via raw SQL text)
     "ch1_sql_surface" -> ((s, d) => {
@@ -220,6 +246,14 @@ object SinkQueries {
     "io5_zorder_layout" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin.replace('\n', ' '),
+    // buckets 0-1 doubled (the restatement), 2-7 original — dynamic
+    // mode must leave untouched partitions intact
+    "io6_dynamic_overwrite" ->
+      """SELECT CAST(user_id % 8 AS INT) AS bucket, count(*) AS n_rows,
+        |  CAST(sum(CAST(CASE WHEN user_id % 8 <= 1 THEN value * 2
+        |    ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket"""
+        .stripMargin.replace('\n', ' '),
     "io4_compaction" ->
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT user_id) AS n_users,

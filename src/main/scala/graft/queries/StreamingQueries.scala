@@ -226,6 +226,25 @@ object StreamingQueries {
           col("event_id").as("last_event_id"))
         .orderBy("user_id")
     }),
+    // the DECLARATIVE session twin of x9: Spark's built-in
+    // session_window (dynamic gap-merging window) instead of the custom
+    // flatMapGroupsWithState operator — same 30 min gap, same
+    // watermark-gated append emission; state merges sessions engine-side
+    "x32_stream_session_window" -> ((s, d) => {
+      val ev = rawEventsStream(s, d)
+      val agg = ev.withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        // decimal-exact sum: a raw double sum reorders across partials
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("session_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("session_value"))
+      StreamPipeline.replayToMemory(s, agg, "x32_stream_session_window")
+        .orderBy("user_id", "session_start")
+    }),
     // stream-static enrichment: each streamed measurement joins a STATIC
     // per-station reference (historical max + observation count from the
     // batch layer) — the standard "enrich events with a dimension" shape.
@@ -389,6 +408,38 @@ object StreamingQueries {
         |SELECT user_id, last_type, last_value, last_ts, last_event_id
         |FROM latest WHERE rn = 1
         |ORDER BY user_id""".stripMargin.replace('\n', ' '),
+    // session_window sessions: [first, last + gap); a new event merges
+    // while strictly inside the previous window (gap >= 30 min starts a
+    // new session — x9's custom operator splits only on gap > 30 min);
+    // append emission once the watermark reaches the window end
+    "x32_stream_session_window" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) >= 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS seq
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, min(ts) AS session_start,
+        |    max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS session_value
+        |  FROM sessions GROUP BY user_id, seq),
+        |wm AS (SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000
+        |  AS wm_us FROM ev)
+        |SELECT user_id, session_start, session_end, n_events,
+        |  session_value
+        |FROM agg, wm WHERE epoch_us(session_end) <= wm_us
+        |ORDER BY user_id, session_start""".stripMargin.replace('\n', ' '),
     "x13_stream_enrich" -> withPipeline(
       """SELECT s.location_id, s.datetime, s.parameter, s.value, s.aqi,
         |  r.hist_max_aqi, r.n_obs, s.aqi >= r.hist_max_aqi AS is_peak
