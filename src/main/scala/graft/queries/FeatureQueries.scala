@@ -108,7 +108,13 @@ object FeatureQueries {
     // every station's latest snapshot → the 22 inference features
     "ml_infer_features" -> ((s, d) =>
       Features.inferenceFeatures(gold(s, d))
-        .orderBy("location_id"))
+        .orderBy("location_id")),
+    // distributed ridge normal equations: the whole distributed cost is
+    // ONE aggregate computing 46 decimal-exact sufficient statistics;
+    // the 8×8 solve is driver-side (NormalEquationsSpec)
+    "ml2_normal_equations" -> ((s, d) =>
+      graft.ml.NormalEquations.gram(
+        graft.ml.NormalEquations.designMatrix(gold(s, d))))
   )
 
   val oracle: Map[String, String] = Map(
@@ -135,6 +141,8 @@ object FeatureQueries {
     "r6_pollutant_columns" -> withPipeline(
       s"SELECT location_id, datetime, $pollutantSql " +
         "FROM gold ORDER BY location_id, datetime"),
+    "ml2_normal_equations" ->
+      withPipeline(graft.ml.NormalEquations.gramSql),
     "x33_unpivot" -> withPipeline(
       s"""SELECT location_id, datetime, pollutant, value FROM (
          |  SELECT location_id, datetime, $pollutantSql FROM gold)
