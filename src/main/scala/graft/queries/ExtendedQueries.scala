@@ -220,29 +220,29 @@ object ExtendedQueries {
         .orderBy("node")
     }),
     // entity resolution: a deterministically perturbed 10% of customer
-    // names (swap/delete/replace in the id tail) re-matched to the
-    // clean table — blocking join on a stable 3-char key (never a
-    // cross join; real pipelines union several blocking keys), the
-    // codegen'd graft_jaro_winkler scores candidates inside the join's
-    // WholeStageCodegen span, best match via min_by((-jw, key)) with
-    // no window over the candidates
+    // names (swap/delete/replace in the last two id chars) re-matched
+    // to the clean table. THE scale lever is the blocking key: a 5-char
+    // stable key bounds candidates to ~|dirty|·10 pairs (a 3-char key
+    // left 1M+ pairs and 8 s at sf0.1 — real pipelines union several
+    // such keys for recall); the codegen'd graft_jaro_winkler scores
+    // candidates inside the join's WholeStageCodegen span, best match
+    // via min_by((-jw, key)) with no window over the candidates
     "er1_fuzzy_match" -> ((s, d) => {
       import graft.expr.JaroWinkler
       val cust = table(s, d, "customer")
       val dirty = cust.filter(col("c_custkey") % 10 === 7)
         .select(col("c_custkey").as("d_key"),
           expr("""CASE CAST(c_custkey % 3 AS INT)
-            | WHEN 0 THEN concat(substring(c_name, 1, 14),
-            |   substring(c_name, 16, 1), substring(c_name, 15, 1),
-            |   substring(c_name, 17))
+            | WHEN 0 THEN concat(substring(c_name, 1, 16),
+            |   substring(c_name, 18, 1), substring(c_name, 17, 1))
             | WHEN 1 THEN concat(substring(c_name, 1, 16),
             |   substring(c_name, 18))
             | ELSE concat(substring(c_name, 1, 17), 'X')
             |END""".stripMargin).as("dirty_name"))
       dirty
         .join(cust,
-          substring(col("dirty_name"), 12, 3) ===
-            substring(col("c_name"), 12, 3))
+          substring(col("dirty_name"), 12, 5) ===
+            substring(col("c_name"), 12, 5))
         .withColumn("jw",
           round(JaroWinkler.jw(col("dirty_name"), col("c_name")), 4))
         .filter(col("jw") >= 0.9)
@@ -734,9 +734,8 @@ object ExtendedQueries {
       """WITH dirty AS (
         |  SELECT c_custkey AS d_key,
         |    CASE c_custkey % 3
-        |      WHEN 0 THEN concat(substr(c_name, 1, 14),
-        |        substr(c_name, 16, 1), substr(c_name, 15, 1),
-        |        substr(c_name, 17))
+        |      WHEN 0 THEN concat(substr(c_name, 1, 16),
+        |        substr(c_name, 18, 1), substr(c_name, 17, 1))
         |      WHEN 1 THEN concat(substr(c_name, 1, 16),
         |        substr(c_name, 18))
         |      ELSE concat(substr(c_name, 1, 17), 'X') END AS dirty_name
@@ -745,7 +744,7 @@ object ExtendedQueries {
         |  SELECT d_key, dirty_name, c_custkey, c_name,
         |    round(jaro_winkler_similarity(dirty_name, c_name), 4) AS jw
         |  FROM dirty JOIN customer
-        |    ON substr(dirty_name, 12, 3) = substr(c_name, 12, 3)),
+        |    ON substr(dirty_name, 12, 5) = substr(c_name, 12, 5)),
         |best AS (
         |  SELECT d_key, dirty_name, c_custkey AS matched_key,
         |    c_name AS matched_name, jw,

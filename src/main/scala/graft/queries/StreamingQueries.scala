@@ -93,6 +93,17 @@ object StreamingQueries {
       StreamPipeline.replayToMemory(s, dedup, "s7_stream_dedup")
         .orderBy("event_id")
     }),
+    // key-only watermarked dedup (dropDuplicatesWithinWatermark): the
+    // replay delivers every row twice; duplicates collapse on event_id
+    // ALONE — no event-time in the key — within the 1 h watermark
+    "s8_dedup_within_watermark" -> ((s, d) => {
+      val raw = fullEventsStream(s, d)
+      val dedup = StreamPipeline.dedupWithinWatermark(
+        raw.unionAll(raw), eventTime = "ts", delay = "1 hour",
+        keys = Seq("event_id"))
+      StreamPipeline.replayToMemory(s, dedup, "s8_dedup_within_watermark")
+        .orderBy("event_id")
+    }),
     "x9_stream_sessions" -> ((s, d) => {
       val sessions = graft.streaming.SessionStream
         .sessionizeStream(rawEventsStream(s, d))
@@ -273,6 +284,12 @@ object StreamingQueries {
   val oracle: Map[String, String] = Map(
     // dedup of the doubled stream ≡ the original table
     "s7_stream_dedup" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |  event_type, value
+        |FROM events ORDER BY event_id""".stripMargin.replace('\n', ' '),
+    // exact-once collapse of the doubled stream ≡ the original table
+    // (same oracle as s7 — the API differs, the contract doesn't)
+    "s8_dedup_within_watermark" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
         |  event_type, value
         |FROM events ORDER BY event_id""".stripMargin.replace('\n', ' '),

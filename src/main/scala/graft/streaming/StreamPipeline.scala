@@ -86,6 +86,17 @@ object StreamPipeline {
     stream.withWatermark(eventTime, delay)
       .dropDuplicates(keys :+ eventTime)
 
+  /** The production streaming-dedup API (Spark 3.5+): duplicates drop
+    * on the KEY ALONE within the watermark delay — unlike
+    * [[dedupStream]], the event-time column need not be part of the key
+    * (late duplicates with a perturbed timestamp still collapse), and
+    * state expires by ingestion-order watermark instead of growing with
+    * the key space. */
+  def dedupWithinWatermark(stream: DataFrame, eventTime: String,
+      delay: String, keys: Seq[String]): DataFrame =
+    stream.withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Stream-stream inner join with an event-time interval condition.
     * Both sides carry watermarks and the condition must time-bound the
     * match window — that is what lets Spark evict join state: each side
