@@ -466,6 +466,122 @@ object RelationalQueries {
         count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q2-shaped min-cost supplier (adapted: no partsupp — the
+    * part↔supplier offer price is the average sale price observed in
+    * lineitem): for each SMALL part of size < 15, the supplier(s) whose
+    * avg price equals the per-part minimum. The correlated-min
+    * join-back runs on the (part, supplier)-grain aggregate — never on
+    * the fact table — and the min comparison is decimal-exact, so the
+    * argmin can't flip on float drift. */
+  def q2MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val parts = table(s, d, "part")
+      .filter(col("p_type") === "SMALL" && col("p_size") < 15)
+      .select(col("p_partkey"), col("p_name"))
+    val offers = table(s, d, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .agg((sum(dec2(col("l_extendedprice"))) /
+        count(lit(1))).as("avg_price"))
+    val minPrice = offers.groupBy(col("p_partkey").as("m_partkey"))
+      .agg(min(col("avg_price")).as("min_price"))
+    offers
+      .join(minPrice, col("p_partkey") === col("m_partkey") &&
+        col("avg_price") === col("min_price"))
+      .join(broadcast(table(s, d, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("s_acctbal"),
+        col("avg_price").cast("double").as("best_price"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
+  /** TPC-H Q11-shaped important-stock (adapted: inventory value =
+    * shipped `l_quantity · l_extendedprice/l_quantity` ≈ extendedprice,
+    * grouped by part, for NATION_2's suppliers): parts whose total
+    * value exceeds 0.1% of the nation's total. The HAVING threshold is
+    * a broadcast 1-row aggregate-of-the-aggregate; everything after the
+    * fact join is (part)-grain. Decimal sums; the share predicate
+    * compares decimal·int vs decimal — exact in both engines. */
+  def q11ImportantStock(s: SparkSession, d: String): DataFrame = {
+    val suppN = table(s, d, "supplier")
+      .join(broadcast(table(s, d, "nation")
+        .filter(col("n_name") === "NATION_2")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val valued = table(s, d, "lineitem")
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec2(col("l_extendedprice"))).as("part_value"))
+    val total = valued.agg(sum(col("part_value")).as("total_value"))
+    valued.crossJoin(broadcast(total))
+      .filter(col("part_value") * 1000 > col("total_value"))
+      .select(col("l_partkey"),
+        col("part_value").cast("double").as("part_value"))
+      .orderBy(desc("part_value"), col("l_partkey"))
+  }
+
+  /** TPC-H Q20-shaped (adapted: "excess stock" = shipped more than 40
+    * units of some red part in 1996): the suppliers-to-audit list via a
+    * two-level semi-join chain — per-(supplier, part) 1996 shipments
+    * over red parts, thresholded, then supplier names for NATION_1.
+    * Both reducing joins are semi (no fan-out), part prefilter
+    * broadcasts, and the fact table is touched once. */
+  def q20ExcessShippers(s: SparkSession, d: String): DataFrame = {
+    val redParts = table(s, d, "part")
+      .filter(col("p_name").contains("red")).select(col("p_partkey"))
+    val shipped = table(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > 40)
+      .select(col("l_suppkey")).distinct()
+    table(s, d, "supplier")
+      .join(broadcast(table(s, d, "nation")
+        .filter(col("n_name") === "NATION_1")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q21-shaped waiting-orders (adapted: "late" = ship-lag > 365
+    * days): suppliers of NATION_3 who were the ONLY late supplier on a
+    * multi-supplier order. The exists/not-exists pair collapses into
+    * per-order window-free aggregates: distinct suppliers and distinct
+    * LATE suppliers per order (one pass over the joined fact), then the
+    * qualifying condition is row-local on the (order, supplier) grain.
+    * No correlated subquery ever re-scans lineitem. */
+  def q21WaitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    val li = table(s, d, "lineitem")
+      .join(table(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") +
+          expr("INTERVAL 365 DAYS")).as("is_late"))
+    val perOrder = li
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("is_late"), col("l_suppkey")))
+          .as("n_late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .select(col("l_orderkey").as("q_orderkey"))
+    val lateLines = li.filter(col("is_late"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    lateLines
+      .join(perOrder, col("l_orderkey") === col("q_orderkey"), "left_semi")
+      .join(table(s, d, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(table(s, d, "nation")
+        .filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_suppkey"))
+  }
+
   /** Left outer join + conditional agg: per-segment order coverage. */
   def leftJoinCoverage(s: SparkSession, d: String): DataFrame =
     table(s, d, "customer")
@@ -494,6 +610,10 @@ object RelationalQueries {
     "q19_bracket_revenue" -> q19BracketRevenue,
     "q22_idle_rich_customers" -> q22IdleRichCustomers,
     "q9_product_profit" -> q9ProductProfit,
+    "q2_min_cost_supplier" -> q2MinCostSupplier,
+    "q11_important_stock" -> q11ImportantStock,
+    "q20_excess_shippers" -> q20ExcessShippers,
+    "q21_waiting_suppliers" -> q21WaitingSuppliers,
     "q12_late_priority" -> q12LatePriority,
     "q15_top_supplier" -> q15TopSupplier,
     "q16_supplier_variety" -> q16SupplierVariety,
@@ -504,6 +624,76 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q2_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT p_partkey, p_name, l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) / count(*)
+        |      AS avg_price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'SMALL' AND p_size < 15
+        |  GROUP BY 1, 2, 3),
+        |mn AS (SELECT p_partkey AS m_partkey, min(avg_price)
+        |  AS min_price FROM offers GROUP BY 1)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+        |  CAST(avg_price AS DOUBLE) AS best_price
+        |FROM offers
+        |JOIN mn ON p_partkey = m_partkey AND avg_price = min_price
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY p_partkey, s_suppkey""".stripMargin.replace('\n', ' '),
+    "q11_important_stock" ->
+      """WITH valued AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_value
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_2'
+        |  GROUP BY 1),
+        |total AS (SELECT sum(part_value) AS total_value FROM valued)
+        |SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+        |FROM valued CROSS JOIN total
+        |WHERE part_value * 1000 > total_value
+        |ORDER BY part_value DESC, l_partkey"""
+        .stripMargin.replace('\n', ' '),
+    "q20_excess_shippers" ->
+      """WITH shipped AS (
+        |  SELECT DISTINCT l_suppkey
+        |  FROM (SELECT l_suppkey, l_partkey,
+        |      sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    WHERE p_name LIKE '%red%'
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY 1, 2)
+        |  WHERE qty > 40)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM shipped)
+        |ORDER BY s_suppkey""".stripMargin.replace('\n', ' '),
+    "q21_waiting_suppliers" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 365 DAY AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |per_order AS (
+        |  SELECT l_orderkey
+        |  FROM li GROUP BY 1
+        |  HAVING count(DISTINCT l_suppkey) >= 2
+        |    AND count(DISTINCT CASE WHEN is_late THEN l_suppkey END) = 1),
+        |late_lines AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE is_late)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM late_lines
+        |JOIN per_order USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey"""
+        .stripMargin.replace('\n', ' '),
     "q9_product_profit" ->
       """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
