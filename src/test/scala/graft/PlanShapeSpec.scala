@@ -226,4 +226,38 @@ class PlanShapeSpec extends AnyFunSuite {
     val wins = p.collect { case w: WindowExec => w }
     assert(wins.size <= 2, s"expected <=2 Window ops, got ${wins.size}")
   }
+
+  test("er1 entity resolution: blocking equi-join (no cartesian), " +
+    "windowless min_by best match") {
+    val p = plan("er1_fuzzy_match")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "candidate generation must go through the blocking key")
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "best-match must be min_by, not row_number")
+    assert(formatted("er1_fuzzy_match").contains("jarowinkler"),
+      "the codegen'd expression must appear in the plan")
+  }
+
+  test("t17 BM25: top-k is TakeOrderedAndProject; stats broadcast") {
+    val p = plan("t17_bm25_topk")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "top-k must not be a global sort")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+  }
+
+  test("x30 mode: partial-aggregating argmax, no window") {
+    val p = plan("x30_mode_per_group")
+    assert(p.collect { case w: WindowExec => w }.isEmpty)
+    assert(formatted("x30_mode_per_group").contains("min_by"))
+  }
+
+  test("ml2 normal equations: one fact window (the lags), one " +
+    "aggregate, no joins") {
+    val p = plan("ml2_normal_equations")
+    assert(p.collect { case w: WindowExec => w }.size === 1,
+      "design matrix must reuse a single window spec")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      "sufficient statistics need no joins")
+  }
 }
