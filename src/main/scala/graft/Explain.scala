@@ -21,7 +21,9 @@ object Explain {
         "t12_pii_scrub", "t13_pack_sequences", "t14_chunk_overlap",
         "x20_window_suite", "t15_unicode_normalize",
         "q9_product_profit", "t17_bm25_topk", "g2_triangle_count",
-        "x26_event_transitions", "x27_merge_tombstones")
+        "x26_event_transitions", "x27_merge_tombstones",
+        "er1_fuzzy_match", "ml2_normal_equations", "x29_gap_fill",
+        "q21_waiting_suppliers", "io5_zorder_layout")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
