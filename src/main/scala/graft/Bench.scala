@@ -60,7 +60,7 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     Seq("a1_gold_hourly", "ml_feature_matrix", "q5_revenue_by_nation",
       "sim3_cosine_neardup", "d1_exact_dedup", "s2_stream_silver",
-      "mm2_decode_stub").foreach { n =>
+      "mm2_decode_stub", "er1_fuzzy_match", "g2_triangle_count").foreach { n =>
       SparkEntry.queries.get(n).foreach { f =>
         try f(spark, warmDir).count() catch { case _: Throwable => () }
       }

@@ -59,4 +59,22 @@ class IoSpec extends AnyFunSuite {
     assert(uSpan < uCtrl / 2,
       s"z-order user span $uSpan not better than time-sorted $uCtrl")
   }
+
+  test("zValue interleaves bits: unit cases and monotone quadrants") {
+    import org.apache.spark.sql.functions._
+    import graft.io.ZOrder
+    val df = spark.range(1).select(
+      ZOrder.zValue(lit(0), lit(0), 4).as("z00"),
+      ZOrder.zValue(lit(1), lit(0), 4).as("z10"),
+      ZOrder.zValue(lit(0), lit(1), 4).as("z01"),
+      ZOrder.zValue(lit(3), lit(5), 4).as("z35"),
+      ZOrder.zValue(lit(15), lit(15), 4).as("zmax"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) === 0L)
+    assert(r.getLong(1) === 1L) // a occupies even bits
+    assert(r.getLong(2) === 2L) // b occupies odd bits
+    // a=0011, b=0101 -> z = b3 a3 b2 a2 b1 a1 b0 a0 = 0 0 1 0 0 1 1 1
+    assert(r.getLong(3) === 39L)
+    assert(r.getLong(4) === 255L)
+  }
 }
