@@ -503,10 +503,14 @@ object RelationalQueries {
     * fact join is (part)-grain. Decimal sums; the share predicate
     * compares decimal·int vs decimal — exact in both engines. */
   def q11ImportantStock(s: SparkSession, d: String): DataFrame = {
+    // region-level scope: a single nation is empty at the smallest SF
+    // (10 suppliers over 25 nations) — the plan shape is identical
     val suppN = table(s, d, "supplier")
-      .join(broadcast(table(s, d, "nation")
-        .filter(col("n_name") === "NATION_2")),
+      .join(broadcast(table(s, d, "nation")),
         col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(s, d, "region")
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"))
     val valued = table(s, d, "lineitem")
       .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
@@ -538,9 +542,11 @@ object RelationalQueries {
       .filter(col("qty") > 40)
       .select(col("l_suppkey")).distinct()
     table(s, d, "supplier")
-      .join(broadcast(table(s, d, "nation")
-        .filter(col("n_name") === "NATION_1")),
+      .join(broadcast(table(s, d, "nation")),
         col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(s, d, "region")
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
       .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
       .orderBy(col("s_suppkey"))
@@ -647,7 +653,8 @@ object RelationalQueries {
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE n_name = 'NATION_2'
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
         |  GROUP BY 1),
         |total AS (SELECT sum(part_value) AS total_value FROM valued)
         |SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
@@ -669,7 +676,8 @@ object RelationalQueries {
         |SELECT s_suppkey, s_name, s_acctbal
         |FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE n_name = 'NATION_1'
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
         |  AND s_suppkey IN (SELECT l_suppkey FROM shipped)
         |ORDER BY s_suppkey""".stripMargin.replace('\n', ' '),
     "q21_waiting_suppliers" ->
