@@ -219,6 +219,23 @@ object ExtendedQueries {
         assumeDistinct = true, symmetric = true)
         .orderBy("node")
     }),
+    // semi-structured extraction: the raw JSON props column parsed with
+    // a declared schema (from_json — codegen'd, no UDF, malformed rows
+    // null out instead of failing) and aggregated. The schema'd parse
+    // is the 100 TB answer: schemaless get_json_object re-parses per
+    // field, from_json parses once per row
+    "x34_json_props" -> ((s, d) =>
+      table(s, d, "events")
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
     // entity resolution: a deterministically perturbed 10% of customer
     // names (swap/delete/replace in the last two id chars) re-matched
     // to the clean table. THE scale lever is the blocking key: a 5-char
@@ -726,6 +743,15 @@ object ExtendedQueries {
         |  last_ts >= TIMESTAMP '2024-01-21 00:00:00' AS was_updated
         |FROM latest WHERE rn = 1
         |ORDER BY user_id""".stripMargin.replace('\n', ' '),
+    "x34_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(k) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin.replace('\n', ' '),
     // DuckDB's jaro_winkler_similarity implements the same classic
     // algorithm (0.7 boost threshold, 0.1 prefix scale, cap 4 —
     // verified on the textbook pairs); 4-dp rounding absorbs last-bit

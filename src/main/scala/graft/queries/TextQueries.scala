@@ -145,6 +145,12 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"))
         .orderBy("split", "lang")),
+    // bigram LM quality proxy: mean conditional bigram log-prob under
+    // the corpus's own MLE bigram model (t16's unigram proxy one order
+    // up — word salad scores low even with a normal unigram mix)
+    "t19_bigram_logprob" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(table(s, d, "documents"))
+        .orderBy("doc_id")),
     // BM25 retrieval: top-10 documents for a 3-term query — corpus
     // curation / eval-set mining by relevance, not substring match
     "t17_bm25_topk" -> ((s, d) =>
@@ -193,6 +199,8 @@ object TextQueries {
     "t5_tfidf_top3" ->
       (TextAnalysis.tfIdfTopKSql(3) + " ORDER BY doc_id, rnk"),
     "t17_bm25_topk" -> TextAnalysis.bm25TopKSql(bm25Query, 10),
+    "t19_bigram_logprob" ->
+      (TextAnalysis.bigramLogProbSql() + " ORDER BY doc_id"),
     "t18_three_way_split" ->
       (s"""SELECT ${TextAnalysis.threeWaySplitSql("text", 0.05, 0.05)}
          |    AS split,

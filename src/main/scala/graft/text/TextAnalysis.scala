@@ -577,6 +577,68 @@ object TextAnalysis {
        |GROUP BY 1""".stripMargin.replace('\n', ' ')
   }
 
+  /** Bigram LM log-probability — the next step up from [[unigramLogProb]]
+    * in the offline perplexity-filter family: score each document by the
+    * mean conditional log-probability `ln(C(w1,w2) / C(w1,·))` of its
+    * bigrams under the corpus's own MLE bigram model (every observed
+    * bigram has positive probability, so no smoothing term is needed for
+    * self-scoring). Word-salad documents score far below fluent ones
+    * even when their unigram mix looks normal.
+    *
+    * Scale shape: bigrams materialize row-locally (one transform over
+    * the token array — tokens carry no spaces, so `w1 w2` concatenation
+    * is collision-free); bigram and context counts are two hash
+    * aggregates over the exploded stream; the per-bigram log-prob joins
+    * back keyed by bigram with NO broadcast hint (the bigram vocabulary
+    * grows superlinearly with the corpus — AQE decides). Determinism:
+    * the t16 pattern — 6 dp rounded log-probs, DECIMAL sums. */
+  def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(normalized(col(textCol)))
+    val bigrams = docs.select(col(idCol),
+      explode(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .as("bigram"))
+    val bgCnt = bigrams.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("c_bg"))
+      .withColumn("ctx", substring_index(col("bigram"), " ", 1))
+    val ctxCnt = bgCnt.groupBy(col("ctx")).agg(sum(col("c_bg")).as("c_ctx"))
+    val bgLp = bgCnt.join(ctxCnt, "ctx")
+      .select(col("bigram"),
+        round(log(col("c_bg").cast("double") / col("c_ctx")), 6)
+          .cast("decimal(12,6)").as("bg_lp"))
+    bigrams.join(bgLp, "bigram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bg_lp")).as("sum_lp_d"))
+      .select(col(idCol), col("n_bigrams"),
+        col("sum_lp_d").cast("double").as("sum_logprob"),
+        (col("sum_lp_d").cast("double") / col("n_bigrams"))
+          .as("mean_logprob"))
+  }
+
+  /** DuckDB twin of [[bigramLogProb]] over `documents`. */
+  def bigramLogProbSql(): String = {
+    val toks = tokensSql(normalizedSql("text"))
+    s"""WITH tl AS (SELECT doc_id, $toks AS l FROM documents),
+       |bigrams AS (SELECT doc_id, unnest(list_transform(
+       |    range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS bigram
+       |  FROM tl),
+       |bg AS (SELECT bigram, count(*) AS c_bg,
+       |    split_part(bigram, ' ', 1) AS ctx
+       |  FROM bigrams GROUP BY 1),
+       |ctx AS (SELECT ctx, sum(c_bg) AS c_ctx FROM bg GROUP BY 1),
+       |bg_lp AS (SELECT bigram,
+       |    CAST(round(ln(CAST(c_bg AS DOUBLE) / c_ctx), 6)
+       |      AS DECIMAL(12,6)) AS bg_lp
+       |  FROM bg JOIN ctx USING (ctx))
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(bg_lp) AS DOUBLE) AS sum_logprob,
+       |  CAST(sum(bg_lp) AS DOUBLE) / count(*) AS mean_logprob
+       |FROM bigrams JOIN bg_lp USING (bigram)
+       |GROUP BY 1""".stripMargin.replace('\n', ' ')
+  }
+
   // ------------------------------------------------------------ PII scrub
 
   /** PII patterns — the common subset of Java regex (Spark) and RE2
