@@ -594,11 +594,20 @@ object TextAnalysis {
     * the t16 pattern — 6 dp rounded log-probs, DECIMAL sums. */
   def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = tokens(normalized(col(textCol)))
-    val bigrams = docs.select(col(idCol),
-      explode(transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .as("bigram"))
+    // The token array is materialized behind its own projection BEFORE the
+    // bigram lambda: `element_at` over the raw tokens(normalized(...)) tree
+    // inside `transform` re-ran the whole tokenizer chain ~2n times per row
+    // (O(n²·|text|) per document — 21 s at sf0.1 where the unigram sibling
+    // is 0.7 s), the same HOF-inlining trap documented at
+    // Similarity.bandedBuckets. Over an attribute each element_at is O(1);
+    // CollapseProject keeps the boundary because the non-cheap alias is
+    // referenced more than once.
+    val withToks = docs.select(col(idCol),
+      tokens(normalized(col(textCol))).as("toks"))
+    val bigrams = withToks.select(col(idCol),
+      explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1)))).as("bigram"))
     val bgCnt = bigrams.groupBy(col("bigram"))
       .agg(count(lit(1)).as("c_bg"))
       .withColumn("ctx", substring_index(col("bigram"), " ", 1))
