@@ -11,10 +11,14 @@ import graft.queries.PipelineQueries.table
   * surface: inner/left/semi/anti + broadcast hints).
   *
   * Scale notes:
-  *  - dimension sides (region/nation/customer/supplier/part) get explicit
-  *    `broadcast()` hints — at 100 TB the fact table never shuffles for
-  *    these joins; only the lineitem↔orders join is shuffle-worthy and AQE
-  *    picks sort-merge vs shuffled-hash from runtime stats;
+  *  - explicit `broadcast()` hints are reserved for sides whose size is
+  *    BOUNDED BY SCHEMA, not by SF: region (5), nation (25), per-segment
+  *    (5) and single-row scalar aggregates. customer/supplier/part scale
+  *    linearly with SF — at the 100 TB north star customer is billions of
+  *    rows, and a forced hint bypasses AQE's size check and OOMs instead
+  *    of degrading to a shuffle join. Those sides carry NO hint: AQE
+  *    promotes them to broadcast at runtime when stats allow (it does at
+  *    bench SFs) and falls back to shuffle joins when they don't;
   *  - exact-money sums go through DECIMAL(18,x) so partial-aggregate
   *    ordering cannot perturb results (doubles are rounded once, at the
   *    end);
@@ -47,7 +51,9 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  /** TPC-H Q3-shaped: broadcast dim filter → fact join → top-10 revenue. */
+  /** TPC-H Q3-shaped: dim filter → fact join → top-10 revenue (customer
+    * is SF-proportional — AQE decides whether the filtered side
+    * broadcasts). */
   def q3TopOrders(s: SparkSession, d: String): DataFrame = {
     val cust = table(s, d, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
@@ -56,7 +62,7 @@ object RelationalQueries {
     val revenue = (col("l_extendedprice") * (lit(1) - col("l_discount")))
       .cast("decimal(18,4)")
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(revenue).cast("double").as("revenue"))
       .orderBy(desc("revenue"), col("o_orderkey"))
@@ -64,7 +70,8 @@ object RelationalQueries {
   }
 
   /** TPC-H Q14-shaped: revenue share per part type over one shipping
-    * year — fact ⋈ broadcast(part) + conditional aggregation; the share
+    * year — fact ⋈ part (unhinted; SF-proportional) + conditional
+    * aggregation; the share
     * denominator joins back as a broadcast 1-row total, and the division
     * runs in DOUBLE on exact decimal sums (identical operands in the
     * DuckDB twin, so no cross-engine rounding drift). */
@@ -75,7 +82,7 @@ object RelationalQueries {
     val revenue = (col("l_extendedprice") * (lit(1) - col("l_discount")))
       .cast("decimal(18,4)")
     val perType = li
-      .join(broadcast(table(s, d, "part")),
+      .join(table(s, d, "part"),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_type"))
       .agg(sum(revenue).as("rev_d"), count(lit(1)).as("n_items"))
@@ -101,8 +108,8 @@ object RelationalQueries {
     val revenue = (col("l_extendedprice") * (lit(1) - col("l_discount")))
       .cast("decimal(18,4)")
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust),
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust,
         col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
@@ -151,7 +158,7 @@ object RelationalQueries {
     * per-segment averages back — the fact side never reshuffles twice). */
   def q7AboveAvgCustomers(s: SparkSession, d: String): DataFrame = {
     val perCust = table(s, d, "orders")
-      .join(broadcast(table(s, d, "customer")),
+      .join(table(s, d, "customer"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_mktsegment"))
       .agg(sum(dec2(col("o_totalprice"))).cast("double").as("cust_total"))
@@ -170,7 +177,8 @@ object RelationalQueries {
 
   /** TPC-H Q10-shaped: revenue lost to returns per customer over a
     * half-year order window — date-filtered fact ⋈ orders shuffle join,
-    * then broadcast customer/nation enrichment, top-20 by lost revenue.
+    * then customer (unhinted) / nation (broadcast) enrichment, top-20 by
+    * lost revenue.
     * The only shuffles are the fact⋈orders join and the final customer
     * aggregate; top-N is TakeOrderedAndProject. */
   def q10ReturnedCustomers(s: SparkSession, d: String): DataFrame = {
@@ -181,7 +189,7 @@ object RelationalQueries {
     val revenue = (col("l_extendedprice") * (lit(1) - col("l_discount")))
       .cast("decimal(18,4)")
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(table(s, d, "customer")),
+      .join(table(s, d, "customer"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(table(s, d, "nation")),
         col("c_nationkey") === col("n_nationkey"))
@@ -215,7 +223,7 @@ object RelationalQueries {
   }
 
   /** TPC-H Q8-shaped: NATION_1's share of AMERICA's PROMO-part market
-    * per order year. Every dimension broadcasts; the share is a
+    * per order year. Only schema-bounded nation/region hint; the share is a
     * conditional sum over one fact aggregate (no second pass over the
     * fact table, no join back), and the division runs in DOUBLE on
     * exact decimal operands — same plan shape as [[q14PromoShare]]. */
@@ -239,11 +247,11 @@ object RelationalQueries {
       .cast("decimal(18,4)")
     table(s, d, "lineitem")
       .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
-      // no hint: custSide is a region-filtered CUSTOMER projection —
-      // fact-proportional, so AQE must decide whether it broadcasts
+      .join(promoParts, col("l_partkey") === col("p_partkey"))
+      // no hints: promoParts/custSide/suppNation are part-, customer- and
+      // supplier-proportional — AQE decides whether each broadcasts
       .join(custSide, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
         sum(when(col("supp_nation") === "NATION_1", revenue)
@@ -283,7 +291,7 @@ object RelationalQueries {
       .filter(col("sum_qty") > 250)
     bigOrders
       .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(table(s, d, "customer")),
+      .join(table(s, d, "customer"),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
@@ -295,9 +303,10 @@ object RelationalQueries {
     * quantity-range) brackets. The OR mixes part and lineitem columns,
     * which no optimizer can push through the join — so the part side is
     * explicitly pre-filtered with the IMPLIED part-only disjunction
-    * (brand ∧ size per bracket) before broadcasting: at 100 TB that
-    * prunes the build side to the brands in play, and the full
-    * mixed-side predicate evaluates as the join residual. */
+    * (brand ∧ size per bracket) before the join: at 100 TB that prunes
+    * the part side to the brands in play (AQE broadcasts it if the
+    * pruned side fits), and the full mixed-side predicate evaluates as
+    * the join residual. */
   def q19BracketRevenue(s: SparkSession, d: String): DataFrame = {
     val b1p = col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
     val b2p = col("p_brand") === "Brand#13" && col("p_size").between(10, 30)
@@ -310,7 +319,7 @@ object RelationalQueries {
       (b3p && col("l_quantity").between(20, 40))
     val revenue = (col("l_extendedprice") * (lit(1) - col("l_discount")))
       .cast("decimal(18,4)")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .filter(bracket)
       .agg(sum(revenue).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
@@ -344,7 +353,8 @@ object RelationalQueries {
     * partsupp, so line cost is `p_retailprice · l_quantity` instead of
     * `ps_supplycost · l_quantity`): profit per (supplier nation, order
     * year) over parts whose name contains "red". Filtered part and the
-    * supplier→nation map broadcast; only lineitem↔orders shuffles.
+    * supplier→nation map are SF-proportional (no hint; AQE decides);
+    * only nation hints.
     * Profit is an exact decimal difference (≤4dp revenue, ≤1dp cost),
     * summed in DECIMAL so partial-agg order can't perturb it. */
   def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
@@ -360,9 +370,9 @@ object RelationalQueries {
         .cast("decimal(18,4)") -
       (col("p_retailprice") * col("l_quantity")).cast("decimal(18,4)")
     table(s, d, "lineitem")
-      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(redParts, col("l_partkey") === col("p_partkey"))
       .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
       .agg(sum(profit).cast("double").as("sum_profit"))
       .orderBy(col("n_name"), desc("o_year"))
@@ -409,7 +419,7 @@ object RelationalQueries {
     perSupp
       .crossJoin(broadcast(maxRev))
       .filter(col("total_rev") === col("max_rev"))
-      .join(broadcast(table(s, d, "supplier")),
+      .join(table(s, d, "supplier"),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_rev").cast("double").as("total_revenue"))
@@ -420,7 +430,8 @@ object RelationalQueries {
     * link is lineitem, not partsupp, and "complaint" suppliers are the
     * negative-balance ones): distinct suppliers per (brand, type, size)
     * for a size whitelist, excluding Brand#1 / PROMO parts and bad
-    * suppliers. Part prefilter + the (tiny) exclusion list broadcast; the
+    * suppliers. Part prefilter and the exclusion list are SF-proportional
+    * (unhinted — AQE promotes them when small); the
     * count-distinct dedups on (brand,type,size,suppkey) first, so the
     * final aggregate only sees already-distinct pairs. */
   def q16SupplierVariety(s: SparkSession, d: String): DataFrame = {
@@ -433,8 +444,8 @@ object RelationalQueries {
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     table(s, d, "lineitem")
       .select(col("l_partkey"), col("l_suppkey"))
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(badSuppliers),
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(badSuppliers,
         col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -445,8 +456,8 @@ object RelationalQueries {
   /** TPC-H Q17-shaped small-quantity revenue (adapted: p_container →
     * p_type = SMALL): average yearly revenue that would vanish if
     * sub-20%-of-average-quantity orders of Brand#3 SMALL parts stopped.
-    * The per-part average joins back broadcast (bounded by the filtered
-    * part count, a dimension); the 0.2·avg threshold is the same IEEE
+    * The per-part average joins back unhinted (part-proportional — AQE
+    * broadcasts it when it fits); the 0.2·avg threshold is the same IEEE
     * double expression in both engines, and the headline sum aggregates
     * in DECIMAL before one final double division. */
   def q17SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
@@ -454,11 +465,11 @@ object RelationalQueries {
       .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
       .select(col("p_partkey"))
     val li = table(s, d, "lineitem")
-      .join(broadcast(target), col("l_partkey") === col("p_partkey"))
+      .join(target, col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
     val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
       .agg(avg(col("l_quantity")).as("avg_qty"))
-    li.join(broadcast(avgQty), col("l_partkey") === col("a_partkey"))
+    li.join(avgQty, col("l_partkey") === col("a_partkey"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg(
         (sum(dec2(col("l_extendedprice"))).cast("double") /
@@ -478,7 +489,7 @@ object RelationalQueries {
       .filter(col("p_type") === "SMALL" && col("p_size") < 15)
       .select(col("p_partkey"), col("p_name"))
     val offers = table(s, d, "lineitem")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
       .agg((sum(dec2(col("l_extendedprice"))) /
         count(lit(1))).as("avg_price"))
@@ -487,7 +498,7 @@ object RelationalQueries {
     offers
       .join(minPrice, col("p_partkey") === col("m_partkey") &&
         col("avg_price") === col("min_price"))
-      .join(broadcast(table(s, d, "supplier")),
+      .join(table(s, d, "supplier"),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
         col("s_name"), col("s_acctbal"),
@@ -513,7 +524,7 @@ object RelationalQueries {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"))
     val valued = table(s, d, "lineitem")
-      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .join(suppN, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(dec2(col("l_extendedprice"))).as("part_value"))
     val total = valued.agg(sum(col("part_value")).as("total_value"))
@@ -528,15 +539,15 @@ object RelationalQueries {
     * units of some red part in 1996): the suppliers-to-audit list via a
     * two-level semi-join chain — per-(supplier, part) 1996 shipments
     * over red parts, thresholded, then supplier names for NATION_1.
-    * Both reducing joins are semi (no fan-out), part prefilter
-    * broadcasts, and the fact table is touched once. */
+    * Both reducing joins are semi (no fan-out), the part prefilter is
+    * unhinted (AQE decides), and the fact table is touched once. */
   def q20ExcessShippers(s: SparkSession, d: String): DataFrame = {
     val redParts = table(s, d, "part")
       .filter(col("p_name").contains("red")).select(col("p_partkey"))
     val shipped = table(s, d, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01") &&
         col("l_shipdate") < lit("1997-01-01"))
-      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(redParts, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(dec2(col("l_quantity"))).as("qty"))
       .filter(col("qty") > 40)

@@ -51,18 +51,71 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(plan("q6_filter_agg")) == 1)
   }
 
-  test("q5: every dimension joins as broadcast; no cartesian product") {
+  test("q5: dimension joins broadcast at this SF WITHOUT forced hints " +
+    "(size stats decide); no cartesian product") {
     val p = plan("q5_revenue_by_nation")
     val bhj = p.collect { case j: BroadcastHashJoinExec => j }
     assert(bhj.size >= 4, s"expected >=4 broadcast joins, got ${bhj.size}")
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
-  test("q10: broadcast enrichment + TakeOrderedAndProject top-20") {
+  test("q10: stat-chosen broadcast enrichment + TakeOrderedAndProject " +
+    "top-20") {
     val p = plan("q10_returned_customers")
     assert(p.collect { case j: BroadcastHashJoinExec => j }.size >= 2)
     assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
       "top-N must be TakeOrderedAndProject, not a global sort")
+  }
+
+  test("tpch: no explicit broadcast hint on any SF-proportional side — " +
+    "customer/supplier/part/lineitem-derived plans carry no forced hint " +
+    "(a hint bypasses AQE's size check and OOMs at 100 TB instead of " +
+    "degrading to a shuffle join)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (name <- graft.queries.RelationalQueries.queries.keys) {
+      val analyzed = SparkEntry.queries(name)(spark, dir)
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.analyzed
+      // hinted sides may only expose schema-bounded columns: nation (n_),
+      // region (r_) or renamed scalar/segment aggregates — never raw
+      // customer/supplier/part/lineitem attributes
+      val offenders = analyzed.collect { case h: ResolvedHint =>
+        h.child.output.map(_.name).filter(n =>
+          n.startsWith("c_") || n.startsWith("s_") ||
+          n.startsWith("p_") || n.startsWith("l_") || n.startsWith("o_"))
+      }.flatten
+      assert(offenders.isEmpty,
+        s"$name force-broadcasts an SF-proportional side: $offenders")
+    }
+  }
+
+  test("q3: with no forced hints, InjectRuntimeFilter prunes the fact " +
+    "side through the selective dim filter at scale settings") {
+    // At 100 TB the dim side exceeds the broadcast limit and these joins
+    // shuffle; Spark's runtime bloom filter then prunes fact rows at the
+    // scan. A forced broadcast() hint suppresses the rewrite entirely —
+    // this pins that the un-hinted plan stays runtime-filterable. The
+    // application-side threshold (10 GB default) is lowered to simulate
+    // at-scale sizes on test data.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = keys.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val opt = SparkEntry.queries("q3_top_orders")(spark, dir)
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.optimizedPlan
+      assert(opt.toString.contains("might_contain"),
+        "expected a bloom-filter runtime filter (might_contain) in the " +
+          "optimized plan once no broadcast hint blocks injection")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("q19: the implied part-side disjunction is pre-filtered and " +
