@@ -61,9 +61,12 @@ object Cdc {
       keyCols: Seq[String], payloadCols: Seq[String],
       ordCols: Seq[String], isDelete: Column): DataFrame = {
     val flag = "_graft_is_delete"
+    // coalesce: a NULL delete flag on a key's latest row would otherwise
+    // drop the key under three-valued logic — a non-tombstone row must
+    // never silently delete (same explicit null rule as Checks.report)
     upsertLatest(
       snapshot.withColumn(flag, lit(false)),
-      changelog.withColumn(flag, isDelete),
+      changelog.withColumn(flag, coalesce(isDelete, lit(false))),
       keyCols, payloadCols :+ flag, ordCols)
       .filter(!col(flag))
       .drop(flag)

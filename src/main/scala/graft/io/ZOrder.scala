@@ -40,7 +40,14 @@ object ZOrder {
     }
   }
 
-  /** Equi-width bucketing of a numeric column into [0, nBuckets). */
+  /** Equi-width bucketing of a numeric column into [0, nBuckets).
+    *
+    * Assumes an INTEGRAL domain: the `max - min + 1` denominator counts
+    * the distinct integer values so the top value maps to the last
+    * bucket without the `least` clamp doing the work. On a continuous/
+    * fractional domain the +1 skews bucket widths (under-filling the
+    * top bucket as the range shrinks) — divide by `(max - min)` and let
+    * the clamp catch `c == max` instead if fractional dims are added. */
   def bucketed(c: Column, min: Column, max: Column,
       nBuckets: Int): Column =
     least(lit(nBuckets - 1),

@@ -743,13 +743,19 @@ object ExtendedQueries {
         |  last_ts >= TIMESTAMP '2024-01-21 00:00:00' AS was_updated
         |FROM latest WHERE rn = 1
         |ORDER BY user_id""".stripMargin.replace('\n', ' '),
+    // json_valid + TRY_CAST mirror Spark's null-out-on-malformed
+    // from_json semantics: bare json_extract RAISES on malformed JSON,
+    // so a single dirty props value would error the oracle while the
+    // engine succeeds
     "x34_json_props" ->
       """SELECT event_type, count(*) AS n_events,
         |  count(k) AS n_with_k,
         |  CAST(sum(k) AS BIGINT) AS sum_k,
         |  min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT event_type,
-        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |    CASE WHEN json_valid(props)
+        |      THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT)
+        |    END AS k
         |  FROM events)
         |GROUP BY 1 ORDER BY event_type""".stripMargin.replace('\n', ' '),
     // DuckDB's jaro_winkler_similarity implements the same classic

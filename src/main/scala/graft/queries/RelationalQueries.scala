@@ -457,7 +457,9 @@ object RelationalQueries {
     * p_type = SMALL): average yearly revenue that would vanish if
     * sub-20%-of-average-quantity orders of Brand#3 SMALL parts stopped.
     * The per-part average joins back unhinted (part-proportional — AQE
-    * broadcasts it when it fits); the 0.2·avg threshold is the same IEEE
+    * broadcasts it when it fits); the avg is an exact DECIMAL division
+    * (the q2 pattern) and the 20% test multiplies by 5 instead of by
+    * 0.2, so the inclusion predicate compares the same IEEE
     * double expression in both engines, and the headline sum aggregates
     * in DECIMAL before one final double division. */
   def q17SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
@@ -468,9 +470,9 @@ object RelationalQueries {
       .join(target, col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
     val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
-      .agg(avg(col("l_quantity")).as("avg_qty"))
+      .agg((sum(dec2(col("l_quantity"))) / count(lit(1))).as("avg_qty"))
     li.join(avgQty, col("l_partkey") === col("a_partkey"))
-      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .filter(col("l_quantity") * 5 < col("avg_qty"))
       .agg(
         (sum(dec2(col("l_extendedprice"))).cast("double") /
           lit(7.0)).as("avg_yearly"),
@@ -771,14 +773,15 @@ object RelationalQueries {
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'),
         |avgq AS (
-        |  SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
+        |  SELECT l_partkey AS a_partkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) / count(*) AS avg_qty
         |  FROM li GROUP BY 1)
         |SELECT
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |    / CAST('7' AS DOUBLE) AS avg_yearly,
         |  count(*) AS n_lines
         |FROM li JOIN avgq ON l_partkey = a_partkey
-        |WHERE l_quantity < CAST('0.2' AS DOUBLE) * avg_qty"""
+        |WHERE l_quantity * 5 < avg_qty"""
         .stripMargin.replace('\n', ' '),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -496,7 +496,9 @@ object TextAnalysis {
   /** DuckDB twin of [[bm25TopK]] over the `documents` table. */
   def bm25TopKSql(queryTerms: Seq[String], k: Int): String = {
     val toks = tokensSql(normalizedSql("text"))
-    val qList = queryTerms.map(s => s"'$s'").mkString("[", ", ", "]")
+    // SQL-escape: a term containing a quote must not break the twin
+    val qList = queryTerms.map(s => s"'${s.replace("'", "''")}'")
+      .mkString("[", ", ", "]")
     s"""WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents),
        |dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY 1),
        |stats AS (SELECT count(*) AS n_docs,
