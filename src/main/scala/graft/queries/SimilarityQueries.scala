@@ -39,21 +39,17 @@ object SimilarityQueries {
     // int8 scalar quantization (embedding compression for ANN at scale);
     // the int8 array is CSV-joined because the harness compare hashes
     // scalar cells, not lists (same convention as a1's parallel arrays)
-    "sim6_l2_normalize" -> ((s, d) => {
-      val (nrm, unit) = Similarity.l2Normalize(col("embedding"))
-      table(s, d, "embeddings")
-        .select(col("vec_id"), round(nrm, 6).as("norm"),
-          array_join(transform(unit,
+    "sim6_l2_normalize" -> ((s, d) =>
+      Similarity.l2Normalize(table(s, d, "embeddings"), "embedding")
+        .select(col("vec_id"), round(col("norm"), 6).as("norm"),
+          array_join(transform(col("unit"),
             x => format_string("%.6f", x)), ",").as("unit"))
-        .orderBy("vec_id")
-    }),
-    "sim5_quantize_int8" -> ((s, d) => {
-      val (mx, q) = Similarity.quantizeInt8(col("embedding"))
-      table(s, d, "embeddings")
-        .select(col("vec_id"), round(mx, 6).as("max_abs"),
-          array_join(q.cast("array<string>"), ",").as("q"))
-        .orderBy("vec_id")
-    })
+        .orderBy("vec_id")),
+    "sim5_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(table(s, d, "embeddings"), "embedding")
+        .select(col("vec_id"), round(col("max_abs"), 6).as("max_abs"),
+          array_join(col("q").cast("array<string>"), ",").as("q"))
+        .orderBy("vec_id"))
   )
 
   val oracle: Map[String, String] = Map(

@@ -260,13 +260,20 @@ object Similarity {
     * ∈ [−127, 127]; an all-zero vector quantizes to zeros. Pure per-row
     * expression work (no shuffle, no UDF); the division is guarded with
     * nullif so the zero-vector case can't divide by zero. */
-  def quantizeInt8(vec: Column): (Column, Column) = {
-    val v = vec.cast("array<double>")
-    val mx = array_max(transform(v, x => abs(x)))
-    val q = transform(v, x =>
-      coalesce(round(x * lit(127.0) / nullif(mx, lit(0.0))), lit(0.0))
-        .cast("tinyint"))
-    (mx, q)
+  def quantizeInt8(df: DataFrame, vecCol: String,
+      maxAbsName: String = "max_abs", qName: String = "q"): DataFrame = {
+    // Two-projection shape: maxabs materializes as an attribute BEFORE
+    // the per-element lambda consumes it. Inlined, the O(d) array_max
+    // fold re-executes once per element — O(d²) per row, the same
+    // HOF-inlining trap as bandedBuckets / bigramLogProb. The attribute
+    // is referenced twice downstream (output + lambda), so
+    // CollapseProject keeps the boundary.
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn(maxAbsName, array_max(transform(v, x => abs(x))))
+      .withColumn(qName, transform(v, x =>
+        coalesce(round(x * lit(127.0) /
+          nullif(col(maxAbsName), lit(0.0))), lit(0.0))
+          .cast("tinyint")))
   }
 
   /** DuckDB twin of [[quantizeInt8]] over `embeddings` — identical
@@ -287,11 +294,16 @@ object Similarity {
     * row math (codegen'd fold + transform — no UDF, no shuffle, runs at
     * scan speed); zero vectors yield null components instead of a
     * division blow-up. */
-  def l2Normalize(vec: Column): (Column, Column) = {
-    val v = vec.cast("array<double>")
-    val nrm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
-    val unit = transform(v, x => x / nullif(nrm, lit(0.0)))
-    (nrm, unit)
+  def l2Normalize(df: DataFrame, vecCol: String,
+      normName: String = "norm", unitName: String = "unit"): DataFrame = {
+    // Same two-projection shape as [[quantizeInt8]]: the O(d) sum-of-
+    // squares fold binds to an attribute before the per-element divide —
+    // inlined in the lambda it would re-run per element (O(d²) per row).
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn(normName,
+        sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn(unitName,
+        transform(v, x => x / nullif(col(normName), lit(0.0))))
   }
 
   /** DuckDB twin of [[l2Normalize]]: the sum-of-squares folds in array

@@ -125,9 +125,9 @@ class SimilaritySpec extends AnyFunSuite {
   test("int8 quantization: bounded reconstruction error, zero-vector safe") {
     val withZero = vecs.unionAll(
       Seq((6L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
-    val (mx, q) = Similarity.quantizeInt8(col("embedding"))
-    val rows = withZero.select(col("vec_id"), col("embedding"),
-        mx.as("mx"), q.as("q")).collect()
+    val rows = Similarity.quantizeInt8(withZero, "embedding")
+      .select(col("vec_id"), col("embedding"),
+        col("max_abs").as("mx"), col("q")).collect()
     rows.foreach { r =>
       val orig = r.getAs[collection.Seq[Float]]("embedding")
       val scale = r.getDouble(2)
