@@ -25,6 +25,15 @@ object SimilarityQueries {
         probes = 3)
         .orderBy("query_id", "rank")
     }),
+    // trained-centroid IVF (hash-seeded deterministic Lloyd rounds, top-p
+    // centroid multi-probe): rows-only like sim2 — recall ≥ the
+    // hyperplane variant at equal probes is asserted in SimilaritySpec
+    "sim7_knn_ivf_trained" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfTrainedTopK(emb, emb.filter(col("vec_id") < 20),
+        k = 5, nlist = 16, probes = 3)
+        .orderBy("query_id", "rank")
+    }),
     "sim3_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(table(s, d, "embeddings"),
         threshold = 0.4)

@@ -161,6 +161,89 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** K-means-trained coarse quantizer for IVF: `nlist` centroids from
+    * deterministic hash-seeded Lloyd iterations (no RNG — seeding is
+    * `xxhash64(id) mod nlist`, so training is reproducible on any
+    * cluster layout).
+    *
+    * Scale shape per iteration: the centroid recompute shuffles only
+    * (cluster, dim) partial sums (posexplode + two metadata-sized hash
+    * aggregates — the x10_centroid_assign pattern) and the re-assignment
+    * broadcasts the nlist×dim centroid table against the corpus with a
+    * partial-aggregating max_by — the corpus itself NEVER shuffles.
+    * Centroid dims round to 6 dp so float partial-sum order can't make
+    * training runs diverge. Clusters that lose all members simply drop
+    * out (standard Lloyd behavior; `probes` still searches the
+    * surviving ones). */
+  def trainCentroids(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", nlist: Int = 8,
+      iters: Int = 2): DataFrame = {
+    require(nlist >= 2 && iters >= 1, s"need nlist>=2, iters>=1")
+    val vecs = corpus.select(col(idCol).as("__id"),
+      toDouble(col(vecCol)).as("__v"))
+    var assigned = vecs.withColumn("__c",
+      pmod(xxhash64(col("__id")), lit(nlist)).cast("int"))
+    var cents: DataFrame = null
+    for (_ <- 0 until iters) {
+      cents = assigned
+        .select(col("__c"), posexplode(col("__v")))
+        .groupBy(col("__c"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("m"))
+        .groupBy(col("__c"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+      val best = vecs.join(broadcast(cents))
+        .withColumn("sim", round(cosine(col("__v"), col("centroid")), 6))
+        .groupBy(col("__id"))
+        .agg(max_by(col("__c"),
+          struct(col("sim"), (-col("__c")).as("n"))).as("__c"))
+      assigned = vecs.join(best, "__id")
+    }
+    cents.select(col("__c").as("cluster"), col("centroid"))
+  }
+
+  /** IVF top-k with a TRAINED coarse quantizer: corpus vectors live in
+    * their nearest-centroid bucket; each query probes its `probes`
+    * nearest centroids (top-p by cosine — the trained-quantizer analogue
+    * of [[ivfTopK]]'s Hamming-flip multi-probe) and exact-scores only
+    * those buckets. Centroids adapt to the data distribution, so at
+    * equal probed-bucket count recall ≥ the data-oblivious hyperplane
+    * variant (asserted in SimilaritySpec).
+    *
+    * Scale: the centroid table is nlist×dim (metadata) and broadcasts
+    * everywhere it appears; the query-side top-p window runs over
+    * |queries|×nlist rows (query-batch-sized, never the corpus); corpus
+    * rows land in exactly one bucket so no candidate dedup is needed. */
+  def ivfTrainedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nlist: Int = 8, probes: Int = 2, iters: Int = 2): DataFrame = {
+    require(probes >= 1 && probes <= nlist,
+      s"probes must be in [1, nlist]; got $probes for $nlist centroids")
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, iters)
+    val c = corpus
+      .select(col(idCol).as("corpus_id"), toDouble(col(vecCol)).as("cvec"))
+      .join(broadcast(cents))
+      .withColumn("sim_c", round(cosine(col("cvec"), col("centroid")), 6))
+      .groupBy(col("corpus_id"))
+      .agg(max_by(col("cluster"),
+          struct(col("sim_c"), (-col("cluster")).as("n"))).as("bucket"),
+        first(col("cvec")).as("cvec"))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim_c"), col("cluster"))
+    val q = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qvec"))
+      .join(broadcast(cents))
+      .withColumn("sim_c", round(cosine(col("qvec"), col("centroid")), 6))
+      .withColumn("rk", row_number().over(qw))
+      .filter(col("rk") <= probes)
+      .select(col("query_id"), col("cluster").as("bucket"), col("qvec"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("cvec"), col("qvec")), 4))
+    topKPerQuery(scored, k)
+  }
+
   /** Banded LSH bucketing for corpus self-similarity: `bands` bands of
     * `bandBits` hyperplane bits each. A near-dup pair collides in a band
     * with probability (1−θ/π)^bandBits, and is a candidate if ANY band

@@ -112,6 +112,40 @@ class SimilaritySpec extends AnyFunSuite {
       s"fixture expected a strict recall gain ($rSingle -> $rMulti)")
   }
 
+  test("trained-centroid IVF: recall >= hyperplane IVF at equal bucket " +
+    "count and probe count; all scores exact vs brute") {
+    val corpus = plantedCorpus
+    val queries = corpus.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // equal comparison: 16 buckets each (bits=4 → 2^4 for hyperplanes,
+    // nlist=16 for k-means), 3 probed buckets per query
+    val hyper = Similarity.ivfTopK(corpus, queries, k = 5,
+        bits = 4, probes = 3)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = Similarity.ivfTrainedTopK(corpus, queries, k = 5,
+        nlist = 16, probes = 3)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rHyper = (hyper & brute).size.toDouble / brute.size
+    val rTrained = (trained & brute).size.toDouble / brute.size
+    assert(rTrained >= rHyper,
+      s"trained-centroid recall $rTrained below hyperplane $rHyper")
+    // scores must be the exact cosine (bucketing only prunes candidates)
+    val bruteScores = Similarity.bruteForceTopK(corpus, queries, k = 120)
+      .select("query_id", "corpus_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    Similarity.ivfTrainedTopK(corpus, queries, k = 5, nlist = 16,
+        probes = 3)
+      .select("query_id", "corpus_id", "sim").collect()
+      .foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        assert(bruteScores(key) === r.getDouble(2))
+      }
+  }
+
   test("lsh signature is deterministic across evaluations") {
     val a = Similarity.cosineLshBuckets(vecs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
