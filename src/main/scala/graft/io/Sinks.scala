@@ -39,6 +39,7 @@ object Sinks {
     conf.set("fs.s3a.access.key", accessKey)
     conf.set("fs.s3a.secret.key", secretKey)
     conf.set("fs.s3a.path.style.access", pathStyle.toString)
+    conf.set("fs.s3a.impl", "org.apache.hadoop.fs.s3a.S3AFileSystem")
     conf.set("fs.s3a.connection.ssl.enabled", "false")
   }
 }

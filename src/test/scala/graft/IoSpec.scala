@@ -77,4 +77,28 @@ class IoSpec extends AnyFunSuite {
     assert(r.getLong(3) === 39L)
     assert(r.getLong(4) === 255L)
   }
+
+  test("S6: configureS3a lands the six object-store keys in " +
+    "hadoopConfiguration exactly as batch_processor.py:57-62 sets them") {
+    val spark = TestSpark.spark
+    val conf = spark.sparkContext.hadoopConfiguration
+    val keys = Seq("fs.s3a.endpoint", "fs.s3a.access.key",
+      "fs.s3a.secret.key", "fs.s3a.path.style.access", "fs.s3a.impl",
+      "fs.s3a.connection.ssl.enabled")
+    val prev = keys.map(k => k -> Option(conf.get(k)))
+    try {
+      graft.io.Sinks.configureS3a(spark, "http://localhost:9000",
+        "test-access", "test-secret")
+      assert(conf.get("fs.s3a.endpoint") === "http://localhost:9000")
+      assert(conf.get("fs.s3a.access.key") === "test-access")
+      assert(conf.get("fs.s3a.secret.key") === "test-secret")
+      assert(conf.get("fs.s3a.path.style.access") === "true")
+      assert(conf.get("fs.s3a.impl") ===
+        "org.apache.hadoop.fs.s3a.S3AFileSystem")
+      assert(conf.get("fs.s3a.connection.ssl.enabled") === "false")
+    } finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
