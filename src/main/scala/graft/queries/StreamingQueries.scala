@@ -83,7 +83,69 @@ object StreamingQueries {
         timestamp_micros(expr("ts div 1000")).as("ts"),
         col("user_id"), col("event_type"), col("value"))
 
+  /** Events split into two DISJOINT halves (event-id parity — every user
+    * bucket present in both) exposed as two files with
+    * maxFilesPerTrigger=1: a genuine multi-batch replay in which every
+    * aggregate key is updated in BOTH micro-batches. Built once per sf
+    * dir behind a `_done` marker (underscore-prefixed = invisible to the
+    * file stream source). */
+  private def splitEventsFileStream(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s"$d/events.parquet"
+    val dir =
+      Paths.get(s"/tmp/graft_stream_${d.hashCode.toHexString}/events_split")
+    val done = dir.resolve("_done")
+    if (!Files.exists(done)) {
+      Files.createDirectories(dir)
+      val full = s.read.parquet(src)
+      Seq(0, 1).foreach { par =>
+        val tmp = dir.resolve(s"_build_$par")
+        full.filter(pmod(xxhash64(col("event_id")), lit(2)) === par)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.move(part, dir.resolve(s"half_$par.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      Files.createFile(done)
+    }
+    val schema = s.read.parquet(src).schema
+    s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // UPDATE-output-mode streaming aggregate — the third output mode next
+    // to append (s5) and complete (x19): each micro-batch emits ONLY the
+    // keys it changed, so the memory sink accumulates one row per
+    // (key, update). The replay forces two micro-batches that both touch
+    // every key; final state reconstructs as the max-count row per key
+    // (a key's count strictly grows with each update, so the pick is
+    // deterministic whatever the batch split) and must equal the batch
+    // aggregate exactly — update mode's at-scale contract: state and
+    // emissions bounded by |changed keys|, not |result|
+    "x35_stream_update" -> ((s, d) => {
+      val agg = splitEventsFileStream(s, d)
+        .select(col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .groupBy(col("event_type"), (col("user_id") % 10).as("user_bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"),
+          max(col("ts")).as("last_ts"))
+      StreamPipeline.replayToMemory(s, agg, "x35_stream_update",
+          outputMode = "update")
+        .groupBy(col("event_type"), col("user_bucket"))
+        .agg(max_by(struct(col("sum_value"), col("last_ts")),
+            col("n_events")).as("f"),
+          max(col("n_events")).as("n_events"))
+        .select(col("event_type"), col("user_bucket"), col("n_events"),
+          col("f.sum_value").as("sum_value"), col("f.last_ts").as("last_ts"))
+        .orderBy("event_type", "user_bucket")
+    }),
     // at-least-once replay dedup: the stream self-unioned (every row
     // delivered twice) must come out exactly once
     "s7_stream_dedup" -> ((s, d) => {
@@ -378,6 +440,15 @@ object StreamingQueries {
         |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
         |ORDER BY user_id, click_id, purchase_id"""
         .stripMargin.replace('\n', ' '),
+    // update-mode final state over bounded input ≡ the plain batch
+    // aggregate (same contract as x19, reached through per-key updates)
+    "x35_stream_update" ->
+      """SELECT event_type, user_id % 10 AS user_bucket,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(max(ts) AS TIMESTAMP) AS last_ts
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, user_bucket""".stripMargin.replace('\n', ' '),
     // complete mode over bounded input ≡ the plain batch aggregate
     "x19_stream_complete" ->
       """SELECT event_type, user_id % 10 AS user_bucket,

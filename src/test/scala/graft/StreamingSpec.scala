@@ -274,4 +274,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.toSeq === Seq((1L, "2024-01-01 10:30:00.0")))
     } finally q.stop()
   }
+
+  test("x35 update mode: the memory sink holds one row per (key, " +
+    "micro-batch that changed it) — more rows than keys proves the " +
+    "replay really ran multiple update emissions, and per-key counts " +
+    "strictly grow") {
+    val dir = "/root/testdata/sf0.001"
+    // run the registered query (it reconstructs final state internally);
+    // the un-aggregated memory table it leaves behind holds the raw
+    // update stream
+    val finalState = SparkEntry.queries("x35_stream_update")(spark, dir)
+      .collect()
+    val raw = spark.table("x35_stream_update")
+      .select("event_type", "user_bucket", "n_events").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    val keys = raw.map(_._1).distinct
+    assert(raw.length > keys.length,
+      s"expected multiple update emissions for at least one key, got " +
+        s"${raw.length} rows over ${keys.length} keys (single batch?)")
+    // within a key, emitted counts are all distinct (strict growth)
+    raw.groupBy(_._1).foreach { case (k, rows) =>
+      val counts = rows.map(_._2)
+      assert(counts.distinct.length === counts.length,
+        s"key $k re-emitted an unchanged count: ${counts.toSeq}")
+    }
+    // and the reconstructed final state matches the raw stream's maxima
+    val maxPerKey = raw.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    finalState.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      assert(maxPerKey(k) === r.getLong(2))
+    }
+  }
 }
