@@ -113,17 +113,30 @@ object Bench {
     // The ladder lowers per-query precision until it fits (sf is the dir
     // basename — the full path spends 15 chars the budget doesn't have).
     val sfName = sfDir.split('/').last
+    val mins = samples.map { case (k, v) => k -> v.min }
+    val totalMin = mins.values.sum
     val line = Seq(3, 2, 1, 0).view.map { dp =>
       val qs = med.map { case (k, v) => s""""$k":${fmt(v, dp)}""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
-        s""""queries":$qs,"sf":"$sfName","n":$passes}"""
+      // value_min (sum of per-query minima) + per-query minima for
+      // contention-suspect queries (median ≫ min): on a shared machine
+      // samples swing 4-6x pass-to-pass, and the min is the honest
+      // compute cost — this lets the single-number view discount noise
+      // without growing the line by a full second map
+      val sus = med.collect {
+        case (k, v) if v > mins(k) * 1.5 && v - mins(k) > 0.3 =>
+          s""""$k":${fmt(mins(k), dp max 2)}"""
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},""" +
+        s""""value_min":${fmt(totalMin, 2)},"unit":"sec",""" +
+        s""""queries":$qs,"mins":$sus,"sf":"$sfName","n":$passes}"""
     }.find(_.length <= 1880).getOrElse {
       // Even dp=0 over the full surface no longer fits the driver's
       // stdout tail: emit the SLOWEST queries that do fit (the ones perf
       // grading cares about) instead of an empty map; the full detail is
       // always in BENCH_FULL.json.
       val prefix = s"""{"metric":"total","value":${fmt(total, 2)},""" +
+        s""""value_min":${fmt(totalMin, 2)},""" +
         s""""unit":"sec","sf":"$sfName","n":$passes,"queries":{"""
       val budget = 1880 - prefix.length - 2
       val entries = scala.collection.mutable.ListBuffer[String]()
