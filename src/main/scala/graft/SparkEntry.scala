@@ -23,7 +23,8 @@ object SparkEntry {
       FeatureQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ StreamingQueries.queries ++
-      SinkQueries.queries ++ ExtendedQueries.queries ++ JoinQueries.queries
+      SinkQueries.queries ++ ExtendedQueries.queries ++
+      JoinQueries.queries ++ DecisionSupportQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -32,5 +33,6 @@ object SparkEntry {
       FeatureQueries.oracle ++ RelationalQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ StreamingQueries.oracle ++
-      SinkQueries.oracle ++ ExtendedQueries.oracle ++ JoinQueries.oracle
+      SinkQueries.oracle ++ ExtendedQueries.oracle ++
+      JoinQueries.oracle ++ DecisionSupportQueries.oracle
 }

@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.PipelineQueries.table
+import graft.text.TextAnalysis
+
+/** Decision-support shapes beyond the TPC-H surface (TPC-DS-style
+  * year-over-year, set-intersection and top-fraction patterns) plus two
+  * corpus-curation operators (vocabulary coverage, target-mixture
+  * resampling) and an exact distributed percentile.
+  *
+  * Scale conventions follow RelationalQueries: no broadcast hint on any
+  * SF-proportional side (AQE decides), exact DECIMAL money sums, ratios
+  * divide identical operands in both engines so no rounding is needed,
+  * windows only ever run over dimension-grain or top-k-bounded rows.
+  */
+object DecisionSupportQueries {
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** TPC-DS Q74/Q75-shaped year-over-year growth: revenue per
+    * (nation, order year), self-joined on the previous year. The fact
+    * table is touched ONCE; the self-join runs on the nations×years
+    * aggregate (dimension-grain). */
+  def ds1YoyGrowth(s: SparkSession, d: String): DataFrame = {
+    val revenue = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,4)")
+    val rev = table(s, d, "lineitem")
+      .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(revenue).as("rev_d"))
+    val prev = rev.select(col("n_name").as("p_name"),
+      col("o_year").as("p_year"), col("rev_d").as("prev_d"))
+    rev.join(prev, col("n_name") === col("p_name") &&
+        col("o_year") === col("p_year") + 1)
+      .select(col("n_name"), col("o_year"),
+        col("rev_d").cast("double").as("revenue"),
+        col("prev_d").cast("double").as("prev_revenue"),
+        // identical decimal-derived operands in both engines: the raw
+        // IEEE quotient is deterministic, no rounding needed
+        (col("rev_d").cast("double") / col("prev_d").cast("double"))
+          .as("growth"))
+      .orderBy(col("n_name"), col("o_year"))
+  }
+
+  /** TPC-DS Q38-shaped repeat customers: active (≥1 order) in BOTH 1996
+    * and 1997, counted per segment. The INTERSECT is two distinct
+    * custkey sets semi-joined — set rows only, never fact rows. */
+  def ds2RepeatCustomers(s: SparkSession, d: String): DataFrame = {
+    def active(year: Int) = table(s, d, "orders")
+      .filter(col("o_orderdate") >= lit(s"$year-01-01") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01"))
+      .select(col("o_custkey")).distinct()
+    val both = active(1996)
+      .join(active(1997).select(col("o_custkey").as("c2")),
+        col("o_custkey") === col("c2"), "left_semi")
+    table(s, d, "customer")
+      .join(both, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("total_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** TPC-DS Q11-shaped top-decile spenders: per segment, the top
+    * ⌈n/10⌉ customers by lifetime order total and their share of the
+    * segment's revenue. The rank window runs over the CUSTOMER-grain
+    * aggregate partitioned by segment (5 partitions of |customers|/5
+    * rows — at extreme scale the salted two-phase top-k of
+    * Similarity.topKPerQuery applies; the shape here mirrors the
+    * reference-class single-window form). Decimal totals with custkey
+    * tie-break make the cut deterministic. */
+  def ds3TopDecile(s: SparkSession, d: String): DataFrame = {
+    val perCust = table(s, d, "orders")
+      .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(sum(dec2(col("o_totalprice"))).as("tot_d"))
+    val segTot = perCust.groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("seg_n"), sum(col("tot_d")).as("seg_d"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("tot_d").desc, col("c_custkey"))
+    perCust.withColumn("rn", row_number().over(w))
+      .join(broadcast(segTot), col("c_mktsegment") === col("seg"))
+      .filter(col("rn") <= expr("(seg_n + 9) div 10"))
+      .groupBy(col("c_mktsegment"), col("seg_n"), col("seg_d"))
+      .agg(count(lit(1)).as("n_top"), sum(col("tot_d")).as("top_d"))
+      .select(col("c_mktsegment"), col("seg_n").as("n_customers"),
+        col("n_top"),
+        col("top_d").cast("double").as("top_revenue"),
+        (col("top_d").cast("double") / col("seg_d").cast("double"))
+          .as("revenue_share"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Exact distributed percentiles (p50/p90 of event value per type) via
+    * rank-and-pick: row_number + window count per partition, select the
+    * ⌈p·n⌉-th row — pure integer index math, no interpolation, so both
+    * engines pick the identical stored double. The window partitions by
+    * event_type; at extreme skew the t10 keyed-cumsum two-phase shape
+    * applies, but percentile-by-rank is the standard exact form. */
+  def w8Percentile(s: SparkSession, d: String): DataFrame = {
+    val ev = table(s, d, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(n + 1) div 2") ||
+        col("rn") === expr("(9 * n + 9) div 10"))
+      .groupBy(col("event_type"), col("n").as("n_events"))
+      .agg(
+        max(when(col("rn") === expr("(n + 1) div 2"), col("value")))
+          .as("p50"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("value")))
+          .as("p90"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Vocabulary coverage: the top-50 corpus tokens with cumulative
+    * coverage fraction — the curve tokenizer/vocab builders read before
+    * fixing a vocab size. The heavy part is one hash aggregate over the
+    * token stream; the top-50 cut is TakeOrderedAndProject and the
+    * cumulative window runs over those 50 rows (metadata-sized), with
+    * the corpus total joined back as a broadcast single row. */
+  def t20VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val freq = table(s, d, "documents")
+      .select(explode(TextAnalysis.tokens(
+        TextAnalysis.normalized(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val top = freq.orderBy(col("cnt").desc, col("term")).limit(50)
+    val w = Window.orderBy(col("cnt").desc, col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+      .withColumn("cum_cnt", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("term"), col("cnt"), col("cum_cnt"),
+        (col("cum_cnt").cast("double") / col("total").cast("double"))
+          .as("coverage"))
+      .orderBy(col("rank"))
+  }
+
+  /** Target-mixture resampling: rebalance the corpus toward Zipf-ish
+    * source weights w_s ∝ 1/(1+idx) at the largest feasible scale
+    * c = min_s(n_s/w_s), keeping each row iff its content-hash unit
+    * value clears the source's acceptance rate c·w_s/n_s — the domain
+    * re-weighting step of pretraining-data curation (e.g. up-weighting
+    * curated sources against web crawl), deterministic and RNG-free via
+    * the same md5 cut as stableSample.
+    *
+    * Scale: per-source rates come from a metadata-sized aggregate
+    * (|sources| rows) broadcast back; the keep test is a per-row
+    * expression on the scan — the corpus never shuffles. */
+  def t21DomainMixture(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents")
+    val weight = lit(1.0) /
+      (lit(1.0) + substring(col("source"), 4, 8).cast("int"))
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", weight)
+    val scale = counts
+      .agg(min(col("n_docs").cast("double") / col("w")).as("c"))
+    val rates = counts.crossJoin(broadcast(scale))
+      .select(col("source").as("r_src"), col("n_docs"),
+        least(lit(1.0), col("c") * col("w") / col("n_docs")).as("rate"))
+    val hashUnit = conv(
+      substring(TextAnalysis.fingerprint(col("text")), 1, 4), 16, 10)
+      .cast("long")
+    val kept = docs.join(broadcast(rates), col("source") === col("r_src"))
+      .filter(hashUnit < col("rate") * 65536)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rates
+      .join(kept, col("r_src") === col("source"), "left")
+      .select(col("r_src").as("source"), col("n_docs"), col("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds1_yoy_growth" -> ds1YoyGrowth,
+    "ds2_repeat_customers" -> ds2RepeatCustomers,
+    "ds3_top_decile" -> ds3TopDecile,
+    "w8_percentile" -> w8Percentile,
+    "t20_vocab_coverage" -> t20VocabCoverage,
+    "t21_domain_mixture" -> t21DomainMixture
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ds1_yoy_growth" ->
+      """WITH rev AS (
+        |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |    sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) AS rev_d
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT c.n_name, c.o_year,
+        |  CAST(c.rev_d AS DOUBLE) AS revenue,
+        |  CAST(p.rev_d AS DOUBLE) AS prev_revenue,
+        |  CAST(c.rev_d AS DOUBLE) / CAST(p.rev_d AS DOUBLE) AS growth
+        |FROM rev c JOIN rev p
+        |  ON c.n_name = p.n_name AND c.o_year = p.o_year + 1
+        |ORDER BY c.n_name, c.o_year""".stripMargin.replace('\n', ' '),
+    "ds2_repeat_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_acctbal
+        |FROM customer
+        |WHERE c_custkey IN (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin.replace('\n', ' '),
+    "ds3_top_decile" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot_d
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |seg AS (SELECT c_mktsegment AS seg, count(*) AS seg_n,
+        |    sum(tot_d) AS seg_d
+        |  FROM per_cust GROUP BY 1),
+        |ranked AS (SELECT *, row_number() OVER (
+        |    PARTITION BY c_mktsegment
+        |    ORDER BY tot_d DESC, c_custkey) AS rn
+        |  FROM per_cust)
+        |SELECT c_mktsegment, seg_n AS n_customers,
+        |  count(*) AS n_top,
+        |  CAST(sum(tot_d) AS DOUBLE) AS top_revenue,
+        |  CAST(sum(tot_d) AS DOUBLE) / CAST(seg_d AS DOUBLE)
+        |    AS revenue_share
+        |FROM ranked JOIN seg ON c_mktsegment = seg
+        |WHERE rn <= (seg_n + 9) // 10
+        |GROUP BY c_mktsegment, seg_n, seg_d
+        |ORDER BY c_mktsegment""".stripMargin.replace('\n', ' '),
+    "w8_percentile" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, n AS n_events,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90
+        |FROM ranked
+        |WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
+        |GROUP BY 1, 2 ORDER BY event_type""".stripMargin.replace('\n', ' '),
+    "t20_vocab_coverage" -> {
+      val toks = TextAnalysis.tokensSql(TextAnalysis.normalizedSql("text"))
+      s"""WITH toks AS (SELECT unnest($toks) AS term FROM documents),
+         |freq AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+         |top AS (SELECT term, cnt FROM freq
+         |  ORDER BY cnt DESC, term LIMIT 50)
+         |SELECT CAST(row_number() OVER
+         |    (ORDER BY cnt DESC, term) AS INT) AS rank,
+         |  term, cnt,
+         |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt,
+         |  CAST(CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+         |    / CAST(total AS DOUBLE) AS coverage
+         |FROM top CROSS JOIN tot
+         |ORDER BY rank""".stripMargin.replace('\n', ' ')
+    },
+    "t21_domain_mixture" -> {
+      val fp = TextAnalysis.fingerprintSql("text")
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST('1' AS DOUBLE) /
+        |      (CAST('1' AS DOUBLE) + CAST(substr(source, 4) AS INT)) AS w
+        |  FROM documents GROUP BY 1),
+        |sc AS (SELECT min(CAST(n_docs AS DOUBLE) / w) AS c FROM counts),
+        |rates AS (SELECT source, n_docs,
+        |    least(CAST('1' AS DOUBLE), c * w / n_docs) AS rate
+        |  FROM counts CROSS JOIN sc),
+        |kept AS (
+        |  SELECT d.source, count(*) AS n_kept
+        |  FROM documents d JOIN rates r ON d.source = r.source
+        |  WHERE ('0x' || substr(FPEXPR, 1, 4))::INT < r.rate * 65536
+        |  GROUP BY 1)
+        |SELECT r.source, r.n_docs, r.rate,
+        |  coalesce(k.n_kept, 0) AS n_kept
+        |FROM rates r LEFT JOIN kept k ON r.source = k.source
+        |ORDER BY r.source""".stripMargin.replace('\n', ' ')
+        .replace("FPEXPR", fp)
+    }
+  )
+}
