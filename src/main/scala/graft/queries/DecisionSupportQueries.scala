@@ -186,7 +186,76 @@ object DecisionSupportQueries {
       .orderBy(col("source"))
   }
 
+  /** Ranking-function completeness: ntile / percent_rank / cume_dist over
+    * a tie-free total order (acctbal, custkey), aggregated to quartile
+    * summaries. With a unique ordering key percent_rank = (rn-1)/(N-1)
+    * and cume_dist = rn/N in BOTH engines — integer-operand IEEE
+    * quotients, deterministic unrounded. The window partitions by
+    * segment (5 partitions of |customers|/5 rows — same scale posture
+    * as ds3). */
+  def w9RankFunctions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    table(s, d, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("c_acctbal")).as("min_acctbal"),
+        max(col("c_acctbal")).as("max_acctbal"),
+        min(col("pr")).as("min_pct_rank"),
+        max(col("pr")).as("max_pct_rank"),
+        max(col("cd")).as("max_cume_dist"))
+      .orderBy(col("c_mktsegment"), col("quartile"))
+  }
+
+  /** ROLLUP(nation, year) revenue — the hierarchical-subtotal twin of
+    * x28's GROUPING SETS. gid spelled as explicit grouping() arithmetic
+    * (engine-specific grouping_id encodings don't hash-match); ordering
+    * coalesces the NULL subtotal rows because Spark sorts NULLS FIRST
+    * and DuckDB NULLS LAST by default. Fact table touched once; nation
+    * is the only (schema-bounded, 25-row) broadcast hint. */
+  def x38Rollup(s: SparkSession, d: String): DataFrame =
+    table(s, d, "orders")
+      .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("o_year"),
+        dec2(col("o_totalprice")).as("price_d"))
+      .rollup(col("n_name"), col("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price_d")).cast("double").as("revenue"),
+        (grouping(col("n_name")) * 2 + grouping(col("o_year")))
+          .cast("long").as("gid"))
+      .orderBy(col("gid"), coalesce(col("n_name"), lit("")),
+        coalesce(col("o_year"), lit(-1)))
+
+  /** Fixed-bin value histogram per event type. The bucket index is the
+    * SAME manual expression in both engines — floor(value/width) clamped
+    * — rather than each engine's width_bucket builtin (boundary-rounding
+    * conventions differ). One hash aggregate over the scan; output is
+    * |types|×|bins| rows. */
+  def x39Histogram(s: SparkSession, d: String): DataFrame = {
+    val bucket = least(lit(19), greatest(lit(0),
+      floor(col("value") / lit(25.0)))).cast("int")
+    table(s, d, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .withColumn("bucket_lo", col("bucket").cast("double") * 25.0)
+      .select(col("event_type"), col("bucket"), col("bucket_lo"),
+        col("n_events"), col("min_value"), col("max_value"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w9_rank_functions" -> w9RankFunctions,
+    "x38_rollup" -> x38Rollup,
+    "x39_histogram" -> x39Histogram,
     "ds1_yoy_growth" -> ds1YoyGrowth,
     "ds2_repeat_customers" -> ds2RepeatCustomers,
     "ds3_top_decile" -> ds3TopDecile,
@@ -196,6 +265,47 @@ object DecisionSupportQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "w9_rank_functions" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    ntile(4) OVER w AS quartile,
+        |    percent_rank() OVER w AS pr,
+        |    cume_dist() OVER w AS cd
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey))
+        |SELECT c_mktsegment, CAST(quartile AS INT) AS quartile,
+        |  count(*) AS n_customers,
+        |  min(c_acctbal) AS min_acctbal, max(c_acctbal) AS max_acctbal,
+        |  min(pr) AS min_pct_rank, max(pr) AS max_pct_rank,
+        |  max(cd) AS max_cume_dist
+        |FROM ranked GROUP BY 1, 2
+        |ORDER BY c_mktsegment, quartile""".stripMargin.replace('\n', ' '),
+    "x38_rollup" ->
+      """WITH base AS (
+        |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price_d
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT n_name, o_year, count(*) AS n_orders,
+        |  CAST(sum(price_d) AS DOUBLE) AS revenue,
+        |  CAST(grouping(n_name) * 2 + grouping(o_year) AS BIGINT) AS gid
+        |FROM base
+        |GROUP BY ROLLUP (n_name, o_year)
+        |ORDER BY gid, coalesce(n_name, ''),
+        |  coalesce(o_year, -1)""".stripMargin.replace('\n', ' '),
+    "x39_histogram" ->
+      """SELECT event_type,
+        |  CAST(least(19, greatest(0, floor(value / 25.0))) AS INT)
+        |    AS bucket,
+        |  CAST(least(19, greatest(0, floor(value / 25.0))) AS INT)
+        |    * CAST('25' AS DOUBLE) AS bucket_lo,
+        |  count(*) AS n_events,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY event_type, bucket""".stripMargin.replace('\n', ' '),
     "ds1_yoy_growth" ->
       """WITH rev AS (
         |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
