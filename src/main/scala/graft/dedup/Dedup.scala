@@ -339,4 +339,69 @@ object Dedup {
       .select(col("node").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  // ------------------------------------------------- span-level dedup
+
+  /** Span-level duplicate-substring detection — the token-shingle form of
+    * exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): a k-token window occurring more than
+    * once ANYWHERE in the corpus (another doc or the same doc) marks its
+    * k tokens as duplicated; overlapping marks merge into maximal spans.
+    * Per surviving doc: span count, duplicated-token count, duplicated
+    * fraction — the quantity curation pipelines threshold on before
+    * dropping or trimming documents.
+    *
+    * Distributed shape (the 100 TB story):
+    *  1. token arrays are materialized ONCE per doc behind a projection
+    *     boundary (the HOF-inlining trap documented at
+    *     [[graft.sim.Similarity]] bandedBuckets);
+    *  2. each occurrence ships as (md5(shingle), id, pos) — 16-byte key,
+    *     the text itself never shuffles;
+    *  3. duplicated keys come from one count aggregate (partial maps
+    *     collapse singletons before the exchange) + a semi join back;
+    *  4. span merging is gaps-and-islands over a per-document window —
+    *     bounded by document length, independent of corpus size.
+    */
+  def duplicateSpans(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol),
+        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+          .as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") >= k)
+    // one row per shingle occurrence: (id, n_tokens, 1-based pos, hash)
+    val sh = toks
+      .select(col(idCol), col("n_tokens"),
+        posexplode(transform(
+          sequence(lit(1), col("n_tokens").cast("int") - (k - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(k)))
+            .cast("binary")))))
+      .select(col(idCol), col("n_tokens"), (col("pos") + 1).as("pos"),
+        col("col").as("h"))
+    val dupKeys = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+      .select(col("h"))
+    val occ = sh.join(dupKeys, Seq("h"), "left_semi")
+    // gaps-and-islands: an occurrence starts a new span iff it leaves at
+    // least one uncovered token after the running max end of everything
+    // before it (touching intervals merge into one maximal span)
+    val before = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upToHere = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    occ
+      .withColumn("prev_end", max(col("pos") + (k - 1)).over(before))
+      .withColumn("st",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("st")).over(upToHere))
+      .groupBy(col(idCol), col("n_tokens"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("pos") + (k - 1)).as("e"))
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+      .withColumn("dup_fraction",
+        col("dup_tokens").cast("double") / col("n_tokens"))
+  }
 }

@@ -31,6 +31,28 @@ object DedupQueries {
       |  UNION ALL SELECT doc_id + 100000, text FROM documents)"""
       .stripMargin.replace('\n', ' ')
 
+  /** documents ∪ frankendocs (docA + unique filler token + docB for every
+    * 5th doc) — planted partial overlaps for span-level dedup. */
+  private def spanCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+    val frank = docs
+      .join(docs.select(col("doc_id").as("bid"), col("text").as("btext")),
+        col("doc_id") + 1 === col("bid"))
+      .filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" xq"), col("doc_id").cast("string"),
+          lit("x "), col("btext")).as("text"))
+    docs.unionAll(frank)
+  }
+
+  private val spanCorpusSql =
+    """(SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT a.doc_id + 200000,
+      |    a.text || ' xq' || CAST(a.doc_id AS VARCHAR) || 'x ' || b.text
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id % 5 = 0)""".stripMargin.replace('\n', ' ')
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exactGroups(doubled(s, d))
@@ -99,7 +121,14 @@ object DedupQueries {
         benchmark = docs.filter(col("doc_id") < 20))
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
-    })
+    }),
+    // span-level substring dedup over a corpus with planted PARTIAL
+    // overlaps: every 5th doc spawns a frankendoc = docA ++ unique filler
+    // ++ docB, so originals become fully-covered and frankendocs carry
+    // exactly two merged spans separated by the uncovered filler token
+    "d8_duplicate_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(spanCorpus(s, d), k = 8)
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -164,6 +193,40 @@ object DedupQueries {
           "WHERE doc_id >= 20)",
         "(SELECT doc_id, text FROM documents WHERE doc_id < 20)")
       s"SELECT doc_id, lang, source, n_chars FROM ($kept) ORDER BY doc_id"
+    },
+    "d8_duplicate_spans" -> {
+      val toks = TextAnalysis.tokensSql(TextAnalysis.normalizedSql("text"))
+      s"""WITH corpus AS (SELECT * FROM $spanCorpusSql),
+         |sized AS (SELECT doc_id, $toks AS toks,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM corpus WHERE len($toks) >= 8),
+         |sh AS (SELECT doc_id, n_tokens,
+         |    unnest(generate_series(1, CAST(n_tokens AS INT) - 7)) AS pos,
+         |    unnest(list_transform(
+         |      generate_series(1, CAST(n_tokens AS INT) - 7),
+         |      i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))))
+         |      AS h
+         |  FROM sized),
+         |dup AS (SELECT h FROM sh GROUP BY 1 HAVING count(*) > 1),
+         |occ AS (SELECT doc_id, n_tokens, pos FROM sh
+         |  WHERE h IN (SELECT h FROM dup)),
+         |isl AS (SELECT doc_id, n_tokens, pos,
+         |    max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM occ),
+         |gid AS (SELECT doc_id, n_tokens, pos,
+         |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+         |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM isl),
+         |sp AS (SELECT doc_id, n_tokens, island, min(pos) AS s,
+         |    max(pos + 7) AS e
+         |  FROM gid GROUP BY 1, 2, 3)
+         |SELECT doc_id, n_tokens, count(*) AS n_dup_spans,
+         |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+         |  CAST(sum(e - s + 1) AS DOUBLE) / n_tokens AS dup_fraction
+         |FROM sp GROUP BY doc_id, n_tokens
+         |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
     }
   )
 }

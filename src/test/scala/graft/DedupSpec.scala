@@ -116,6 +116,40 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.decontaminate(shorty, benchmark).count() === 1)
   }
 
+  test("duplicateSpans: cross-doc overlap, within-doc repeat, island " +
+    "merge, clean docs absent") {
+    val fixture = Seq(
+      // shares "a b c d e f" with doc 2 → one merged span [1,6] of 8
+      (1L, "a b c d e f x1 x2"),
+      // the shared run sits mid-doc → span [3,8] of 9
+      (2L, "z1 z2 a b c d e f z3"),
+      // "p q r s" repeats WITHIN the doc (pos 1 and 7, gap > k) → two
+      // spans [1,4] + [7,10] of 10
+      (3L, "p q r s m1 n1 p q r s"),
+      // no 4-gram occurs twice anywhere → absent from the output
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(fixture, k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("dup_tokens")))).toMap
+    assert(out === Map(
+      1L -> ((8L, 1L, 6L)),
+      2L -> ((9L, 1L, 6L)),
+      3L -> ((10L, 2L, 8L))))
+    // adjacent-but-distinct islands merge when the repeat is contiguous:
+    // "m a b c d a b c d n" — "a b c d" at pos 2 and 6; overlapping
+    // duplicated windows in between chain the coverage into ONE span
+    val contiguous = Seq(
+      (10L, "m1 a b c d a b c d n1"),
+      (11L, "zz a b c d zz2")).toDF("doc_id", "text")
+    val merged = Dedup.duplicateSpans(contiguous, k = 4)
+      .filter(col("doc_id") === 10L).collect()
+    assert(merged.length === 1)
+    assert(merged(0).getAs[Long]("n_dup_spans") === 1L)
+    assert(merged(0).getAs[Long]("dup_tokens") === 8L)
+  }
+
   test("wordNgrams: joined windows of the normalized token stream") {
     val grams = Seq((1L, "A  b c d")).toDF("doc_id", "text")
       .select(Dedup.wordNgrams(col("text"), 3).as("g"))
