@@ -114,8 +114,29 @@ object FeatureQueries {
     // the 8×8 solve is driver-side (NormalEquationsSpec)
     "ml2_normal_equations" -> ((s, d) =>
       graft.ml.NormalEquations.gram(
-        graft.ml.NormalEquations.designMatrix(gold(s, d))))
+        graft.ml.NormalEquations.designMatrix(gold(s, d)))),
+    // exact tied-rank ROC-AUC + fixed-threshold confusion metrics over
+    // the embeddings table (label >= 5 plays the positive class, one
+    // embedding coordinate plays the model score)
+    "ml3_auc" -> ((s, d) =>
+      graft.ml.Metrics.binaryAuc(scoredEmbeddings(s, d))),
+    "ml4_confusion" -> ((s, d) =>
+      graft.ml.Metrics.confusionAtThreshold(scoredEmbeddings(s, d),
+        threshold = 0.0))
   )
+
+  /** (label, score) pairs for the evaluation metrics: positive class =
+    * label ≥ 5, score = the second embedding coordinate (a float —
+    * cast to double losslessly, identical in both engines). */
+  private def scoredEmbeddings(s: SparkSession, d: String): DataFrame =
+    PipelineQueries.table(s, d, "embeddings")
+      .select((col("label") >= 5).cast("int").as("label"),
+        element_at(col("embedding"), 2).cast("double").as("score"))
+
+  private val scoredEmbeddingsSql =
+    """(SELECT CAST(label >= 5 AS INT) AS label,
+      |  CAST(embedding[2] AS DOUBLE) AS score FROM embeddings)"""
+      .stripMargin.replace('\n', ' ')
 
   val oracle: Map[String, String] = Map(
     "r5_time_features" -> withPipeline(
@@ -143,6 +164,39 @@ object FeatureQueries {
         "FROM gold ORDER BY location_id, datetime"),
     "ml2_normal_equations" ->
       withPipeline(graft.ml.NormalEquations.gramSql),
+    "ml3_auc" ->
+      s"""WITH by_score AS (
+         |  SELECT score, count(*) AS n, sum(label) AS p
+         |  FROM $scoredEmbeddingsSql GROUP BY 1),
+         |cum AS (SELECT score, n, p, n - p AS neg,
+         |    sum(n - p) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+         |      - (n - p) AS neg_below
+         |  FROM by_score)
+         |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+         |  CAST(sum(neg) AS BIGINT) AS n_neg,
+         |  count(*) AS n_scores,
+         |  CAST(2 * sum(p * neg_below) + sum(p * neg) AS DOUBLE)
+         |    / CAST(2 * sum(p) * sum(neg) AS DOUBLE) AS auc
+         |FROM cum""".stripMargin.replace('\n', ' '),
+    "ml4_confusion" ->
+      s"""WITH c AS (SELECT
+         |  sum(CASE WHEN label = 1 AND score >= 0.0 THEN 1 ELSE 0 END)
+         |    AS tp,
+         |  sum(CASE WHEN label = 0 AND score >= 0.0 THEN 1 ELSE 0 END)
+         |    AS fp,
+         |  sum(CASE WHEN label = 0 AND score < 0.0 THEN 1 ELSE 0 END)
+         |    AS tn,
+         |  sum(CASE WHEN label = 1 AND score < 0.0 THEN 1 ELSE 0 END)
+         |    AS fn
+         |  FROM $scoredEmbeddingsSql)
+         |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+         |  CAST(tp + tn AS DOUBLE) / CAST(tp + fp + tn + fn AS DOUBLE)
+         |    AS accuracy,
+         |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+         |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+         |  CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1
+         |FROM c""".stripMargin.replace('\n', ' '),
     "x33_unpivot" -> withPipeline(
       s"""SELECT location_id, datetime, pollutant, value FROM (
          |  SELECT location_id, datetime, $pollutantSql FROM gold)
