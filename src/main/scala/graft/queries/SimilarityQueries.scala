@@ -34,6 +34,15 @@ object SimilarityQueries {
         k = 5, nlist = 16, probes = 3)
         .orderBy("query_id", "rank")
     }),
+    // product quantization + ADC + exact re-rank (the billion-scale ANN
+    // serving shape): rows-only like sim2/sim7 (hash-seeded Lloyd);
+    // recall vs brute + exact re-rank scores asserted in SimilaritySpec
+    "sim8_knn_pq" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20),
+        k = 5, dims = 64, m = 8, ksub = 16, rerank = 4)
+        .orderBy("query_id", "rank")
+    }),
     "sim3_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(table(s, d, "embeddings"),
         threshold = 0.4)

@@ -402,6 +402,138 @@ object Similarity {
       |    x -> x * x))) AS nrm FROM embeddings)
       |ORDER BY vec_id""".stripMargin.replace('\n', ' ')
 
+  // ------------------------------------------------ product quantization
+
+  /** Subspace decomposition for PQ: one row per (vector, subspace) with
+    * the dsub-dim subvector. The full array is an attribute before the
+    * transform lambda (the HOF-inlining trap — see bandedBuckets). */
+  private def pqSubvectors(vecs: DataFrame, m: Int,
+      dsub: Int): DataFrame =
+    vecs.select(col("__id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("__v"), j * dsub + lit(1), lit(dsub)))))
+      .select(col("__id"), col("pos").as("j"), col("col").as("sv"))
+
+  /** Product-quantization codebooks (Jégou et al., TPAMI 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the space splits into
+    * `m` contiguous subspaces of dims/m coordinates, each trained to its
+    * own `ksub`-centroid codebook with the same deterministic
+    * hash-seeded Lloyd loop as [[trainCentroids]]. All m codebooks train
+    * JOINTLY in one plan — the subspace index is just another grouping
+    * column, so iteration cost is independent of m. Assignment minimizes
+    * L2 via the half-norm trick: argmin_c |s−c|² = argmax_c (s·c −
+    * |c|²/2); |s|² is assignment-invariant and never computed.
+    *
+    * Scale per iteration (inherited from trainCentroids): the recompute
+    * shuffles only (j, code, dim) partial sums; reassignment broadcasts
+    * the m×ksub codebook table against the corpus — the corpus never
+    * shuffles. Input `vecs` must be (__id, __v: array<double>). */
+  def pqTrainCodebooks(vecs: DataFrame, dims: Int, m: Int = 8,
+      ksub: Int = 16, iters: Int = 2): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val subs = pqSubvectors(vecs, m, dims / m)
+    var assigned = subs.withColumn("code",
+      pmod(xxhash64(col("__id"), col("j")), lit(ksub)).cast("int"))
+    var books: DataFrame = null
+    for (_ <- 0 until iters) {
+      books = assigned
+        .select(col("j"), col("code"), posexplode(col("sv")))
+        .groupBy(col("j"), col("code"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("mu"))
+        .groupBy(col("j"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mu")))),
+          x => x.getField("mu")).as("centroid"))
+      val best = subs.join(broadcast(books), Seq("j"))
+        .withColumn("score",
+          round(dot(col("sv"), col("centroid")) -
+            dot(col("centroid"), col("centroid")) / 2, 6))
+        .groupBy(col("__id"), col("j"))
+        .agg(max_by(col("code"),
+          struct(col("score"), (-col("code")).as("n"))).as("code"))
+      assigned = subs.join(best, Seq("__id", "j"))
+    }
+    books
+  }
+
+  /** PQ top-k with asymmetric distance computation (ADC) + exact
+    * re-rank — the serving shape of every billion-scale ANN system:
+    *
+    *  1. L2-normalize both sides, so dot ordering = cosine ordering;
+    *  2. encode each corpus vector ONCE as m small codes (m×ksub
+    *     codebook broadcast; the encoded corpus is m ints per vector —
+    *     a ~dims·4/m× compression of the index);
+    *  3. per query, precompute the m×ksub table of subvector·centroid
+    *     dots (metadata-sized, broadcast with the query batch);
+    *  4. approx dot(q,x) = Σ_j T_q[j][code_j(x)] — m table lookups per
+    *     corpus row instead of a dims-dim dot (the memory-bandwidth
+    *     win); the Σ folds in fixed j order over 6-dp-rounded entries,
+    *     so scores are bit-deterministic;
+    *  5. the top `rerank`·k ADC candidates per query re-score exactly
+    *     and the final top-k returns in bruteForceTopK's output shape.
+    *
+    * Codebook codes can drop out when a Lloyd cluster empties; the
+    * query tables index by CODE VALUE (dense ksub-slot rows built from
+    * a code→dot map), so surviving codes keep their slots. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      dims: Int = 64, m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      rerank: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dsub = dims / m
+    def unit(df: DataFrame): DataFrame =
+      l2Normalize(df.select(col(idCol), col(vecCol)), vecCol)
+        .select(col(idCol).as("__id"), col("unit").as("__v"))
+    val cu = unit(corpus)
+    val qu = unit(queries)
+    val books = pqTrainCodebooks(cu, dims, m, ksub, iters)
+    val assign = pqSubvectors(cu, m, dsub)
+      .join(broadcast(books), Seq("j"))
+      .withColumn("score",
+        round(dot(col("sv"), col("centroid")) -
+          dot(col("centroid"), col("centroid")) / 2, 6))
+      .groupBy(col("__id"), col("j"))
+      .agg(max_by(col("code"),
+        struct(col("score"), (-col("code")).as("n"))).as("code"))
+    val codes = assign
+      .groupBy(col("__id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("code")))),
+        x => x.getField("code")).as("codes"))
+      .select(col("__id").as("corpus_id"), col("codes"))
+    val qtab = pqSubvectors(qu, m, dsub)
+      .join(broadcast(books), Seq("j"))
+      .withColumn("qdot", round(dot(col("sv"), col("centroid")), 6))
+      .groupBy(col("__id"), col("j"))
+      .agg(map_from_entries(
+        collect_list(struct(col("code"), col("qdot")))).as("mp"))
+      .withColumn("trow",
+        transform(sequence(lit(0), lit(ksub - 1)),
+          c => element_at(col("mp"), c)))
+      .groupBy(col("__id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("trow")))),
+        x => x.getField("trow")).as("qtab"))
+      .select(col("__id").as("query_id"), col("qtab"))
+    val adc = codes.crossJoin(broadcast(qtab))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("sim", aggregate(
+        zip_with(col("codes"), col("qtab"),
+          (c, row) => element_at(row, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    val cands = topKPerQuery(adc, k * rerank)
+      .select(col("query_id"), col("corpus_id"))
+    // exact re-rank on the RAW vectors with the same rounded-cosine
+    // expression as ivfTrainedTopK/bruteForceTopK, so emitted scores are
+    // identical to theirs wherever the same pair appears
+    val exact = cands
+      .join(corpus.select(col(idCol).as("corpus_id"),
+        toDouble(col(vecCol)).as("cvec")), "corpus_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        toDouble(col(vecCol)).as("qvec"))), "query_id")
+      .withColumn("sim", round(cosine(col("cvec"), col("qvec")), 4))
+    topKPerQuery(exact, k)
+  }
+
   def cosineNearDupPairsSql(threshold: Double): String =
     s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -146,6 +146,37 @@ class SimilaritySpec extends AnyFunSuite {
       }
   }
 
+  test("PQ ADC + re-rank: planted dups retrieved, scores exact vs " +
+    "brute, recall competitive") {
+    val corpus = plantedCorpus
+    val queries = corpus.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(corpus, queries, k = 5, dims = 64,
+        m = 8, ksub = 16, rerank = 4)
+      .select("query_id", "corpus_id", "sim").collect()
+    val pqPairs = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a near-identical dup quantizes to (almost) the query's own codes,
+    // so ADC puts it at the top: every planted dup must be retrieved
+    (0L until 20L).foreach { q =>
+      assert(pqPairs.contains((q, q + 1000L)),
+        s"planted dup of $q missed by PQ")
+    }
+    val recall = (pqPairs & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"PQ recall $recall below 0.5")
+    // re-ranked scores are the exact rounded cosine (candidates only
+    // are approximate; emitted similarities are not)
+    val bruteScores = Similarity.bruteForceTopK(corpus, queries, k = 120)
+      .select("query_id", "corpus_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bruteScores(key) === r.getDouble(2),
+        s"PQ re-rank score differs from brute at $key")
+    }
+  }
+
   test("lsh signature is deterministic across evaluations") {
     val a = Similarity.cosineLshBuckets(vecs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
