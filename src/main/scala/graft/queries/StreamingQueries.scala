@@ -240,6 +240,31 @@ object StreamingQueries {
           round(col("purchase_value"), 4).as("purchase_value"))
         .orderBy("user_id", "click_id", "purchase_id")
     }),
+    // stream-stream FULL OUTER join: x25 plus the symmetric right-side
+    // expiry — purchases with no click in their preceding hour ALSO
+    // survive as null-padded rows once the watermark passes their match
+    // window (user_id coalesced across sides, since either can be null)
+    "x37_stream_full_join" -> ((s, d) => {
+      val ev = fullEventsStream(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+          col("value").as("purchase_value"))
+      val joined = StreamPipeline.streamStreamFullJoin(
+        clicks, purchases, "click_ts", "purchase_ts", delay = "1 hour",
+        condition = col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      StreamPipeline.replayToMemory(s, joined, "x37_stream_full_join")
+        .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+          col("click_id"), col("purchase_id"),
+          col("click_ts"), col("purchase_ts"),
+          round(col("purchase_value"), 4).as("purchase_value"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
     // complete-mode streaming aggregate: the memory sink holds the FULL
     // current result each micro-batch (no watermark, no eviction) — after
     // a bounded replay it must equal the batch aggregate exactly. The
@@ -438,6 +463,52 @@ object StreamingQueries {
         |        AND p.purchase_ts >= c.click_ts
         |        AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR))
         |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+        |ORDER BY user_id, click_id, purchase_id"""
+        .stripMargin.replace('\n', ' '),
+    // x25's rule plus the mirrored right side: an unmatched purchase's
+    // match window upper bound is its own event time (clicks precede
+    // purchases in the interval), so it emits nulls iff purchase_ts
+    // fell strictly below the final join watermark
+    "x37_stream_full_join" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  user_id, event_type, value FROM events),
+        |clicks AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM ev WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id AS p_user, event_id AS purchase_id,
+        |  ts AS purchase_ts, value FROM ev WHERE event_type = 'purchase'),
+        |matched AS (
+        |  SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts,
+        |    p.purchase_ts, round(p.value, 4) AS purchase_value
+        |  FROM clicks c JOIN purchases p ON c.user_id = p.p_user
+        |    AND p.purchase_ts >= c.click_ts
+        |    AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR),
+        |wm AS (SELECT make_timestamp((epoch_us(least(
+        |    (SELECT max(click_ts) FROM clicks),
+        |    (SELECT max(purchase_ts) FROM purchases)))
+        |  // 1000 - 3600000) * 1000) AS wm_ts),
+        |unmatched_l AS (
+        |  SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT)
+        |      AS purchase_id,
+        |    c.click_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts,
+        |    CAST(NULL AS DOUBLE) AS purchase_value
+        |  FROM clicks c, wm
+        |  WHERE c.click_ts + INTERVAL 1 HOUR < wm_ts
+        |    AND NOT EXISTS (SELECT 1 FROM purchases p
+        |      WHERE p.p_user = c.user_id
+        |        AND p.purchase_ts >= c.click_ts
+        |        AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)),
+        |unmatched_r AS (
+        |  SELECT p.p_user AS user_id, CAST(NULL AS BIGINT) AS click_id,
+        |    p.purchase_id, CAST(NULL AS TIMESTAMP) AS click_ts,
+        |    p.purchase_ts, round(p.value, 4) AS purchase_value
+        |  FROM purchases p, wm
+        |  WHERE p.purchase_ts < wm_ts
+        |    AND NOT EXISTS (SELECT 1 FROM clicks c
+        |      WHERE c.user_id = p.p_user
+        |        AND p.purchase_ts >= c.click_ts
+        |        AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR))
+        |SELECT * FROM matched UNION ALL SELECT * FROM unmatched_l
+        |UNION ALL SELECT * FROM unmatched_r
         |ORDER BY user_id, click_id, purchase_id"""
         .stripMargin.replace('\n', ' '),
     // update-mode final state over bounded input ≡ the plain batch

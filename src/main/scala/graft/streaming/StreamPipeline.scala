@@ -127,6 +127,20 @@ object StreamPipeline {
     left.withWatermark(leftTime, delay)
       .join(right.withWatermark(rightTime, delay), condition, "left_outer")
 
+  /** Stream-stream FULL OUTER join: the union of [[streamStreamJoin]]'s
+    * eager matches, [[streamStreamLeftJoin]]'s expired-left null rows,
+    * and the symmetric right-side expiry — an unmatched RIGHT row emits
+    * null-padded once the watermark proves no future left row can fall
+    * inside its match interval (its interval upper bound drops below the
+    * join watermark, exactly the left rule mirrored). State on both
+    * sides stays bounded by (arrival rate × (delay + interval)); full
+    * outer adds no state over left outer — only the extra emission. */
+  def streamStreamFullJoin(left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String, delay: String,
+      condition: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark(leftTime, delay)
+      .join(right.withWatermark(rightTime, delay), condition, "full_outer")
+
   /** S5: parquet streaming sink with checkpoint + partitioning + trigger
     * (stream_processor.py:105-112). */
   def parquetSink(df: DataFrame, path: String, checkpoint: String,
