@@ -519,6 +519,33 @@ object ExtendedQueries {
     // exact top-3 events per user via the typed TopK Aggregator —
     // bounded per-group state with map-side partials (only |groups|·k
     // rows shuffle), vs a window that sorts every row of every group
+    // count-min sketch heavy hitters: the FIXED-state frequency sketch
+    // next to a3's HLL (distinct) — estimates are deterministic integer
+    // sums (partition-order-free), always >= the exact count, and
+    // rows-only here (DuckDB has no CMS; error bound + merge identity
+    // are asserted in CountMinSpec). The sketch build is the distributed
+    // cost; the two driver-side reads are metadata-sized by construction
+    // (the 4x256 sketch row, the |event_types| exact-count table).
+    "cms1_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      import graft.agg.CountMin
+      val (dRows, wCols) = (4, 256)
+      val hashed = table(s, d, "events")
+        .select(xxhash64(col("event_type")).as("h")).as[Long]
+      val sketch = hashed
+        .select(new CountMin(dRows, wCols).toColumn.name("sk")).head()
+      val exact = table(s, d, "events")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+        .withColumn("h", xxhash64(col("event_type")))
+        .collect()
+      exact
+        .map { r =>
+          (r.getString(0), r.getAs[Long]("exact_n"),
+            CountMin.estimate(sketch, r.getAs[Long]("h"), dRows, wCols))
+        }
+        .sortBy(_._1).toSeq
+        .toDF("event_type", "exact_n", "cms_estimate")
+    }),
     "x22_topk_per_group" -> ((s, d) => {
       import s.implicits._
       import graft.agg.{TopItem, TopK}
