@@ -156,6 +156,11 @@ object TextQueries {
     "t17_bm25_topk" -> ((s, d) =>
       TextAnalysis.bm25TopK(table(s, d, "documents"),
         TextQueries.bm25Query)),
+    // top bigram collocations by PMI with a min-count cutoff — the
+    // phrase-vocabulary mining pass (which word pairs co-occur far
+    // beyond chance)
+    "t23_pmi_collocations" -> ((s, d) =>
+      TextAnalysis.pmiCollocations(table(s, d, "documents"))),
     // corpus health report: the per-row gates (quality, repetition,
     // language agreement) rolled up per (source, lang) — one pass over
     // the corpus, one metadata-sized aggregate; the monitoring query a
@@ -199,6 +204,7 @@ object TextQueries {
     "t5_tfidf_top3" ->
       (TextAnalysis.tfIdfTopKSql(3) + " ORDER BY doc_id, rnk"),
     "t17_bm25_topk" -> TextAnalysis.bm25TopKSql(bm25Query, 10),
+    "t23_pmi_collocations" -> TextAnalysis.pmiCollocationsSql(),
     "t19_bigram_logprob" ->
       (TextAnalysis.bigramLogProbSql() + " ORDER BY doc_id"),
     "t18_three_way_split" ->

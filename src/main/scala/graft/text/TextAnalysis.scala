@@ -650,6 +650,79 @@ object TextAnalysis {
        |GROUP BY 1""".stripMargin.replace('\n', ' ')
   }
 
+  /** Top-N bigram collocations by pointwise mutual information —
+    * PMI(a,b) = ln(p(ab) / (p(a)·p(b))) = ln(c_ab·Nu² / (Nb·c_a·c_b)) —
+    * with a min-count cutoff against singleton noise (the classic
+    * collocation-extraction recipe; what phrase-vocabulary builders run
+    * before merging multiword tokens).
+    *
+    * Scale: unigram/bigram counts are the two corpus-sized hash
+    * aggregates (map-side partial); everything after runs on the
+    * ≥minCount bigram table (vocabulary-sized) with single-row totals
+    * broadcast. The final cut is TakeOrderedAndProject on (pmi DESC,
+    * bigram) — total order, no global sort. Determinism: the PMI ratio
+    * multiplies the same double-cast operands in the same order in both
+    * engines, then rounds the ln to 6 dp (the t16/t19 pattern);
+    * double-casting BEFORE multiplying keeps c·Nu² out of ANSI bigint
+    * overflow at corpus scale. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, topN: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // token array materialized behind a projection (bandedBuckets trap)
+    val withToks = docs.select(col(idCol),
+      tokens(normalized(col(textCol))).as("toks"))
+    val bigrams = withToks.select(
+      explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1)))).as("bigram"))
+    val unigrams = withToks.select(explode(col("toks")).as("term"))
+    val uCnt = unigrams.groupBy(col("term")).agg(count(lit(1)).as("c_u"))
+    val uTot = unigrams.agg(count(lit(1)).as("nu"))
+    val bCnt = bigrams.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("c_bg")).filter(col("c_bg") >= minCount)
+    val bTot = bigrams.agg(count(lit(1)).as("nb"))
+    bCnt
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(uCnt.select(col("term").as("w1"), col("c_u").as("c_1")), "w1")
+      .join(uCnt.select(col("term").as("w2"), col("c_u").as("c_2")), "w2")
+      .crossJoin(broadcast(uTot)).crossJoin(broadcast(bTot))
+      .withColumn("pmi", round(log(
+        col("c_bg").cast("double") * col("nu").cast("double") *
+          col("nu").cast("double") /
+          (col("nb").cast("double") * col("c_1").cast("double") *
+            col("c_2").cast("double"))), 6))
+      .select(col("bigram"), col("c_bg").as("n_pair"),
+        col("c_1").as("n_w1"), col("c_2").as("n_w2"), col("pmi"))
+      .orderBy(desc("pmi"), col("bigram")).limit(topN)
+  }
+
+  /** DuckDB twin of [[pmiCollocations]] over `documents`. */
+  def pmiCollocationsSql(minCount: Long = 5, topN: Int = 20): String = {
+    val toks = tokensSql(normalizedSql("text"))
+    s"""WITH tl AS (SELECT doc_id, $toks AS l FROM documents),
+       |bigrams AS (SELECT unnest(list_transform(
+       |    range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS bigram
+       |  FROM tl),
+       |unigrams AS (SELECT unnest(l) AS term FROM tl),
+       |uc AS (SELECT term, count(*) AS c_u FROM unigrams GROUP BY 1),
+       |nu AS (SELECT count(*) AS nu FROM unigrams),
+       |bc AS (SELECT bigram, count(*) AS c_bg FROM bigrams
+       |  GROUP BY 1 HAVING count(*) >= $minCount),
+       |nb AS (SELECT count(*) AS nb FROM bigrams)
+       |SELECT bigram, CAST(c_bg AS BIGINT) AS n_pair,
+       |  CAST(c1.c_u AS BIGINT) AS n_w1, CAST(c2.c_u AS BIGINT) AS n_w2,
+       |  round(ln(CAST(c_bg AS DOUBLE) * CAST(nu AS DOUBLE)
+       |      * CAST(nu AS DOUBLE)
+       |    / (CAST(nb AS DOUBLE) * CAST(c1.c_u AS DOUBLE)
+       |      * CAST(c2.c_u AS DOUBLE))), 6) AS pmi
+       |FROM bc
+       |JOIN uc c1 ON split_part(bigram, ' ', 1) = c1.term
+       |JOIN uc c2 ON split_part(bigram, ' ', 2) = c2.term
+       |CROSS JOIN nu CROSS JOIN nb
+       |ORDER BY pmi DESC, bigram LIMIT $topN"""
+      .stripMargin.replace('\n', ' ')
+  }
+
   // ------------------------------------------------------------ PII scrub
 
   /** PII patterns — the common subset of Java regex (Spark) and RE2
