@@ -272,6 +272,65 @@ object ExtendedQueries {
           col("m.c_name").as("matched_name"), col("m.jw").as("jw"))
         .orderBy("d_key")
     }),
+    // er1's blocked fuzzy join with an EDIT-DISTANCE scorer instead of
+    // Jaro-Winkler: integer levenshtein ≤ 2 over the same 5-char
+    // blocking key, best match = min (distance, custkey) — all-integer
+    // scoring, so not even a rounding convention to align
+    "er2_edit_distance_match" -> ((s, d) => {
+      val cust = table(s, d, "customer")
+      val dirty = cust.filter(col("c_custkey") % 10 === 7)
+        .select(col("c_custkey").as("d_key"),
+          expr("""CASE CAST(c_custkey % 3 AS INT)
+            | WHEN 0 THEN concat(substring(c_name, 1, 16),
+            |   substring(c_name, 18, 1), substring(c_name, 17, 1))
+            | WHEN 1 THEN concat(substring(c_name, 1, 16),
+            |   substring(c_name, 18))
+            | ELSE concat(substring(c_name, 1, 17), 'X')
+            |END""".stripMargin).as("dirty_name"))
+      dirty
+        .join(cust,
+          substring(col("dirty_name"), 12, 5) ===
+            substring(col("c_name"), 12, 5))
+        .withColumn("dist", levenshtein(col("dirty_name"), col("c_name")))
+        .filter(col("dist") <= 2)
+        .groupBy(col("d_key"), col("dirty_name"))
+        .agg(min_by(
+          struct(col("c_custkey"), col("c_name"), col("dist")),
+          struct(col("dist"), col("c_custkey"))).as("m"))
+        .select(col("d_key"), col("dirty_name"),
+          col("m.c_custkey").as("matched_key"),
+          col("m.c_name").as("matched_name"),
+          col("m.dist").cast("long").as("edit_distance"))
+        .orderBy("d_key")
+    }),
+    // per-group z-score tail detection from decimal-exact moments: ONE
+    // aggregate per event_type computes n / Σv / Σv² in DECIMAL (bit-
+    // reproducible regardless of partial-sum order — the ml2 Gram
+    // pattern), doubles enter only in the identical mean/std/z
+    // expressions both engines evaluate on those exact sums
+    "x40_zscore_outliers" -> ((s, d) => {
+      val v = col("value").cast("decimal(18,6)")
+      val stats = table(s, d, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type").as("s_type"))
+        .agg(count(lit(1)).as("n"), sum(v).as("sum_d"),
+          sum(v * v).as("sumsq_d"))
+        .withColumn("mean", col("sum_d").cast("double") / col("n"))
+        .withColumn("std", sqrt(
+          (col("sumsq_d").cast("double") -
+            col("sum_d").cast("double") * col("sum_d").cast("double") /
+              col("n")) / (col("n") - 1)))
+        .select(col("s_type"), col("mean"), col("std"))
+      table(s, d, "events")
+        .filter(col("value").isNotNull)
+        .join(broadcast(stats), col("event_type") === col("s_type"))
+        .withColumn("z",
+          round((col("value") - col("mean")) / col("std"), 4))
+        .filter(abs(col("z")) >= 1.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("z"))
+        .orderBy("event_id")
+    }),
     // deterministic per-group mode: count per (user, type) reuses the
     // group shuffle, then min_by((-cnt, type)) — max count with an
     // alphabetic tie-break, partial-aggregatable, no window. Spark's
@@ -813,6 +872,51 @@ object ExtendedQueries {
         |SELECT d_key, dirty_name, matched_key, matched_name, jw
         |FROM best WHERE rn = 1 ORDER BY d_key"""
         .stripMargin.replace('\n', ' '),
+    "er2_edit_distance_match" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS d_key,
+        |    CASE c_custkey % 3
+        |      WHEN 0 THEN concat(substr(c_name, 1, 16),
+        |        substr(c_name, 18, 1), substr(c_name, 17, 1))
+        |      WHEN 1 THEN concat(substr(c_name, 1, 16),
+        |        substr(c_name, 18))
+        |      ELSE concat(substr(c_name, 1, 17), 'X') END AS dirty_name
+        |  FROM customer WHERE c_custkey % 10 = 7),
+        |cand AS (
+        |  SELECT d_key, dirty_name, c_custkey, c_name,
+        |    levenshtein(dirty_name, c_name) AS dist
+        |  FROM dirty JOIN customer
+        |    ON substr(dirty_name, 12, 5) = substr(c_name, 12, 5)),
+        |best AS (
+        |  SELECT d_key, dirty_name, c_custkey AS matched_key,
+        |    c_name AS matched_name, CAST(dist AS BIGINT)
+        |      AS edit_distance,
+        |    row_number() OVER (PARTITION BY d_key
+        |      ORDER BY dist, c_custkey) AS rn
+        |  FROM cand WHERE dist <= 2)
+        |SELECT d_key, dirty_name, matched_key, matched_name,
+        |  edit_distance
+        |FROM best WHERE rn = 1 ORDER BY d_key"""
+        .stripMargin.replace('\n', ' '),
+    "x40_zscore_outliers" ->
+      """WITH stats AS (
+        |  SELECT event_type AS s_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS sum_d,
+        |    sum(CAST(value AS DECIMAL(18,6))
+        |      * CAST(value AS DECIMAL(18,6))) AS sumsq_d
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |ms AS (SELECT s_type,
+        |    CAST(sum_d AS DOUBLE) / n AS mean,
+        |    sqrt((CAST(sumsq_d AS DOUBLE)
+        |      - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE) / n)
+        |      / (n - 1)) AS std
+        |  FROM stats)
+        |SELECT event_id, event_type, value,
+        |  round((value - mean) / std, 4) AS z
+        |FROM events JOIN ms ON event_type = s_type
+        |WHERE value IS NOT NULL
+        |  AND abs(round((value - mean) / std, 4)) >= CAST('1.5' AS DOUBLE)
+        |ORDER BY event_id""".stripMargin.replace('\n', ' '),
     "x30_mode_per_group" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
         |  FROM events GROUP BY 1, 2),
