@@ -48,6 +48,32 @@ object Metrics {
           (col("pos") * col("negs") * 2).cast("double")).as("auc"))
   }
 
+  /** Calibration / reliability table: scores bucketed into `bins` fixed
+    * bins over [lo, hi), per-bin observed positive rate next to the
+    * bin's mean score — the table a reliability diagram plots, and the
+    * input to Platt/isotonic recalibration. One hash aggregate over the
+    * scan; positive rates are single int/int divisions and mean scores
+    * divide a DECIMAL-exact sum, so both engines produce identical
+    * doubles. */
+  def calibrationTable(scored: DataFrame, lo: Double, hi: Double,
+      bins: Int, labelCol: String = "label",
+      scoreCol: String = "score"): DataFrame = {
+    require(bins >= 2 && hi > lo, s"need hi > lo and bins >= 2")
+    val width = (hi - lo) / bins
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col(scoreCol) - lo) / width))).cast("int")
+    scored
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol)).as("n_pos"),
+        sum(col(scoreCol).cast("decimal(18,6)")).as("sum_s"))
+      .select(col("bin"), (lit(lo) + col("bin") * width).as("bin_lo"),
+        col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"),
+        (col("sum_s").cast("double") / col("n")).as("mean_score"))
+      .orderBy("bin")
+  }
+
   /** Confusion matrix + derived rates at a fixed decision threshold
     * (predict positive iff score ≥ threshold). One conditional-sum
     * aggregate over the scan; every rate is a single integer/integer

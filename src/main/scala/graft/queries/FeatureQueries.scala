@@ -122,7 +122,10 @@ object FeatureQueries {
       graft.ml.Metrics.binaryAuc(scoredEmbeddings(s, d))),
     "ml4_confusion" -> ((s, d) =>
       graft.ml.Metrics.confusionAtThreshold(scoredEmbeddings(s, d),
-        threshold = 0.0))
+        threshold = 0.0)),
+    "ml5_calibration" -> ((s, d) =>
+      graft.ml.Metrics.calibrationTable(scoredEmbeddings(s, d),
+        lo = -0.5, hi = 0.5, bins = 10))
   )
 
   /** (label, score) pairs for the evaluation metrics: positive class =
@@ -178,6 +181,21 @@ object FeatureQueries {
          |  CAST(2 * sum(p * neg_below) + sum(p * neg) AS DOUBLE)
          |    / CAST(2 * sum(p) * sum(neg) AS DOUBLE) AS auc
          |FROM cum""".stripMargin.replace('\n', ' '),
+    "ml5_calibration" ->
+      s"""WITH b AS (
+         |  SELECT CAST(least(9, greatest(0,
+         |      floor((score - CAST('-0.5' AS DOUBLE))
+         |        / CAST('0.1' AS DOUBLE)))) AS INT) AS bin,
+         |    label, score
+         |  FROM $scoredEmbeddingsSql)
+         |SELECT bin,
+         |  CAST('-0.5' AS DOUBLE) + bin * CAST('0.1' AS DOUBLE) AS bin_lo,
+         |  count(*) AS n, CAST(sum(label) AS BIGINT) AS n_pos,
+         |  CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS pos_rate,
+         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+         |    AS mean_score
+         |FROM b GROUP BY 1 ORDER BY bin""".stripMargin.replace('\n', ' '),
     "ml4_confusion" ->
       s"""WITH c AS (SELECT
          |  sum(CASE WHEN label = 1 AND score >= 0.0 THEN 1 ELSE 0 END)

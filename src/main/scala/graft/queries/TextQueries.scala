@@ -44,6 +44,12 @@ object TextQueries {
       TextAnalysis.stableSample(table(s, d, "documents"), "text", 0.3)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
+    // weighted sampling without replacement (Efraimidis-Spirakis log
+    // priorities from the content hash): top-100 docs, inclusion odds
+    // proportional to n_chars — RNG-free importance sampling
+    "t24_weighted_sample" -> ((s, d) =>
+      TextAnalysis.weightedSample(table(s, d, "documents"), "text",
+        "n_chars", k = 100)),
     // the composed C4-style clean: dedup → lang gate → quality gate →
     // down-sample, planted exact duplicates to make the dedup stage bite
     "t7_corpus_clean" -> ((s, d) => {
@@ -218,6 +224,8 @@ object TextQueries {
       (s"SELECT doc_id, lang, source, n_chars FROM documents " +
         s"WHERE ${TextAnalysis.stableSampleSql("text", 0.3)} " +
         "ORDER BY doc_id"),
+    "t24_weighted_sample" ->
+      TextAnalysis.weightedSampleSql("n_chars", 100),
     "t7_corpus_clean" ->
       s"""WITH corpus AS (SELECT doc_id, text, lang FROM documents
          |  UNION ALL SELECT doc_id + 100000, text, lang FROM documents),

@@ -197,6 +197,44 @@ object TextAnalysis {
   def stableSampleSql(t: String, rate: Double): String =
     s"substr(${fingerprintSql(t)}, 1, 4) < '${sampleCut(rate)}'"
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006, log-priority form): each row gets priority
+    * ln(u)/w from its content-hash unit value u ∈ (0,1) and weight w;
+    * the top-k priorities ARE a w-proportional sample. Same RNG-free
+    * contract as [[stableSample]] — reproducible across engines, runs,
+    * and partitionings — but inclusion probability scales with the
+    * weight (sample long documents more; the token-budget analogue of
+    * importance sampling in mixture building).
+    *
+    * Scale: priority is a pure per-row expression on the scan; the cut
+    * is TakeOrderedAndProject under the (priority DESC, id) total order
+    * — no global sort, no RNG state. Priorities round to 6 dp before
+    * ordering so an ulp of libm ln() divergence can never flip the
+    * selected set between engines. */
+  def weightedSample(docs: DataFrame, textCol: String, weightCol: String,
+      k: Int, idCol: String = "doc_id"): DataFrame = {
+    val h = conv(substring(fingerprint(col(textCol)), 1, 4), 16, 10)
+      .cast("long")
+    val u = (h + 1).cast("double") / lit(65537.0d)
+    docs
+      .withColumn("priority",
+        round(log(u) / col(weightCol).cast("double"), 6))
+      .select(col(idCol), col("source"), col(weightCol), col("priority"))
+      .orderBy(desc("priority"), col(idCol)).limit(k)
+  }
+
+  /** DuckDB twin of [[weightedSample]] over `documents`. */
+  def weightedSampleSql(weightCol: String, k: Int): String = {
+    val fp = fingerprintSql("text")
+    s"""SELECT doc_id, source, $weightCol,
+       |  round(ln(CAST(CAST(('0x' || substr($fp, 1, 4)) AS INT) + 1
+       |      AS DOUBLE) / CAST('65537' AS DOUBLE))
+       |    / CAST($weightCol AS DOUBLE), 6) AS priority
+       |FROM documents
+       |ORDER BY priority DESC, doc_id LIMIT $k"""
+      .stripMargin.replace('\n', ' ')
+  }
+
   /** Deterministic train/val/test split on the same content-hash order
     * as [[stableSample]]: a document's split follows its TEXT, so exact
     * duplicates land in the same split (no train/test leakage through
