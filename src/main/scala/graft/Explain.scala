@@ -23,7 +23,11 @@ object Explain {
         "q9_product_profit", "t17_bm25_topk", "g2_triangle_count",
         "x26_event_transitions", "x27_merge_tombstones",
         "er1_fuzzy_match", "ml2_normal_equations", "x29_gap_fill",
-        "q21_waiting_suppliers", "io5_zorder_layout")
+        "q21_waiting_suppliers", "io5_zorder_layout",
+        "d8_duplicate_spans", "ml3_auc", "t23_pmi_collocations",
+        "t24_weighted_sample", "x40_zscore_outliers",
+        "er2_edit_distance_match", "w9_rank_functions", "x38_rollup",
+        "ds1_yoy_growth", "g3_kcore")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
