@@ -1,0 +1,82 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (Raghavan et al. 2007) for community
+  * detection: every node starts labeled with itself; each round it
+  * adopts the most frequent label among its neighbors PLUS itself,
+  * breaking frequency ties on the smaller label. Including the node's
+  * own vote damps the two-coloring oscillation plain synchronous LPA is
+  * known for; the min tie-break makes every round a pure deterministic
+  * function of the previous labeling — so a FIXED number of rounds is
+  * identically reproducible on any engine or cluster layout (the
+  * property the DuckDB twin relies on; convergence on top of that is
+  * checked in the spec, not assumed).
+  *
+  * Scale per round: one join of the edge list with the label frame
+  * (hash-partitioned on node id), one (node, label) count aggregate,
+  * one partial-aggregatable min_by argmax — no windows, no global
+  * structure; `localCheckpoint` truncates the self-referencing lineage
+  * (the CC/PageRank/KCore rule).
+  */
+object LabelPropagation {
+
+  /** @param edges two numeric-id columns `src`, `dst` (one row per
+    *              undirected edge; orientation/duplication irrelevant)
+    * @return (node, community) after exactly `rounds` synchronous
+    *         updates */
+  def run(edges: DataFrame, rounds: Int = 5): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("community", col("node"))
+      .localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val votes = sym
+        .join(labels.select(col("node").as("dst"),
+          col("community").as("nbr_label")), "dst")
+        .select(col("src").as("node"), col("nbr_label").as("label"))
+        .unionAll(labels.select(col("node"),
+          col("community").as("label")))
+      labels = votes
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(min_by(col("label"),
+          struct((-col("cnt")).as("nc"), col("label"))).as("community"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** DuckDB twin: the same fixed `rounds` synchronous updates unrolled
+    * as chained MATERIALIZED CTEs (each round references the previous
+    * labeling twice — via the edge join and the self vote — so inlining
+    * would blow up exponentially; see [[KCore.kcoreSql]]). */
+  def lpaSql(edgesSql: String, rounds: Int = 5): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM " +
+      s"(SELECT src, dst FROM $edgesSql " +
+      s"UNION ALL SELECT dst, src FROM $edgesSql) WHERE src <> dst)"
+    sb ++= ", l0 AS MATERIALIZED (SELECT DISTINCT src AS node, " +
+      "src AS community FROM e)"
+    for (r <- 1 to rounds) {
+      sb ++= s", v$r AS MATERIALIZED (" +
+        s"SELECT e.src AS node, l.community AS label " +
+        s"FROM e JOIN l${r - 1} l ON e.dst = l.node " +
+        s"UNION ALL SELECT node, community FROM l${r - 1})"
+      sb ++= s", l$r AS MATERIALIZED (SELECT node, label AS community " +
+        s"FROM (SELECT node, label, " +
+        s"row_number() OVER (PARTITION BY node " +
+        s"ORDER BY count(*) DESC, label) AS rn " +
+        s"FROM v$r GROUP BY node, label) WHERE rn = 1)"
+    }
+    sb ++= s" SELECT node, community FROM l$rounds ORDER BY node"
+    sb.toString
+  }
+}

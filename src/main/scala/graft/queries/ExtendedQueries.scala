@@ -459,6 +459,19 @@ object ExtendedQueries {
         .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
       graft.graph.KCore.run(edges, k = 2).orderBy("node")
     }),
+    // community detection by synchronous label propagation (self-vote +
+    // min tie-break = a pure deterministic function of the previous
+    // round, so exactly 5 rounds reproduce identically in both engines)
+    "g4_label_propagation" -> ((s, d) => {
+      val sl = table(s, d, "lineitem")
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val edges = sl.alias("x")
+        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      graft.graph.LabelPropagation.run(edges, rounds = 5).orderBy("node")
+    }),
     // distributed contiguous id assignment: range-partition + parallel
     // per-partition ranks + broadcast offsets — never a single-partition
     // row_number over the data (graft.etl.Ids)
@@ -885,6 +898,13 @@ object ExtendedQueries {
         |SELECT d_key, dirty_name, matched_key, matched_name, jw
         |FROM best WHERE rn = 1 ORDER BY d_key"""
         .stripMargin.replace('\n', ' '),
+    "g4_label_propagation" -> graft.graph.LabelPropagation.lpaSql(
+      """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem WHERE l_quantity >= 45)
+        |SELECT x.l_suppkey AS src, y.l_suppkey AS dst
+        |FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
+        |  AND x.l_suppkey < y.l_suppkey)""".stripMargin.replace('\n', ' '),
+      rounds = 5),
     "g3_kcore" -> graft.graph.KCore.kcoreSql(
       """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
         |  FROM lineitem WHERE l_quantity >= 45)
