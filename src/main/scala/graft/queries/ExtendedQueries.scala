@@ -459,6 +459,40 @@ object ExtendedQueries {
         .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
       graft.graph.KCore.run(edges, k = 2).orderBy("node")
     }),
+    // market-basket association rules over co-ordered parts: support /
+    // confidence / lift from three integer-exact aggregates (order-item
+    // distinct pairs, item supports, order total); lift's double-cast
+    // operands multiply in the same order in both engines and the
+    // top-25 cut is TakeOrderedAndProject under (lift DESC, p1, p2)
+    "x41_association_rules" -> ((s, d) => {
+      val lp = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val n = lp.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val item = lp.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_item"))
+      val pairs = lp.alias("a")
+        .join(lp.alias("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 2)
+      pairs
+        .join(item.select(col("l_partkey").as("p1"),
+          col("n_item").as("n_p1")), "p1")
+        .join(item.select(col("l_partkey").as("p2"),
+          col("n_item").as("n_p2")), "p2")
+        .crossJoin(broadcast(n))
+        .withColumn("confidence",
+          col("n_both").cast("double") / col("n_p1").cast("double"))
+        .withColumn("lift",
+          col("n_both").cast("double") * col("n_orders").cast("double") /
+            (col("n_p1").cast("double") * col("n_p2").cast("double")))
+        .select(col("p1"), col("p2"), col("n_both"), col("n_p1"),
+          col("n_p2"), col("confidence"), col("lift"))
+        .orderBy(desc("lift"), col("p1"), col("p2")).limit(25)
+    }),
     // community detection by synchronous label propagation (self-vote +
     // min tie-break = a pure deterministic function of the previous
     // round, so exactly 5 rounds reproduce identically in both engines)
@@ -897,6 +931,30 @@ object ExtendedQueries {
         |  FROM cand WHERE jw >= CAST('0.9' AS DOUBLE))
         |SELECT d_key, dirty_name, matched_key, matched_name, jw
         |FROM best WHERE rn = 1 ORDER BY d_key"""
+        .stripMargin.replace('\n', ' '),
+    "x41_association_rules" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lp),
+        |item AS (SELECT l_partkey, count(*) AS n_item FROM lp
+        |  GROUP BY 1),
+        |pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |    count(*) AS n_both
+        |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p1, p2, CAST(n_both AS BIGINT) AS n_both,
+        |  CAST(i1.n_item AS BIGINT) AS n_p1,
+        |  CAST(i2.n_item AS BIGINT) AS n_p2,
+        |  CAST(n_both AS DOUBLE) / CAST(i1.n_item AS DOUBLE)
+        |    AS confidence,
+        |  CAST(n_both AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        |    / (CAST(i1.n_item AS DOUBLE) * CAST(i2.n_item AS DOUBLE))
+        |    AS lift
+        |FROM pairs
+        |JOIN item i1 ON p1 = i1.l_partkey
+        |JOIN item i2 ON p2 = i2.l_partkey
+        |CROSS JOIN n
+        |ORDER BY lift DESC, p1, p2 LIMIT 25"""
         .stripMargin.replace('\n', ' '),
     "g4_label_propagation" -> graft.graph.LabelPropagation.lpaSql(
       """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey

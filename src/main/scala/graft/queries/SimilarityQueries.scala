@@ -14,6 +14,32 @@ import graft.sim.Similarity
 object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // hybrid retrieval: BM25 lexical top-50 and embedding-cosine top-50
+    // fused by reciprocal-rank fusion, rrf = Σ 1/(60 + rank) — the
+    // standard two-retriever serving stack (sparse + dense) in one
+    // plan. Both component lists are deterministic total orders, the
+    // fusion windows run over ≤50 rows, and every double is a single
+    // int/int division — fully oracle-checkable end to end.
+    "rrf1_hybrid_search" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 50
+      val lex = graft.text.TextAnalysis.bm25TopK(
+          table(s, d, "documents"), TextQueries.bm25Query, k = k)
+        .withColumn("r_lex", row_number().over(
+          Window.orderBy(desc("bm25"), col("doc_id"))))
+        .select(col("doc_id").as("id"), col("r_lex"))
+      val emb = table(s, d, "embeddings")
+      val sem = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 7), k = k)
+        .select(col("corpus_id").as("id"), col("rank").as("r_sem"))
+      lex.join(sem, Seq("id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)))
+        .select(col("id").as("doc_id"), col("r_lex"), col("r_sem"),
+          col("rrf"))
+        .orderBy(desc("rrf"), col("doc_id")).limit(10)
+    }),
     "sim1_knn_bruteforce" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
@@ -71,6 +97,24 @@ object SimilarityQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "rrf1_hybrid_search" -> {
+      val lexSql = graft.text.TextAnalysis.bm25TopKSql(
+        TextQueries.bm25Query, 50)
+      val semSql = Similarity.bruteForceTopKSql(50, "vec_id = 7")
+      s"""WITH lex AS (SELECT doc_id AS id,
+         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+         |      AS INT) AS r_lex
+         |  FROM ($lexSql)),
+         |sem AS (SELECT corpus_id AS id, rank AS r_sem FROM ($semSql))
+         |SELECT coalesce(l.id, s.id) AS doc_id, r_lex, r_sem,
+         |  coalesce(CAST('1' AS DOUBLE) / (60 + r_lex),
+         |    CAST('0' AS DOUBLE))
+         |  + coalesce(CAST('1' AS DOUBLE) / (60 + r_sem),
+         |    CAST('0' AS DOUBLE)) AS rrf
+         |FROM lex l FULL OUTER JOIN sem s ON l.id = s.id
+         |ORDER BY rrf DESC, doc_id LIMIT 10"""
+        .stripMargin.replace('\n', ' ')
+    },
     "sim1_knn_bruteforce" ->
       Similarity.bruteForceTopKSql(5, "vec_id < 20"),
     "sim3_cosine_neardup" -> Similarity.cosineNearDupPairsSql(0.4),
