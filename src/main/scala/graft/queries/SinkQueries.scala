@@ -42,16 +42,6 @@ object SinkQueries {
         .csv(path)
         .orderBy("location_id")
     }),
-    // ORC export → re-read: the second columnar interchange format next
-    // to parquet (Spark's built-in ORC writer keeps native timestamp /
-    // decimal types, so the roundtrip needs no format options at all)
-    "io7_orc_roundtrip" -> ((s, d) => {
-      val inv = A.stationInventory(silver(s, d))
-      val path = tmp("inventory_orc", d)
-      inv.write.mode("overwrite").orc(path)
-      s.read.schema(inv.schema).orc(path)
-        .orderBy("location_id")
-    }),
     // JSON-lines export → schema'd re-read: the interchange format for
     // downstream non-columnar consumers; µs timestamps preserved via an
     // explicit format (JSON has no timestamp type)
@@ -232,11 +222,6 @@ object SinkQueries {
         |FROM silver GROUP BY 1, 2, 3
         |ORDER BY location_id""".stripMargin.replace('\n', ' ')),
     "io1_json_roundtrip" -> withPipeline(
-      """SELECT location_id, location_name, country, count(*) AS n_records,
-        |  min(datetime) AS first_dt, max(datetime) AS last_dt
-        |FROM silver GROUP BY 1, 2, 3
-        |ORDER BY location_id""".stripMargin.replace('\n', ' ')),
-    "io7_orc_roundtrip" -> withPipeline(
       """SELECT location_id, location_name, country, count(*) AS n_records,
         |  min(datetime) AS first_dt, max(datetime) AS last_dt
         |FROM silver GROUP BY 1, 2, 3
