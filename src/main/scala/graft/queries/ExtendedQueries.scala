@@ -493,6 +493,20 @@ object ExtendedQueries {
           col("n_p2"), col("confidence"), col("lift"))
         .orderBy(desc("lift"), col("p1"), col("p2")).limit(25)
     }),
+    // web-scale connected components: alternating large-star/small-star
+    // contraction (O(log n) rounds vs label propagation's diameter
+    // rounds) — same (node, min-reachable) contract as d5, checked
+    // against the same recursive-CTE oracle
+    "g5_cc_stars" -> ((s, d) => {
+      val sl = table(s, d, "lineitem")
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val edges = sl.alias("x")
+        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("id_a"), col("y.l_suppkey").as("id_b"))
+      graft.graph.ConnectedComponents.runStars(edges).orderBy("node")
+    }),
     // community detection by synchronous label propagation (self-vote +
     // min tie-break = a pure deterministic function of the previous
     // round, so exactly 5 rounds reproduce identically in both engines)
@@ -932,6 +946,21 @@ object ExtendedQueries {
         |SELECT d_key, dirty_name, matched_key, matched_name, jw
         |FROM best WHERE rn = 1 ORDER BY d_key"""
         .stripMargin.replace('\n', ' '),
+    "g5_cc_stars" ->
+      """WITH RECURSIVE sl AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem WHERE l_quantity >= 45),
+        |pairs AS (SELECT DISTINCT x.l_suppkey AS id_a,
+        |    y.l_suppkey AS id_b
+        |  FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_suppkey < y.l_suppkey),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, root) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+        |SELECT node, min(root) AS component FROM reach
+        |GROUP BY 1 ORDER BY node""".stripMargin.replace('\n', ' '),
     "x41_association_rules" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lp),
