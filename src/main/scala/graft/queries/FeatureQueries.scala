@@ -77,6 +77,57 @@ object FeatureQueries {
           max(col("aqi")).over(w).as("max_24h"))
         .orderBy("location_id", "datetime")
     }),
+    // exact rolling median (25-row window): collect the frame, sort,
+    // rank-pick index (n+1)/2 — both engines pick the IDENTICAL stored
+    // double (interpolating median() builtins differ cross-engine).
+    // Row-local O(w log w) per row; the frame is materialized once and
+    // indexed in a separate projection
+    "w10_rolling_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("location_id"))
+        .orderBy(col("datetime")).rowsBetween(-24, 0)
+      gold(s, d)
+        .filter(col("aqi").isNotNull) // empty frames would index [0]
+        .select(col("location_id"), col("datetime"), col("aqi"),
+          array_sort(collect_list(col("aqi")).over(w)).as("win"))
+        .select(col("location_id"), col("datetime"), col("aqi"),
+          element_at(col("win"),
+            ((size(col("win")) + 1) / lit(2)).cast("int"))
+            .as("rolling_median"))
+        .orderBy("location_id", "datetime")
+    }),
+    // seasonal-naive vs persistence forecast baselines, evaluated
+    // in-engine: predictions are pure lags (24 h / 1 h), errors fold
+    // into DECIMAL-exact sums per station, and RMSE/MAE divide+sqrt the
+    // same exact operands in both engines — the eval harness a forecast
+    // pipeline runs before trusting any model
+    "ml6_seasonal_baseline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("location_id"))
+        .orderBy(col("datetime"))
+      def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(24,6)")
+      gold(s, d)
+        .select(col("location_id"), col("datetime"), col("aqi"),
+          lag(col("aqi"), 24).over(w).as("p_seasonal"),
+          lag(col("aqi"), 1).over(w).as("p_persist"))
+        .filter(col("p_seasonal").isNotNull && col("p_persist").isNotNull)
+        .groupBy(col("location_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(d6((col("aqi") - col("p_seasonal")) *
+            (col("aqi") - col("p_seasonal")))).as("sse_s"),
+          sum(d6(abs(col("aqi") - col("p_seasonal")))).as("sae_s"),
+          sum(d6((col("aqi") - col("p_persist")) *
+            (col("aqi") - col("p_persist")))).as("sse_p"),
+          sum(d6(abs(col("aqi") - col("p_persist")))).as("sae_p"))
+        .select(col("location_id"), col("n"),
+          sqrt(col("sse_s").cast("double") / col("n"))
+            .as("rmse_seasonal"),
+          (col("sae_s").cast("double") / col("n")).as("mae_seasonal"),
+          sqrt(col("sse_p").cast("double") / col("n"))
+            .as("rmse_persistence"),
+          (col("sae_p").cast("double") / col("n")).as("mae_persistence"))
+        .orderBy("location_id")
+    }),
     // unpivot (melt): the wide pollutant matrix back to long — the
     // inverse of r6/x2, one row-local expand (no shuffle); null-valued
     // cells drop like the SQL UNPIVOT default
@@ -152,6 +203,38 @@ object FeatureQueries {
         |FROM gold ORDER BY location_id, datetime"""
         .stripMargin.replace('\n', ' ')),
     "w1_lag_lead" -> withPipeline(lagSql),
+    "w10_rolling_median" -> withPipeline(
+      """, x AS (SELECT location_id, datetime, aqi,
+        |  list_sort(list(aqi) OVER (PARTITION BY location_id
+        |    ORDER BY datetime
+        |    ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)) AS win
+        |  FROM gold WHERE aqi IS NOT NULL)
+        |SELECT location_id, datetime, aqi,
+        |  win[(len(win) + 1) // 2] AS rolling_median
+        |FROM x ORDER BY location_id, datetime"""
+        .stripMargin.replace('\n', ' ')),
+    "ml6_seasonal_baseline" -> withPipeline(
+      """, p AS (SELECT location_id, aqi,
+        |    lag(aqi, 24) OVER w AS p_seasonal,
+        |    lag(aqi, 1) OVER w AS p_persist
+        |  FROM gold
+        |  WINDOW w AS (PARTITION BY location_id ORDER BY datetime)),
+        |s AS (SELECT location_id, count(*) AS n,
+        |    sum(CAST((aqi - p_seasonal) * (aqi - p_seasonal)
+        |      AS DECIMAL(24,6))) AS sse_s,
+        |    sum(CAST(abs(aqi - p_seasonal) AS DECIMAL(24,6))) AS sae_s,
+        |    sum(CAST((aqi - p_persist) * (aqi - p_persist)
+        |      AS DECIMAL(24,6))) AS sse_p,
+        |    sum(CAST(abs(aqi - p_persist) AS DECIMAL(24,6))) AS sae_p
+        |  FROM p
+        |  WHERE p_seasonal IS NOT NULL AND p_persist IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT location_id, n,
+        |  sqrt(CAST(sse_s AS DOUBLE) / n) AS rmse_seasonal,
+        |  CAST(sae_s AS DOUBLE) / n AS mae_seasonal,
+        |  sqrt(CAST(sse_p AS DOUBLE) / n) AS rmse_persistence,
+        |  CAST(sae_p AS DOUBLE) / n AS mae_persistence
+        |FROM s ORDER BY location_id""".stripMargin.replace('\n', ' ')),
     "w3_rolling_stats" -> withPipeline(rollingSql),
     "w7_time_range_window" -> withPipeline(
       """SELECT location_id, datetime, aqi,
