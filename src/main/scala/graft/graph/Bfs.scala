@@ -1,0 +1,58 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-source BFS over an undirected edge list. */
+object Bfs {
+
+  /** Single-source BFS hop distances, capped at `maxHops`: iterative
+    * frontier expansion where each round joins the CURRENT frontier
+    * (only newly-reached nodes — not the whole visited set) against the
+    * edge list and anti-joins out already-visited nodes. Work per round
+    * is proportional to the frontier's edge boundary, the textbook
+    * distributed BFS; `localCheckpoint` per round as in the other
+    * iterative operators. Distances are exact for every node within
+    * `maxHops` of the source. */
+  def bfsHops(edges: DataFrame, source: Long, maxHops: Int = 6)
+      : DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var visited = Seq((source, 0)).toDF("node", "hops")
+      .localCheckpoint()
+    var frontier = visited
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      frontier = sym
+        .join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .localCheckpoint()
+      visited = visited.unionAll(frontier).localCheckpoint()
+    }
+    visited
+  }
+
+  /** DuckDB twin of [[bfsHops]]: recursive reach with a hop cap (the
+    * cap bounds the recursion through cycles) collapsed by min(dist). */
+  def bfsHopsSql(edgesSql: String, sourceSql: String, maxHops: Int = 6)
+      : String =
+    s"""WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM $edgesSql
+       |   UNION ALL SELECT dst, src FROM $edgesSql) WHERE src <> dst),
+       |reach(node, d) AS (
+       |  SELECT CAST(($sourceSql) AS BIGINT), 0
+       |  UNION
+       |  SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.node
+       |  WHERE r.d < $maxHops)
+       |SELECT node, CAST(min(d) AS INT) AS hops FROM reach
+       |GROUP BY 1 ORDER BY node""".stripMargin.replace('\n', ' ')
+
+}

@@ -493,6 +493,22 @@ object ExtendedQueries {
           col("n_p2"), col("confidence"), col("lift"))
         .orderBy(desc("lift"), col("p1"), col("p2")).limit(25)
     }),
+    // single-source BFS hop distances (capped): frontier-expansion
+    // rounds touch only the frontier's edge boundary; source = the
+    // graph's minimum node id (one metadata-sized aggregate)
+    "g6_bfs_hops" -> ((s, d) => {
+      val sl = table(s, d, "lineitem")
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val edges = sl.alias("x")
+        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+        .localCheckpoint()
+      val source = edges.agg(min(least(col("src"), col("dst"))))
+        .first().getLong(0)
+      graft.graph.Bfs.bfsHops(edges, source, maxHops = 6).orderBy("node")
+    }),
     // web-scale connected components: alternating large-star/small-star
     // contraction (O(log n) rounds vs label propagation's diameter
     // rounds) — same (node, min-reachable) contract as d5, checked
@@ -946,6 +962,14 @@ object ExtendedQueries {
         |SELECT d_key, dirty_name, matched_key, matched_name, jw
         |FROM best WHERE rn = 1 ORDER BY d_key"""
         .stripMargin.replace('\n', ' '),
+    "g6_bfs_hops" -> graft.graph.Bfs.bfsHopsSql(
+      """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem WHERE l_quantity >= 45)
+        |SELECT x.l_suppkey AS src, y.l_suppkey AS dst
+        |FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
+        |  AND x.l_suppkey < y.l_suppkey)""".stripMargin.replace('\n', ' '),
+      sourceSql = "SELECT min(least(src, dst)) FROM e",
+      maxHops = 6),
     "g5_cc_stars" ->
       """WITH RECURSIVE sl AS (SELECT DISTINCT l_orderkey, l_suppkey
         |  FROM lineitem WHERE l_quantity >= 45),
