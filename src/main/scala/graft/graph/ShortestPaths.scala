@@ -1,0 +1,74 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-source weighted shortest paths over an undirected edge list
+  * with positive integer weights. */
+object ShortestPaths {
+
+  /** Bellman–Ford with delta pruning: each round relaxes only edges
+    * leaving nodes whose tentative distance IMPROVED last round (the
+    * frontier), merges candidates into the distance table by min, and
+    * keeps as the next frontier exactly the improved nodes. After R
+    * rounds the table holds the exact minimum weight over all paths of
+    * at most R edges — which is also precisely what the hop-capped
+    * recursive oracle computes, so a fixed round count is a
+    * deterministic contract, not a convergence gamble. Integer weights
+    * make every distance exact in both engines. Per-round work is
+    * proportional to the frontier's edge boundary; `localCheckpoint`
+    * truncates the iterative lineage (the PageRank/CC/BFS rule). */
+  def sssp(edges: DataFrame, source: Long, maxRounds: Int = 6)
+      : DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select(col("src"), col("dst"), col("w"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
+    var frontier = dist
+    var round = 0
+    while (round < maxRounds && !frontier.isEmpty) {
+      round += 1
+      val cand = sym
+        .join(frontier.select(col("node").as("src"),
+          col("dist").as("fd")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("fd") + col("w")).as("cd"))
+      val merged = dist.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("dist"), col("cd")),
+            coalesce(col("cd"), col("dist"))).as("dist"),
+          (col("dist").isNull ||
+            (col("cd").isNotNull && col("cd") < col("dist")))
+            .as("improved"))
+        .localCheckpoint()
+      frontier = merged.filter(col("improved"))
+        .select(col("node"), col("dist")).localCheckpoint()
+      dist = merged.select(col("node"), col("dist"))
+    }
+    dist
+  }
+
+  /** DuckDB twin of [[sssp]]: hop-capped recursive relaxation (the cap
+    * bounds recursion through cycles) collapsed by min(total weight).
+    * `edgesSql` must yield (src, dst, w) with positive integer w. */
+  def ssspSql(edgesSql: String, sourceSql: String, maxRounds: Int = 6)
+      : String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT src, dst, min(w) AS w FROM (
+       |    SELECT src, dst, w FROM $edgesSql
+       |    UNION ALL SELECT dst, src, w FROM $edgesSql)
+       |  WHERE src <> dst GROUP BY 1, 2),
+       |reach(node, d, hops) AS (
+       |  SELECT CAST(($sourceSql) AS BIGINT), CAST(0 AS BIGINT), 0
+       |  UNION
+       |  SELECT e.dst, r.d + e.w, r.hops + 1
+       |  FROM reach r JOIN e ON e.src = r.node
+       |  WHERE r.hops < $maxRounds)
+       |SELECT node, CAST(min(d) AS BIGINT) AS dist FROM reach
+       |GROUP BY 1 ORDER BY node""".stripMargin.replace('\n', ' ')
+}

@@ -493,6 +493,92 @@ object ExtendedQueries {
           col("n_p2"), col("confidence"), col("lift"))
         .orderBy(desc("lift"), col("p1"), col("p2")).limit(25)
     }),
+    // robust per-group outlier detection via exact medians: lower
+    // median (rank (n+1) div 2 picks a stored double — no
+    // interpolation, the w8/w10 convention) of value, then of the
+    // absolute deviations (MAD); a row is an outlier when dev > 3·MAD.
+    // All comparisons are exact ops on identical stored doubles, so no
+    // rounding convention is needed anywhere. Each median is one
+    // per-group sort window; group count is small (event types)
+    "x42_mad_outliers" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"))
+      def lowerMedian(df: DataFrame, c: String, out: String) = df
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("event_type"))
+          .orderBy(col(c), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type").as("m_type"), col(c).as(out))
+      val med = lowerMedian(ev, "value", "med")
+      val withDev = ev
+        .join(broadcast(med), col("event_type") === col("m_type"))
+        .drop("m_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = lowerMedian(withDev, "dev", "mad")
+      withDev
+        .join(broadcast(mad), col("event_type") === col("m_type"))
+        .filter(col("dev") > lit(3.0) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"))
+        .orderBy("event_id")
+    }),
+    // 2-D Pareto frontier (skyline): cheapest-price / largest-size
+    // non-dominated part points. Scale shape: reduce to the distinct
+    // (price, size) grain, keep only each price's max size (anything
+    // else is dominated at the same price), THEN one global running-max
+    // window over ≤|distinct prices| rows — never a window over the
+    // data. The oracle is the independent NOT EXISTS dominance
+    // formulation, so the window rewrite itself is what's checked
+    "x44_skyline" -> ((s, d) => {
+      val pts = table(s, d, "part")
+        .groupBy(col("p_retailprice").as("price"),
+          col("p_size").as("size"))
+        .agg(count(lit(1)).as("n_parts"))
+      val perPrice = pts.groupBy(col("price"))
+        .agg(max_by(struct(col("size"), col("n_parts")),
+          col("size")).as("m"))
+        .select(col("price"), col("m.size").as("size"),
+          col("m.n_parts").as("n_parts"))
+      val w = Window.orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perPrice
+        .withColumn("run_max", max(col("size")).over(w))
+        .filter(col("run_max").isNull || col("run_max") < col("size"))
+        .select(col("price"), col("size"), col("n_parts"))
+        .orderBy("price")
+    }),
+    // running distinct-user curve per event type: first-seen day from a
+    // (type, user) min-aggregate — NOT a first-occurrence window over
+    // every event — joined onto the daily event counts, cumulative sum
+    // over the per-type day series (≤ |days| rows per type). The
+    // classic "DAU vs cumulative uniques" growth query, windowless on
+    // the big table
+    "w11_running_distinct" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val daily = ev
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val firstSeen = ev
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("ts")).as("first_ts"))
+        .groupBy(col("event_type"),
+          date_trunc("day", col("first_ts")).as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      daily
+        .join(firstSeen, Seq("event_type", "day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cum_distinct_users",
+          sum(col("new_users")).over(Window
+            .partitionBy(col("event_type")).orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("new_users"), col("cum_distinct_users"))
+        .orderBy(col("event_type"), col("day"))
+    }),
     // single-source BFS hop distances (capped): frontier-expansion
     // rounds touch only the frontier's edge boundary; source = the
     // graph's minimum node id (one metadata-sized aggregate)
@@ -508,6 +594,44 @@ object ExtendedQueries {
       val source = edges.agg(min(least(col("src"), col("dst"))))
         .first().getLong(0)
       graft.graph.Bfs.bfsHops(edges, source, maxHops = 6).orderBy("node")
+    }),
+    // single-source weighted shortest paths: Bellman–Ford frontier
+    // relaxation over the co-supplier graph, edge weight 4−min(shared
+    // orders, 3) ∈ {1,2,3} (stronger ties are shorter); 6 rounds ≡ the
+    // oracle's hop-capped recursive min — a deterministic contract,
+    // not a convergence gamble (integer weights, exact both engines)
+    "g7_sssp" -> ((s, d) => {
+      val sl = table(s, d, "lineitem")
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val edges = sl.alias("x")
+        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+        .groupBy(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+        .agg(count(lit(1)).as("n_shared"))
+        .select(col("src"), col("dst"),
+          (lit(4L) - least(col("n_shared"), lit(3L))).as("w"))
+        .localCheckpoint()
+      val source = edges.agg(min(least(col("src"), col("dst"))))
+        .first().getLong(0)
+      graft.graph.ShortestPaths.sssp(edges, source, maxRounds = 6)
+        .orderBy("node")
+    }),
+    // link prediction by Adamic–Adar over the co-ordered-parts graph
+    // (the co-supplier graph is pure order-cliques at the smallest SF —
+    // zero non-adjacent 2-hop pairs): which parts never yet co-ordered
+    // are most likely to be? Hub centers above deg 50 are excluded
+    // (the wedge-fanout cap, part of the operator contract)
+    "g8_link_prediction" -> ((s, d) => {
+      val lp = table(s, d, "lineitem")
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = lp.alias("x")
+        .join(lp.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.graph.LinkPrediction.adamicAdar(edges, topN = 25,
+        maxDegree = 50)
     }),
     // web-scale connected components: alternating large-star/small-star
     // contraction (O(log n) rounds vs label propagation's diameter
@@ -962,6 +1086,54 @@ object ExtendedQueries {
         |SELECT d_key, dirty_name, matched_key, matched_name, jw
         |FROM best WHERE rn = 1 ORDER BY d_key"""
         .stripMargin.replace('\n', ' '),
+    "x42_mad_outliers" ->
+      """WITH ev AS (SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |m AS (SELECT event_type, value AS med FROM (
+        |    SELECT event_type, value,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY value, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM ev) WHERE rn = (n + 1) // 2),
+        |dv AS (SELECT ev.event_id, ev.event_type, ev.value, m.med,
+        |    abs(ev.value - m.med) AS dev
+        |  FROM ev JOIN m USING (event_type)),
+        |md AS (SELECT event_type, dev AS mad FROM (
+        |    SELECT event_type, dev,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY dev, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM dv) WHERE rn = (n + 1) // 2)
+        |SELECT d.event_id, d.event_type, d.value, d.med, md.mad
+        |FROM dv d JOIN md USING (event_type)
+        |WHERE d.dev > CAST('3' AS DOUBLE) * md.mad
+        |ORDER BY event_id""".stripMargin.replace('\n', ' '),
+    "x44_skyline" ->
+      """WITH pts AS (SELECT p_retailprice AS price, p_size AS size,
+        |    count(*) AS n_parts
+        |  FROM part GROUP BY 1, 2)
+        |SELECT price, size, n_parts FROM pts a
+        |WHERE NOT EXISTS (SELECT 1 FROM pts b
+        |  WHERE b.price <= a.price AND b.size >= a.size
+        |    AND (b.price < a.price OR b.size > a.size))
+        |ORDER BY price""".stripMargin.replace('\n', ' '),
+    "w11_running_distinct" ->
+      """WITH de AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |fs AS (SELECT event_type, user_id, min(ts) AS first_ts
+        |  FROM events GROUP BY 1, 2),
+        |nd AS (SELECT event_type, date_trunc('day', first_ts) AS day,
+        |    count(*) AS new_users
+        |  FROM fs GROUP BY 1, 2)
+        |SELECT de.event_type, de.day, de.n_events,
+        |  CAST(coalesce(nd.new_users, 0) AS BIGINT) AS new_users,
+        |  CAST(sum(coalesce(nd.new_users, 0)) OVER (
+        |    PARTITION BY de.event_type ORDER BY de.day) AS BIGINT)
+        |    AS cum_distinct_users
+        |FROM de LEFT JOIN nd ON de.event_type = nd.event_type
+        |  AND de.day = nd.day
+        |ORDER BY 1, 2""".stripMargin.replace('\n', ' '),
     "g6_bfs_hops" -> graft.graph.Bfs.bfsHopsSql(
       """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
         |  FROM lineitem WHERE l_quantity >= 45)
@@ -970,6 +1142,23 @@ object ExtendedQueries {
         |  AND x.l_suppkey < y.l_suppkey)""".stripMargin.replace('\n', ' '),
       sourceSql = "SELECT min(least(src, dst)) FROM e",
       maxHops = 6),
+    "g7_sssp" -> graft.graph.ShortestPaths.ssspSql(
+      """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem WHERE l_quantity >= 45)
+        |SELECT x.l_suppkey AS src, y.l_suppkey AS dst,
+        |  4 - least(count(*), 3) AS w
+        |FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
+        |  AND x.l_suppkey < y.l_suppkey
+        |GROUP BY 1, 2)""".stripMargin.replace('\n', ' '),
+      sourceSql = "SELECT min(least(src, dst)) FROM e",
+      maxRounds = 6),
+    "g8_link_prediction" -> graft.graph.LinkPrediction.adamicAdarSql(
+      """(WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem WHERE l_quantity >= 45)
+        |SELECT x.l_partkey AS src, y.l_partkey AS dst
+        |FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey
+        |  AND x.l_partkey < y.l_partkey)""".stripMargin.replace('\n', ' '),
+      topN = 25, maxDegree = 50),
     "g5_cc_stars" ->
       """WITH RECURSIVE sl AS (SELECT DISTINCT l_orderkey, l_suppkey
         |  FROM lineitem WHERE l_quantity >= 45),

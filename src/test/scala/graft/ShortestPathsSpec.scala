@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.ShortestPaths
+
+class ShortestPathsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cheap 2-edge detour beats an expensive direct edge") {
+    val edges = Seq((1L, 3L, 5L), (1L, 2L, 1L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val got = ShortestPaths.sssp(edges, source = 1L, maxRounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("round cap bounds path length in edges, not weight") {
+    // chain 1-2-3-4; 2 rounds reach at most 2 edges from the source
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val got = ShortestPaths.sssp(chain, source = 1L, maxRounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("parallel edges collapse to min weight; other components absent") {
+    val edges = Seq((1L, 2L, 7L), (2L, 1L, 2L), (10L, 11L, 1L))
+      .toDF("src", "dst", "w")
+    val got = ShortestPaths.sssp(edges, source = 1L, maxRounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 2L))
+  }
+
+  test("later cheaper path through a ring replaces an earlier greedy one") {
+    // 1-2 (w10); 1-3-4-2 (w 1+1+1): relaxed over more rounds, must win
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 2L, 1L)).toDF("src", "dst", "w")
+    val got = ShortestPaths.sssp(edges, source = 1L, maxRounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 3L -> 1L, 4L -> 2L, 2L -> 3L))
+  }
+}
