@@ -176,7 +176,19 @@ object FeatureQueries {
         threshold = 0.0)),
     "ml5_calibration" -> ((s, d) =>
       graft.ml.Metrics.calibrationTable(scoredEmbeddings(s, d),
-        lo = -0.5, hi = 0.5, bins = 10))
+        lo = -0.5, hi = 0.5, bins = 10)),
+    // logistic regression by IRLS (graft.ml.LogisticIrls): 3 Newton
+    // iterations, each ONE aggregate pass of five decimal-exact
+    // sufficient statistics; the oracle unrolls the same iterations as
+    // CTEs, so the emitted beta trajectory is bit-identical
+    "ml7_logistic_irls" -> ((s, d) => {
+      val ev = PipelineQueries.table(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select((col("value") / lit(100)).as("x"),
+          when(col("event_type") === "purchase", 1.0)
+            .otherwise(0.0).as("y"))
+      graft.ml.LogisticIrls.train(ev, "x", "y", iters = 3)
+    })
   )
 
   /** (label, score) pairs for the evaluation metrics: positive class =
@@ -379,6 +391,13 @@ object FeatureQueries {
          |FROM latest l CROSS JOIN ao
          |LEFT JOIN lags lg ON lg.location_id = l.location_id
          |LEFT JOIN enc e ON e.country = l.country
-         |ORDER BY l.location_id""".stripMargin.replace('\n', ' '))
+         |ORDER BY l.location_id""".stripMargin.replace('\n', ' ')),
+    "ml7_logistic_irls" -> graft.ml.LogisticIrls.irlsSql(
+      """SELECT value / 100 AS x,
+        |  CASE WHEN event_type = 'purchase' THEN CAST('1' AS DOUBLE)
+        |    ELSE CAST('0' AS DOUBLE) END AS y
+        |FROM events WHERE value IS NOT NULL""".stripMargin
+        .replace('\n', ' '),
+      iters = 3)
   )
 }
