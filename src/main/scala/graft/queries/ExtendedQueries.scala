@@ -819,6 +819,39 @@ object ExtendedQueries {
         .sortBy(_._1).toSeq
         .toDF("event_type", "exact_n", "cms_estimate")
     }),
+    // library-level Bloom semi-join pruning: ONE partial-agg pass
+    // builds a 16 Kbit filter over the urgent orders' keys (state
+    // merges by OR on any partitioning), then every lineitem row is
+    // probed INSIDE the scan's codegen span by the native
+    // BloomMightContain expression — the filter rides along as an
+    // array<bigint> literal, the broadcast shape. Scored against the
+    // exact match flag: bloom_pass ≥ exact always (no false
+    // negatives), the gap is the measured fp cost. Rows-only like
+    // cms1 (xxhash64 state is irreproducible in DuckDB); the
+    // no-false-negative and fp-bound claims are BloomSpec's
+    "bf1_bloom_prune" -> ((s, d) => {
+      import s.implicits._
+      import graft.agg.BloomFilter
+      val numHashes = 5
+      val urgent = table(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val bloom = urgent
+        .select(xxhash64(col("o_orderkey")).as("h")).as[Long]
+        .select(new BloomFilter(1 << 14, numHashes).toColumn.name("bf"))
+        .head()
+      table(s, d, "lineitem")
+        .withColumn("bloom_pass",
+          graft.expr.BloomExprs.bloomMightContain(
+            xxhash64(col("l_orderkey")), typedLit(bloom),
+            lit(numHashes)))
+        .join(urgent.select(col("o_orderkey"), lit(1L).as("is_urgent")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("bloom_pass").cast("long")).as("n_bloom_pass"),
+          sum(coalesce(col("is_urgent"), lit(0L))).as("n_exact"))
+        .orderBy("l_returnflag")
+    }),
     "x22_topk_per_group" -> ((s, d) => {
       import s.implicits._
       import graft.agg.{TopItem, TopK}
