@@ -45,6 +45,57 @@ object SimilarityQueries {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
         .orderBy("query_id", "rank")
     }),
+    // retrieval-quality evaluation: recall@10 / MRR / nDCG@10 of the
+    // deterministic cosine ranking against label-match relevance — the
+    // eval harness any retrieval stack runs before shipping a ranker.
+    // Every metric is exact cross-engine: recall and MRR are single
+    // int/int divisions, DCG gains are round(1/log2(rank+1), 6)
+    // summed in DECIMAL (absorbing the engines' log2 ulp), and IDCG
+    // reuses the same rounded gain table over generate_series
+    "ir1_retrieval_eval" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val top = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") % 25 === 7), k = 10)
+      val lab = emb.select(col("vec_id").as("cid"),
+        col("label").as("clabel"))
+      val qlab = emb.select(col("vec_id").as("qid"),
+        col("label").as("qlabel"))
+      val nrel = qlab.filter(col("qid") % 25 === 7)
+        .join(lab, col("cid") =!= col("qid") &&
+          col("clabel") === col("qlabel"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+      val agg = top
+        .join(qlab, col("query_id") === col("qid"))
+        .join(lab, col("corpus_id") === col("cid"))
+        .withColumn("rel",
+          (col("clabel") === col("qlabel")).cast("int"))
+        .withColumn("gain", when(col("rel") === 1,
+          round(lit(1.0) / log2(col("rank") + 1), 6))
+          .otherwise(lit(0.0)))
+        .groupBy(col("query_id"))
+        .agg(sum(col("rel")).cast("long").as("hits"),
+          min(when(col("rel") === 1, col("rank"))).as("first_rel"),
+          sum(col("gain").cast("decimal(18,6)")).as("dcg_d"))
+      val pos = s.range(1, 11)
+        .select(col("id").cast("int").as("pos"))
+        .withColumn("g", round(lit(1.0) / log2(col("pos") + 1), 6)
+          .cast("decimal(18,6)"))
+      val idcg = nrel.crossJoin(pos)
+        .filter(col("pos") <= least(lit(10), col("n_rel")))
+        .groupBy(col("qid")).agg(sum(col("g")).as("idcg_d"))
+        .select(col("qid").as("iqid"), col("idcg_d"))
+      agg
+        .join(nrel, col("query_id") === col("qid"))
+        .join(idcg, col("query_id") === col("iqid"))
+        .select(col("query_id"), col("n_rel"), col("hits"),
+          (col("hits").cast("double") / col("n_rel").cast("double"))
+            .as("recall_at_10"),
+          when(col("first_rel").isNotNull,
+            lit(1.0) / col("first_rel")).otherwise(lit(0.0)).as("mrr"),
+          (col("dcg_d").cast("double") / col("idcg_d").cast("double"))
+            .as("ndcg_at_10"))
+        .orderBy("query_id")
+    }),
     "sim2_knn_ivf" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
@@ -117,6 +168,44 @@ object SimilarityQueries {
     },
     "sim1_knn_bruteforce" ->
       Similarity.bruteForceTopKSql(5, "vec_id < 20"),
+    "ir1_retrieval_eval" -> {
+      val topSql = Similarity.bruteForceTopKSql(10, "vec_id % 25 = 7")
+      s"""WITH top AS ($topSql),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |marked AS (SELECT t.query_id, t.rank,
+         |    CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END AS rel
+         |  FROM top t
+         |  JOIN lab ql ON ql.vec_id = t.query_id
+         |  JOIN lab cl ON cl.vec_id = t.corpus_id),
+         |nrel AS (SELECT q.vec_id AS query_id, count(*) AS n_rel
+         |  FROM embeddings q JOIN embeddings c
+         |    ON c.vec_id <> q.vec_id AND c.label = q.label
+         |  WHERE q.vec_id % 25 = 7 GROUP BY 1),
+         |agg AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS hits,
+         |    min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+         |    sum(CAST(CASE WHEN rel = 1 THEN
+         |        round(CAST('1' AS DOUBLE) / log2(rank + 1), 6)
+         |      ELSE CAST('0' AS DOUBLE) END AS DECIMAL(18,6))) AS dcg_d
+         |  FROM marked GROUP BY 1),
+         |pos AS (SELECT CAST(x AS INT) AS pos,
+         |    CAST(round(CAST('1' AS DOUBLE) / log2(x + 1), 6)
+         |      AS DECIMAL(18,6)) AS g
+         |  FROM generate_series(1, 10) t(x)),
+         |idcg AS (SELECT n.query_id, sum(p.g) AS idcg_d
+         |  FROM nrel n JOIN pos p ON p.pos <= least(10, n.n_rel)
+         |  GROUP BY 1)
+         |SELECT a.query_id, n.n_rel, a.hits,
+         |  CAST(a.hits AS DOUBLE) / CAST(n.n_rel AS DOUBLE)
+         |    AS recall_at_10,
+         |  coalesce(CAST('1' AS DOUBLE) / a.first_rel,
+         |    CAST('0' AS DOUBLE)) AS mrr,
+         |  CAST(a.dcg_d AS DOUBLE) / CAST(i.idcg_d AS DOUBLE)
+         |    AS ndcg_at_10
+         |FROM agg a
+         |JOIN nrel n ON n.query_id = a.query_id
+         |JOIN idcg i ON i.query_id = a.query_id
+         |ORDER BY a.query_id""".stripMargin.replace('\n', ' ')
+    },
     "sim3_cosine_neardup" -> Similarity.cosineNearDupPairsSql(0.4),
     "sim5_quantize_int8" -> Similarity.quantizeInt8Sql,
     "sim6_l2_normalize" -> Similarity.l2NormalizeSql
