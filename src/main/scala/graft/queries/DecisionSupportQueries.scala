@@ -252,7 +252,50 @@ object DecisionSupportQueries {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** TPC-DS-style cross-channel behavior: TWO fact tables (orders =
+    * purchase channel, events = web channel) each pre-aggregated to the
+    * shared customer grain, full-outer joined, profiled
+    * both/orders_only/web_only, rolled up per nation. The multi-fact
+    * shape: each fact shuffles ONCE at its own aggregate (map-side
+    * combine), the channel join runs on the small per-customer grain,
+    * and only nation (25 rows) is broadcast — the q-family rule that
+    * customer-sized sides are never hinted. */
+  def ds4CrossChannel(s: SparkSession, d: String): DataFrame = {
+    val ord = table(s, d, "orders")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("o_n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_d"))
+    val web = table(s, d, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id").as("wk"))
+      .agg(count(lit(1)).as("w_n"),
+        sum(col("value").cast("decimal(18,6)")).as("webv_d"))
+    val cust = table(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = table(s, d, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    ord.join(web, col("k") === col("wk"), "full_outer")
+      .select(coalesce(col("k"), col("wk")).as("custkey"),
+        col("o_n"), col("rev_d"), col("w_n"), col("webv_d"))
+      .join(cust, col("custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("profile",
+        when(col("o_n").isNotNull && col("w_n").isNotNull, "both")
+          .when(col("o_n").isNotNull, "orders_only")
+          .otherwise("web_only"))
+      .groupBy(col("n_name"), col("profile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(coalesce(col("o_n"), lit(0L))).as("n_orders"),
+        sum(coalesce(col("rev_d"), lit(0).cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+        sum(coalesce(col("w_n"), lit(0L))).as("n_events"),
+        sum(coalesce(col("webv_d"), lit(0).cast("decimal(18,6)")))
+          .cast("double").as("web_value"))
+      .orderBy("n_name", "profile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds4_cross_channel" -> ds4CrossChannel,
     "w9_rank_functions" -> w9RankFunctions,
     "x38_rollup" -> x38Rollup,
     "x39_histogram" -> x39Histogram,
@@ -265,6 +308,32 @@ object DecisionSupportQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ds4_cross_channel" ->
+      """WITH ord AS (SELECT o_custkey AS k, count(*) AS o_n,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+        |  FROM orders GROUP BY 1),
+        |web AS (SELECT user_id AS wk, count(*) AS w_n,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS webv_d
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |ch AS (SELECT coalesce(o.k, w.wk) AS custkey, o.o_n, o.rev_d,
+        |    w.w_n, w.webv_d,
+        |    CASE WHEN o.o_n IS NOT NULL AND w.w_n IS NOT NULL
+        |        THEN 'both'
+        |      WHEN o.o_n IS NOT NULL THEN 'orders_only'
+        |      ELSE 'web_only' END AS profile
+        |  FROM ord o FULL OUTER JOIN web w ON o.k = w.wk)
+        |SELECT n_name, profile, count(*) AS n_customers,
+        |  CAST(sum(coalesce(o_n, 0)) AS BIGINT) AS n_orders,
+        |  CAST(sum(coalesce(rev_d, CAST('0' AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue,
+        |  CAST(sum(coalesce(w_n, 0)) AS BIGINT) AS n_events,
+        |  CAST(sum(coalesce(webv_d, CAST('0' AS DECIMAL(18,6))))
+        |    AS DOUBLE) AS web_value
+        |FROM ch
+        |JOIN customer ON custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY n_name, profile"""
+        .stripMargin.replace('\n', ' '),
     "w9_rank_functions" ->
       """WITH ranked AS (
         |  SELECT c_mktsegment, c_acctbal,

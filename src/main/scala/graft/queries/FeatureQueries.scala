@@ -96,6 +96,35 @@ object FeatureQueries {
             .as("rolling_median"))
         .orderBy("location_id", "datetime")
     }),
+    // truncated exponential smoothing (EWMA, decay 1/2, 12 taps):
+    // smoothed_t = Σ 2^(11-i)·x_{t-i} / Σ 2^(11-i) over the taps
+    // present. Integer power-of-two weights are the determinism trick:
+    // weight·x is an EXACT double scaling, so after round-to-6dp both
+    // engines sum identical DECIMAL terms in an identical fixed order
+    // (an explicit 12-term + chain, not an aggregate) — no pow(), no
+    // float fold. One window pass computes all 11 lags
+    "w12_ewma" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("location_id"))
+        .orderBy(col("datetime"))
+      val L = 12
+      val base = gold(s, d).filter(col("aqi").isNotNull)
+        .select((Seq(col("location_id"), col("datetime"), col("aqi")) ++
+          (1 until L).map(i =>
+            lag(col("aqi"), i).over(w).as(s"l_$i"))): _*)
+      def tap(i: Int) = if (i == 0) col("aqi") else col(s"l_$i")
+      val zero = lit(0).cast("decimal(24,6)")
+      val num = (0 until L).map { i =>
+        coalesce(round(tap(i) * lit(1L << (L - 1 - i)), 6)
+          .cast("decimal(24,6)"), zero)
+      }.reduce(_ + _)
+      val den = (0 until L).map { i =>
+        when(tap(i).isNotNull, lit(1L << (L - 1 - i))).otherwise(lit(0L))
+      }.reduce(_ + _)
+      base.select(col("location_id"), col("datetime"), col("aqi"),
+        (num.cast("double") / den.cast("double")).as("ewma"))
+        .orderBy("location_id", "datetime")
+    }),
     // seasonal-naive vs persistence forecast baselines, evaluated
     // in-engine: predictions are pure lags (24 h / 1 h), errors fold
     // into DECIMAL-exact sums per station, and RMSE/MAE divide+sqrt the
@@ -392,6 +421,26 @@ object FeatureQueries {
          |LEFT JOIN lags lg ON lg.location_id = l.location_id
          |LEFT JOIN enc e ON e.country = l.country
          |ORDER BY l.location_id""".stripMargin.replace('\n', ' ')),
+    "w12_ewma" -> {
+      val L = 12
+      def tapSql(i: Int) =
+        if (i == 0) "aqi" else s"lag(aqi, $i) OVER w"
+      val num = (0 until L).map { i =>
+        s"coalesce(CAST(round(${tapSql(i)} * ${1L << (L - 1 - i)}, 6)" +
+          s" AS DECIMAL(24,6)), CAST('0' AS DECIMAL(24,6)))"
+      }.mkString(" + ")
+      val den = (0 until L).map { i =>
+        s"CASE WHEN ${tapSql(i)} IS NOT NULL" +
+          s" THEN ${1L << (L - 1 - i)} ELSE 0 END"
+      }.mkString(" + ")
+      withPipeline(
+        s"""SELECT location_id, datetime, aqi,
+           |  CAST($num AS DOUBLE) / CAST($den AS DOUBLE) AS ewma
+           |FROM gold WHERE aqi IS NOT NULL
+           |WINDOW w AS (PARTITION BY location_id ORDER BY datetime)
+           |ORDER BY location_id, datetime""".stripMargin
+          .replace('\n', ' '))
+    },
     "ml7_logistic_irls" -> graft.ml.LogisticIrls.irlsSql(
       """SELECT value / 100 AS x,
         |  CASE WHEN event_type = 'purchase' THEN CAST('1' AS DOUBLE)
