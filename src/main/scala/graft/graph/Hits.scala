@@ -1,0 +1,78 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+  * list. */
+object Hits {
+
+  /** Fixed-round synchronous HITS: auth(d) = Σ hub(s) over in-edges,
+    * hub(s) = Σ auth(d) over out-edges, each side max-normalized per
+    * round. Determinism contract: scores are rounded to 6 dp after the
+    * normalize, sums aggregate those 6 dp values in DECIMAL (partial-
+    * sum order irrelevant), and the max-normalizer divides the same
+    * exact decimal-cast doubles in both engines — so a fixed round
+    * count reproduces bit-identically (the g4/g7 rule:
+    * fixed rounds as the contract, not a convergence gamble).
+    * Max-normalization (not L2) keeps the per-round reduction a plain
+    * max — no sqrt of a float sum. Per round: two edge joins + two
+    * partial-aggregatable sums + two metadata-sized max reads;
+    * `localCheckpoint` truncates the iterative lineage. */
+  def run(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    var hub = e.select(col("src")).distinct()
+      .withColumn("hub", lit(1.0))
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val araw = e.join(hub, "src").groupBy(col("dst"))
+        .agg(sum(col("hub").cast("decimal(18,6)")).as("raw_d"))
+      val amax = araw.agg(max(col("raw_d"))).first()
+        .getDecimal(0).doubleValue
+      auth = araw.select(col("dst"),
+        round(col("raw_d").cast("double") / lit(amax), 6).as("auth"))
+        .localCheckpoint()
+      val hraw = e.join(auth, "dst").groupBy(col("src"))
+        .agg(sum(col("auth").cast("decimal(18,6)")).as("raw_d"))
+      val hmax = hraw.agg(max(col("raw_d"))).first()
+        .getDecimal(0).doubleValue
+      hub = hraw.select(col("src"),
+        round(col("raw_d").cast("double") / lit(hmax), 6).as("hub"))
+        .localCheckpoint()
+    }
+    auth.select(lit("authority").as("role"), col("dst").as("node"),
+        col("auth").as("score"))
+      .unionAll(hub.select(lit("hub").as("role"), col("src").as("node"),
+        col("hub").as("score")))
+  }
+
+  /** DuckDB twin of [[run]]: rounds statically unrolled as CTEs. */
+  def hitsSql(edgesSql: String, rounds: Int = 3): String = {
+    val steps = (1 to rounds).map { t =>
+      s"""a${t}r AS (SELECT dst,
+         |    sum(CAST(hub AS DECIMAL(18,6))) AS raw_d
+         |  FROM e JOIN h${t - 1} USING (src) GROUP BY 1),
+         |a$t AS (SELECT dst, round(CAST(raw_d AS DOUBLE) /
+         |    (SELECT CAST(max(raw_d) AS DOUBLE) FROM a${t}r), 6)
+         |    AS auth
+         |  FROM a${t}r),
+         |h${t}r AS (SELECT src,
+         |    sum(CAST(auth AS DECIMAL(18,6))) AS raw_d
+         |  FROM e JOIN a$t USING (dst) GROUP BY 1),
+         |h$t AS (SELECT src, round(CAST(raw_d AS DOUBLE) /
+         |    (SELECT CAST(max(raw_d) AS DOUBLE) FROM h${t}r), 6)
+         |    AS hub
+         |  FROM h${t}r)""".stripMargin
+    }
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM $edgesSql),
+       |h0 AS (SELECT DISTINCT src, CAST('1' AS DOUBLE) AS hub FROM e),
+       |${steps.mkString(", ")}
+       |SELECT role, node, score FROM (
+       |  SELECT 'authority' AS role, dst AS node, auth AS score
+       |  FROM a$rounds
+       |  UNION ALL
+       |  SELECT 'hub', src, hub FROM h$rounds)
+       |ORDER BY role, node""".stripMargin.replace('\n', ' ')
+  }
+}

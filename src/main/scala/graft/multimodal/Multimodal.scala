@@ -112,6 +112,30 @@ object Multimodal {
         greatest(lit(1L), round(h * scale, 0).cast("long")).as("out_h"))
   }
 
+  /** Sliding-window chunk plan for audio rows: interpret the payload
+    * as 16-bit mono samples (n_samples = bytes/2), emit windows of
+    * `window` samples at stride `stride` — the ASR/training chunking
+    * shape (overlap = window − stride keeps context across cuts).
+    * Plan-only work like frame sampling: WHICH sample ranges to decode
+    * is engine-side integer arithmetic (one explode per row, rows ∝
+    * ⌈n/stride⌉); the PCM fetch belongs to the codec stub. The filter
+    * on n_samples ≥ 1 is load-bearing: Spark's `sequence(0, -1)`
+    * DESCENDS, so an empty payload would emit phantom chunks. */
+  def audioChunkPlan(withMedia: DataFrame, window: Int = 64,
+      stride: Int = 48): DataFrame =
+    withMedia.filter(col("media_type") === "audio")
+      .withColumn("byte_len", length(col("media")).cast("bigint"))
+      .withColumn("n_samples", expr("byte_len div 2"))
+      .filter(col("n_samples") >= 1)
+      .withColumn("n_chunks",
+        expr(s"(n_samples + ${stride - 1}) div $stride"))
+      .select(col("doc_id"), col("n_samples"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("n_samples"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_sample"),
+        least(col("chunk_idx") * stride + window, col("n_samples"))
+          .as("end_sample"))
+
   /** STUB for the media codec: 4 deterministic moments of the byte
     * stream standing in for decoded-content features. */
   private def decodeStub(bytes: Array[Byte]): Seq[Double] = {

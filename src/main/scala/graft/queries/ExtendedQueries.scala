@@ -633,6 +633,50 @@ object ExtendedQueries {
       graft.graph.LinkPrediction.adamicAdar(edges, topN = 25,
         maxDegree = 50)
     }),
+    // HITS hubs & authorities over the directed customer→supplier
+    // purchase graph: 3 synchronous rounds, max-normalized (not L2 —
+    // the per-round reduction stays a plain max, no sqrt of a float
+    // sum), scores 6dp-rounded then DECIMAL-summed so rounds reproduce
+    // bit-identically; oracle unrolls the same rounds as CTEs
+    "g9_hits" -> ((s, d) => {
+      val e = table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      graft.graph.Hits.run(e, rounds = 3).orderBy("role", "node")
+    }),
+    // multi-touch linear attribution: each purchase's value splits
+    // equally across the user's clicks in the preceding 7 days, credit
+    // aggregated per user. The touch match is a user-keyed equi-join
+    // with a µs-integer range predicate (the as-of join shape, exact
+    // in both engines); v/n is a double/bigint division of identical
+    // operands, rounded then DECIMAL-summed
+    "x45_linear_attribution" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .withColumn("us", expr("ts div 1000"))
+      val purch = ev.filter(col("event_type") === "purchase" &&
+          col("value").isNotNull)
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("us").as("p_us"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("c_us"))
+      val win = 7L * 86400L * 1000000L
+      val credited = purch.join(clicks, Seq("user_id"))
+        .filter(col("c_us") <= col("p_us") &&
+          col("p_us") - col("c_us") <= win)
+        .groupBy(col("user_id"), col("p_id"), col("value"))
+        .agg(count(lit(1)).as("n_touches"))
+        .withColumn("credit",
+          round(col("value") / col("n_touches"), 6)
+            .cast("decimal(18,6)"))
+      credited.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_attributed_purchases"),
+          sum(col("n_touches")).as("n_touches"),
+          sum(col("credit")).cast("double").as("attributed_value"))
+        .orderBy("user_id")
+    }),
     // web-scale connected components: alternating large-star/small-star
     // contraction (O(log n) rounds vs label propagation's diameter
     // rounds) — same (node, min-reachable) contract as d5, checked
@@ -1175,6 +1219,30 @@ object ExtendedQueries {
         |  AND x.l_suppkey < y.l_suppkey)""".stripMargin.replace('\n', ' '),
       sourceSql = "SELECT min(least(src, dst)) FROM e",
       maxHops = 6),
+    "g9_hits" -> graft.graph.Hits.hitsSql(
+      """(SELECT o_custkey AS src, l_suppkey AS dst
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"""
+        .stripMargin.replace('\n', ' '),
+      rounds = 3),
+    "x45_linear_attribution" ->
+      """WITH purch AS (SELECT user_id, event_id AS p_id,
+        |    epoch_us(ts) AS p_us, value
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND value IS NOT NULL),
+        |clicks AS (SELECT user_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |credited AS (SELECT p.user_id, p.p_id, p.value,
+        |    count(*) AS n_touches
+        |  FROM purch p JOIN clicks c ON c.user_id = p.user_id
+        |    AND c.c_us <= p.p_us
+        |    AND p.p_us - c.c_us <= 604800000000
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, count(*) AS n_attributed_purchases,
+        |  CAST(sum(n_touches) AS BIGINT) AS n_touches,
+        |  CAST(sum(CAST(round(value / n_touches, 6) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS attributed_value
+        |FROM credited GROUP BY 1 ORDER BY user_id"""
+        .stripMargin.replace('\n', ' '),
     "g7_sssp" -> graft.graph.ShortestPaths.ssspSql(
       """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
         |  FROM lineitem WHERE l_quantity >= 45)

@@ -203,6 +203,12 @@ object SinkQueries {
       Multimodal.resizePlan(
         Multimodal.withBinaryPayload(table(s, d, "documents")))
         .orderBy("doc_id")),
+    // audio chunk plan: sliding 64-sample windows at stride 48 over the
+    // 16-bit payload — which PCM ranges to decode, as pure integer math
+    "mm5_audio_chunks" -> ((s, d) =>
+      Multimodal.audioChunkPlan(
+        Multimodal.withBinaryPayload(table(s, d, "documents")))
+        .orderBy("doc_id", "chunk_idx")),
     // bucketed layout → co-located join: zero Exchange on either join
     // side (PlanShapeSpec pins the plan; the oracle checks the result
     // equals the plain join)
@@ -288,6 +294,18 @@ object SinkQueries {
         |    least(CAST(doc_id % 300 + 1 AS INT), 8) AS k
         |  FROM documents WHERE doc_id % 3 = 2)
         |ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+    "mm5_audio_chunks" ->
+      """WITH audio AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples
+        |  FROM documents
+        |  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 2)
+        |SELECT doc_id, n_samples, CAST(t.i AS BIGINT) AS chunk_idx,
+        |  CAST(t.i * 48 AS BIGINT) AS start_sample,
+        |  CAST(least(t.i * 48 + 64, n_samples) AS BIGINT) AS end_sample
+        |FROM audio,
+        |  unnest(range(0, CAST((n_samples + 47) // 48 AS BIGINT)))
+        |    AS t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin.replace('\n', ' '),
     "mm4_resize_plan" ->
       """SELECT doc_id, width, height, round(scale, 6) AS scale,
         |  greatest(1, CAST(round(width * scale, 0) AS BIGINT)) AS out_w,

@@ -14,6 +14,30 @@ object TextQueries {
   val bm25Query: Seq[String] = Seq("spark", "window", "hash")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flesch-style readability from three regex counts (words, vowel
+    // groups as the syllable heuristic, sentence breaks) — scan-speed
+    // per-row math, the quality-scoring sibling of t1. Both ratios are
+    // int/int divisions of identical operands; the constants enter one
+    // fixed expression order, so the score is bit-stable unrounded
+    // (rounded to 4dp only for display)
+    "t25_readability" -> ((s, d) => {
+      val lowered = lower(col("text"))
+      table(s, d, "documents")
+        .withColumn("n_words", regexp_count(lowered, lit("[a-z]+")))
+        .withColumn("n_vowel_groups",
+          regexp_count(lowered, lit("[aeiouy]+")))
+        .withColumn("n_sentences",
+          greatest(lit(1), regexp_count(col("text"), lit("[.!?]+"))))
+        .filter(col("n_words") >= 1)
+        .withColumn("flesch", round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_vowel_groups").cast("double") /
+            col("n_words").cast("double")), 4))
+        .select("doc_id", "n_words", "n_sentences", "n_vowel_groups",
+          "flesch")
+        .orderBy("doc_id")
+    }),
     "t1_quality_features" -> ((s, d) =>
       TextAnalysis.qualityFeatures(table(s, d, "documents"))
         .select("doc_id", "n_chars_actual", "n_tokens", "avg_token_len",
@@ -193,6 +217,24 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "t25_readability" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INT)
+        |      AS n_words,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS INT) AS n_vowel_groups,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS INT) AS n_sentences
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+        |  round(CAST('206.835' AS DOUBLE)
+        |    - CAST('1.015' AS DOUBLE) *
+        |      (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - CAST('84.6' AS DOUBLE) *
+        |      (CAST(n_vowel_groups AS DOUBLE) / CAST(n_words AS DOUBLE)),
+        |    4) AS flesch
+        |FROM f WHERE n_words >= 1 ORDER BY doc_id"""
+        .stripMargin.replace('\n', ' '),
     "t1_quality_features" ->
       (s"SELECT doc_id, ${TextAnalysis.qualityFeaturesSql("text")} " +
         "FROM documents ORDER BY doc_id"),
