@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** Count triangles in an undirected graph given as (src, dst) pairs
-    * (self-loops dropped, duplicates and direction collapsed). Returns
-    * one row: (n_nodes, n_edges, n_triangles). */
-  def count(edges: DataFrame): DataFrame = {
+  /** Shared core: canonical undirected edges (a < b), per-node degrees,
+    * and the closed-triangle list (u, v1, v2) enumerated once at each
+    * triangle's minimum-(degree, id) vertex. */
+  private def closedTriangles(edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -50,6 +51,14 @@ object Triangles {
     // plain two-column equi-join
     val closed = wedges.join(und,
       col("a") === col("v1") && col("b") === col("v2"), "left_semi")
+    (und, deg, closed)
+  }
+
+  /** Count triangles in an undirected graph given as (src, dst) pairs
+    * (self-loops dropped, duplicates and direction collapsed). Returns
+    * one row: (n_nodes, n_edges, n_triangles). */
+  def count(edges: DataFrame): DataFrame = {
+    val (und, deg, closed) = closedTriangles(edges)
     val nNodes = deg.agg(functions.count(lit(1)).as("n_nodes"))
     val nEdges = und.agg(functions.count(lit(1)).as("n_edges"))
     closed.agg(functions.count(lit(1)).as("n_triangles"))
@@ -57,4 +66,57 @@ object Triangles {
       .crossJoin(broadcast(nEdges))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
+
+  /** Per-node triangle counts + local clustering coefficient
+    * cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)): each closed triangle
+    * credits all three corners, so the per-node count is one explode +
+    * hash aggregate over the triangle list (still the O(|E|^1.5)
+    * enumeration above — never a per-node wedge scan). The coefficient
+    * is a ratio of identical integer operands in both engines; nodes
+    * of degree < 2 report 0. */
+  def perNodeClustering(edges: DataFrame): DataFrame = {
+    val (_, deg, closed) = closedTriangles(edges)
+    val perNode = closed
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("n"))
+      .groupBy(col("n")).agg(functions.count(lit(1)).as("n_triangles"))
+    val t = coalesce(col("n_triangles"), lit(0L))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("deg").as("degree"),
+        t.as("n_triangles"),
+        when(col("deg") >= 2,
+          lit(2.0) * t.cast("double") /
+            (col("deg").cast("double") * (col("deg") - 1).cast("double")))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+  }
+
+  /** DuckDB twin of [[perNodeClustering]]. `edgesSql` yields
+    * (src, dst). */
+  def perNodeClusteringSql(edgesSql: String): String =
+    s"""WITH und AS (SELECT DISTINCT least(src, dst) AS a,
+       |    greatest(src, dst) AS b FROM $edgesSql WHERE src <> dst),
+       |deg AS (SELECT n, count(*) AS deg FROM (
+       |    SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY 1),
+       |ori AS (SELECT
+       |    CASE WHEN d1.deg < d2.deg
+       |      OR (d1.deg = d2.deg AND a < b) THEN a ELSE b END AS u,
+       |    CASE WHEN d1.deg < d2.deg
+       |      OR (d1.deg = d2.deg AND a < b) THEN b ELSE a END AS v
+       |  FROM und JOIN deg d1 ON d1.n = und.a
+       |  JOIN deg d2 ON d2.n = und.b),
+       |tri AS (SELECT o1.u, o1.v AS v1, o2.v AS v2
+       |  FROM ori o1 JOIN ori o2 ON o1.u = o2.u AND o1.v < o2.v
+       |  WHERE EXISTS (SELECT 1 FROM und
+       |    WHERE a = o1.v AND b = o2.v)),
+       |pn AS (SELECT x.n, count(*) AS n_triangles
+       |  FROM tri, unnest([u, v1, v2]) AS x(n) GROUP BY 1)
+       |SELECT deg.n AS node, CAST(deg.deg AS BIGINT) AS degree,
+       |  CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+       |  CASE WHEN deg.deg >= 2 THEN
+       |    CAST('2' AS DOUBLE) * CAST(coalesce(pn.n_triangles, 0)
+       |      AS DOUBLE) /
+       |    (CAST(deg.deg AS DOUBLE) * CAST(deg.deg - 1 AS DOUBLE))
+       |  ELSE CAST('0' AS DOUBLE) END AS clustering_coeff
+       |FROM deg LEFT JOIN pn ON pn.n = deg.n
+       |ORDER BY node""".stripMargin.replace('\n', ' ')
 }

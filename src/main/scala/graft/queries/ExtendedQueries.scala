@@ -633,6 +633,49 @@ object ExtendedQueries {
       graft.graph.LinkPrediction.adamicAdar(edges, topN = 25,
         maxDegree = 50)
     }),
+    // per-node local clustering coefficient over the co-supplier
+    // graph: the same degree-ordered O(|E|^1.5) triangle enumeration
+    // as g2, each closed triangle crediting its three corners, then
+    // cc = 2T/(d(d−1)) as a ratio of identical integer operands
+    "g10_clustering_coeff" -> ((s, d) => {
+      val sl = table(s, d, "lineitem")
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val edges = sl.alias("x")
+        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      graft.graph.Triangles.perNodeClustering(edges).orderBy("node")
+    }),
+    // time-weighted average value per user (TWAP): segment durations
+    // from consecutive event gaps (µs-integer lead, floored to whole
+    // seconds — sub-second segments carry no weight by contract),
+    // value·duration terms rounded then DECIMAL-summed, one division
+    // of the two exact aggregates at the end
+    "x49_twap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      table(s, d, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("us", expr("ts div 1000"))
+        .select(col("user_id"), col("us"), col("event_id"), col("value"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("dur_s", expr("(next_us - us) div 1000000"))
+        .filter(col("dur_s") >= 1)
+        .withColumn("term",
+          round(col("value") * col("dur_s").cast("double"), 6)
+            .cast("decimal(28,6)"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("dur_s")).as("total_s"),
+          sum(col("term")).as("num_d"))
+        .select(col("user_id"), col("n_segments"), col("total_s"),
+          (col("num_d").cast("double") / col("total_s").cast("double"))
+            .as("twap"))
+        .orderBy("user_id")
+    }),
     // HITS hubs & authorities over the directed customer→supplier
     // purchase graph: 3 synchronous rounds, max-normalized (not L2 —
     // the per-round reduction stays a plain max, no sqrt of a float
@@ -1219,6 +1262,29 @@ object ExtendedQueries {
         |  AND x.l_suppkey < y.l_suppkey)""".stripMargin.replace('\n', ' '),
       sourceSql = "SELECT min(least(src, dst)) FROM e",
       maxHops = 6),
+    "g10_clustering_coeff" -> graft.graph.Triangles.perNodeClusteringSql(
+      """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem WHERE l_quantity >= 45)
+        |SELECT x.l_suppkey AS src, y.l_suppkey AS dst
+        |FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
+        |  AND x.l_suppkey < y.l_suppkey)""".stripMargin
+        .replace('\n', ' ')),
+    "x49_twap" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+        |  FROM events WHERE value IS NOT NULL),
+        |seg AS (SELECT user_id, us, value,
+        |    lead(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS next_us
+        |  FROM ev),
+        |f AS (SELECT user_id, (next_us - us) // 1000000 AS dur_s, value
+        |  FROM seg WHERE next_us IS NOT NULL)
+        |SELECT user_id, count(*) AS n_segments,
+        |  CAST(sum(dur_s) AS BIGINT) AS total_s,
+        |  CAST(sum(CAST(round(value * CAST(dur_s AS DOUBLE), 6)
+        |      AS DECIMAL(28,6))) AS DOUBLE)
+        |    / CAST(sum(dur_s) AS DOUBLE) AS twap
+        |FROM f WHERE dur_s >= 1 GROUP BY 1 ORDER BY user_id"""
+        .stripMargin.replace('\n', ' '),
     "g9_hits" -> graft.graph.Hits.hitsSql(
       """(SELECT o_custkey AS src, l_suppkey AS dst
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"""

@@ -39,4 +39,20 @@ class TrianglesSpec extends AnyFunSuite {
     val g = (1L to 10L).map(i => (0L, i)) :+ (1L, 2L)
     assert(count(g) === (11L, 11L, 1L))
   }
+
+  test("per-node clustering: triangle corner 1, bridge 1/3, pendant 0") {
+    // triangle 1-2-3 plus pendant 4 attached to 1:
+    // cc(2) = cc(3) = 1 (deg 2, 1 triangle); cc(1) = 2·1/(3·2) = 1/3;
+    // cc(4) = 0 (degree 1)
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+      .toDF("src", "dst")
+    val got = Triangles.perNodeClustering(g).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got === Map(
+      1L -> ((3L, 1L, 2.0 * 1 / (3.0 * 2.0))),
+      2L -> ((2L, 1L, 1.0)),
+      3L -> ((2L, 1L, 1.0)),
+      4L -> ((1L, 0L, 0.0))))
+  }
 }
