@@ -633,6 +633,55 @@ object ExtendedQueries {
       graft.graph.LinkPrediction.adamicAdar(edges, topN = 25,
         maxDegree = 50)
     }),
+    // share-of-parent ratios (the ratio_to_report OLAP op): nation
+    // revenue as a share of its region and of the grand total — the
+    // two windows run over the 25-row nation aggregate, never the
+    // facts; every share divides the same exact DECIMAL-cast sums
+    "x50_revenue_share" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = table(s, d, "orders")
+        .join(table(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_d"))
+      rev
+        .withColumn("region_d",
+          sum(col("rev_d")).over(Window.partitionBy(col("r_name"))))
+        .withColumn("total_d",
+          sum(col("rev_d")).over(Window.partitionBy()))
+        .select(col("r_name"), col("n_name"), col("n_orders"),
+          col("rev_d").cast("double").as("revenue"),
+          (col("rev_d").cast("double") / col("region_d").cast("double"))
+            .as("share_of_region"),
+          (col("rev_d").cast("double") / col("total_d").cast("double"))
+            .as("share_of_total"))
+        .orderBy("r_name", "n_name")
+    }),
+    // per-user maximum drawdown over the event-value series: running
+    // peak via a cumulative-max window, drawdown (peak−v)/peak per row
+    // — every quotient is a deterministic double of identical stored
+    // operands, so the per-user max needs no rounding convention
+    "w13_max_drawdown" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      table(s, d, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("us", expr("ts div 1000"))
+        .withColumn("peak", max(col("value")).over(w))
+        .withColumn("dd", (col("peak") - col("value")) / col("peak"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("peak")).as("peak_value"),
+          max(col("dd")).as("max_drawdown"))
+        .orderBy("user_id")
+    }),
     // per-node local clustering coefficient over the co-supplier
     // graph: the same degree-ordered O(|E|^1.5) triangle enumeration
     // as g2, each closed triangle crediting its three corners, then
@@ -1262,6 +1311,36 @@ object ExtendedQueries {
         |  AND x.l_suppkey < y.l_suppkey)""".stripMargin.replace('\n', ' '),
       sourceSql = "SELECT min(least(src, dst)) FROM e",
       maxHops = 6),
+    "x50_revenue_share" ->
+      """WITH rev AS (SELECT r_name, n_name, count(*) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, n_orders,
+        |  CAST(rev_d AS DOUBLE) AS revenue,
+        |  CAST(rev_d AS DOUBLE) /
+        |    CAST(sum(rev_d) OVER (PARTITION BY r_name) AS DOUBLE)
+        |    AS share_of_region,
+        |  CAST(rev_d AS DOUBLE) / CAST(sum(rev_d) OVER () AS DOUBLE)
+        |    AS share_of_total
+        |FROM rev ORDER BY r_name, n_name"""
+        .stripMargin.replace('\n', ' '),
+    "w13_max_drawdown" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+        |  FROM events WHERE value IS NOT NULL),
+        |curve AS (SELECT user_id, value,
+        |    max(value) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM ev)
+        |SELECT user_id, count(*) AS n_events,
+        |  max(peak) AS peak_value,
+        |  max((peak - value) / peak) AS max_drawdown
+        |FROM curve GROUP BY 1 ORDER BY user_id"""
+        .stripMargin.replace('\n', ' '),
     "g10_clustering_coeff" -> graft.graph.Triangles.perNodeClusteringSql(
       """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
         |  FROM lineitem WHERE l_quantity >= 45)
