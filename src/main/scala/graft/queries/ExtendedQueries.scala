@@ -633,6 +633,75 @@ object ExtendedQueries {
       graft.graph.LinkPrediction.adamicAdar(edges, topN = 25,
         maxDegree = 50)
     }),
+    // Pearson correlation from decimal-exact moments: builtin corr()
+    // is float-sum nondeterministic in BOTH engines, so the five
+    // sufficient statistics aggregate in DECIMAL (the x40/ml2 rule)
+    // and r = (nΣxy−ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) evaluates
+    // the identical double expression on those exact sums. Operand
+    // magnitudes (quantity ≤ 50, discount ≤ 0.1) keep every unscaled
+    // decimal far below 2^53 — the exact-conversion budget that sets
+    // which column pairs this form is valid for (see ml7's scale note)
+    "x51_pearson" -> ((s, d) => {
+      def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(24,6)")
+      val x = col("l_quantity")
+      val y = col("l_discount")
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(d6(x)).as("sx"), sum(d6(y)).as("sy"),
+          sum(d6(x * x)).as("sxx"), sum(d6(y * y)).as("syy"),
+          sum(d6(x * y)).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+             sqrt(col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))))
+            .as("pearson_r"))
+        .orderBy("l_returnflag")
+    }),
+    // degree assortativity of the co-supplier graph: Pearson over the
+    // (deg(u), deg(v)) pairs of every directed edge (both orientations
+    // — the standard undirected convention). Same decimal-moment
+    // correlation as x51; degrees are small integers so every sum
+    // stays in the exact-conversion budget
+    "g11_assortativity" -> ((s, d) => {
+      def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(24,6)")
+      val sl = table(s, d, "lineitem")
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val pairs = sl.alias("x")
+        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+        .distinct()
+      val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val deg = sym.groupBy(col("src").as("nd"))
+        .agg(count(lit(1)).as("deg"))
+      val x = col("du").cast("double")
+      val y = col("dv").cast("double")
+      val vx = col("n").cast("double") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val vy = col("n").cast("double") * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      sym
+        .join(deg.select(col("nd").as("src"), col("deg").as("du")), "src")
+        .join(deg.select(col("nd").as("dst"), col("deg").as("dv")), "dst")
+        .agg(count(lit(1)).as("n"),
+          sum(d6(x)).as("sx"), sum(d6(y)).as("sy"),
+          sum(d6(x * x)).as("sxx"), sum(d6(y * y)).as("syy"),
+          sum(d6(x * y)).as("sxy"))
+        .select(col("n"),
+          // a degree-regular graph (sf0.001 is one 10-clique) has zero
+          // degree variance: assortativity is undefined → NULL, not 0/0
+          when(vx > 0 && vy > 0,
+            (col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (sqrt(vx) * sqrt(vy)))
+            .as("assortativity"))
+    }),
     // share-of-parent ratios (the ratio_to_report OLAP op): nation
     // revenue as a share of its region and of the grand total — the
     // two windows run over the 25-row nation aggregate, never the
@@ -1311,6 +1380,55 @@ object ExtendedQueries {
         |  AND x.l_suppkey < y.l_suppkey)""".stripMargin.replace('\n', ' '),
       sourceSql = "SELECT min(least(src, dst)) FROM e",
       maxHops = 6),
+    "x51_pearson" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(24,6))) AS sx,
+        |    sum(CAST(l_discount AS DECIMAL(24,6))) AS sy,
+        |    sum(CAST(l_quantity * l_quantity AS DECIMAL(24,6))) AS sxx,
+        |    sum(CAST(l_discount * l_discount AS DECIMAL(24,6))) AS syy,
+        |    sum(CAST(l_quantity * l_discount AS DECIMAL(24,6))) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
+        |FROM m ORDER BY l_returnflag""".stripMargin.replace('\n', ' '),
+    "g11_assortativity" ->
+      """WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem WHERE l_quantity >= 45),
+        |pairs AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        |  FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_suppkey < y.l_suppkey),
+        |sym AS (SELECT a AS src, b AS dst FROM pairs
+        |  UNION ALL SELECT b, a FROM pairs),
+        |deg AS (SELECT src AS nd, count(*) AS deg FROM sym GROUP BY 1),
+        |ed AS (SELECT CAST(d1.deg AS DOUBLE) AS x,
+        |    CAST(d2.deg AS DOUBLE) AS y
+        |  FROM sym JOIN deg d1 ON d1.nd = sym.src
+        |  JOIN deg d2 ON d2.nd = sym.dst),
+        |m AS (SELECT count(*) AS n,
+        |    sum(CAST(x AS DECIMAL(24,6))) AS sx,
+        |    sum(CAST(y AS DECIMAL(24,6))) AS sy,
+        |    sum(CAST(x * x AS DECIMAL(24,6))) AS sxx,
+        |    sum(CAST(y * y AS DECIMAL(24,6))) AS syy,
+        |    sum(CAST(x * y AS DECIMAL(24,6))) AS sxy
+        |  FROM ed)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |    AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  END AS assortativity
+        |FROM m""".stripMargin.replace('\n', ' '),
     "x50_revenue_share" ->
       """WITH rev AS (SELECT r_name, n_name, count(*) AS n_orders,
         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
