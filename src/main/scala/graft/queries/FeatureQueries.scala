@@ -206,6 +206,72 @@ object FeatureQueries {
     "ml5_calibration" -> ((s, d) =>
       graft.ml.Metrics.calibrationTable(scoredEmbeddings(s, d),
         lo = -0.5, hi = 0.5, bins = 10)),
+    // decile lift table — the campaign-targeting eval: users ranked by
+    // predicted propensity (click count), ntile(10) over a tie-free
+    // total order, per-decile conversion rate / cumulative capture /
+    // lift vs the base rate. Every metric is int/int divisions of
+    // identical operands; the cumulative window runs over 10 rows
+    "ml8_lift_table" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = PipelineQueries.table(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_clicks"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+      val deciled = per.withColumn("decile",
+        ntile(10).over(Window.orderBy(desc("n_clicks"), col("user_id"))))
+      val tot = deciled.agg(count(lit(1)).as("t_users"),
+        sum(col("converted")).as("t_conv"))
+      deciled
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("converted")).as("n_conv"))
+        .crossJoin(broadcast(tot))
+        .withColumn("cum_conv", sum(col("n_conv")).over(Window
+          .orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("decile"), col("n_users"), col("n_conv"),
+          (col("n_conv").cast("double") / col("n_users").cast("double"))
+            .as("conv_rate"),
+          (col("cum_conv").cast("double") / col("t_conv").cast("double"))
+            .as("cum_capture"),
+          ((col("n_conv").cast("double") / col("n_users").cast("double"))
+            / (col("t_conv").cast("double") / col("t_users")
+              .cast("double"))).as("lift"))
+        .orderBy("decile")
+    }),
+    // k-fold cross-validation split + per-fold baseline eval: fold
+    // assignment is a CONTENT-HASH range cut (md5 prefix against
+    // 0x3333/0x6666/0x9999/0xcccc — the t6 stable-sample convention,
+    // RNG-free, identical in both engines and on any partitioning);
+    // each held-out fold evaluates the persistence baseline with
+    // DECIMAL-exact error sums (the ml6 harness, fold-grained)
+    "ml9_kfold_cv" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = md5(col("location_id").cast("string").cast("binary"))
+      val fold = when(substring(h, 1, 4) < "3333", 0)
+        .when(substring(h, 1, 4) < "6666", 1)
+        .when(substring(h, 1, 4) < "9999", 2)
+        .when(substring(h, 1, 4) < "cccc", 3).otherwise(4)
+      val w = Window.partitionBy(col("location_id"))
+        .orderBy(col("datetime"))
+      def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(24,6)")
+      gold(s, d)
+        .select(col("location_id"), col("datetime"), col("aqi"),
+          lag(col("aqi"), 1).over(w).as("pred"))
+        .filter(col("pred").isNotNull)
+        .withColumn("fold", fold)
+        .groupBy(col("fold"))
+        .agg(countDistinct(col("location_id")).as("n_stations"),
+          count(lit(1)).as("n_rows"),
+          sum(d6((col("aqi") - col("pred")) *
+            (col("aqi") - col("pred")))).as("sse_d"))
+        .select(col("fold"), col("n_stations"), col("n_rows"),
+          sqrt(col("sse_d").cast("double") / col("n_rows"))
+            .as("rmse_persistence"))
+        .orderBy("fold")
+    }),
     // logistic regression by IRLS (graft.ml.LogisticIrls): 3 Newton
     // iterations, each ONE aggregate pass of five decimal-exact
     // sufficient statistics; the oracle unrolls the same iterations as
@@ -421,6 +487,53 @@ object FeatureQueries {
          |LEFT JOIN lags lg ON lg.location_id = l.location_id
          |LEFT JOIN enc e ON e.country = l.country
          |ORDER BY l.location_id""".stripMargin.replace('\n', ' ')),
+    "ml8_lift_table" ->
+      """WITH per AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS n_clicks,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY 1),
+        |dec AS (SELECT user_id, converted,
+        |    CAST(ntile(10) OVER (ORDER BY n_clicks DESC, user_id)
+        |      AS INT) AS decile
+        |  FROM per),
+        |t AS (SELECT count(*) AS t_users,
+        |    CAST(sum(converted) AS BIGINT) AS t_conv FROM dec),
+        |g AS (SELECT decile, count(*) AS n_users,
+        |    CAST(sum(converted) AS BIGINT) AS n_conv
+        |  FROM dec GROUP BY 1)
+        |SELECT decile, n_users, n_conv,
+        |  CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
+        |  CAST(CAST(sum(n_conv) OVER (ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+        |    / CAST(t_conv AS DOUBLE) AS cum_capture,
+        |  (CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)) /
+        |    (CAST(t_conv AS DOUBLE) / CAST(t_users AS DOUBLE)) AS lift
+        |FROM g CROSS JOIN t ORDER BY decile"""
+        .stripMargin.replace('\n', ' '),
+    "ml9_kfold_cv" -> withPipeline(
+      """SELECT CAST(fold AS INT) AS fold,
+        |  CAST(count(DISTINCT location_id) AS BIGINT) AS n_stations,
+        |  count(*) AS n_rows,
+        |  sqrt(CAST(sum(CAST((aqi - pred) * (aqi - pred)
+        |    AS DECIMAL(24,6))) AS DOUBLE) / count(*))
+        |    AS rmse_persistence
+        |FROM (SELECT location_id, aqi, pred,
+        |    CASE WHEN substr(md5(CAST(location_id AS VARCHAR)), 1, 4)
+        |        < '3333' THEN 0
+        |      WHEN substr(md5(CAST(location_id AS VARCHAR)), 1, 4)
+        |        < '6666' THEN 1
+        |      WHEN substr(md5(CAST(location_id AS VARCHAR)), 1, 4)
+        |        < '9999' THEN 2
+        |      WHEN substr(md5(CAST(location_id AS VARCHAR)), 1, 4)
+        |        < 'cccc' THEN 3 ELSE 4 END AS fold
+        |  FROM (SELECT location_id, datetime, aqi,
+        |      lag(aqi) OVER (PARTITION BY location_id
+        |        ORDER BY datetime) AS pred
+        |    FROM gold)
+        |  WHERE pred IS NOT NULL)
+        |GROUP BY 1 ORDER BY fold""".stripMargin.replace('\n', ' ')),
     "w12_ewma" -> {
       val L = 12
       def tapSql(i: Int) =
