@@ -166,6 +166,21 @@ object StreamingQueries {
       StreamPipeline.replayToMemory(s, dedup, "s8_dedup_within_watermark")
         .orderBy("event_id")
     }),
+    // CEP sequential pattern match (view → click → purchase, strict
+    // event-time order): buffered-until-watermark NFA — processing the
+    // closed prefix in (ts, event_id) order makes the match a pure
+    // function of the event set, independent of arrival order or
+    // micro-batch split; greedy stage minima ≡ the batch oracle
+    "x52_stream_cep" -> ((s, d) => {
+      val matches = graft.streaming.CepStream
+        .matchFunnel(fullEventsStream(s, d))
+      StreamPipeline.replayToMemory(s, matches.toDF(), "x52_stream_cep")
+        .select(col("user_id"),
+          timestamp_micros(col("view_us")).as("view_ts"),
+          timestamp_micros(col("click_us")).as("click_ts"),
+          timestamp_micros(col("purchase_us")).as("purchase_ts"))
+        .orderBy("user_id")
+    }),
     "x9_stream_sessions" -> ((s, d) => {
       val sessions = graft.streaming.SessionStream
         .sessionizeStream(rawEventsStream(s, d))
@@ -380,6 +395,33 @@ object StreamingQueries {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
         |  event_type, value
         |FROM events ORDER BY event_id""".stripMargin.replace('\n', ' '),
+    // greedy earliest-completion funnel over watermark-closed events:
+    // v = min view, c = min click > v, p = min purchase > c, every
+    // stage restricted to us <= final watermark — exactly the NFA's
+    // processed prefix (events in the last hour never close)
+    "x52_stream_cep" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |  FROM events),
+        |wm AS (SELECT (epoch_us(max(CAST(ts AS TIMESTAMP))) // 1000
+        |    - 3600000) * 1000 AS wm_us FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us
+        |  FROM ev CROSS JOIN wm
+        |  WHERE event_type = 'view' AND us <= wm_us GROUP BY 1),
+        |c AS (SELECT ev.user_id, min(us) AS c_us
+        |  FROM ev JOIN v ON ev.user_id = v.user_id CROSS JOIN wm
+        |  WHERE event_type = 'click' AND us > v_us AND us <= wm_us
+        |  GROUP BY 1),
+        |p AS (SELECT ev.user_id, min(us) AS p_us
+        |  FROM ev JOIN c ON ev.user_id = c.user_id CROSS JOIN wm
+        |  WHERE event_type = 'purchase' AND us > c_us AND us <= wm_us
+        |  GROUP BY 1)
+        |SELECT v.user_id, make_timestamp(v_us) AS view_ts,
+        |  make_timestamp(c_us) AS click_ts,
+        |  make_timestamp(p_us) AS purchase_ts
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin.replace('\n', ' '),
     // batch sessionization restricted to sessions the watermark closed:
     // end + gap <= (ms-floored max event time − 1 h), all in epoch µs —
     // exactly SessionStream's emission rule.
