@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.queries.PipelineQueries.{table, withPipeline}
+import graft.queries.PipelineQueries.{gold, table, withPipeline}
 import graft.text.TextAnalysis
 
 /** Additional large-scale operators rounding out the engine surface:
@@ -377,7 +377,7 @@ object ExtendedQueries {
     // needs; at 100 TB bound the spine (dormant keys explode it) and
     // partition the write by time
     "x29_gap_fill" -> ((s, d) => {
-      val g = PipelineQueries.gold(s, d)
+      val g = gold(s, d)
         .select(col("location_id"), col("datetime"), col("aqi"))
       val bounds = g.groupBy(col("location_id"))
         .agg(min(col("datetime")).as("mn"), max(col("datetime")).as("mx"))
@@ -632,6 +632,87 @@ object ExtendedQueries {
         .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
       graft.graph.LinkPrediction.adamicAdar(edges, topN = 25,
         maxDegree = 50)
+    }),
+    // equi-DEPTH histogram (the quantile twin of x39's equi-width):
+    // ntile(8) over a tie-free total order IS the depth binning; per
+    // bin the depth, value span, and DECIMAL-exact mean. One window
+    // pass + one hash aggregate
+    "x53_equi_depth_histogram" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      table(s, d, "orders")
+        .withColumn("bin", ntile(8).over(
+          Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("depth"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_d"))
+        .select(col("bin"), col("depth"), col("lo"), col("hi"),
+          (col("sum_d").cast("double") / col("depth")).as("mean_price"))
+        .orderBy("bin")
+    }),
+    // seasonal profile decomposition: the hour-of-day seasonal mean per
+    // station (DECIMAL-exact), then residual diagnostics per station —
+    // how much of the series the daily cycle explains. Two aggregates
+    // + one broadcastable profile join; residual math is identical
+    // double expressions over exact sums
+    "x54_seasonal_profile" -> ((s, d) => {
+      def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(24,6)")
+      val g = gold(s, d).filter(col("aqi").isNotNull)
+        .select(col("location_id"), col("datetime"), col("aqi"))
+        .withColumn("hod", hour(col("datetime")))
+      val profile = g.groupBy(col("location_id").as("p_loc"),
+          col("hod").as("p_hod"))
+        .agg(count(lit(1)).as("p_n"), sum(d6(col("aqi"))).as("p_sum"))
+        .withColumn("seasonal",
+          col("p_sum").cast("double") / col("p_n"))
+        .select(col("p_loc"), col("p_hod"), col("seasonal"))
+      g.join(profile, col("location_id") === col("p_loc") &&
+          col("hod") === col("p_hod"))
+        .withColumn("resid", col("aqi") - col("seasonal"))
+        .groupBy(col("location_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(d6(col("resid") * col("resid"))).as("rss_d"),
+          sum(d6(col("aqi") * col("aqi"))).as("tss_raw_d"),
+          sum(d6(col("aqi"))).as("sum_d"))
+        .select(col("location_id"), col("n"),
+          sqrt(col("rss_d").cast("double") / col("n"))
+            .as("residual_rmse"),
+          // variance explained: 1 - RSS/TSS with TSS about the mean
+          (lit(1.0) - col("rss_d").cast("double") /
+            (col("tss_raw_d").cast("double") -
+              col("sum_d").cast("double") * col("sum_d").cast("double") /
+                col("n"))).as("seasonal_r2"))
+        .orderBy("location_id")
+    }),
+    // CUSUM changepoint detection: per-station cumulative sum of
+    // 6dp-rounded deviations from the station mean — the running sum
+    // is a DECIMAL window aggregate over a unique (datetime) order, so
+    // it is exact and order-stable; the changepoint is the row with
+    // the largest |cusum| (earliest timestamp on ties)
+    "x55_cusum_changepoint" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(24,6)")
+      val g = gold(s, d).filter(col("aqi").isNotNull)
+        .select(col("location_id"), col("datetime"), col("aqi"))
+      val stats = g.groupBy(col("location_id").as("s_loc"))
+        .agg(count(lit(1)).as("s_n"), sum(d6(col("aqi"))).as("s_sum"))
+        .withColumn("mean", col("s_sum").cast("double") / col("s_n"))
+        .select(col("s_loc"), col("mean"))
+      val cw = Window.partitionBy(col("location_id"))
+        .orderBy(col("datetime"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val rw = Window.partitionBy(col("location_id"))
+        .orderBy(abs(col("cusum")).desc, col("datetime"))
+      g.join(broadcast(stats), col("location_id") === col("s_loc"))
+        .withColumn("dev", d6(round(col("aqi") - col("mean"), 6)))
+        .withColumn("cusum", sum(col("dev")).over(cw))
+        .withColumn("rn", row_number().over(rw))
+        .filter(col("rn") === 1)
+        .select(col("location_id"),
+          col("datetime").as("changepoint_ts"),
+          col("cusum").cast("double").as("peak_cusum"))
+        .orderBy("location_id")
     }),
     // Pearson correlation from decimal-exact moments: builtin corr()
     // is float-sum nondeterministic in BOTH engines, so the five
@@ -1380,6 +1461,58 @@ object ExtendedQueries {
         |  AND x.l_suppkey < y.l_suppkey)""".stripMargin.replace('\n', ' '),
       sourceSql = "SELECT min(least(src, dst)) FROM e",
       maxHops = 6),
+    "x53_equi_depth_histogram" ->
+      """WITH binned AS (SELECT o_totalprice,
+        |    CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey)
+        |      AS INT) AS bin
+        |  FROM orders)
+        |SELECT bin, count(*) AS depth, min(o_totalprice) AS lo,
+        |  max(o_totalprice) AS hi,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) AS mean_price
+        |FROM binned GROUP BY 1 ORDER BY bin"""
+        .stripMargin.replace('\n', ' '),
+    "x54_seasonal_profile" -> withPipeline(
+      """SELECT location_id, count(*) AS n,
+        |  sqrt(CAST(sum(CAST(resid * resid AS DECIMAL(24,6)))
+        |    AS DOUBLE) / count(*)) AS residual_rmse,
+        |  CAST('1' AS DOUBLE) -
+        |    CAST(sum(CAST(resid * resid AS DECIMAL(24,6))) AS DOUBLE) /
+        |    (CAST(sum(CAST(aqi * aqi AS DECIMAL(24,6))) AS DOUBLE) -
+        |      CAST(sum(CAST(aqi AS DECIMAL(24,6))) AS DOUBLE) *
+        |      CAST(sum(CAST(aqi AS DECIMAL(24,6))) AS DOUBLE) /
+        |      count(*)) AS seasonal_r2
+        |FROM (SELECT g.location_id, g.aqi, g.aqi - p.seasonal AS resid
+        |  FROM (SELECT location_id, datetime, aqi,
+        |      CAST(hour(datetime) AS INT) AS hod
+        |    FROM gold WHERE aqi IS NOT NULL) g
+        |  JOIN (SELECT location_id, CAST(hour(datetime) AS INT) AS hod,
+        |      CAST(sum(CAST(aqi AS DECIMAL(24,6))) AS DOUBLE)
+        |        / count(*) AS seasonal
+        |    FROM gold WHERE aqi IS NOT NULL GROUP BY 1, 2) p
+        |  ON g.location_id = p.location_id AND g.hod = p.hod)
+        |GROUP BY 1 ORDER BY location_id""".stripMargin
+        .replace('\n', ' ')),
+    "x55_cusum_changepoint" -> withPipeline(
+      """, g AS (SELECT location_id, datetime, aqi FROM gold
+        |  WHERE aqi IS NOT NULL),
+        |stats AS (SELECT location_id,
+        |    CAST(sum(CAST(aqi AS DECIMAL(24,6))) AS DOUBLE) / count(*)
+        |      AS mean
+        |  FROM g GROUP BY 1),
+        |curve AS (SELECT g.location_id, g.datetime,
+        |    sum(CAST(round(g.aqi - s.mean, 6) AS DECIMAL(24,6)))
+        |      OVER (PARTITION BY g.location_id ORDER BY g.datetime
+        |        ROWS UNBOUNDED PRECEDING) AS cusum
+        |  FROM g JOIN stats s ON s.location_id = g.location_id),
+        |ranked AS (SELECT location_id, datetime, cusum,
+        |    row_number() OVER (PARTITION BY location_id
+        |      ORDER BY abs(cusum) DESC, datetime) AS rn
+        |  FROM curve)
+        |SELECT location_id, datetime AS changepoint_ts,
+        |  CAST(cusum AS DOUBLE) AS peak_cusum
+        |FROM ranked WHERE rn = 1 ORDER BY location_id"""
+        .stripMargin.replace('\n', ' ')),
     "x51_pearson" ->
       """WITH m AS (SELECT l_returnflag, count(*) AS n,
         |    sum(CAST(l_quantity AS DECIMAL(24,6))) AS sx,
