@@ -102,6 +102,24 @@ object DedupQueries {
             .select(col("doc_id"), col("text")),
           threshold = 0.98).select("id_a", "id_b"))
         .orderBy("node")),
+    // quality-aware canonical selection: within each near-dup cluster
+    // keep the BEST member (longest text, min-id tie-break) — the
+    // curation refinement over d6's min-id rule; one partial-
+    // aggregatable min_by per cluster, no window over the corpus
+    "d9_canonical_selection" -> ((s, d) => {
+      val docs = table(s, d, "documents").filter(col("doc_id") < 200)
+      val comp = ConnectedComponents.run(
+        Dedup.ngramJaccardPairs(docs.select(col("doc_id"), col("text")),
+          threshold = 0.98).select("id_a", "id_b"))
+      comp.join(docs, col("node") === col("doc_id"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          min_by(struct(col("doc_id"), col("n_chars")),
+            struct((-col("n_chars")).as("neg"), col("doc_id"))).as("c"))
+        .select(col("component"), col("c.doc_id").as("canonical_id"),
+          col("c.n_chars").as("canonical_n_chars"), col("n_members"))
+        .orderBy("component")
+    }),
     // the full dedup pipeline: pairs → clusters → corpus minus
     // non-canonical cluster members
     "d6_drop_near_duplicates" -> ((s, d) => {
@@ -169,6 +187,30 @@ object DedupQueries {
          |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
          |SELECT node, min(root) AS component FROM reach
          |GROUP BY 1 ORDER BY node""".stripMargin.replace('\n', ' ')
+    },
+    "d9_canonical_selection" -> {
+      val pairs = Dedup.ngramJaccardSql(
+        "(SELECT doc_id AS id, text FROM documents WHERE doc_id < 200)",
+        0.98)
+      s"""WITH RECURSIVE pairs AS (SELECT * FROM ($pairs)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(node, root) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT node, min(root) AS component FROM reach
+         |  GROUP BY 1),
+         |m AS (SELECT c.component, d.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY c.component) AS n_members
+         |  FROM comp c JOIN documents d ON d.doc_id = c.node)
+         |SELECT component, doc_id AS canonical_id,
+         |  n_chars AS canonical_n_chars,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM m WHERE rn = 1 ORDER BY component"""
+        .stripMargin.replace('\n', ' ')
     },
     "d6_drop_near_duplicates" -> {
       val pairs = Dedup.ngramJaccardSql(

@@ -633,6 +633,33 @@ object ExtendedQueries {
       graft.graph.LinkPrediction.adamicAdar(edges, topN = 25,
         maxDegree = 50)
     }),
+    // weighted median: first row where 2·cumweight ≥ total along a
+    // tie-free (price, orderkey, linenumber) total order — integer
+    // cumulative weights (TPC-H quantities are integral doubles, cast
+    // exact), so the pick is pure integer comparison in both engines;
+    // the w8 rank-pick convention generalized to weights
+    "x58_weighted_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Seq(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"))
+      val cw = Window.partitionBy(col("l_returnflag"))
+        .orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tw = Window.partitionBy(col("l_returnflag"))
+      table(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+        .withColumn("cumw", sum(col("qty")).over(cw))
+        .withColumn("tot", sum(col("qty")).over(tw))
+        .filter(lit(2L) * col("cumw") >= col("tot"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("tot").as("total_weight"),
+          col("l_extendedprice").as("weighted_median_price"))
+        .orderBy("l_returnflag")
+    }),
     // equi-DEPTH histogram (the quantile twin of x39's equi-width):
     // ntile(8) over a tie-free total order IS the depth binning; per
     // bin the depth, value span, and DECIMAL-exact mean. One window
@@ -1461,6 +1488,24 @@ object ExtendedQueries {
         |  AND x.l_suppkey < y.l_suppkey)""".stripMargin.replace('\n', ' '),
       sourceSql = "SELECT min(least(src, dst)) FROM e",
       maxHops = 6),
+    "x58_weighted_median" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+        |    l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag, l_extendedprice, l_orderkey,
+        |    l_linenumber,
+        |    sum(qty) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    sum(qty) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM r),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+        |  FROM c WHERE 2 * cumw >= tot)
+        |SELECT l_returnflag, CAST(tot AS BIGINT) AS total_weight,
+        |  l_extendedprice AS weighted_median_price
+        |FROM p WHERE rn = 1 ORDER BY l_returnflag"""
+        .stripMargin.replace('\n', ' '),
     "x53_equi_depth_histogram" ->
       """WITH binned AS (SELECT o_totalprice,
         |    CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey)
