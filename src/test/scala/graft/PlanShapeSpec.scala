@@ -313,4 +313,49 @@ class PlanShapeSpec extends AnyFunSuite {
       p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
       "sufficient statistics need no joins")
   }
+
+  test("bf1: the bloom probe rides the scan side, before the only " +
+    "(broadcast) join") {
+    val f = formatted("bf1_bloom_prune")
+    assert(f.contains("bloommightcontain") ||
+      f.toLowerCase.contains("bloommightcontain"),
+      "the codegen'd probe expression must appear in the plan")
+    val p = plan("bf1_bloom_prune")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.size === 1,
+      "exact-flag join must broadcast the urgent-orders side")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+  }
+
+  test("x58 weighted median: both windows share one partitioning " +
+    "(single shuffle feeds them)") {
+    val p = plan("x58_weighted_median")
+    // cumulative + total + rank windows all partition by l_returnflag:
+    // planner must not insert an exchange between them
+    assert(shuffles(p) <= 2,
+      s"expected <=2 exchanges (group shuffle + output sort), got " +
+        s"${shuffles(p)}")
+  }
+
+  test("w12 EWMA: all 11 lags come from ONE window pass") {
+    val p = plan("w12_ewma")
+    assert(p.collect { case w: WindowExec => w }.size === 1,
+      "the lag taps must share a single window spec")
+  }
+
+  test("x44 skyline: the global window sees only the per-price " +
+    "reduction, never the base table") {
+    val p = plan("x44_skyline")
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.size === 1)
+    // the window's child must contain the per-price aggregate —
+    // i.e. an aggregate strictly below the window in the same subtree
+    val agg = wins.head.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a != wins.head => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate
+          .ObjectHashAggregateExec => a
+    }
+    assert(agg.nonEmpty, "window input must be the reduced grain")
+  }
 }
