@@ -23,7 +23,7 @@ object Triangles {
   /** Shared core: canonical undirected edges (a < b), per-node degrees,
     * and the closed-triangle list (u, v1, v2) enumerated once at each
     * triangle's minimum-(degree, id) vertex. */
-  private def closedTriangles(edges: DataFrame)
+  private[graph] def closedTriangles(edges: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),

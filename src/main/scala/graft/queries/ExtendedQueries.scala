@@ -902,6 +902,21 @@ object ExtendedQueries {
             .as("twap"))
         .orderBy("user_id")
     }),
+    // k-truss backbone (k=4: every edge in ≥2 triangles) of the
+    // co-supplier graph — the edge-grained cousin of g3's k-core;
+    // per-round support comes from the same degree-ordered triangle
+    // enumeration as g2/g10 (each triangle credits its three edges),
+    // peel runs to the fixpoint, oracle unrolls 4 rounds (extras no-op)
+    "g12_ktruss" -> ((s, d) => {
+      val sl = table(s, d, "lineitem")
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val edges = sl.alias("x")
+        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      graft.graph.KTruss.run(edges, k = 4).orderBy("a", "b")
+    }),
     // HITS hubs & authorities over the directed customer→supplier
     // purchase graph: 3 synchronous rounds, max-normalized (not L2 —
     // the per-round reduction stays a plain max, no sqrt of a float
@@ -1660,6 +1675,14 @@ object ExtendedQueries {
         |    / CAST(sum(dur_s) AS DOUBLE) AS twap
         |FROM f WHERE dur_s >= 1 GROUP BY 1 ORDER BY user_id"""
         .stripMargin.replace('\n', ' '),
+    "g12_ktruss" -> graft.graph.KTruss.kTrussSql(
+      """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem WHERE l_quantity >= 45)
+        |SELECT x.l_suppkey AS src, y.l_suppkey AS dst
+        |FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
+        |  AND x.l_suppkey < y.l_suppkey)""".stripMargin
+        .replace('\n', ' '),
+      k = 4, rounds = 4),
     "g9_hits" -> graft.graph.Hits.hitsSql(
       """(SELECT o_custkey AS src, l_suppkey AS dst
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"""
