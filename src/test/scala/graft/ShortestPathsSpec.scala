@@ -34,6 +34,21 @@ class ShortestPathsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 0L, 2L -> 2L))
   }
 
+  test("unit weights: SSSP distances equal BFS hop distances on a " +
+    "pseudo-random graph") {
+    // deterministic scramble: edges (i, (i*7+3) mod 40) for i < 40
+    val raw = (0L until 40L).map(i => (i, (i * 7 + 3) % 40, 1L))
+      .filter { case (a, b, _) => a != b }
+    val sssp = graft.graph.ShortestPaths
+      .sssp(raw.toDF("src", "dst", "w"), source = 0L, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bfs = graft.graph.Bfs
+      .bfsHops(raw.map { case (a, b, _) => (a, b) }.toDF("src", "dst"),
+        source = 0L, maxHops = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(sssp === bfs)
+  }
+
   test("later cheaper path through a ring replaces an earlier greedy one") {
     // 1-2 (w10); 1-3-4-2 (w 1+1+1): relaxed over more rounds, must win
     val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 4L, 1L),
