@@ -173,6 +173,33 @@ object SinkQueries {
           |FROM gold_view GROUP BY country
           |ORDER BY avg_aqi DESC, country""".stripMargin)
     }),
+    // Hilbert-curve layout (io5's locality-preserving sibling):
+    // consecutive curve positions are always grid-adjacent, so files
+    // cover tighter rectangles than Morton order — content
+    // preservation is the oracle; IoSpec asserts bijectivity, the
+    // adjacency property Z-order lacks, and the both-dim span shrink
+    "io8_hilbert_layout" -> ((s, d) => {
+      import graft.io.{Hilbert, ZOrder}
+      val dst = tmp("events_hilbert", d)
+      val ev = table(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      val stats = ev.agg(
+        min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
+        min(col("ts")).as("tmin"), max(col("ts")).as("tmax"))
+      val bucketedEv = ev.crossJoin(broadcast(stats))
+        .withColumn("ub", ZOrder.bucketed(col("user_id"), col("umin"),
+          col("umax"), 64))
+        .withColumn("tb", ZOrder.bucketed(col("ts"), col("tmin"),
+          col("tmax"), 64))
+        .drop("umin", "umax", "tmin", "tmax")
+      Hilbert.writeHilbertOrdered(bucketedEv, col("ub"), col("tb"), dst,
+        numFiles = 16, order = 6)
+      s.read.parquet(dst)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .orderBy("event_id")
+    }),
     // multimodal: binary column + metadata + hash/length features
     "mm1_media_features" -> ((s, d) =>
       Multimodal.withBinaryPayload(table(s, d, "documents"))
@@ -250,6 +277,9 @@ object SinkQueries {
         |  count(DISTINCT user_id) AS n_users
         |FROM merged GROUP BY 1 ORDER BY gen""".stripMargin.replace('\n', ' '),
     "io5_zorder_layout" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin.replace('\n', ' '),
+    "io8_hilbert_layout" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin.replace('\n', ' '),
     // buckets 0-1 doubled (the restatement), 2-7 original — dynamic

@@ -60,6 +60,63 @@ class IoSpec extends AnyFunSuite {
       s"z-order user span $uSpan not better than time-sorted $uCtrl")
   }
 
+  test("hilbert index: bijective on the grid, and consecutive curve " +
+    "positions are always grid-adjacent (the property Z-order lacks)") {
+    import graft.io.{Hilbert, ZOrder}
+    val n = 16 // order 4
+    val cells = for (x <- 0 until n; y <- 0 until n)
+      yield (x.toLong, y.toLong)
+    val d = cells.map { case (x, y) =>
+      (x, y) -> Hilbert.index(x, y, 4)
+    }.toMap
+    assert(d.values.toSet === (0L until (n.toLong * n)).toSet,
+      "index must be a bijection onto [0, 4^order)")
+    val byD = d.toSeq.sortBy(_._2).map(_._1)
+    byD.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"curve jump between ($x1,$y1) and ($x2,$y2)")
+    }
+    // Z-order on the same grid DOES jump (quadrant seams) — the
+    // contrast that motivates the Hilbert layout
+    val zByD = cells.map { case (x, y) =>
+      val z = spark.range(1).select(
+        ZOrder.zValue(org.apache.spark.sql.functions.lit(x),
+          org.apache.spark.sql.functions.lit(y), 4)).first().getLong(0)
+      (x, y) -> z
+    }.toMap.toSeq.sortBy(_._2).map(_._1)
+    val zJumps = zByD.sliding(2).count {
+      case Seq((x1, y1), (x2, y2)) =>
+        math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    assert(zJumps > 0, "z-order unexpectedly adjacency-preserving")
+  }
+
+  test("io8 hilbert layout: both dims cluster per file, at least as " +
+    "tightly as the io5 z-order layout") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("io8_hilbert_layout")(spark, dir)
+    assert(out.count() === spark.read.parquet(s"$dir/events.parquet")
+      .count())
+    def spans(p: String): (Double, Double) = {
+      val r = spark.read.parquet(p)
+        .groupBy(input_file_name())
+        .agg((max(col("ub")) - min(col("ub"))).as("us"),
+          (max(col("tb")) - min(col("tb"))).as("ts"))
+        .agg(avg(col("us")), avg(col("ts"))).collect()(0)
+      (r.getDouble(0) / 64.0, r.getDouble(1) / 64.0)
+    }
+    val (uH, tH) = spans(
+      graft.queries.SinkQueries.tmp("events_hilbert", dir))
+    assert(uH < 0.45, s"user-dim span $uH not clustered")
+    assert(tH < 0.45, s"time-dim span $tH not clustered")
+    // run io5 so its layout exists, then compare combined tightness
+    SparkEntry.queries("io5_zorder_layout")(spark, dir).count()
+    val (uZ, tZ) = spans(
+      graft.queries.SinkQueries.tmp("events_zorder", dir))
+    assert(uH + tH <= (uZ + tZ) * 1.15,
+      s"hilbert spans ($uH,$tH) much worse than z-order ($uZ,$tZ)")
+  }
+
   test("zValue interleaves bits: unit cases and monotone quadrants") {
     import org.apache.spark.sql.functions._
     import graft.io.ZOrder
