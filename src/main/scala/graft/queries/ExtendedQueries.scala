@@ -303,6 +303,46 @@ object ExtendedQueries {
           col("m.dist").cast("long").as("edit_distance"))
         .orderBy("d_key")
     }),
+    // er1/er2's third blocking strategy: a PHONETIC key. The consonant
+    // skeleton (first char + vowels-stripped uppercase remainder, cut
+    // to 8) is INVARIANT under vowel-level typos — exactly the errors
+    // that slip through er1's positional substring block — so the
+    // perturbed row always lands in its clean name's block. Same
+    // bounded-candidate shape as er1/er2: skeletons partition the name
+    // space, graft_jaro_winkler scores codegen'd inside the join, best
+    // match is one min_by (no window over candidates). Perturbations
+    // are all vowel edits (o→a, drop e, i→u) via plain replace() so
+    // both engines regenerate the identical dirty set.
+    "er3_phonetic_match" -> ((s, d) => {
+      import graft.expr.JaroWinkler
+      def phon(c: org.apache.spark.sql.Column) = {
+        val u = upper(c)
+        substring(concat(substring(u, 1, 1),
+          regexp_replace(u.substr(lit(2), length(u)), "[AEIOU]", "")),
+          1, 8)
+      }
+      val parts = table(s, d, "part")
+      val dirty = parts.filter(col("p_partkey") % 10 === 3)
+        .select(col("p_partkey").as("d_key"),
+          expr("""CASE CAST(p_partkey % 3 AS INT)
+            | WHEN 0 THEN replace(p_name, 'o', 'a')
+            | WHEN 1 THEN replace(p_name, 'e', '')
+            | ELSE replace(p_name, 'i', 'u')
+            |END""".stripMargin).as("dirty_name"))
+      dirty
+        .join(parts, phon(col("dirty_name")) === phon(col("p_name")))
+        .withColumn("jw",
+          round(JaroWinkler.jw(col("dirty_name"), col("p_name")), 4))
+        .filter(col("jw") >= 0.85)
+        .groupBy(col("d_key"), col("dirty_name"))
+        .agg(min_by(
+          struct(col("p_partkey"), col("p_name"), col("jw")),
+          struct((-col("jw")).as("nj"), col("p_partkey"))).as("m"))
+        .select(col("d_key"), col("dirty_name"),
+          col("m.p_partkey").as("matched_key"),
+          col("m.p_name").as("matched_name"), col("m.jw").as("jw"))
+        .orderBy("d_key")
+    }),
     // per-group z-score tail detection from decimal-exact moments: ONE
     // aggregate per event_type computes n / Σv / Σv² in DECIMAL (bit-
     // reproducible regardless of partial-sum order — the ml2 Gram
@@ -1248,6 +1288,67 @@ object ExtendedQueries {
           first_value(col("o_totalprice")).over(wAll).as("first_price"),
           max(col("o_totalprice")).over(wAll).as("running_max"))
         .orderBy("o_custkey", "o_orderkey")
+    }),
+    // gapped 2-sequence support (the PrefixSpan / sequential-pattern
+    // support notion): how many users emit event type a strictly
+    // BEFORE some event of type b — any gap, not just adjacency (x26
+    // counts adjacent transitions). ∃ a-before-b pair ⟺ min_ts(a) <
+    // max_ts(b), so the detector runs entirely on the (user, type)
+    // SPAN aggregate — ≤ |type vocabulary| rows per user — and the
+    // per-user self-join is vocabulary², never events². Support in
+    // exact integer basis points over the distinct-user total.
+    "x59_seq2_support" -> ((s, d) => {
+      val spans = table(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("tmin"), max(col("ts")).as("tmax"))
+      val total = table(s, d, "events")
+        .agg(countDistinct(col("user_id")).as("nu"))
+      spans.alias("a")
+        .join(spans.alias("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") =!= col("b.event_type") &&
+            col("a.tmin") < col("b.tmax"))
+        .groupBy(col("a.event_type").as("first_type"),
+          col("b.event_type").as("then_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(total))
+        .select(col("first_type"), col("then_type"), col("n_users"),
+          expr("(n_users * 10000) div nu").as("support_bp"))
+        .orderBy("first_type", "then_type")
+    }),
+    // market-basket association at USER grain: support / confidence /
+    // lift between event types, all in exact integer basis points. The
+    // pair generator self-joins the DISTINCT (user, type) basket set —
+    // per-user cost is (types-per-user choose 2) against a bounded
+    // vocabulary, never events². Type marginals and the user total
+    // ride broadcasts that are safe at ANY SF (the vocabulary is
+    // domain-bounded and the total is one row — not the
+    // SF-proportional hint trap VERDICT r4 flagged). The bp integer
+    // math assumes counts fit 2^63/10^4 — reorder the multiplies
+    // before the divides if basket counts ever approach 2^40.
+    "x60_pair_lift" -> ((s, d) => {
+      val baskets = table(s, d, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val nU = baskets.agg(countDistinct(col("user_id")).as("nu"))
+      val marg = baskets.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_t"))
+      baskets.alias("a")
+        .join(baskets.alias("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(marg.select(col("event_type").as("type_a"),
+          col("n_t").as("n_a"))), "type_a")
+        .join(broadcast(marg.select(col("event_type").as("type_b"),
+          col("n_t").as("n_b"))), "type_b")
+        .crossJoin(broadcast(nU))
+        .select(col("type_a"), col("type_b"), col("n_ab"),
+          expr("(n_ab * 10000) div nu").as("support_bp"),
+          expr("(n_ab * 10000) div n_a").as("conf_a_to_b_bp"),
+          expr("(n_ab * nu * 10000) div (n_a * n_b)").as("lift_bp"))
+        .orderBy("type_a", "type_b")
     })
   )
 
@@ -1446,6 +1547,73 @@ object ExtendedQueries {
         |  FROM cand WHERE jw >= CAST('0.9' AS DOUBLE))
         |SELECT d_key, dirty_name, matched_key, matched_name, jw
         |FROM best WHERE rn = 1 ORDER BY d_key"""
+        .stripMargin.replace('\n', ' '),
+    // phonetic key: RE2 has no lookbehind/backrefs, so the skeleton is
+    // built positionally (first char + vowel-stripped tail) — the same
+    // construction the Spark side uses; 'g' flag = replace-all
+    "er3_phonetic_match" ->
+      """WITH dirty AS (
+        |  SELECT p_partkey AS d_key,
+        |    CASE CAST(p_partkey % 3 AS INT)
+        |      WHEN 0 THEN replace(p_name, 'o', 'a')
+        |      WHEN 1 THEN replace(p_name, 'e', '')
+        |      ELSE replace(p_name, 'i', 'u') END AS dirty_name
+        |  FROM part WHERE p_partkey % 10 = 3),
+        |cand AS (
+        |  SELECT d_key, dirty_name, p_partkey, p_name,
+        |    round(jaro_winkler_similarity(dirty_name, p_name), 4) AS jw
+        |  FROM dirty JOIN part ON
+        |    substr(concat(substr(upper(dirty_name), 1, 1),
+        |      regexp_replace(substr(upper(dirty_name), 2),
+        |        '[AEIOU]', '', 'g')), 1, 8)
+        |    = substr(concat(substr(upper(p_name), 1, 1),
+        |      regexp_replace(substr(upper(p_name), 2),
+        |        '[AEIOU]', '', 'g')), 1, 8)),
+        |best AS (
+        |  SELECT d_key, dirty_name, p_partkey AS matched_key,
+        |    p_name AS matched_name, jw,
+        |    row_number() OVER (PARTITION BY d_key
+        |      ORDER BY jw DESC, p_partkey) AS rn
+        |  FROM cand WHERE jw >= CAST('0.85' AS DOUBLE))
+        |SELECT d_key, dirty_name, matched_key, matched_name, jw
+        |FROM best WHERE rn = 1 ORDER BY d_key"""
+        .stripMargin.replace('\n', ' '),
+    "x59_seq2_support" ->
+      """WITH spans AS (
+        |  SELECT user_id, event_type, min(ts) AS tmin, max(ts) AS tmax
+        |  FROM events GROUP BY 1, 2),
+        |u AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+        |p AS (
+        |  SELECT a.event_type AS first_type, b.event_type AS then_type,
+        |    count(*) AS n_users
+        |  FROM spans a JOIN spans b ON a.user_id = b.user_id
+        |    AND a.event_type <> b.event_type AND a.tmin < b.tmax
+        |  GROUP BY 1, 2)
+        |SELECT first_type, then_type, n_users,
+        |  CAST((n_users * 10000) // u.nu AS BIGINT) AS support_bp
+        |FROM p CROSS JOIN u ORDER BY first_type, then_type"""
+        .stripMargin.replace('\n', ' '),
+    "x60_pair_lift" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |u AS (SELECT count(DISTINCT user_id) AS nu FROM baskets),
+        |m AS (SELECT event_type, count(*) AS n_t FROM baskets
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_ab
+        |  FROM baskets a JOIN baskets b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab,
+        |  CAST((n_ab * 10000) // u.nu AS BIGINT) AS support_bp,
+        |  CAST((n_ab * 10000) // ma.n_t AS BIGINT) AS conf_a_to_b_bp,
+        |  CAST((n_ab * u.nu * 10000) // (ma.n_t * mb.n_t) AS BIGINT)
+        |    AS lift_bp
+        |FROM p CROSS JOIN u
+        |  JOIN m ma ON p.type_a = ma.event_type
+        |  JOIN m mb ON p.type_b = mb.event_type
+        |ORDER BY type_a, type_b"""
         .stripMargin.replace('\n', ' '),
     "x42_mad_outliers" ->
       """WITH ev AS (SELECT event_id, event_type, value FROM events

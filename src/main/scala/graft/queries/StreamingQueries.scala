@@ -297,6 +297,26 @@ object StreamingQueries {
         outputMode = "complete")
         .orderBy("event_type", "user_bucket")
     }),
+    // streaming TOP-K: sort + limit on a streaming aggregate is legal
+    // ONLY in complete mode (Spark re-ranks the full state each micro-
+    // batch), so this is the leaderboard shape x19's plain aggregate
+    // doesn't cover. The tie-break (n desc, user_id) makes the cut
+    // deterministic; state = one row per user, result = K rows — the
+    // complete-mode contract (scales while the RESULT is small) holds
+    // because K is fixed. After the bounded replay the final top-10
+    // must equal the batch top-10 exactly.
+    "s11_stream_topk" -> ((s, d) => {
+      val top = fullEventsStream(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy(desc("n_events"), col("user_id"))
+        .limit(10)
+      StreamPipeline.replayToMemory(s, top, "s11_stream_topk",
+        outputMode = "complete")
+        .orderBy(desc("n_events"), col("user_id"))
+    }),
     // sliding-window streaming aggregate: 2 h windows advancing every 1 h
     // (each event lands in TWO windows) — the windowing mode tumbling
     // (T4/s5) doesn't cover; append mode emits a window once the
@@ -570,6 +590,14 @@ object StreamingQueries {
         |  CAST(max(ts) AS TIMESTAMP) AS last_ts
         |FROM events GROUP BY 1, 2
         |ORDER BY event_type, user_bucket""".stripMargin.replace('\n', ' '),
+    // complete-mode top-k final state ≡ the batch top-k (deterministic
+    // cut: count desc, then user_id)
+    "s11_stream_topk" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1
+        |ORDER BY n_events DESC, user_id LIMIT 10"""
+        .stripMargin.replace('\n', ' '),
     // every event expands to its two enclosing 2h-windows; a window is
     // emitted iff its END is at or before the watermark (ms-floored max
     // event time − 1 h) — same emission rule family as s5/x9
