@@ -1236,6 +1236,53 @@ object ExtendedQueries {
           col("col.value").as("value"), col("col.id").as("event_id"))
         .orderBy("user_id", "rnk")
     }),
+    // hash-bottom-k QUANTILE SKETCH (KMV sampling), completing the
+    // sketch family next to bf1 (membership) and cms1 (frequency):
+    // keep each group's 64 rows with the smallest 48-bit md5(event_id)
+    // prefix. Min-of-hashes is commutative/associative, so unlike
+    // GK/t-digest state the sample — and therefore the estimate — is
+    // merge-order independent: reproducible across partitionings AND
+    // rebuildable by a SQL oracle. The kept set rides the x22 TopK
+    // aggregator (bounded 64-item state per group, map-side combine —
+    // only |groups|·64 ids move), values come back via a sample-sized
+    // broadcast join, and each quantile is a rank-pick of a stored
+    // double inside the sample (no interpolation — the w8/w10
+    // convention). Accuracy is the KMV bound (~1/√k quantile units),
+    // pinned in SketchQuantileSpec; exactness of the sample is pinned
+    // by the oracle.
+    "qs1_quantile_sketch" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.agg.{TopItem, TopK}
+      val ev = table(s, d, "events").filter(col("value").isNotNull)
+      val hashed = ev.select(col("event_type"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), " +
+            "1, 12), 16, 10) AS BIGINT)").as("h"),
+          col("event_id"))
+        .as[(String, Long, Long)]
+      val sample = hashed.groupByKey(_._1)
+        .mapValues { case (_, h, id) => TopItem(-h.toDouble, id) }
+        .agg(new TopK(64).toColumn.name("keep"))
+        .toDF("s_type", "keep")
+        .select(col("s_type"), explode(col("keep")).as("item"))
+        .select(col("item.id").as("s_id"))
+      val samp = ev
+        .select(col("event_type"), col("event_id"), col("value"))
+        .join(broadcast(sample), col("event_id") === col("s_id"))
+      val byType = Window.partitionBy(col("event_type"))
+      val ranked = samp
+        .withColumn("rn",
+          row_number().over(byType.orderBy(col("value"), col("event_id"))))
+        .withColumn("ns", count(lit(1)).over(byType))
+      def pick(bp: Int) = max(when(
+        col("rn") === expr(s"greatest(1, (ns * $bp + 9999) div 10000)"),
+        col("value")))
+      ranked.groupBy(col("event_type"))
+        .agg(max(col("ns")).as("n_sample"),
+          pick(2500).as("q25"), pick(5000).as("q50"),
+          pick(7500).as("q75"), pick(9000).as("q90"))
+        .orderBy("event_type")
+    }),
     // snapshot diff → changelog: the INVERSE of the x15 CDC apply —
     // derive insert/update/delete/unchanged rows from two immutable
     // per-key snapshots (how a plain-parquet lake emits a CDC feed).
@@ -1614,6 +1661,37 @@ object ExtendedQueries {
         |  JOIN m ma ON p.type_a = ma.event_type
         |  JOIN m mb ON p.type_b = mb.event_type
         |ORDER BY type_a, type_b"""
+        .stripMargin.replace('\n', ' '),
+    // the oracle rebuilds the identical KMV sample (bottom-64 by md5
+    // prefix) with a window — correct but sort-heavy; the engine side
+    // uses the bounded-state aggregator instead
+    "qs1_quantile_sketch" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, value,
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
+        |      ::BIGINT AS h
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY h, event_id) AS hr
+        |  FROM ev),
+        |samp AS (SELECT event_type, event_id, value FROM s
+        |  WHERE hr <= 64),
+        |r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS ns
+        |  FROM samp)
+        |SELECT event_type, CAST(max(ns) AS BIGINT) AS n_sample,
+        |  max(CASE WHEN rn = greatest(1, (ns * 2500 + 9999) // 10000)
+        |    THEN value END) AS q25,
+        |  max(CASE WHEN rn = greatest(1, (ns * 5000 + 9999) // 10000)
+        |    THEN value END) AS q50,
+        |  max(CASE WHEN rn = greatest(1, (ns * 7500 + 9999) // 10000)
+        |    THEN value END) AS q75,
+        |  max(CASE WHEN rn = greatest(1, (ns * 9000 + 9999) // 10000)
+        |    THEN value END) AS q90
+        |FROM r GROUP BY 1 ORDER BY event_type"""
         .stripMargin.replace('\n', ' '),
     "x42_mad_outliers" ->
       """WITH ev AS (SELECT event_id, event_type, value FROM events

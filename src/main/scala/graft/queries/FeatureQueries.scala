@@ -283,6 +283,36 @@ object FeatureQueries {
           when(col("event_type") === "purchase", 1.0)
             .otherwise(0.0).as("y"))
       graft.ml.LogisticIrls.train(ev, "x", "y", iters = 3)
+    }),
+    // the HASHING TRICK: categorical features map straight to a fixed
+    // 32-dim signed slot via md5 — NO vocabulary dictionary, so unlike
+    // r7's label-encoding there is no global distinct + join to build
+    // and ship an index; every row featurizes independently at scan
+    // speed, which is the featurization that still works when the
+    // vocabulary itself is TB-scale. Two feature families (event type,
+    // UTC hour-of-day) hash into ONE shared space; the sign bit (next
+    // hash bit above the slot index) gives collisions zero expected
+    // bias, the classic signed-hashing construction. All integer math
+    // on a 48-bit md5 prefix — both engines rebuild it exactly.
+    "ml10_feature_hashing" -> ((s, d) => {
+      val ev = PipelineQueries.table(s, d, "events")
+      val feats = ev.select(col("user_id"),
+          concat(lit("event_type="), col("event_type")).as("feat"))
+        .union(ev.select(col("user_id"),
+          concat(lit("hour="),
+            expr("CAST((ts div 3600000000000) % 24 AS STRING)"))
+            .as("feat")))
+      feats
+        .groupBy(col("user_id"), col("feat"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("hh", expr(
+          "CAST(conv(substring(md5(feat), 1, 12), 16, 10) AS BIGINT)"))
+        .withColumn("idx", col("hh") % 32)
+        .withColumn("sign", expr("(hh div 32) % 2 * 2 - 1"))
+        .groupBy(col("user_id"), col("idx"))
+        .agg(sum(col("sign") * col("c")).as("feat_val"))
+        .filter(col("feat_val") =!= 0)
+        .orderBy("user_id", "idx")
     })
   )
 
@@ -300,6 +330,24 @@ object FeatureQueries {
       .stripMargin.replace('\n', ' ')
 
   val oracle: Map[String, String] = Map(
+    // same 48-bit md5-prefix hash: DuckDB parses the hex via a 0x cast,
+    // Spark via conv(..., 16, 10) — identical integers
+    "ml10_feature_hashing" ->
+      """WITH f AS (
+        |  SELECT user_id, 'event_type=' || event_type AS feat
+        |  FROM events
+        |  UNION ALL
+        |  SELECT user_id, 'hour=' || CAST(hour(ts) AS VARCHAR) AS feat
+        |  FROM events),
+        |g AS (SELECT user_id, feat, count(*) AS c FROM f GROUP BY 1, 2),
+        |h AS (SELECT user_id, c,
+        |    ('0x' || substr(md5(feat), 1, 12))::BIGINT AS hh
+        |  FROM g)
+        |SELECT user_id, hh % 32 AS idx,
+        |  CAST(sum(((hh // 32) % 2 * 2 - 1) * c) AS BIGINT) AS feat_val
+        |FROM h GROUP BY 1, 2
+        |HAVING sum(((hh // 32) % 2 * 2 - 1) * c) <> 0
+        |ORDER BY user_id, idx""".stripMargin.replace('\n', ' '),
     "r5_time_features" -> withPipeline(
       """SELECT location_id, datetime,
         |  CAST(hour(datetime) AS INT) AS hour,
