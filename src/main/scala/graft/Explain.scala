@@ -27,7 +27,16 @@ object Explain {
         "d8_duplicate_spans", "ml3_auc", "t23_pmi_collocations",
         "t24_weighted_sample", "x40_zscore_outliers",
         "er2_edit_distance_match", "w9_rank_functions", "x38_rollup",
-        "ds1_yoy_growth", "g3_kcore")
+        "ds1_yoy_growth", "g3_kcore", "g7_sssp", "g8_link_prediction",
+        "g9_hits", "g10_clustering_coeff", "g11_assortativity",
+        "ml7_logistic_irls", "ml8_lift_table", "ir1_retrieval_eval",
+        "w12_ewma", "x42_mad_outliers", "x44_skyline",
+        "x45_linear_attribution", "x49_twap", "x50_revenue_share",
+        "x51_pearson", "bf1_bloom_prune", "ds4_cross_channel",
+        "w11_running_distinct",
+        // round-5 session-4 additions
+        "er3_phonetic_match", "x59_seq2_support", "x60_pair_lift",
+        "ml10_feature_hashing", "qs1_quantile_sketch")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -358,4 +358,42 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(agg.nonEmpty, "window input must be the reduced grain")
   }
+
+  test("ml10 feature hashing: NO joins anywhere — the no-vocabulary-" +
+    "dictionary claim, in the plan") {
+    val p = plan("ml10_feature_hashing")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: BroadcastHashJoinExec => j }.isEmpty &&
+      p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "hashing-trick featurization must not build or join an index")
+  }
+
+  test("er3 phonetic ER: blocking equi-join (no cartesian), " +
+    "windowless min_by best match, codegen'd scorer") {
+    val p = plan("er3_phonetic_match")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "candidates must go through the skeleton blocking key")
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "best-match must be min_by, not row_number")
+    assert(formatted("er3_phonetic_match").contains("jarowinkler"))
+  }
+
+  test("qs1 quantile sketch: value fetch is a broadcast join of the " +
+    "sample (never a corpus sort-merge); rank windows share one " +
+    "partitioning") {
+    val p = plan("qs1_quantile_sketch")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "the sample side must broadcast")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    assert(p.collect { case w: WindowExec => w }.size <= 2,
+      "rn + ns must not multiply window passes")
+  }
+
+  test("x60 pair lift: marginals and the user total ride broadcasts; " +
+    "no cartesian pair generation") {
+    val p = plan("x60_pair_lift")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
+      "the two marginal joins must broadcast")
+  }
 }
