@@ -54,11 +54,14 @@ object LabelPropagation {
     labels
   }
 
-  /** DuckDB twin: the same fixed `rounds` synchronous updates unrolled
-    * as chained MATERIALIZED CTEs (each round references the previous
-    * labeling twice — via the edge join and the self vote — so inlining
-    * would blow up exponentially; see [[KCore.kcoreSql]]). */
-  def lpaSql(edgesSql: String, rounds: Int = 5): String = {
+  /** The unrolled CTE chain shared by [[lpaSql]] and
+    * [[Modularity.modularitySql]]: symmetrized simple edge set `e`,
+    * initial labeling `l0`, and one (vote, argmax) CTE pair per round,
+    * ending at `l$rounds`. MATERIALIZED because each round references
+    * the previous labeling twice — via the edge join and the self
+    * vote — so inlining would blow up exponentially (see
+    * [[KCore.kcoreSql]]). */
+  private[graph] def lpaCtes(edgesSql: String, rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM " +
       s"(SELECT src, dst FROM $edgesSql " +
@@ -76,7 +79,12 @@ object LabelPropagation {
         s"ORDER BY count(*) DESC, label) AS rn " +
         s"FROM v$r GROUP BY node, label) WHERE rn = 1)"
     }
-    sb ++= s" SELECT node, community FROM l$rounds ORDER BY node"
     sb.toString
   }
+
+  /** DuckDB twin: the same fixed `rounds` synchronous updates unrolled
+    * as chained MATERIALIZED CTEs. */
+  def lpaSql(edgesSql: String, rounds: Int = 5): String =
+    lpaCtes(edgesSql, rounds) +
+      s" SELECT node, community FROM l$rounds ORDER BY node"
 }

@@ -451,6 +451,38 @@ object ExtendedQueries {
         uniqueKeys = Seq("unique_event_id" -> Seq("event_id")))
         .orderBy("rule")
     }),
+    // pipeline volume-anomaly gate (dq1's statistical sibling): daily
+    // ingest counts vs a 3×MAD band around their median — the ops
+    // check that catches a dead producer or a double-delivery day
+    // BEFORE downstream aggregates drift. Day grain is calendar-
+    // bounded (a few thousand rows at ANY SF), so the global median/
+    // MAD rank-pick windows (the x42 machinery, one group) are safe;
+    // the event-sized work is one partial-aggregatable daily count.
+    // All integer: counts, lower-median rank-picks, and the 3·MAD
+    // comparison — no rounding convention anywhere.
+    "dq2_volume_anomaly" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = table(s, d, "events")
+        .groupBy(expr("ts div 1000 div 86400000000").as("day_num"))
+        .agg(count(lit(1)).as("n_events"))
+      def lowerMedian(df: DataFrame, c: String, tie: String,
+          out: String) = {
+        val w = Window.orderBy(col(c), col(tie))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("nd", count(lit(1)).over(
+            Window.partitionBy(lit(1))))
+          .filter(col("rn") === expr("(nd + 1) div 2"))
+          .select(col(c).as(out))
+      }
+      val med = lowerMedian(daily, "n_events", "day_num", "med")
+      val dev = daily.crossJoin(broadcast(med))
+        .withColumn("dev", abs(col("n_events") - col("med")))
+      val mad = lowerMedian(dev, "dev", "day_num", "mad")
+      dev.crossJoin(broadcast(mad))
+        .select(col("day_num"), col("n_events"), col("med"), col("mad"),
+          (col("dev") > lit(3) * col("mad")).as("is_anomaly"))
+        .orderBy("day_num")
+    }),
     // explicit GROUPING SETS with grouping_id — the third grouping
     // construct next to rollup (x5) and cube (x12): only the requested
     // combinations compute, one expand + one aggregate
@@ -956,6 +988,23 @@ object ExtendedQueries {
           col("x.l_suppkey") < col("y.l_suppkey"))
         .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
       graft.graph.KTruss.run(edges, k = 4).orderBy("a", "b")
+    }),
+    // modularity of the g4 label-propagation communities — the quality
+    // score that says whether a partition is BETTER than random, per
+    // community and graph-wide (the ROLLUP total row carries Q). All
+    // integer algebra (q_num = 4m·in_c − deg_c²) on top of the same
+    // 5-round deterministic LPA both engines unroll; see
+    // graph/Modularity.scala for the scale shape
+    "g13_modularity" -> ((s, d) => {
+      val sl = table(s, d, "lineitem")
+        .filter(col("l_quantity") >= 50)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val edges = sl.alias("x")
+        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      val labels = graft.graph.LabelPropagation.run(edges, rounds = 5)
+      graft.graph.Modularity.run(edges, labels).orderBy("community")
     }),
     // HITS hubs & authorities over the directed customer→supplier
     // purchase graph: 3 synchronous rounds, max-normalized (not L2 —
@@ -1921,6 +1970,14 @@ object ExtendedQueries {
         |    / CAST(sum(dur_s) AS DOUBLE) AS twap
         |FROM f WHERE dur_s >= 1 GROUP BY 1 ORDER BY user_id"""
         .stripMargin.replace('\n', ' '),
+    "g13_modularity" -> graft.graph.Modularity.modularitySql(
+      """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem WHERE l_quantity >= 50)
+        |SELECT x.l_suppkey AS src, y.l_suppkey AS dst
+        |FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
+        |  AND x.l_suppkey < y.l_suppkey)""".stripMargin
+        .replace('\n', ' '),
+      rounds = 5),
     "g12_ktruss" -> graft.graph.KTruss.kTrussSql(
       """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
         |  FROM lineitem WHERE l_quantity >= 45)
@@ -2132,6 +2189,31 @@ object ExtendedQueries {
         |  UNION ALL SELECT 'unique_event_id', v_uniq, n_rows FROM t)
         |SELECT rule, n_violations, n_rows, n_violations = 0 AS pass
         |FROM r ORDER BY rule""".stripMargin.replace('\n', ' '),
+    // same lower-median rank-picks at the day grain; epoch_us // µs-per-
+    // day matches Spark's ts div 1000 div 86400000000
+    "dq2_volume_anomaly" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_num,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |md AS (SELECT n_events AS med FROM (
+        |    SELECT n_events,
+        |      row_number() OVER (ORDER BY n_events, day_num) AS rn,
+        |      count(*) OVER () AS nd
+        |    FROM daily) WHERE rn = (nd + 1) // 2),
+        |dv AS (SELECT day_num, n_events, med,
+        |    abs(n_events - med) AS dev
+        |  FROM daily CROSS JOIN md),
+        |mad AS (SELECT dev AS mad FROM (
+        |    SELECT dev,
+        |      row_number() OVER (ORDER BY dev, day_num) AS rn,
+        |      count(*) OVER () AS nd
+        |    FROM dv) WHERE rn = (nd + 1) // 2)
+        |SELECT day_num, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
+        |  dev > 3 * mad AS is_anomaly
+        |FROM dv CROSS JOIN mad ORDER BY day_num"""
+        .stripMargin.replace('\n', ' '),
     "x28_grouping_sets" -> withPipeline(
       """SELECT country, parameter,
         |  CAST(grouping(country) * 2 + grouping(parameter) AS BIGINT)
