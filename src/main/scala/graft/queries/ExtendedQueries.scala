@@ -1050,6 +1050,43 @@ object ExtendedQueries {
           sum(col("credit")).cast("double").as("attributed_value"))
         .orderBy("user_id")
     }),
+    // TIME-DECAY attribution (x45's second model): each qualifying
+    // click earns weight 2^(6 − age_days) — a pure integer shift
+    // (64 >> age), the w12 power-of-two trick, so shares are int/int
+    // quotients of exact sums. Output is the decay curve itself:
+    // credited purchase value by click age, the report that shows
+    // whether conversions ride fresh or stale touches. Same bounded
+    // join as x45 (user-keyed, 7-day window caps fan-out); the
+    // per-purchase normalizer is a whole-partition window over each
+    // purchase's own touches, never the corpus
+    "x61_time_decay_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, d, "events")
+        .withColumn("us", expr("ts div 1000"))
+      val purch = ev.filter(col("event_type") === "purchase" &&
+          col("value").isNotNull)
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("us").as("p_us"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("c_us"))
+      val win = 7L * 86400L * 1000000L
+      val touches = purch.join(clicks, Seq("user_id"))
+        .filter(col("c_us") <= col("p_us") &&
+          col("p_us") - col("c_us") <= win)
+        .withColumn("age_d", expr("(p_us - c_us) div 86400000000"))
+        .withColumn("w",
+          expr("shiftright(CAST(64 AS BIGINT), CAST(age_d AS INT))"))
+      val credited = touches
+        .withColumn("sum_w",
+          sum(col("w")).over(Window.partitionBy(col("p_id"))))
+        .withColumn("credit",
+          round(col("value") * col("w") / col("sum_w"), 6)
+            .cast("decimal(18,6)"))
+      credited.groupBy(col("age_d"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit")).cast("double").as("credited_value"))
+        .orderBy("age_d")
+    }),
     // web-scale connected components: alternating large-star/small-star
     // contraction (O(log n) rounds vs label propagation's diameter
     // rounds) — same (node, min-reachable) contract as d5, checked
@@ -2009,6 +2046,28 @@ object ExtendedQueries {
         |  CAST(sum(CAST(round(value / n_touches, 6) AS DECIMAL(18,6)))
         |    AS DOUBLE) AS attributed_value
         |FROM credited GROUP BY 1 ORDER BY user_id"""
+        .stripMargin.replace('\n', ' '),
+    // weight = 64 >> age (integer shift both engines); value·w/sum_w
+    // promotes left-to-right double identically in both
+    "x61_time_decay_attribution" ->
+      """WITH purch AS (SELECT user_id, event_id AS p_id,
+        |    epoch_us(ts) AS p_us, value
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND value IS NOT NULL),
+        |clicks AS (SELECT user_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |t AS (SELECT p.user_id, p.p_id, p.value,
+        |    (p.p_us - c.c_us) // 86400000000 AS age_d
+        |  FROM purch p JOIN clicks c ON c.user_id = p.user_id
+        |    AND c.c_us <= p.p_us
+        |    AND p.p_us - c.c_us <= 604800000000),
+        |w AS (SELECT *, CAST(64 AS BIGINT) >> age_d AS w FROM t),
+        |s AS (SELECT age_d, value, w,
+        |    sum(w) OVER (PARTITION BY p_id) AS sum_w FROM w)
+        |SELECT age_d, count(*) AS n_touches,
+        |  CAST(sum(CAST(round(value * w / sum_w, 6) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS credited_value
+        |FROM s GROUP BY 1 ORDER BY age_d"""
         .stripMargin.replace('\n', ' '),
     "g7_sssp" -> graft.graph.ShortestPaths.ssspSql(
       """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey

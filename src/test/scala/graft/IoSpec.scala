@@ -117,6 +117,30 @@ class IoSpec extends AnyFunSuite {
       s"hilbert spans ($uH,$tH) much worse than z-order ($uZ,$tZ)")
   }
 
+  test("io8 file skipping: a 2-dim box predicate touches no more " +
+    "hilbert files than a time-sorted layout (min/max file stats, " +
+    "the mechanism lake engines prune with)") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("io8_hilbert_layout")(spark, dir).count()
+    val hil = graft.queries.SinkQueries.tmp("events_hilbert", dir)
+    val ctrl = graft.queries.SinkQueries.tmp("events_timesorted", dir)
+    spark.read.parquet(hil)
+      .repartitionByRange(16, col("tb")).sortWithinPartitions("tb")
+      .write.mode("overwrite").parquet(ctrl)
+    // box: first quarter of both dims — the (user range, time range)
+    // slice a typical debug/backfill query asks for
+    def touched(p: String): Int =
+      spark.read.parquet(p).groupBy(input_file_name())
+        .agg(min(col("ub")).as("u0"), max(col("ub")).as("u1"),
+          min(col("tb")).as("t0"), max(col("tb")).as("t1"))
+        .filter(col("u0") <= 15 && col("u1") >= 0 &&
+          col("t0") <= 15 && col("t1") >= 0)
+        .count().toInt
+    val (h, c) = (touched(hil), touched(ctrl))
+    assert(h <= c, s"hilbert touches $h files, time-sorted only $c")
+    assert(h < 16, s"hilbert layout must skip SOME files, touched $h/16")
+  }
+
   test("zValue interleaves bits: unit cases and monotone quadrants") {
     import org.apache.spark.sql.functions._
     import graft.io.ZOrder
