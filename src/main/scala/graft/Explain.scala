@@ -36,7 +36,9 @@ object Explain {
         "w11_running_distinct",
         // round-5 session-4 additions
         "er3_phonetic_match", "x59_seq2_support", "x60_pair_lift",
-        "ml10_feature_hashing", "qs1_quantile_sketch")
+        "ml10_feature_hashing", "qs1_quantile_sketch",
+        "g13_modularity", "dq2_volume_anomaly",
+        "x61_time_decay_attribution")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

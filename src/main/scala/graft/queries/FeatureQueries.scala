@@ -313,6 +313,36 @@ object FeatureQueries {
         .agg(sum(col("sign") * col("c")).as("feat_val"))
         .filter(col("feat_val") =!= 0)
         .orderBy("user_id", "idx")
+    }),
+    // TARGET ENCODING with m-estimate smoothing (the third
+    // featurization next to r7's label encode and ml10's hashing
+    // trick): category → blend of its own target mean and the global
+    // mean, enc = (sum_cat + m·μ_global) / (n_cat + m), m=10 — rare
+    // categories shrink toward the prior instead of memorizing noise.
+    // Sums are DECIMAL (o_totalprice is 2dp — exact at any partial-sum
+    // order); doubles appear only in the two identical final
+    // expressions both engines evaluate on those exact sums. One
+    // aggregate over the fact join + a scalar broadcast — the encoder
+    // table is category-sized, the thing a 100 TB pipeline broadcasts
+    // back onto the facts.
+    "ml11_target_encoding" -> ((s, d) => {
+      val co = PipelineQueries.table(s, d, "orders")
+        .join(PipelineQueries.table(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"),
+          col("o_totalprice").cast("decimal(18,2)").as("t"))
+      val g = co.agg(sum(col("t")).as("sum_all"),
+        count(lit(1)).as("n_all"))
+      co.groupBy(col("c_mktsegment"))
+        .agg(sum(col("t")).as("sum_cat"), count(lit(1)).as("n_cat"))
+        .crossJoin(broadcast(g))
+        .select(col("c_mktsegment"), col("n_cat"),
+          (col("sum_cat").cast("double") / col("n_cat"))
+            .as("raw_mean"),
+          ((col("sum_cat").cast("double") +
+            lit(10.0) * (col("sum_all").cast("double") / col("n_all"))) /
+            (col("n_cat") + lit(10)).cast("double")).as("encoded"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -330,6 +360,22 @@ object FeatureQueries {
       .stripMargin.replace('\n', ' ')
 
   val oracle: Map[String, String] = Map(
+    // decimal-exact sums; the two final double expressions are spelled
+    // identically to the Spark side (cast, ×10.0 prior, ÷(n+10))
+    "ml11_target_encoding" ->
+      """WITH co AS (SELECT c_mktsegment,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS t
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT sum(t) AS sum_all, count(*) AS n_all FROM co),
+        |c AS (SELECT c_mktsegment, sum(t) AS sum_cat,
+        |    count(*) AS n_cat FROM co GROUP BY 1)
+        |SELECT c_mktsegment, CAST(n_cat AS BIGINT) AS n_cat,
+        |  CAST(sum_cat AS DOUBLE) / n_cat AS raw_mean,
+        |  (CAST(sum_cat AS DOUBLE)
+        |    + 10.0 * (CAST(sum_all AS DOUBLE) / n_all))
+        |    / CAST(n_cat + 10 AS DOUBLE) AS encoded
+        |FROM c CROSS JOIN g ORDER BY c_mktsegment"""
+        .stripMargin.replace('\n', ' '),
     // same 48-bit md5-prefix hash: DuckDB parses the hex via a 0x cast,
     // Spark via conv(..., 16, 10) — identical integers
     "ml10_feature_hashing" ->
