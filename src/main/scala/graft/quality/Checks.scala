@@ -44,4 +44,35 @@ object Checks {
     (rowLocal +: uniq).reduce(_.unionByName(_))
       .withColumn("pass", col("n_violations") === 0)
   }
+
+  /** Referential-integrity report: for each (rule, child, fkCol,
+    * parentKeys) constraint, count child rows whose foreign key has no
+    * match in the parent's key set (NULL foreign keys are orphans —
+    * an FK that identifies nothing fails the constraint, mirroring
+    * [[report]]'s explicit null rule).
+    *
+    * Scale design: the child side reduces FIRST to (fk, n_rows)
+    * partials — one partial-aggregatable pass at scan speed — so the
+    * anti join ships only distinct keys, never child rows; the parent
+    * side is a key-only projection (column-pruned at the scan). Each
+    * constraint's report row is two metadata-sized aggregates. */
+  def referentialIntegrity(
+      constraints: Seq[(String, DataFrame, String, DataFrame)])
+      : DataFrame = {
+    require(constraints.nonEmpty, "at least one constraint required")
+    constraints.map { case (rule, child, fkCol, parentKeys) =>
+      val pk = parentKeys.columns.head
+      val fks = child.groupBy(col(fkCol)).agg(count(lit(1)).as("n"))
+      val orphans = fks.join(parentKeys,
+        fks(fkCol) === parentKeys(pk), "left_anti")
+      val tot = child.agg(count(lit(1)).as("n_child_rows"))
+      orphans.agg(
+        count(lit(1)).as("n_orphan_keys"),
+        coalesce(sum(col("n")), lit(0L)).as("n_orphan_rows"))
+        .crossJoin(broadcast(tot))
+        .select(lit(rule).as("rule"), col("n_orphan_keys"),
+          col("n_orphan_rows"), col("n_child_rows"),
+          (col("n_orphan_rows") === 0).as("pass"))
+    }.reduce(_.unionByName(_))
+  }
 }

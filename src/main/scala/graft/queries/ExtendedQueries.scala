@@ -483,6 +483,27 @@ object ExtendedQueries {
           (col("dev") > lit(3) * col("mad")).as("is_anomaly"))
         .orderBy("day_num")
     }),
+    // referential-integrity gate (the third dq check): orphan foreign
+    // keys across the star schema's four FK edges. The child side
+    // reduces to (fk, count) partials at scan speed before the
+    // key-only anti join — child rows never ship — and each report
+    // row is metadata-sized. The pipeline gate that catches a
+    // truncated dimension load before every downstream join silently
+    // drops facts.
+    "dq3_referential_integrity" -> ((s, d) => {
+      import graft.quality.Checks
+      val li = table(s, d, "lineitem")
+      Checks.referentialIntegrity(Seq(
+        ("lineitem_orderkey", li, "l_orderkey",
+          table(s, d, "orders").select(col("o_orderkey"))),
+        ("lineitem_partkey", li, "l_partkey",
+          table(s, d, "part").select(col("p_partkey"))),
+        ("lineitem_suppkey", li, "l_suppkey",
+          table(s, d, "supplier").select(col("s_suppkey"))),
+        ("orders_custkey", table(s, d, "orders"), "o_custkey",
+          table(s, d, "customer").select(col("c_custkey")))))
+        .orderBy("rule")
+    }),
     // explicit GROUPING SETS with grouping_id — the third grouping
     // construct next to rollup (x5) and cube (x12): only the requested
     // combinations compute, one expand + one aggregate
@@ -2272,6 +2293,43 @@ object ExtendedQueries {
         |  CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
         |  dev > 3 * mad AS is_anomaly
         |FROM dv CROSS JOIN mad ORDER BY day_num"""
+        .stripMargin.replace('\n', ' '),
+    // same child-side (fk, count) reduction; LEFT JOIN ... IS NULL is
+    // the null-safe anti join (NOT IN would vanish on a NULL key)
+    "dq3_referential_integrity" ->
+      """WITH c AS (
+        |  SELECT 'lineitem_orderkey' AS rule, l_orderkey AS fk,
+        |    count(*) AS n FROM lineitem GROUP BY 1, 2
+        |  UNION ALL SELECT 'lineitem_partkey', l_partkey, count(*)
+        |    FROM lineitem GROUP BY 1, 2
+        |  UNION ALL SELECT 'lineitem_suppkey', l_suppkey, count(*)
+        |    FROM lineitem GROUP BY 1, 2
+        |  UNION ALL SELECT 'orders_custkey', o_custkey, count(*)
+        |    FROM orders GROUP BY 1, 2),
+        |p AS (
+        |  SELECT 'lineitem_orderkey' AS rule, o_orderkey AS pk
+        |    FROM orders
+        |  UNION ALL SELECT 'lineitem_partkey', p_partkey FROM part
+        |  UNION ALL SELECT 'lineitem_suppkey', s_suppkey FROM supplier
+        |  UNION ALL SELECT 'orders_custkey', c_custkey FROM customer),
+        |o AS (SELECT c.rule,
+        |    count(*) FILTER (WHERE p.pk IS NULL) AS n_orphan_keys,
+        |    coalesce(sum(c.n) FILTER (WHERE p.pk IS NULL), 0)
+        |      AS n_orphan_rows
+        |  FROM c LEFT JOIN p ON c.rule = p.rule AND c.fk = p.pk
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT 'lineitem_orderkey' AS rule, count(*) AS n_child_rows
+        |    FROM lineitem
+        |  UNION ALL SELECT 'lineitem_partkey', count(*) FROM lineitem
+        |  UNION ALL SELECT 'lineitem_suppkey', count(*) FROM lineitem
+        |  UNION ALL SELECT 'orders_custkey', count(*) FROM orders)
+        |SELECT o.rule AS rule,
+        |  CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys,
+        |  CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows,
+        |  CAST(n_child_rows AS BIGINT) AS n_child_rows,
+        |  n_orphan_rows = 0 AS pass
+        |FROM o JOIN t ON o.rule = t.rule ORDER BY o.rule"""
         .stripMargin.replace('\n', ' '),
     "x28_grouping_sets" -> withPipeline(
       """SELECT country, parameter,

@@ -37,6 +37,28 @@ class ChecksSpec extends AnyFunSuite {
       ("value_non_negative", 2L, 5L, false)))
   }
 
+  test("referential integrity: planted orphans are counted by key " +
+    "and by row; NULL foreign keys are orphans; intact edge passes") {
+    val parent = Seq(10L, 20L, 30L).toDF("pk")
+    val child = Seq(
+      (1L, Some(10L)),  // ok
+      (2L, Some(10L)),  // ok (same key twice)
+      (3L, Some(99L)),  // orphan key 99, row 1
+      (4L, Some(99L)),  // orphan key 99, row 2
+      (5L, None)        // NULL fk -> orphan
+    ).toDF("id", "fk")
+    val out = Checks.referentialIntegrity(Seq(
+      ("child_fk", child, "fk", parent),
+      ("self", parent.select(col("pk").as("fk")), "fk", parent)))
+      .orderBy("rule").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      // 99 and NULL are the two orphan keys; rows 3,4,5 orphaned
+      ("child_fk", 2L, 3L, 5L, false),
+      ("self", 0L, 0L, 3L, true)))
+  }
+
   test("clean data passes every rule") {
     val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "value")
     val out = Checks.report(df,
