@@ -17,6 +17,31 @@ import graft.expr.Aqi
   */
 object EventsAdapter {
 
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** Canonical µs-since-epoch long for `events.ts`, whatever physical
+    * type the testdata parquet carries — the column has drifted across
+    * harness rounds: TIMESTAMP(NANOS) surfaced as LongType nanos (under
+    * `spark.sql.legacy.parquet.nanosAsLong`), plain TIMESTAMP (LTZ), and
+    * `timestamp[us]` read as TIMESTAMP_NTZ. Normalizing ONCE here is the
+    * contract every query goes through (TsContractSpec pins it against
+    * fixture files of all three types).
+    *
+    * The nanos leg uses integer DIV (double division would round ~1.7e18
+    * ns epochs); the NTZ leg casts through TimestampType, which is
+    * µs-exact because every graft session pins
+    * `spark.sql.session.timeZone=UTC` (Verify/Bench/TestSpark). */
+  def tsMicros(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType         => expr("ts div 1000")
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case TimestampType    => unix_micros(col("ts"))
+    case other => throw new IllegalArgumentException(
+      s"events.ts: unsupported physical type $other")
+  }
+
+  /** [[tsMicros]] surfaced as a TimestampType column. */
+  def tsTimestamp(df: DataFrame): Column = timestamp_micros(tsMicros(df))
+
   val countries: Vector[String] =
     Vector("ID", "KH", "LA", "MM", "MY", "PH", "SG", "TH", "VN")
 
@@ -46,14 +71,7 @@ object EventsAdapter {
         case (null, (c, i)) => when(col("user_id") % 9 === i, lit(c))
         case (acc, (c, i))  => acc.when(col("user_id") % 9 === i, lit(c))
       }
-    // events.ts is TIMESTAMP(NANOS) parquet; sessions read it as long nanos
-    // (spark.sql.legacy.parquet.nanosAsLong). Integer DIV keeps full
-    // precision (double division would round ~1.7e18 ns epochs).
-    val dt = events.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr("ts div 1000"))
-      case _ => col("ts")
-    }
+    val dt = tsTimestamp(events)
     events
       .select(
         col("event_id"),

@@ -61,6 +61,9 @@ object Checks {
       : DataFrame = {
     require(constraints.nonEmpty, "at least one constraint required")
     constraints.map { case (rule, child, fkCol, parentKeys) =>
+      require(parentKeys.columns.length == 1,
+        s"parentKeys for $rule must be a single key column, got " +
+          parentKeys.columns.mkString("(", ", ", ")"))
       val pk = parentKeys.columns.head
       val fks = child.groupBy(col(fkCol)).agg(count(lit(1)).as("n"))
       val orphans = fks.join(parentKeys,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.queries.PipelineQueries.{gold, table, withPipeline}
+import graft.queries.PipelineQueries.{eventsTs, eventsUs, gold, table, withPipeline}
 import graft.text.TextAnalysis
 
 /** Additional large-scale operators rounding out the engine surface:
@@ -37,8 +37,7 @@ object ExtendedQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_sessionize" -> ((s, d) => {
-      val ev = table(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = eventsTs(s, d)
       sessionize(ev)
         .orderBy("user_id", "session_seq")
     }),
@@ -84,8 +83,7 @@ object ExtendedQueries {
     // (window by user); consecutive same-type rows collapse first so
     // intervals are maximal.
     "x11_scd2_intervals" -> ((s, d) => {
-      val ev = table(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = eventsTs(s, d)
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       val changes = ev
         .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
@@ -394,8 +392,7 @@ object ExtendedQueries {
     // scratch; equality IS the correctness claim. Decimal sums so the
     // merge is order-exact
     "x31_incremental_agg" -> ((s, d) => {
-      val ev = table(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = eventsTs(s, d)
       val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
       def partial(df: DataFrame) = df.groupBy(col("user_id"))
         .agg(count(lit(1)).as("cnt"),
@@ -462,8 +459,8 @@ object ExtendedQueries {
     // comparison — no rounding convention anywhere.
     "dq2_volume_anomaly" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val daily = table(s, d, "events")
-        .groupBy(expr("ts div 1000 div 86400000000").as("day_num"))
+      val daily = eventsUs(s, d)
+        .groupBy(expr("us div 86400000000").as("day_num"))
         .agg(count(lit(1)).as("n_events"))
       def lowerMedian(df: DataFrame, c: String, tie: String,
           out: String) = {
@@ -650,8 +647,7 @@ object ExtendedQueries {
     // classic "DAU vs cumulative uniques" growth query, windowless on
     // the big table
     "w11_running_distinct" -> ((s, d) => {
-      val ev = table(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = eventsTs(s, d)
       val daily = ev
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
         .agg(count(lit(1)).as("n_events"))
@@ -941,9 +937,8 @@ object ExtendedQueries {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("us"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
-      table(s, d, "events")
+      eventsUs(s, d)
         .filter(col("value").isNotNull)
-        .withColumn("us", expr("ts div 1000"))
         .withColumn("peak", max(col("value")).over(w))
         .withColumn("dd", (col("peak") - col("value")) / col("peak"))
         .groupBy(col("user_id"))
@@ -975,9 +970,8 @@ object ExtendedQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("us"), col("event_id"))
-      table(s, d, "events")
+      eventsUs(s, d)
         .filter(col("value").isNotNull)
-        .withColumn("us", expr("ts div 1000"))
         .select(col("user_id"), col("us"), col("event_id"), col("value"))
         .withColumn("next_us", lead(col("us"), 1).over(w))
         .filter(col("next_us").isNotNull)
@@ -1048,8 +1042,7 @@ object ExtendedQueries {
     // in both engines); v/n is a double/bigint division of identical
     // operands, rounded then DECIMAL-summed
     "x45_linear_attribution" -> ((s, d) => {
-      val ev = table(s, d, "events")
-        .withColumn("us", expr("ts div 1000"))
+      val ev = eventsUs(s, d)
       val purch = ev.filter(col("event_type") === "purchase" &&
           col("value").isNotNull)
         .select(col("user_id"), col("event_id").as("p_id"),
@@ -1082,8 +1075,7 @@ object ExtendedQueries {
     // purchase's own touches, never the corpus
     "x61_time_decay_attribution" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = table(s, d, "events")
-        .withColumn("us", expr("ts div 1000"))
+      val ev = eventsUs(s, d)
       val purch = ev.filter(col("event_type") === "purchase" &&
           col("value").isNotNull)
         .select(col("user_id"), col("event_id").as("p_id"),
@@ -1149,8 +1141,7 @@ object ExtendedQueries {
     // same max_by collapse (graft.etl.Cdc), no window over the data
     "x15_cdc_upsert" -> ((s, d) => {
       import graft.etl.Cdc
-      val ev = table(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = eventsTs(s, d)
       val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
       val cols = (Seq("user_id"), Seq("event_type", "value"),
         Seq("ts", "event_id"))
@@ -1171,8 +1162,7 @@ object ExtendedQueries {
     // the tombstone applies as a |keys|-sized post-filter
     "x27_merge_tombstones" -> ((s, d) => {
       import graft.etl.Cdc
-      val ev = table(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = eventsTs(s, d)
       val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
       val cols = (Seq("user_id"), Seq("event_type", "value"),
         Seq("ts", "event_id"))
@@ -1216,8 +1206,7 @@ object ExtendedQueries {
     // points (a 4-dp float pct can land on a rounding tie). ONE pass
     // over events at any scale
     "x23_funnel" -> ((s, d) => {
-      val ev = table(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = eventsTs(s, d)
       def firstTs(t: String) = min(when(col("event_type") === t, col("ts")))
       val perUser = ev.groupBy(col("user_id"))
         .agg(firstTs("view").as("t_view"), firstTs("click").as("t_click"),
@@ -1245,8 +1234,7 @@ object ExtendedQueries {
     // event's week; one distinct + one join keyed by user + one
     // metadata-sized aggregate — the standard growth-analytics matrix
     "x24_cohort_retention" -> ((s, d) => {
-      val ev = table(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = eventsTs(s, d)
       val signup = ev.filter(col("event_type") === "signup")
         .groupBy(col("user_id"))
         .agg(date_trunc("week", min(col("ts"))).cast("date")
@@ -1397,8 +1385,7 @@ object ExtendedQueries {
     // and null-safe (<=>); each snapshot is the x15 max_by collapse
     "x21_snapshot_diff" -> ((s, d) => {
       import graft.etl.Cdc
-      val ev = table(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = eventsTs(s, d)
       def snap(lo: String, hi: String) = Cdc.compactLatest(
         ev.filter(col("ts") >= lit(lo).cast("timestamp") &&
           col("ts") < lit(hi).cast("timestamp")),
@@ -2270,7 +2257,7 @@ object ExtendedQueries {
         |SELECT rule, n_violations, n_rows, n_violations = 0 AS pass
         |FROM r ORDER BY rule""".stripMargin.replace('\n', ' '),
     // same lower-median rank-picks at the day grain; epoch_us // µs-per-
-    // day matches Spark's ts div 1000 div 86400000000
+    // day matches Spark's canonical-µs `us div 86400000000`
     "dq2_volume_anomaly" ->
       """WITH daily AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day_num,
@@ -2324,12 +2311,12 @@ object ExtendedQueries {
         |  UNION ALL SELECT 'lineitem_partkey', count(*) FROM lineitem
         |  UNION ALL SELECT 'lineitem_suppkey', count(*) FROM lineitem
         |  UNION ALL SELECT 'orders_custkey', count(*) FROM orders)
-        |SELECT o.rule AS rule,
-        |  CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys,
-        |  CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows,
+        |SELECT t.rule AS rule,
+        |  CAST(coalesce(n_orphan_keys, 0) AS BIGINT) AS n_orphan_keys,
+        |  CAST(coalesce(n_orphan_rows, 0) AS BIGINT) AS n_orphan_rows,
         |  CAST(n_child_rows AS BIGINT) AS n_child_rows,
-        |  n_orphan_rows = 0 AS pass
-        |FROM o JOIN t ON o.rule = t.rule ORDER BY o.rule"""
+        |  coalesce(n_orphan_rows, 0) = 0 AS pass
+        |FROM t LEFT JOIN o ON o.rule = t.rule ORDER BY t.rule"""
         .stripMargin.replace('\n', ' '),
     "x28_grouping_sets" -> withPipeline(
       """SELECT country, parameter,

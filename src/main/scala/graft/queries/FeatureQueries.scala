@@ -295,12 +295,12 @@ object FeatureQueries {
     // bias, the classic signed-hashing construction. All integer math
     // on a 48-bit md5 prefix — both engines rebuild it exactly.
     "ml10_feature_hashing" -> ((s, d) => {
-      val ev = PipelineQueries.table(s, d, "events")
+      val ev = PipelineQueries.eventsUs(s, d)
       val feats = ev.select(col("user_id"),
           concat(lit("event_type="), col("event_type")).as("feat"))
         .union(ev.select(col("user_id"),
           concat(lit("hour="),
-            expr("CAST((ts div 3600000000000) % 24 AS STRING)"))
+            expr("CAST((us div 3600000000) % 24 AS STRING)"))
             .as("feat")))
       feats
         .groupBy(col("user_id"), col("feat"))

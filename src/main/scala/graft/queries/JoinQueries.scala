@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.join.Joins
-import graft.queries.PipelineQueries.table
+import graft.queries.PipelineQueries.{eventsTs, table}
 
 /** Harness surface for [[graft.join.Joins]]: as-of join (DuckDB `ASOF
   * JOIN` oracle), broadcast range join, and the salting skew-control path
@@ -12,8 +12,7 @@ import graft.queries.PipelineQueries.table
 object JoinQueries {
 
   private def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    eventsTs(s, d)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // as-of backward: every purchase joined to the user's latest

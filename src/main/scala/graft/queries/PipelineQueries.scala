@@ -24,6 +24,21 @@ object PipelineQueries {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** events with `ts` normalized to a canonical TimestampType column
+    * ([[EventsAdapter.tsTimestamp]]) — use this instead of raw
+    * `table(_,_,"events")` whenever a query does timestamp arithmetic. */
+  def eventsTs(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    ev.withColumn("ts", EventsAdapter.tsTimestamp(ev))
+  }
+
+  /** events with a canonical µs-since-epoch long `us` column (raw `ts`
+    * dropped, so no site can accidentally do physical-type arithmetic). */
+  def eventsUs(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    ev.withColumn("us", EventsAdapter.tsMicros(ev)).drop("ts")
+  }
+
   def wire(s: SparkSession, dir: String): DataFrame =
     EventsAdapter.wire(table(s, dir, "events"))
   def bronze(s: SparkSession, dir: String): DataFrame =

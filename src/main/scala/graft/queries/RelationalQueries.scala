@@ -457,11 +457,11 @@ object RelationalQueries {
     * p_type = SMALL): average yearly revenue that would vanish if
     * sub-20%-of-average-quantity orders of Brand#3 SMALL parts stopped.
     * The per-part average joins back unhinted (part-proportional — AQE
-    * broadcasts it when it fits); the avg is an exact DECIMAL division
-    * (the q2 pattern) and the 20% test multiplies by 5 instead of by
-    * 0.2, so the inclusion predicate compares the same IEEE
-    * double expression in both engines, and the headline sum aggregates
-    * in DECIMAL before one final double division. */
+    * broadcasts it when it fits). The 20% test is DECIMAL-exact by
+    * multiplying THROUGH the average's division: `qty·5·n < Σqty` with
+    * every operand a bounded decimal — (12,2)·(2,0)·(10,0) stays well
+    * under precision 38 in both engines — so no engine-specific
+    * division scale or double rounding can flip a boundary row. */
   def q17SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
     val target = table(s, d, "part")
       .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
@@ -470,9 +470,12 @@ object RelationalQueries {
       .join(target, col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
     val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
-      .agg((sum(dec2(col("l_quantity"))) / count(lit(1))).as("avg_qty"))
+      .agg(sum(dec2(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n_qty"))
     li.join(avgQty, col("l_partkey") === col("a_partkey"))
-      .filter(col("l_quantity") * 5 < col("avg_qty"))
+      .filter(col("l_quantity").cast("decimal(12,2)") *
+        lit(5).cast("decimal(2,0)") *
+        col("n_qty").cast("decimal(10,0)") < col("sum_qty"))
       .agg(
         (sum(dec2(col("l_extendedprice"))).cast("double") /
           lit(7.0)).as("avg_yearly"),
@@ -774,14 +777,16 @@ object RelationalQueries {
         |  WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'),
         |avgq AS (
         |  SELECT l_partkey AS a_partkey,
-        |    sum(CAST(l_quantity AS DECIMAL(18,2))) / count(*) AS avg_qty
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |    count(*) AS n_qty
         |  FROM li GROUP BY 1)
         |SELECT
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |    / CAST('7' AS DOUBLE) AS avg_yearly,
         |  count(*) AS n_lines
         |FROM li JOIN avgq ON l_partkey = a_partkey
-        |WHERE l_quantity * 5 < avg_qty"""
+        |WHERE CAST(l_quantity AS DECIMAL(12,2)) * CAST(5 AS DECIMAL(2,0))
+        |  * CAST(n_qty AS DECIMAL(10,0)) < sum_qty"""
         .stripMargin.replace('\n', ' '),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -34,11 +34,15 @@ object SinkQueries {
     "s9_csv_roundtrip" -> ((s, d) => {
       val inv = A.stationInventory(silver(s, d))
       val path = tmp("inventory_csv", d)
+      // timestampNTZFormat too: NTZ columns use the SEPARATE option and
+      // its default silently truncates µs→ms (round-5 regression)
       inv.write.mode("overwrite").option("header", "true")
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .csv(path)
       s.read.option("header", "true").schema(inv.schema)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .csv(path)
         .orderBy("location_id")
     }),
@@ -50,9 +54,11 @@ object SinkQueries {
       val path = tmp("inventory_json", d)
       inv.write.mode("overwrite")
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .json(path)
       s.read.schema(inv.schema)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .json(path)
         .orderBy("location_id")
     }),
@@ -117,9 +123,12 @@ object SinkQueries {
     "io5_zorder_layout" -> ((s, d) => {
       import graft.io.ZOrder
       val dst = tmp("events_zorder", d)
-      val ev = table(s, d, "events")
+      // ts as canonical µs-long: the equi-width bucket math below is
+      // integral-domain arithmetic, so normalize the physical type first
+      val ev0 = table(s, d, "events")
+      val ev = ev0
         .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"), col("ts"))
+          col("value"), graft.etl.EventsAdapter.tsMicros(ev0).as("ts"))
       val stats = ev.agg(
         min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
         min(col("ts")).as("tmin"), max(col("ts")).as("tmax"))
@@ -181,9 +190,10 @@ object SinkQueries {
     "io8_hilbert_layout" -> ((s, d) => {
       import graft.io.{Hilbert, ZOrder}
       val dst = tmp("events_hilbert", d)
-      val ev = table(s, d, "events")
+      val ev0 = table(s, d, "events")
+      val ev = ev0
         .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"), col("ts"))
+          col("value"), graft.etl.EventsAdapter.tsMicros(ev0).as("ts"))
       val stats = ev.agg(
         min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
         min(col("ts")).as("tmin"), max(col("ts")).as("tmax"))

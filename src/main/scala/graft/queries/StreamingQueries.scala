@@ -73,15 +73,15 @@ object StreamingQueries {
   /** Raw (user_id, ts, value) file stream for the session operator. */
   private def rawEventsStream(s: SparkSession, d: String): DataFrame =
     eventsFileStream(s, d)
-      .select(col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
+      .transform(df => df.select(col("user_id"),
+          EventsAdapter.tsTimestamp(df).as("ts"), col("value")))
 
   /** Full-width raw file stream (all events columns, µs timestamps). */
   private def fullEventsStream(s: SparkSession, d: String): DataFrame =
     eventsFileStream(s, d)
-      .select(col("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"),
-        col("user_id"), col("event_type"), col("value"))
+      .transform(df => df.select(col("event_id"),
+          EventsAdapter.tsTimestamp(df).as("ts"),
+          col("user_id"), col("event_type"), col("value")))
 
   /** Events split into two DISJOINT halves (event-id parity — every user
     * bucket present in both) exposed as two files with
@@ -128,9 +128,9 @@ object StreamingQueries {
     // emissions bounded by |changed keys|, not |result|
     "x35_stream_update" -> ((s, d) => {
       val agg = splitEventsFileStream(s, d)
-        .select(col("event_id"),
-          timestamp_micros(expr("ts div 1000")).as("ts"),
-          col("user_id"), col("event_type"), col("value"))
+        .transform(df => df.select(col("event_id"),
+            EventsAdapter.tsTimestamp(df).as("ts"),
+            col("user_id"), col("event_type"), col("value")))
         .groupBy(col("event_type"), (col("user_id") % 10).as("user_bucket"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("double")
@@ -342,8 +342,8 @@ object StreamingQueries {
     // foreachBatch — final state must equal exactly-once latest-per-key
     "x16_stream_upsert" -> ((s, d) => {
       val changelog = doubledEventsFileStream(s, d)
-        .select(col("user_id"), col("event_type"), col("value"),
-          timestamp_micros(expr("ts div 1000")).as("ts"), col("event_id"))
+        .transform(df => df.select(col("user_id"), col("event_type"), col("value"),
+            EventsAdapter.tsTimestamp(df).as("ts"), col("event_id")))
       // deterministic per-sf target (no scratch leak across runs),
       // cleared at start: the query demonstrates a fresh changelog →
       // snapshot build, not resumption into a prior run's state

@@ -59,6 +59,22 @@ class ChecksSpec extends AnyFunSuite {
       ("self", 0L, 0L, 3L, true)))
   }
 
+  test("referential integrity: empty child still yields a (0,0,0,pass) " +
+    "row; multi-column parentKeys is rejected") {
+    val parent = Seq(10L, 20L).toDF("pk")
+    val child = Seq((1L, 10L)).toDF("id", "fk").filter(col("id") < 0)
+    val out = Checks.referentialIntegrity(Seq(
+      ("empty_child", child, "fk", parent))).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getBoolean(4))).toSeq ===
+      Seq(("empty_child", 0L, 0L, 0L, true)))
+    val twoCol = Seq((10L, 1L)).toDF("pk", "extra")
+    val err = intercept[IllegalArgumentException] {
+      Checks.referentialIntegrity(Seq(("bad", child, "fk", twoCol)))
+    }
+    assert(err.getMessage.contains("single key column"))
+  }
+
   test("clean data passes every rule") {
     val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "value")
     val out = Checks.report(df,

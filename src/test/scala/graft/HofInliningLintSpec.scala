@@ -65,22 +65,31 @@ class HofInliningLintSpec extends AnyFunSuite {
   test("no registered query embeds a loop-invariant expensive " +
       "expression inside a higher-order-function lambda") {
     val bad = scala.collection.mutable.ArrayBuffer[String]()
+    val unplannable = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      // skip-with-note on analysis failure: one broken query must not
+      // void the lint's guarantee over the other ~220 plans (the
+      // EntrySmokeSpec is the gate for queries that fail to plan)
       val plan =
-        try fn(spark, dir)
+        try Some(fn(spark, dir)
           .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-          .queryExecution.optimizedPlan
+          .queryExecution.optimizedPlan)
         catch { case e: Throwable =>
-          fail(s"$name failed to plan at $dir: ${e.getMessage}")
+          unplannable += s"$name: ${String.valueOf(e.getMessage).take(120)}"
+          None
         }
-      plan.foreach { node =>
+      plan.foreach(_.foreach { node =>
         node.expressions.foreach { root =>
           offenders(root, Set.empty, inLambda = false).foreach { off =>
             bad += s"$name: ${off.sql.take(160)}"
           }
         }
-      }
+      })
     }
+    if (unplannable.nonEmpty)
+      info(s"skipped ${unplannable.size} unplannable queries " +
+        s"(EntrySmokeSpec owns these failures):\n  " +
+        unplannable.mkString("\n  "))
     assert(bad.isEmpty,
       s"lambda-invariant expensive expressions (materialize them as " +
         s"columns in their own projection first):\n  ${bad.mkString("\n  ")}")
