@@ -56,6 +56,31 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Cross-batch incremental dedup — the continuous-ingestion operator
+    * the within-corpus family (d1–d9) lacks: an INCOMING batch dedups
+    * against the ALREADY-INGESTED corpus without ever re-reading corpus
+    * text. The corpus side reduces to its distinct fingerprint set at
+    * scan speed (16 bytes per distinct text — the dedup INDEX a lake
+    * persists between ingest runs; at 100 TB that index is ~10⁻⁴ of the
+    * corpus and the only corpus-derived thing that moves). The incoming
+    * batch fingerprints once, anti-joins the index (batch-sized probe),
+    * then keeps the min-id member per surviving fingerprint — the
+    * within-batch dedup rides the same aggregate. Returns (id,
+    * fingerprint) of the accepted rows: exactly what a writer appends
+    * to the corpus AND merges back into the index. */
+  def incrementalDedup(corpus: DataFrame, incoming: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val index = corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .distinct()
+    incoming
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .join(index, Seq("fingerprint"), "left_anti")
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("fingerprint"))
+  }
+
   // ------------------------------------------------------------ MinHash LSH
 
   /** Distinct character shingles (k-grams) from an already-materialized

@@ -146,7 +146,23 @@ object DedupQueries {
     // exactly two merged spans separated by the uncovered filler token
     "d8_duplicate_spans" -> ((s, d) =>
       Dedup.duplicateSpans(spanCorpus(s, d), k = 8)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // cross-batch incremental dedup: even docs play the already-ingested
+    // corpus, the incoming batch is the odd docs plus planted cross-batch
+    // re-deliveries (every 10th even doc re-arrives under a new id) and
+    // within-batch duplicates (every doc_id%10==1 arrives twice) — the
+    // first must die against the corpus fingerprint index, the second
+    // against the batch's own min-id collapse
+    "d10_incremental_dedup" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .unionAll(docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 300000))
+        .unionAll(docs.filter(col("doc_id") % 10 === 1)
+          .withColumn("doc_id", col("doc_id") + 400000))
+      Dedup.incrementalDedup(corpus, incoming).orderBy("doc_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -269,6 +285,26 @@ object DedupQueries {
          |  CAST(sum(e - s + 1) AS DOUBLE) / n_tokens AS dup_fraction
          |FROM sp GROUP BY doc_id, n_tokens
          |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+    },
+    // same index/anti-join/min-id-collapse construction; NOT IN is safe
+    // here (fingerprints are never NULL)
+    "d10_incremental_dedup" -> {
+      val fp = TextAnalysis.fingerprintSql("text")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |incoming AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id + 300000, text FROM documents
+         |    WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 400000, text FROM documents
+         |    WHERE doc_id % 10 = 1),
+         |idx AS (SELECT DISTINCT $fp AS fingerprint FROM corpus),
+         |inf AS (SELECT doc_id, $fp AS fingerprint FROM incoming),
+         |fresh AS (SELECT * FROM inf
+         |  WHERE fingerprint NOT IN (SELECT fingerprint FROM idx))
+         |SELECT min(doc_id) AS doc_id, fingerprint
+         |FROM fresh GROUP BY fingerprint ORDER BY doc_id"""
+        .stripMargin.replace('\n', ' ')
     }
   )
 }

@@ -93,6 +93,15 @@ object TextQueries {
         defaultRate = 0.1)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
+    // target-mixture balancing: derive each language's keep rate FROM a
+    // 5:2:2:1 target and the observed counts (water-filling — binding
+    // stratum keeps 100%, es has no weight and drops); t8's missing half
+    "t26_target_mixture" -> ((s, d) =>
+      TextAnalysis.targetMixtureSample(table(s, d, "documents"),
+        strataCol = "lang", textCol = "text",
+        weights = Map("en" -> 5, "de" -> 2, "fr" -> 2, "zh" -> 1))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
     // Gopher-style repetition gates (dup-word / top-word / dup-bigram)
     "t9_repetition" -> ((s, d) =>
       TextAnalysis.repetitionFeatures(table(s, d, "documents"))
@@ -291,6 +300,11 @@ object TextQueries {
         s"WHERE ${TextAnalysis.stratifiedSampleSql("lang", "text",
           Map("en" -> 0.9, "de" -> 0.5, "fr" -> 0.25), 0.1)} " +
         "ORDER BY doc_id"),
+    "t26_target_mixture" ->
+      (s"SELECT doc_id, lang, source, n_chars FROM (" +
+        TextAnalysis.targetMixtureSampleSql("lang",
+          Map("en" -> 5, "de" -> 2, "fr" -> 2, "zh" -> 1)) +
+        ") ORDER BY doc_id"),
     "t9_repetition" ->
       (s"SELECT doc_id, ${TextAnalysis.repetitionSql("text")} " +
         "FROM documents ORDER BY doc_id"),

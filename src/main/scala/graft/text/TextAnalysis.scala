@@ -291,6 +291,93 @@ object TextAnalysis {
       s"(CASE $whens ELSE '${sampleCut(defaultRate)}' END)"
   }
 
+  // --------------------------------------------- target-mixture balancing
+
+  /** Water-filling mixture balancer: down-sample each stratum so the
+    * achieved corpus hits integer target proportions `weights` (e.g.
+    * en:de:fr:zh = 5:2:2:1) while keeping the LARGEST such corpus — no
+    * stratum up-samples, so the binding stratum (smallest nᵈ/wᵈ) keeps
+    * 100% and every other keeps rate (n_m/w_m)·wᵈ/nᵈ. This is t8's
+    * missing half: t8 takes rates as GIVEN; real mixture building
+    * derives them from the target and what the corpus actually holds.
+    * Strata absent from `weights` are dropped (weight 0).
+    *
+    * Determinism: acceptance is the pure INTEGER test
+    * `h·w_m·nᵈ < 65536·wᵈ·n_m` on the 16-bit content-hash prefix h,
+    * evaluated in bounded decimals ((5,0)·(7,0)·(15,0) — exact and
+    * overflow-free in both engines), so no division, no doubles, no
+    * engine-specific rounding anywhere; like [[stableSample]] the kept
+    * set follows document CONTENT (dedup-aligned, partition-invariant).
+    * The binding stratum is chosen by |D|² exact rational
+    * cross-comparisons (nᵃ·wᵇ vs nᵇ·wᵃ) on the metadata-sized count
+    * table, min-stratum tie-break.
+    *
+    * Scale: one partial-aggregatable count pass, then a scan-speed
+    * predicate under broadcast joins of the |D|-row count table and the
+    * 1-row binding stratum — the corpus never shuffles. */
+  def targetMixtureSample(docs: DataFrame, strataCol: String,
+      textCol: String, weights: Map[String, Int]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(w => w > 0 && w <= 1000000),
+      s"weights must be in [1, 1e6]: $weights")
+    val wChain = weights.toSeq.sortBy(_._1)
+      .foldLeft(null.asInstanceOf[Column]) {
+        case (null, (s, w)) => when(col(strataCol) === s, lit(w.toLong))
+        case (acc, (s, w))  => acc.when(col(strataCol) === s, lit(w.toLong))
+      }
+    val withW = docs.withColumn("_w", wChain).filter(col("_w").isNotNull)
+    val counts = withW.groupBy(col(strataCol).as("_stratum"))
+      .agg(count(lit(1)).as("_n"), max(col("_w")).as("_wt"))
+    // binding stratum: no other stratum has a strictly smaller n/w
+    // (or an equal one with a smaller name)
+    val binding = counts.alias("a")
+      .join(counts.alias("b"),
+        col("b._n") * col("a._wt") < col("a._n") * col("b._wt") ||
+          (col("b._n") * col("a._wt") === col("a._n") * col("b._wt") &&
+            col("b._stratum") < col("a._stratum")),
+        "left_anti")
+      .select(col("_stratum").as("_m_stratum"), col("_n").as("_m_n"),
+        col("_wt").as("_m_w"))
+    val h = conv(substring(fingerprint(col(textCol)), 1, 4), 16, 10)
+      .cast("decimal(5,0)")
+    withW
+      .join(broadcast(counts), col(strataCol) === col("_stratum"))
+      .crossJoin(broadcast(binding))
+      .filter(
+        h * col("_m_w").cast("decimal(7,0)") *
+          col("_n").cast("decimal(15,0)") <
+        lit(65536).cast("decimal(6,0)") *
+          col("_wt").cast("decimal(7,0)") *
+          col("_m_n").cast("decimal(15,0)"))
+      .drop("_w", "_stratum", "_n", "_wt",
+        "_m_stratum", "_m_n", "_m_w")
+  }
+
+  /** DuckDB twin of [[targetMixtureSample]] over `documents`: emits the
+    * kept rows (same integer acceptance test, same decimal widths). */
+  def targetMixtureSampleSql(strataCol: String,
+      weights: Map[String, Int]): String = {
+    val wCase = weights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN $strataCol = '$s' THEN $w" }
+      .mkString("(CASE ", " ", " ELSE NULL END)")
+    val h = s"CAST(('0x' || substr(${fingerprintSql("text")}, 1, 4)) " +
+      "AS BIGINT)"
+    s"""WITH ww AS (SELECT *, $wCase AS w FROM documents
+       |  WHERE $wCase IS NOT NULL),
+       |cnt AS (SELECT $strataCol AS stratum, count(*) AS n, max(w) AS wt
+       |  FROM ww GROUP BY 1),
+       |m AS (SELECT stratum AS m_stratum, n AS m_n, wt AS m_w
+       |  FROM cnt a WHERE NOT EXISTS (SELECT 1 FROM cnt b
+       |    WHERE b.n * a.wt < a.n * b.wt
+       |      OR (b.n * a.wt = a.n * b.wt AND b.stratum < a.stratum)))
+       |SELECT ww.* EXCLUDE (w)
+       |FROM ww JOIN cnt ON ww.$strataCol = cnt.stratum CROSS JOIN m
+       |WHERE CAST($h AS DECIMAL(5,0)) * CAST(m_w AS DECIMAL(7,0))
+       |    * CAST(n AS DECIMAL(15,0))
+       |  < CAST(65536 AS DECIMAL(6,0)) * CAST(wt AS DECIMAL(7,0))
+       |    * CAST(m_n AS DECIMAL(15,0))""".stripMargin.replace('\n', ' ')
+  }
+
   // ------------------------------------------------- token-budget sampling
 
   /** Token-budget sampling: per stratum (language/source), keep the

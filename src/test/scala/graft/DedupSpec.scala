@@ -103,6 +103,24 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L, 4L, 5L))
   }
 
+  test("incrementalDedup: corpus-known texts die against the index " +
+    "(even normalized variants), within-batch dups collapse to min id, " +
+    "fresh texts survive") {
+    val corpus = docs.filter(col("doc_id") <= 2) // texts of 1 and 2
+    val incoming = Seq(
+      (10L, base),                   // exact re-delivery of corpus text 1
+      (11L, "  THE quick   brown fox jumps over the lazy dog while the " +
+        "cat sleeps on the warm windowsill in the afternoon sun near " +
+        "the garden "),              // normalized dup of corpus text 1
+      (12L, "a genuinely new document about stream processing"),
+      (13L, "a genuinely new document about stream processing"), // batch dup
+      (14L, "another new document mentioning columnar formats")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(corpus, incoming)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(12L, 14L))
+  }
+
   test("decontaminate drops docs sharing an n-gram with the benchmark") {
     // doc 2 embeds a verbatim 5-gram of benchmark doc 1; docs 4/5 share
     // no 5-gram with it (case/whitespace-insensitive via normalization)
