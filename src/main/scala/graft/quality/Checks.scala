@@ -78,4 +78,30 @@ object Checks {
           (col("n_orphan_rows") === 0).as("pass"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Freshness gate — the fourth check next to the rules report, the
+    * volume band, and referential integrity: per partition key (source,
+    * event type, feed), the lag between a reference instant and the
+    * partition's LATEST event, with a pass flag against `maxLagSeconds`.
+    * The check that catches a silently-dead producer whose historical
+    * volume still looks normal.
+    *
+    * `asOfMicros` is an explicit µs instant, not now(): deterministic,
+    * replayable, and at 100 TB the "as of" is the orchestrator's run
+    * logical time anyway. Must be ≥ every event's timestamp — the lag
+    * division is documented non-negative so Spark's truncating `div`
+    * and DuckDB's flooring `//` cannot diverge.
+    *
+    * Scale: ONE partial-aggregatable (key → max, count) pass at scan
+    * speed; the report is |keys|-sized. */
+  def freshness(df: DataFrame, keyCol: String, tsMicros: Column,
+      asOfMicros: Long, maxLagSeconds: Long): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(max(tsMicros).as("latest_us"), count(lit(1)).as("n_rows"))
+      .withColumn("lag_s",
+        expr(s"($asOfMicros - latest_us) div 1000000"))
+      .select(col(keyCol), timestamp_micros(col("latest_us"))
+          .as("latest_ts"),
+        col("n_rows"), col("lag_s"),
+        (col("lag_s") <= maxLagSeconds).as("pass"))
 }

@@ -501,6 +501,18 @@ object ExtendedQueries {
           table(s, d, "customer").select(col("c_custkey")))))
         .orderBy("rule")
     }),
+    // freshness gate per event type (dq4, the fourth quality check):
+    // lag of each type's LATEST event vs the 2024-02-01 logical run
+    // instant against a 24.5 h SLO — the dead-producer alarm whose
+    // historical volume still looks normal. One (key → max, count)
+    // partial-aggregatable pass; explicit as-of keeps it replayable
+    "dq4_freshness" -> ((s, d) => {
+      import graft.quality.Checks
+      val ev = eventsUs(s, d)
+      Checks.freshness(ev, "event_type", col("us"),
+        asOfMicros = 1706745600000000L, maxLagSeconds = 88200L)
+        .orderBy("event_type")
+    }),
     // explicit GROUPING SETS with grouping_id — the third grouping
     // construct next to rollup (x5) and cube (x12): only the requested
     // combinations compute, one expand + one aggregate
@@ -2317,6 +2329,16 @@ object ExtendedQueries {
         |  CAST(n_child_rows AS BIGINT) AS n_child_rows,
         |  coalesce(n_orphan_rows, 0) = 0 AS pass
         |FROM t LEFT JOIN o ON o.rule = t.rule ORDER BY t.rule"""
+        .stripMargin.replace('\n', ' '),
+    // lag is non-negative by the as-of contract, so DuckDB's flooring
+    // // and Spark's truncating div agree
+    "dq4_freshness" ->
+      """SELECT event_type, max(ts) AS latest_ts,
+        |  count(*) AS n_rows,
+        |  (1706745600000000 - epoch_us(max(ts))) // 1000000 AS lag_s,
+        |  (1706745600000000 - epoch_us(max(ts))) // 1000000 <= 88200
+        |    AS pass
+        |FROM events GROUP BY 1 ORDER BY event_type"""
         .stripMargin.replace('\n', ' '),
     "x28_grouping_sets" -> withPipeline(
       """SELECT country, parameter,

@@ -96,6 +96,38 @@ object FeatureQueries {
             .as("rolling_median"))
         .orderBy("location_id", "datetime")
     }),
+    // rolling 24-row OLS slope (trend detection — the regression
+    // sibling of w3's rolling mean/std): five decimal-exact sufficient
+    // statistics per frame (n, Σx, Σy, Σxy, Σx²) with x = epoch-hour
+    // re-based near the data (bounded 4-digit ints, so every decimal
+    // width stays far under 38 in BOTH engines — DuckDB errors past
+    // 38 on products of sums, hence the explicit down-casts in the
+    // twin); slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) divides the same
+    // two exact operands in both engines. x-translation cannot change
+    // a slope, so the re-base constant is pure width engineering
+    "w14_rolling_slope" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("location_id"))
+        .orderBy(col("datetime")).rowsBetween(-23, 0)
+      val x = expr("unix_micros(datetime) div 3600000000 - 473000")
+        .cast("decimal(4,0)")
+      val y = col("aqi").cast("decimal(9,6)")
+      gold(s, d).filter(col("aqi").isNotNull)
+        .select(col("location_id"), col("datetime"), col("aqi"),
+          count(lit(1)).over(w).cast("decimal(3,0)").as("n"),
+          sum(x).over(w).cast("decimal(14,0)").as("sx"),
+          sum(y).over(w).cast("decimal(19,6)").as("sy"),
+          sum(x * y).over(w).cast("decimal(27,6)").as("sxy"),
+          sum(x * x).over(w).cast("decimal(19,0)").as("sxx"))
+        .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+        .select(col("location_id"), col("datetime"), col("aqi"),
+          col("n").cast("bigint").as("n_window"),
+          when(col("den") =!= 0,
+            (col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") / col("den").cast("double"))
+            .as("slope_per_hour"))
+        .orderBy("location_id", "datetime")
+    }),
     // truncated exponential smoothing (EWMA, decay 1/2, 12 taps):
     // smoothed_t = Σ 2^(11-i)·x_{t-i} / Σ 2^(11-i) over the taps
     // present. Integer power-of-two weights are the determinism trick:
@@ -284,6 +316,55 @@ object FeatureQueries {
             .otherwise(0.0).as("y"))
       graft.ml.LogisticIrls.train(ev, "x", "y", iters = 3)
     }),
+    // POPULATION STABILITY INDEX — the drift monitor every deployed
+    // model runs between its reference window and live traffic: ref =
+    // pre-cutoff events, cur = post-cutoff; 10 bins from exact ref
+    // deciles. value is 2dp-quantized, so BOTH distributions reduce to
+    // domain-bounded (value → count) histograms at scan speed and
+    // every decile/bin/PSI step runs on those ≤|domain| rows — no
+    // global sort or window ever touches event-sized data, at any
+    // corpus size. Deciles are integer rank-picks (cum·10 ≥ i·N) on
+    // the cumulative histogram; binning = count-of-edges-below per
+    // DISTINCT value; psi terms are ln/× of int-ratio doubles rounded
+    // to 6dp, NULL when either side of a bin is empty (no ε fudge)
+    "ml12_psi" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = PipelineQueries.eventsUs(s, d)
+        .filter(col("value").isNotNull)
+      val cutoff = 1705795200000000L // 2024-01-21 00:00:00 UTC µs
+      def hist(df: DataFrame) =
+        df.groupBy(col("value")).agg(count(lit(1)).as("c"))
+      val hr = hist(ev.filter(col("us") < cutoff))
+      val hc = hist(ev.filter(col("us") >= cutoff))
+      val nr = hr.agg(sum(col("c")).as("nr"))
+      val nc = hc.agg(sum(col("c")).as("nc"))
+      val edges = hr
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("value"))))
+        .crossJoin(broadcast(nr))
+        .select(col("value"), col("cum"), col("nr"),
+          explode(sequence(lit(1), lit(9))).as("i"))
+        .filter(col("cum") * 10 >= col("i") * col("nr"))
+        .groupBy(col("i")).agg(min(col("value")).as("edge"))
+      def binned(h: DataFrame, out: String) = h
+        .join(broadcast(edges), col("value") > col("edge"), "left")
+        .groupBy(col("value"), col("c"))
+        .agg((count(col("i")) + 1).as("bin"))
+        .groupBy(col("bin")).agg(sum(col("c")).as(out))
+      s.range(1, 11).select(col("id").as("bin"))
+        .join(binned(hr, "n_ref"), Seq("bin"), "left")
+        .join(binned(hc, "n_cur"), Seq("bin"), "left")
+        .crossJoin(broadcast(nr)).crossJoin(broadcast(nc))
+        .select(col("bin"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+          when(col("n_ref") > 0 && col("n_cur") > 0, round(
+            (col("n_cur").cast("double") / col("nc").cast("double") -
+              col("n_ref").cast("double") / col("nr").cast("double")) *
+              log((col("n_cur").cast("double") / col("nc").cast("double")) /
+                (col("n_ref").cast("double") / col("nr").cast("double"))),
+            6)).as("psi_term"))
+        .orderBy("bin")
+    }),
     // the HASHING TRICK: categorical features map straight to a fixed
     // 32-dim signed slot via md5 — NO vocabulary dictionary, so unlike
     // r7's label-encoding there is no global distinct + join to build
@@ -376,6 +457,42 @@ object FeatureQueries {
         |    / CAST(n_cat + 10 AS DOUBLE) AS encoded
         |FROM c CROSS JOIN g ORDER BY c_mktsegment"""
         .stripMargin.replace('\n', ' '),
+    // same histogram-level construction: integer rank-pick deciles on
+    // the cumulative (value → count) table, edge-count binning, 1..10
+    // spine, NULL psi term when either side of a bin is empty
+    "ml12_psi" ->
+      """WITH ev AS (SELECT value, epoch_us(ts) AS us FROM events
+        |  WHERE value IS NOT NULL),
+        |hr AS (SELECT value, count(*) AS c FROM ev
+        |  WHERE us < 1705795200000000 GROUP BY 1),
+        |hc AS (SELECT value, count(*) AS c FROM ev
+        |  WHERE us >= 1705795200000000 GROUP BY 1),
+        |nr AS (SELECT sum(c) AS nr FROM hr),
+        |nc AS (SELECT sum(c) AS nc FROM hc),
+        |cm AS (SELECT value, sum(c) OVER (ORDER BY value) AS cum FROM hr),
+        |edges AS (SELECT i, min(value) AS edge
+        |  FROM cm CROSS JOIN nr CROSS JOIN unnest(range(1, 10)) AS t(i)
+        |  WHERE cum * 10 >= i * nr GROUP BY 1),
+        |br AS (SELECT bin, sum(c) AS n_ref FROM (
+        |    SELECT h.value, h.c, 1 + count(e.i) AS bin
+        |    FROM hr h LEFT JOIN edges e ON h.value > e.edge
+        |    GROUP BY 1, 2) GROUP BY 1),
+        |bc AS (SELECT bin, sum(c) AS n_cur FROM (
+        |    SELECT h.value, h.c, 1 + count(e.i) AS bin
+        |    FROM hc h LEFT JOIN edges e ON h.value > e.edge
+        |    GROUP BY 1, 2) GROUP BY 1),
+        |spine AS (SELECT unnest(range(1, 11)) AS bin)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+        |  CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur,
+        |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN round(
+        |    (CAST(n_cur AS DOUBLE) / nc - CAST(n_ref AS DOUBLE) / nr) *
+        |    ln((CAST(n_cur AS DOUBLE) / nc) /
+        |       (CAST(n_ref AS DOUBLE) / nr)), 6)
+        |  END AS psi_term
+        |FROM spine LEFT JOIN br USING (bin) LEFT JOIN bc USING (bin)
+        |CROSS JOIN nr CROSS JOIN nc ORDER BY bin"""
+        .stripMargin.replace('\n', ' '),
     // same 48-bit md5-prefix hash: DuckDB parses the hex via a 0x cast,
     // Spark via conv(..., 16, 10) — identical integers
     "ml10_feature_hashing" ->
@@ -413,6 +530,33 @@ object FeatureQueries {
         |SELECT location_id, datetime, aqi,
         |  win[(len(win) + 1) // 2] AS rolling_median
         |FROM x ORDER BY location_id, datetime"""
+        .stripMargin.replace('\n', ' ')),
+    // sums explicitly down-cast to Spark's widths so the ΣxΣy /
+    // (Σx)² products stay under DuckDB's 38-digit ceiling
+    "w14_rolling_slope" -> withPipeline(
+      """, b AS (SELECT location_id, datetime, aqi,
+        |    epoch_us(datetime) // 3600000000 - 473000 AS x
+        |  FROM gold WHERE aqi IS NOT NULL),
+        |st AS (SELECT location_id, datetime, aqi,
+        |    CAST(count(*) OVER w AS DECIMAL(3,0)) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(4,0))) OVER w
+        |      AS DECIMAL(14,0)) AS sx,
+        |    CAST(sum(CAST(aqi AS DECIMAL(9,6))) OVER w
+        |      AS DECIMAL(19,6)) AS sy,
+        |    CAST(sum(CAST(x AS DECIMAL(4,0)) * CAST(aqi AS DECIMAL(9,6)))
+        |      OVER w AS DECIMAL(27,6)) AS sxy,
+        |    CAST(sum(CAST(x AS DECIMAL(4,0)) * CAST(x AS DECIMAL(4,0)))
+        |      OVER w AS DECIMAL(19,0)) AS sxx
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY location_id ORDER BY datetime
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT location_id, datetime, aqi,
+        |  CAST(n AS BIGINT) AS n_window,
+        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n * sxx - sx * sx AS DOUBLE)
+        |  END AS slope_per_hour
+        |FROM st ORDER BY location_id, datetime"""
         .stripMargin.replace('\n', ' ')),
     "ml6_seasonal_baseline" -> withPipeline(
       """, p AS (SELECT location_id, aqi,

@@ -75,6 +75,23 @@ class ChecksSpec extends AnyFunSuite {
     assert(err.getMessage.contains("single key column"))
   }
 
+  test("freshness: stale partition fails the SLO, fresh one passes, " +
+    "lag floors to whole seconds") {
+    val asOf = 1706745600000000L
+    val rows = Seq(
+      ("fresh", asOf - 5500000L),       // 5.5 s ago (latest wins)
+      ("fresh", asOf - 3600000000L),    // 1 h ago
+      ("stale", asOf - 7200L * 1000000L) // 2 h ago
+    ).toDF("k", "us")
+    val out = Checks.freshness(rows, "k", col("us"), asOf,
+      maxLagSeconds = 60)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      ("fresh", 2L, 5L, true), ("stale", 1L, 7200L, false)))
+  }
+
   test("clean data passes every rule") {
     val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "value")
     val out = Checks.report(df,
