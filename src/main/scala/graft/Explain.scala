@@ -38,7 +38,10 @@ object Explain {
         "er3_phonetic_match", "x59_seq2_support", "x60_pair_lift",
         "ml10_feature_hashing", "qs1_quantile_sketch",
         "g13_modularity", "dq2_volume_anomaly",
-        "x61_time_decay_attribution")
+        "x61_time_decay_attribution",
+        // round-6 additions
+        "d10_incremental_dedup", "t26_target_mixture",
+        "dq4_freshness", "w14_rolling_slope", "ml12_psi")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -396,4 +396,54 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
       "the two marginal joins must broadcast")
   }
+
+  test("d10 incremental dedup: no shuffle ever carries document text — " +
+    "only fingerprints and ids move") {
+    val p = plan("d10_incremental_dedup")
+    val textShuffles = p.collect {
+      case e: ShuffleExchangeExec if e.output.exists(_.name == "text") => e
+    }
+    assert(textShuffles.isEmpty,
+      "corpus/batch text must reduce to fingerprints before any exchange")
+  }
+
+  test("t26 target mixture: counts + binding stratum ride broadcasts; " +
+    "the corpus side never sort-merges or cartesians") {
+    val p = plan("t26_target_mixture")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "the |D|-row count table must broadcast onto the scan")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "the 1-row binding stratum must broadcast, not cartesian")
+  }
+
+  test("ml12 psi: every window runs over an aggregated histogram, " +
+    "never event-sized input") {
+    import org.apache.spark.sql.execution.aggregate.{
+      HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val p = plan("ml12_psi")
+    val ws = p.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty)
+    ws.foreach { w =>
+      val hasAgg = w.child.exists {
+        case _: HashAggregateExec | _: ObjectHashAggregateExec |
+            _: SortAggregateExec => true
+        case _ => false
+      }
+      assert(hasAgg,
+        "cumulative-histogram window must sit above the (value,count) " +
+          "aggregate, not raw events")
+    }
+  }
+
+  test("w14 rolling slope: all five sufficient statistics share ONE " +
+    "window pass") {
+    val p = plan("w14_rolling_slope")
+    assert(p.collect { case w: WindowExec => w }.size == 1,
+      "n/sx/sy/sxy/sxx must evaluate in a single WindowExec")
+  }
+
+  test("dq4 freshness: one partial-aggregatable pass — shuffles are the " +
+    "aggregate exchange plus the ordered output only") {
+    assert(shuffles(plan("dq4_freshness")) <= 2)
+  }
 }
