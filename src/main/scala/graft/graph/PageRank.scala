@@ -135,4 +135,116 @@ object PageRank {
     s"WITH $pre, $steps SELECT node, rank_units, " +
       s"CAST(rank_units AS DOUBLE) / 1e9 AS rank FROM it$iters"
   }
+
+  /** PERSONALIZED PageRank: teleport mass restarts at a source set S
+    * instead of uniformly — rank becomes proximity TO S, the
+    * recommendation / related-items / trust-propagation primitive
+    * ("suppliers close to these seed suppliers"), where global
+    * PageRank is plain importance.
+    *
+    * Same exact integer fixed-point discipline as [[run]] (BIGINT
+    * 1e-9 units, `div` everywhere, oracle unrolls the identical
+    * iterations). Differences: init = 1/|S| at sources, 0 elsewhere;
+    * the per-round teleport lands only on S. Nodes outside S keep
+    * rank 0 until mass walks to them, so each round's contribution
+    * join filters `rank_units > 0` — early rounds touch only the
+    * neighborhoods mass has actually reached (mirrored in the twin;
+    * zero rows contribute zero, so the filter is semantics-free).
+    *
+    * Scale: identical per-iteration shape to [[run]] (one cached-edge
+    * join + one partial-aggregating groupBy(dst)); the node-sized
+    * (base, init) table materializes once. */
+  def personalized(edges: DataFrame, sources: DataFrame, iters: Int = 5,
+      damping: Int = 85, broadcastRanks: Boolean = false,
+      assumeDistinct: Boolean = false,
+      symmetric: Boolean = false): DataFrame = {
+    val raw = edges.select(col("src"), col("dst"))
+    val e = (if (assumeDistinct) raw else raw.distinct()).persist()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val nodes =
+      if (symmetric) outdeg.select(col("src").as("node"))
+      else e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+    // sources restricted to graph nodes: outside seeds carry no mass
+    val srcs = sources.select(col("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi").persist()
+    val ns = srcs.count()
+    require(ns > 0, "sources must intersect the graph's node set")
+    val init = Unit9 / ns
+    val baseSrc = (Unit9 / ns) * (100L - damping) / 100L
+    val withBase = nodes
+      .join(srcs.withColumn("is_src", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_src"), lit(baseSrc)).otherwise(lit(0L)).as("base"),
+        when(col("is_src"), lit(init)).otherwise(lit(0L)).as("init"))
+      .localCheckpoint()
+    var ranks = withBase.select(col("node"), col("init").as("rank_units"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val rates = ranks.filter(col("rank_units") > 0)
+        .join(outdeg, ranks("node") === outdeg("src"))
+        .select(outdeg("src"), expr("rank_units div outdeg").as("contrib"))
+      val rateSide = if (broadcastRanks) broadcast(rates) else rates
+      val contribs = e.join(rateSide, "src")
+        .select(col("dst").as("node"), col("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("in_mass"))
+      ranks = withBase.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (col("base") + expr(s"($damping * coalesce(in_mass, 0L)) div 100"))
+            .as("rank_units"))
+        .localCheckpoint()
+    }
+    val out = ranks.withColumn("rank",
+      col("rank_units").cast("double") / 1e9)
+    e.unpersist()
+    srcs.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[personalized]]: identical unrolled fixed-point
+    * iterations; `sourcesRel` must yield a `node` column. */
+  def personalizedSql(edgesRel: String, sourcesRel: String,
+      iters: Int = 5, damping: Int = 85): String = {
+    val pre =
+      s"""edges AS (SELECT DISTINCT src, dst FROM $edgesRel),
+         |nodes AS (SELECT src AS node FROM edges
+         |  UNION SELECT dst FROM edges),
+         |srcs AS (SELECT DISTINCT node FROM ($sourcesRel)
+         |  WHERE node IN (SELECT node FROM nodes)),
+         |ns AS (SELECT count(*) AS ns FROM srcs),
+         |params AS (SELECT
+         |    CAST($Unit9 // ns AS BIGINT) AS init,
+         |    CAST(($Unit9 // ns) * ${100L - damping} // 100 AS BIGINT)
+         |      AS basesrc FROM ns),
+         |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |wb AS (SELECT n.node,
+         |    CASE WHEN s.node IS NOT NULL THEN basesrc
+         |      ELSE CAST(0 AS BIGINT) END AS base,
+         |    CASE WHEN s.node IS NOT NULL THEN init
+         |      ELSE CAST(0 AS BIGINT) END AS init
+         |  FROM nodes n CROSS JOIN params
+         |  LEFT JOIN srcs s ON n.node = s.node),
+         |it0 AS (SELECT node, init AS rank_units FROM wb)"""
+        .stripMargin.replace('\n', ' ')
+    val steps = (1 to iters).map { k =>
+      s"""it$k AS (
+         |  SELECT w.node, CAST(w.base
+         |    + ($damping * COALESCE(c.in_mass, 0)) // 100 AS BIGINT)
+         |    AS rank_units
+         |  FROM wb w
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum(r.rank_units // o.outdeg) AS BIGINT) AS in_mass
+         |    FROM it${k - 1} r
+         |    JOIN edges e ON r.node = e.src
+         |    JOIN outdeg o ON e.src = o.src
+         |    WHERE r.rank_units > 0
+         |    GROUP BY 1) c ON w.node = c.node)""".stripMargin
+        .replace('\n', ' ')
+    }.mkString(", ")
+    s"WITH $pre, $steps SELECT node, rank_units, " +
+      s"CAST(rank_units AS DOUBLE) / 1e9 AS rank FROM it$iters"
+  }
 }

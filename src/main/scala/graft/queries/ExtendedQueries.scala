@@ -217,6 +217,32 @@ object ExtendedQueries {
         assumeDistinct = true, symmetric = true)
         .orderBy("node")
     }),
+    // PERSONALIZED PageRank over the same bipartite graph: teleport
+    // restarts at the nation<5 supplier seeds, so rank = proximity to
+    // that seed set (the related-items / trust-propagation primitive),
+    // not global importance. Same integer fixed-point; rank-0 nodes
+    // skip the contribution join until mass reaches them
+    "g14_personalized_pagerank" -> ((s, d) => {
+      import graft.graph.PageRank
+      val pairs = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("s_node"),
+          (col("o_custkey") * 2 + 1).as("c_node"))
+        .distinct()
+      val edges = pairs
+        .select(col("s_node").as("src"), col("c_node").as("dst"))
+        .unionAll(pairs
+          .select(col("c_node").as("src"), col("s_node").as("dst")))
+      val seeds = table(s, d, "supplier")
+        .filter(col("s_nationkey") < 5)
+        .select((col("s_suppkey") * 2).as("node"))
+      PageRank.personalized(edges, seeds, iters = 5,
+        broadcastRanks = true, assumeDistinct = true, symmetric = true)
+        .orderBy("node")
+    }),
     // semi-structured extraction: the raw JSON props column parsed with
     // a declared schema (from_json — codegen'd, no UDF, malformed rows
     // null out instead of failing) and aggregated. The schema'd parse
@@ -1638,6 +1664,15 @@ object ExtendedQueries {
         |  SELECT o_custkey * 2 + 1, l_suppkey * 2
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
         .stripMargin.replace('\n', ' '), iters = 5) + " ORDER BY node"),
+    "g14_personalized_pagerank" -> (graft.graph.PageRank.personalizedSql(
+      """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT o_custkey * 2 + 1, l_suppkey * 2
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
+        .stripMargin.replace('\n', ' '),
+      "SELECT s_suppkey * 2 AS node FROM supplier WHERE s_nationkey < 5",
+      iters = 5) + " ORDER BY node"),
     "x18_global_ids" ->
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY doc_id) AS assigned_id,

@@ -32,6 +32,29 @@ class PageRankSpec extends AnyFunSuite {
     assert(r("s2") === r("s3"))
   }
 
+  test("personalized: S = all nodes degenerates to exactly global " +
+    "PageRank; mass never reaches a component disconnected from S; " +
+    "seeds carry the teleport base") {
+    // two disjoint symmetric 2-cycles; seed only the a-b component
+    val edges = Seq(("a", "b"), ("b", "a"), ("c", "d"), ("d", "c"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val p = PageRank.personalized(edges, seeds, iters = 10).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(p("c") === 0L && p("d") === 0L,
+      "teleport must not resurrect unreachable components")
+    val base = 1000000000L * 15L / 100L // |S| = 1
+    assert(p("a") >= base, "a seed always keeps its teleport mass")
+    assert(p("b") > 0L, "mass walks to the seed's neighbor")
+    // degenerate case: seeding EVERY node is global PageRank exactly
+    val all = Seq("a", "b", "c", "d").toDF("node")
+    val glob = PageRank.run(edges, iters = 7).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val pall = PageRank.personalized(edges, all, iters = 7).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(pall === glob)
+  }
+
   test("sink node collects rank from its pointers") {
     // chain a -> b -> c: c inherits the most flowed mass after a few
     // rounds; a (no in-edges) sits at the teleport base
