@@ -367,6 +367,74 @@ object ExtendedQueries {
           col("m.p_name").as("matched_name"), col("m.jw").as("jw"))
         .orderBy("d_key")
     }),
+    // GOLDEN-RECORD construction — what er1-er3's matching is FOR:
+    // three record variants per seed entity (clean; vowel-typo name +
+    // missing phone; dotted phone + missing segment) resolve to their
+    // entity via the er1 block + codegen'd-JW best match, then
+    // field-wise SURVIVORSHIP merges each cluster: most-frequent
+    // non-null value, (count desc, value asc) tie-break — mode by
+    // min_by, no window. Scale: matching is block-bounded like er1;
+    // survivorship is two hash aggregates over the (entity, field,
+    // value) long form, cluster-sized, never corpus²
+    "er4_golden_record" -> ((s, d) => {
+      import graft.expr.JaroWinkler
+      val cust = table(s, d, "customer")
+      val seeds = cust.filter(col("c_custkey") % 10 === 7)
+      // the testdata customer has no phone column; synthesize one from
+      // integer columns so both engines regenerate identical strings
+      val phone = concat(lit("P-"),
+        (col("c_custkey") % 1000).cast("string"), lit("-"),
+        col("c_nationkey").cast("string"))
+      def rec(off: Int, name: org.apache.spark.sql.Column,
+          ph: org.apache.spark.sql.Column,
+          seg: org.apache.spark.sql.Column) =
+        seeds.select((col("c_custkey") * 4 + off).as("rec_id"),
+          name.as("name"), ph.as("phone"), seg.as("segment"))
+      val records =
+        rec(0, col("c_name"), phone, col("c_mktsegment"))
+          .unionByName(rec(1, regexp_replace(col("c_name"), "o", "a"),
+            lit(null).cast("string"), col("c_mktsegment")))
+          .unionByName(rec(2, col("c_name"),
+            regexp_replace(phone, "-", "."),
+            lit(null).cast("string")))
+      val entity = records
+        .join(cust.select(col("c_custkey"), col("c_name")),
+          substring(col("name"), 12, 5) === substring(col("c_name"), 12, 5))
+        .withColumn("jw",
+          round(JaroWinkler.jw(col("name"), col("c_name")), 4))
+        .filter(col("jw") >= 0.85)
+        .groupBy(col("rec_id"))
+        .agg(min_by(col("c_custkey"),
+          struct((-col("jw")).as("nj"), col("c_custkey"))).as("entity"))
+      val recsE = records.join(entity, "rec_id")
+      val long = recsE.select(col("entity"),
+        explode(map(
+          lit("name"), col("name"), lit("phone"), col("phone"),
+          lit("segment"), col("segment"))).as(Seq("field", "value")))
+        .filter(col("value").isNotNull)
+      val picked = long
+        .groupBy(col("entity"), col("field"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("entity"), col("field"))
+        .agg(min_by(col("value"),
+          struct((-col("cnt")).as("nc"), col("value"))).as("golden"),
+          count(lit(1)).as("n_values"))
+      picked.groupBy(col("entity"))
+        .agg(
+          max(when(col("field") === "name", col("golden")))
+            .as("golden_name"),
+          max(when(col("field") === "phone", col("golden")))
+            .as("golden_phone"),
+          max(when(col("field") === "segment", col("golden")))
+            .as("golden_segment"),
+          sum(when(col("n_values") > 1, 1L).otherwise(0L))
+            .as("n_conflicts"))
+        .join(recsE.groupBy(col("entity"))
+          .agg(count(lit(1)).as("n_records")), "entity")
+        .select(col("entity"), col("golden_name"), col("golden_phone"),
+          col("golden_segment"), col("n_records"), col("n_conflicts"))
+        .orderBy("entity")
+    }),
     // per-group z-score tail detection from decimal-exact moments: ONE
     // aggregate per event_type computes n / Σv / Σv² in DECIMAL (bit-
     // reproducible regardless of partial-sum order — the ml2 Gram
@@ -1708,6 +1776,60 @@ object ExtendedQueries {
         |    END AS k
         |  FROM events)
         |GROUP BY 1 ORDER BY event_type""".stripMargin.replace('\n', ' '),
+    // survivorship mode spelled as row_number over (cnt DESC, value);
+    // entity assignment re-derived through the same block+JW best match
+    // so a misassigned cluster in the engine would hash-mismatch here
+    "er4_golden_record" ->
+      """WITH seeds AS (SELECT * FROM customer WHERE c_custkey % 10 = 7),
+        |records AS (
+        |  SELECT c_custkey * 4 AS rec_id, c_name AS name,
+        |    'P-' || CAST(c_custkey % 1000 AS VARCHAR) || '-' ||
+        |      CAST(c_nationkey AS VARCHAR) AS phone,
+        |    c_mktsegment AS segment FROM seeds
+        |  UNION ALL SELECT c_custkey * 4 + 1, replace(c_name, 'o', 'a'),
+        |    NULL, c_mktsegment FROM seeds
+        |  UNION ALL SELECT c_custkey * 4 + 2, c_name,
+        |    replace('P-' || CAST(c_custkey % 1000 AS VARCHAR) || '-' ||
+        |      CAST(c_nationkey AS VARCHAR), '-', '.'), NULL FROM seeds),
+        |ent AS (SELECT rec_id, entity FROM (
+        |    SELECT r.rec_id, c.c_custkey AS entity,
+        |      row_number() OVER (PARTITION BY r.rec_id ORDER BY
+        |        round(jaro_winkler_similarity(r.name, c.c_name), 4) DESC,
+        |        c.c_custkey) AS rn
+        |    FROM records r JOIN customer c
+        |      ON substr(r.name, 12, 5) = substr(c.c_name, 12, 5)
+        |    WHERE round(jaro_winkler_similarity(r.name, c.c_name), 4)
+        |      >= 0.85)
+        |  WHERE rn = 1),
+        |lng AS (
+        |  SELECT e.entity, 'name' AS field, r.name AS value
+        |  FROM records r JOIN ent e USING (rec_id) WHERE r.name IS NOT NULL
+        |  UNION ALL SELECT e.entity, 'phone', r.phone
+        |  FROM records r JOIN ent e USING (rec_id) WHERE r.phone IS NOT NULL
+        |  UNION ALL SELECT e.entity, 'segment', r.segment
+        |  FROM records r JOIN ent e USING (rec_id)
+        |  WHERE r.segment IS NOT NULL),
+        |modes AS (SELECT entity, field, value, n_values FROM (
+        |    SELECT entity, field, value, cnt,
+        |      row_number() OVER (PARTITION BY entity, field
+        |        ORDER BY cnt DESC, value) AS rn,
+        |      count(*) OVER (PARTITION BY entity, field) AS n_values
+        |    FROM (SELECT entity, field, value, count(*) AS cnt
+        |      FROM lng GROUP BY 1, 2, 3))
+        |  WHERE rn = 1),
+        |nr AS (SELECT e.entity, count(*) AS n_records
+        |  FROM records r JOIN ent e USING (rec_id) GROUP BY 1)
+        |SELECT m.entity,
+        |  max(CASE WHEN field = 'name' THEN value END) AS golden_name,
+        |  max(CASE WHEN field = 'phone' THEN value END) AS golden_phone,
+        |  max(CASE WHEN field = 'segment' THEN value END)
+        |    AS golden_segment,
+        |  max(n_records) AS n_records,
+        |  CAST(sum(CASE WHEN n_values > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_conflicts
+        |FROM modes m JOIN nr ON m.entity = nr.entity
+        |GROUP BY m.entity ORDER BY m.entity"""
+        .stripMargin.replace('\n', ' '),
     // DuckDB's jaro_winkler_similarity implements the same classic
     // algorithm (0.7 boost threshold, 0.1 prefix scale, cap 4 —
     // verified on the textbook pairs); 4-dp rounding absorbs last-bit

@@ -316,6 +316,46 @@ object FeatureQueries {
             .otherwise(0.0).as("y"))
       graft.ml.LogisticIrls.train(ev, "x", "y", iters = 3)
     }),
+    // decision-THRESHOLD SWEEP (the eval table ml3/ml4/ml5 lead to:
+    // which cutoff ships): per threshold t in 1..10, the confusion
+    // counts and precision/recall/F1 of "predict converter iff
+    // n_clicks ≥ t". Everything reduces to the (score → n_pos, n_neg)
+    // GRAIN first (scores are per-user click counts — domain-bounded),
+    // so the sweep is a 10×|scores| join on metadata-sized tables and
+    // the corpus contributes exactly one user-grain aggregate. Metrics
+    // are int/int divisions of identical operands rounded to 6dp;
+    // F1's harmonic mean evaluates the same double expression in both
+    // engines
+    "ml13_threshold_sweep" -> ((s, d) => {
+      val per = PipelineQueries.table(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("label"))
+      val grain = per.groupBy(col("score"))
+        .agg(sum(col("label")).as("np"),
+          (count(lit(1)) - sum(col("label"))).as("nn"))
+      val tot = grain.agg(sum(col("np")).as("p"), sum(col("nn")).as("n"))
+      val prec = col("tp").cast("double") /
+        (col("tp") + col("fp")).cast("double")
+      val rec = col("tp").cast("double") / col("p").cast("double")
+      s.range(1, 11).select(col("id").as("threshold"))
+        .join(broadcast(grain), col("score") >= col("threshold"), "left")
+        .groupBy(col("threshold"))
+        .agg(coalesce(sum(col("np")), lit(0L)).as("tp"),
+          coalesce(sum(col("nn")), lit(0L)).as("fp"))
+        .crossJoin(broadcast(tot))
+        .select(col("threshold"), col("tp"), col("fp"),
+          (col("p") - col("tp")).as("fn"),
+          (col("n") - col("fp")).as("tn"),
+          when(col("tp") + col("fp") > 0, round(prec, 6))
+            .as("precision"),
+          when(col("p") > 0, round(rec, 6)).as("recall"),
+          when(col("tp") > 0, round(
+            lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"))
+        .orderBy("threshold")
+    }),
     // POPULATION STABILITY INDEX — the drift monitor every deployed
     // model runs between its reference window and live traffic: ref =
     // pre-cutoff events, cur = post-cutoff; 10 bins from exact ref
@@ -456,6 +496,38 @@ object FeatureQueries {
         |    + 10.0 * (CAST(sum_all AS DOUBLE) / n_all))
         |    / CAST(n_cat + 10 AS DOUBLE) AS encoded
         |FROM c CROSS JOIN g ORDER BY c_mktsegment"""
+        .stripMargin.replace('\n', ' '),
+    // same score-grain reduction; F1 guarded on tp>0 (prec+rec=0 would
+    // 0/0) exactly like the engine side
+    "ml13_threshold_sweep" ->
+      """WITH per AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS score,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS label
+        |  FROM events GROUP BY 1),
+        |grain AS (SELECT score, sum(label) AS np,
+        |    count(*) - sum(label) AS nn
+        |  FROM per GROUP BY 1),
+        |tot AS (SELECT sum(np) AS p, sum(nn) AS n FROM grain),
+        |sw AS (SELECT t.threshold,
+        |    CAST(coalesce(sum(g.np), 0) AS BIGINT) AS tp,
+        |    CAST(coalesce(sum(g.nn), 0) AS BIGINT) AS fp
+        |  FROM (SELECT unnest(range(1, 11)) AS threshold) t
+        |  LEFT JOIN grain g ON g.score >= t.threshold
+        |  GROUP BY 1)
+        |SELECT CAST(threshold AS BIGINT) AS threshold, tp, fp,
+        |  CAST(p - tp AS BIGINT) AS fn, CAST(n - fp AS BIGINT) AS tn,
+        |  CASE WHEN tp + fp > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+        |  CASE WHEN p > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / p, 6) END AS recall,
+        |  CASE WHEN tp > 0 THEN round(
+        |    2.0 * (CAST(tp AS DOUBLE) / (tp + fp)) *
+        |      (CAST(tp AS DOUBLE) / p) /
+        |    ((CAST(tp AS DOUBLE) / (tp + fp)) + (CAST(tp AS DOUBLE) / p)),
+        |    6) END AS f1
+        |FROM sw CROSS JOIN tot ORDER BY threshold"""
         .stripMargin.replace('\n', ' '),
     // same histogram-level construction: integer rank-pick deciles on
     // the cumulative (value → count) table, edge-count binning, 1..10
