@@ -41,7 +41,9 @@ object Explain {
         "x61_time_decay_attribution",
         // round-6 additions
         "d10_incremental_dedup", "t26_target_mixture",
-        "dq4_freshness", "w14_rolling_slope", "ml12_psi")
+        "dq4_freshness", "w14_rolling_slope", "ml12_psi",
+        "g14_personalized_pagerank", "er4_golden_record",
+        "ml13_threshold_sweep")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
