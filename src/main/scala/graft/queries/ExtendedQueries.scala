@@ -1336,6 +1336,39 @@ object ExtendedQueries {
           expr("(n_purchase_after_click * 10000) div nullif(n_users, 0)")
             .as("purchase_bps"))
     }),
+    // TIME-BOUNDED funnel (x23's realistic sibling — real conversion
+    // windows expire): first view, then first click within 7 days OF
+    // THAT VIEW, then first purchase within 7 days OF THAT CLICK. The
+    // stage dependency is inherently sequential, so it runs as three
+    // user-keyed min-aggregates chained by equi-joins (each stage's
+    // table is ≤|users| rows) — µs-integer window predicates, exact in
+    // both engines, and basis-point conversion ratios per stage
+    "x62_windowed_funnel" -> ((s, d) => {
+      val ev = eventsUs(s, d)
+        .select(col("user_id"), col("event_type"), col("us"))
+      val win = 7L * 86400L * 1000000L
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("us") > col("v_us") && col("us") <= col("v_us") + win)
+        .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("us") > col("c_us") && col("us") <= col("c_us") + win)
+        .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+      ev.agg(countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(broadcast(v.agg(count(lit(1)).as("n_view"))))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click_7d"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase_7d"))))
+        .select(col("n_users"), col("n_view"), col("n_click_7d"),
+          col("n_purchase_7d"),
+          expr("(n_view * 10000) div nullif(n_users, 0)").as("view_bps"),
+          expr("(n_click_7d * 10000) div nullif(n_view, 0)")
+            .as("click_bps"),
+          expr("(n_purchase_7d * 10000) div nullif(n_click_7d, 0)")
+            .as("purchase_bps"))
+    }),
     // weekly cohort retention: cohort = signup week, activity = any
     // event's week; one distinct + one join keyed by user + one
     // metadata-sized aggregate — the standard growth-analytics matrix
@@ -2584,6 +2617,36 @@ object ExtendedQueries {
         |  (n_click_after_view * 10000) // nullif(n_users, 0) AS click_bps,
         |  (n_purchase_after_click * 10000) // nullif(n_users, 0) AS purchase_bps
         |FROM agg""".stripMargin.replace('\n', ' '),
+    // same chained user-keyed min-aggregates; window arithmetic on
+    // non-negative µs integers (// and div agree)
+    "x62_windowed_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS c_us
+        |  FROM ev e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us > v_us
+        |    AND us <= v_us + 604800000000 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS p_us
+        |  FROM ev e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > c_us
+        |    AND us <= c_us + 604800000000 GROUP BY 1),
+        |cnt AS (SELECT
+        |  (SELECT count(DISTINCT user_id) FROM ev) AS n_users,
+        |  (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click_7d,
+        |  (SELECT count(*) FROM p) AS n_purchase_7d)
+        |SELECT n_users, CAST(n_view AS BIGINT) AS n_view,
+        |  CAST(n_click_7d AS BIGINT) AS n_click_7d,
+        |  CAST(n_purchase_7d AS BIGINT) AS n_purchase_7d,
+        |  CAST(n_view * 10000 // nullif(n_users, 0) AS BIGINT)
+        |    AS view_bps,
+        |  CAST(n_click_7d * 10000 // nullif(n_view, 0) AS BIGINT)
+        |    AS click_bps,
+        |  CAST(n_purchase_7d * 10000 // nullif(n_click_7d, 0) AS BIGINT)
+        |    AS purchase_bps
+        |FROM cnt""".stripMargin.replace('\n', ' '),
     "x24_cohort_retention" ->
       """WITH ev AS (SELECT user_id, event_type,
         |    CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -189,6 +189,50 @@ object FeatureQueries {
           (col("sae_p").cast("double") / col("n")).as("mae_persistence"))
         .orderBy("location_id")
     }),
+    // LEARNING CURVE — "how much data do we need", the question every
+    // training-data budget decision turns on: persistence-baseline
+    // RMSE at cumulative 25/50/75/100% station slices. Slices are
+    // content-hash cuts (the t6/ml9 convention: RNG-free, nested by
+    // construction, partition-invariant), and ALL four slices compute
+    // in ONE aggregate over the lag pass — conditional decimal sums
+    // per cut, exploded to rows — so the curve costs one window + one
+    // aggregate no matter how many points it has
+    "ml14_learning_curve" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("location_id"))
+        .orderBy(col("datetime"))
+      def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(24,6)")
+      val err2 = d6((col("aqi") - col("p_persist")) *
+        (col("aqi") - col("p_persist")))
+      val scored = gold(s, d)
+        .select(col("location_id"), col("datetime"), col("aqi"),
+          lag(col("aqi"), 1).over(w).as("p_persist"))
+        .filter(col("p_persist").isNotNull)
+        .withColumn("h",
+          conv(substring(md5(col("location_id").cast("string")), 1, 4),
+            16, 10).cast("long"))
+      val cuts = Seq(25 -> 16384L, 50 -> 32768L, 75 -> 49152L,
+        100 -> 65536L)
+      val aggs = cuts.flatMap { case (pct, cut) => Seq(
+        sum(when(col("h") < cut, 1L).otherwise(0L)).as(s"n_$pct"),
+        sum(when(col("h") < cut, err2).otherwise(d6(lit(0))))
+          .as(s"sse_$pct"),
+        countDistinct(when(col("h") < cut, col("location_id")))
+          .as(s"ns_$pct"))
+      }
+      scored.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cuts.map { case (pct, _) => struct(
+          lit(pct).as("train_pct"),
+          col(s"ns_$pct").as("n_stations"),
+          col(s"n_$pct").as("n_preds"),
+          when(col(s"n_$pct") > 0,
+            sqrt(col(s"sse_$pct").cast("double") / col(s"n_$pct")))
+            .as("rmse"))
+        }: _*)).as("r"))
+        .select(col("r.train_pct"), col("r.n_stations"),
+          col("r.n_preds"), col("r.rmse"))
+        .orderBy("train_pct")
+    }),
     // unpivot (melt): the wide pollutant matrix back to long — the
     // inverse of r6/x2, one row-local expand (no shuffle); null-valued
     // cells drop like the SQL UNPIVOT default
@@ -497,6 +541,31 @@ object FeatureQueries {
         |    / CAST(n_cat + 10 AS DOUBLE) AS encoded
         |FROM c CROSS JOIN g ORDER BY c_mktsegment"""
         .stripMargin.replace('\n', ' '),
+    // same nested content-hash slices; DuckDB's filtered conditional
+    // sums mirror the one-aggregate construction
+    "ml14_learning_curve" -> withPipeline(
+      """, sc AS (SELECT location_id, aqi,
+        |    lag(aqi, 1) OVER (PARTITION BY location_id
+        |      ORDER BY datetime) AS p,
+        |    CAST(('0x' || substr(md5(CAST(location_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) AS h
+        |  FROM gold),
+        |f AS (SELECT * FROM sc WHERE p IS NOT NULL),
+        |sl AS (SELECT * FROM (VALUES (25, 16384), (50, 32768),
+        |  (75, 49152), (100, 65536)) AS v(pct, cut))
+        |SELECT CAST(pct AS INT) AS train_pct,
+        |  count(DISTINCT CASE WHEN h < cut THEN location_id END)
+        |    AS n_stations,
+        |  CAST(sum(CASE WHEN h < cut THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_preds,
+        |  CASE WHEN sum(CASE WHEN h < cut THEN 1 ELSE 0 END) > 0 THEN
+        |    sqrt(CAST(sum(CASE WHEN h < cut
+        |        THEN CAST((aqi - p) * (aqi - p) AS DECIMAL(24,6))
+        |        ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+        |      / sum(CASE WHEN h < cut THEN 1 ELSE 0 END))
+        |  END AS rmse
+        |FROM f CROSS JOIN sl GROUP BY pct ORDER BY train_pct"""
+        .stripMargin.replace('\n', ' ')),
     // same score-grain reduction; F1 guarded on tp>0 (prec+rec=0 would
     // 0/0) exactly like the engine side
     "ml13_threshold_sweep" ->
