@@ -607,6 +607,38 @@ object ExtendedQueries {
         asOfMicros = 1706745600000000L, maxLagSeconds = 88200L)
         .orderBy("event_type")
     }),
+    // CATEGORICAL drift gate (dq5 — ml12's categorical sibling, the
+    // fifth quality check): ref-vs-current event-type distribution
+    // compared by chi-square contribution per category. Both sides
+    // reduce to |categories|-row count tables at scan speed; expected
+    // counts and chi² terms are the same double expressions of exact
+    // integer operands in both engines, 6dp-rounded; a category
+    // absent from ref (expected 0) yields a NULL term, not an ε fudge
+    "dq5_categorical_drift" -> ((s, d) => {
+      val ev = eventsUs(s, d)
+      val cutoff = 1705795200000000L // 2024-01-21 00:00:00 UTC µs
+      def cnt(f: org.apache.spark.sql.Column, out: String) =
+        ev.filter(f).groupBy(col("event_type"))
+          .agg(count(lit(1)).as(out))
+      val r = cnt(col("us") < cutoff, "n_ref")
+      val c = cnt(col("us") >= cutoff, "n_cur")
+      val joined = r.join(c, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      val tot = joined.agg(sum(col("n_ref")).as("tr"),
+        sum(col("n_cur")).as("tc"))
+      val exp = col("n_ref").cast("double") / col("tr").cast("double") *
+        col("tc").cast("double")
+      joined.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          round(exp, 6).as("expected_cur"),
+          when(col("n_ref") > 0, round(
+            (col("n_cur").cast("double") - exp) *
+              (col("n_cur").cast("double") - exp) / exp, 6))
+            .as("chi2_term"))
+        .orderBy("event_type")
+    }),
     // explicit GROUPING SETS with grouping_id — the third grouping
     // construct next to rollup (x5) and cube (x12): only the requested
     // combinations compute, one expand + one aggregate
@@ -2519,6 +2551,27 @@ object ExtendedQueries {
         |  CAST(n_child_rows AS BIGINT) AS n_child_rows,
         |  coalesce(n_orphan_rows, 0) = 0 AS pass
         |FROM t LEFT JOIN o ON o.rule = t.rule ORDER BY t.rule"""
+        .stripMargin.replace('\n', ' '),
+    // same |categories|-row reduction; chi² terms as the identical
+    // double expression, NULL when the category is absent from ref
+    "dq5_categorical_drift" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |r AS (SELECT event_type, count(*) AS n_ref FROM ev
+        |  WHERE us < 1705795200000000 GROUP BY 1),
+        |c AS (SELECT event_type, count(*) AS n_cur FROM ev
+        |  WHERE us >= 1705795200000000 GROUP BY 1),
+        |j AS (SELECT coalesce(r.event_type, c.event_type) AS event_type,
+        |    CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+        |    CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+        |  FROM r FULL OUTER JOIN c ON r.event_type = c.event_type),
+        |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+        |SELECT event_type, n_ref, n_cur,
+        |  round(CAST(n_ref AS DOUBLE) / tr * tc, 6) AS expected_cur,
+        |  CASE WHEN n_ref > 0 THEN round(
+        |    (CAST(n_cur AS DOUBLE) - CAST(n_ref AS DOUBLE) / tr * tc) *
+        |    (CAST(n_cur AS DOUBLE) - CAST(n_ref AS DOUBLE) / tr * tc) /
+        |    (CAST(n_ref AS DOUBLE) / tr * tc), 6) END AS chi2_term
+        |FROM j CROSS JOIN t ORDER BY event_type"""
         .stripMargin.replace('\n', ' '),
     // lag is non-negative by the as-of contract, so DuckDB's flooring
     // // and Spark's truncating div agree
