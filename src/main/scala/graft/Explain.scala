@@ -43,7 +43,8 @@ object Explain {
         "d10_incremental_dedup", "t26_target_mixture",
         "dq4_freshness", "w14_rolling_slope", "ml12_psi",
         "g14_personalized_pagerank", "er4_golden_record",
-        "ml13_threshold_sweep")
+        "ml13_threshold_sweep", "ml14_learning_curve",
+        "x62_windowed_funnel", "dq5_categorical_drift")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -79,6 +79,40 @@ object Checks {
     }.reduce(_.unionByName(_))
   }
 
+  /** Categorical drift gate — [[report]]'s fifth sibling and the
+    * categorical counterpart of the numeric PSI: reference-vs-current
+    * distribution of a category column compared by per-category
+    * chi-square contribution. Both sides reduce to |categories|-row
+    * count tables at scan speed; a category absent from the CURRENT
+    * side still reports (expected > 0, observed 0 — the vanished-
+    * category alarm), and a category absent from the REFERENCE yields
+    * a NULL term rather than an ε fudge (no expected value exists).
+    *
+    * Determinism: expected counts and chi² terms are the same double
+    * expressions of exact integer operands in both engines, rounded
+    * to 6dp. */
+  def categoricalDrift(ref: DataFrame, cur: DataFrame,
+      catCol: String): DataFrame = {
+    def cnt(df: DataFrame, out: String) =
+      df.groupBy(col(catCol)).agg(count(lit(1)).as(out))
+    val joined = cnt(ref, "n_ref")
+      .join(cnt(cur, "n_cur"), Seq(catCol), "full_outer")
+      .select(col(catCol),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(sum(col("n_ref")).as("tr"),
+      sum(col("n_cur")).as("tc"))
+    val exp = col("n_ref").cast("double") / col("tr").cast("double") *
+      col("tc").cast("double")
+    joined.crossJoin(broadcast(tot))
+      .select(col(catCol), col("n_ref"), col("n_cur"),
+        round(exp, 6).as("expected_cur"),
+        when(col("n_ref") > 0, round(
+          (col("n_cur").cast("double") - exp) *
+            (col("n_cur").cast("double") - exp) / exp, 6))
+          .as("chi2_term"))
+  }
+
   /** Freshness gate — the fourth check next to the rules report, the
     * volume band, and referential integrity: per partition key (source,
     * event type, feed), the lag between a reference instant and the

@@ -615,28 +615,12 @@ object ExtendedQueries {
     // integer operands in both engines, 6dp-rounded; a category
     // absent from ref (expected 0) yields a NULL term, not an ε fudge
     "dq5_categorical_drift" -> ((s, d) => {
+      import graft.quality.Checks
       val ev = eventsUs(s, d)
       val cutoff = 1705795200000000L // 2024-01-21 00:00:00 UTC µs
-      def cnt(f: org.apache.spark.sql.Column, out: String) =
-        ev.filter(f).groupBy(col("event_type"))
-          .agg(count(lit(1)).as(out))
-      val r = cnt(col("us") < cutoff, "n_ref")
-      val c = cnt(col("us") >= cutoff, "n_cur")
-      val joined = r.join(c, Seq("event_type"), "full_outer")
-        .select(col("event_type"),
-          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-      val tot = joined.agg(sum(col("n_ref")).as("tr"),
-        sum(col("n_cur")).as("tc"))
-      val exp = col("n_ref").cast("double") / col("tr").cast("double") *
-        col("tc").cast("double")
-      joined.crossJoin(broadcast(tot))
-        .select(col("event_type"), col("n_ref"), col("n_cur"),
-          round(exp, 6).as("expected_cur"),
-          when(col("n_ref") > 0, round(
-            (col("n_cur").cast("double") - exp) *
-              (col("n_cur").cast("double") - exp) / exp, 6))
-            .as("chi2_term"))
+      Checks.categoricalDrift(
+        ev.filter(col("us") < cutoff),
+        ev.filter(col("us") >= cutoff), "event_type")
         .orderBy("event_type")
     }),
     // explicit GROUPING SETS with grouping_id — the third grouping
@@ -1376,23 +1360,16 @@ object ExtendedQueries {
     // table is ≤|users| rows) — µs-integer window predicates, exact in
     // both engines, and basis-point conversion ratios per stage
     "x62_windowed_funnel" -> ((s, d) => {
+      import graft.analytics.Funnel
       val ev = eventsUs(s, d)
         .select(col("user_id"), col("event_type"), col("us"))
-      val win = 7L * 86400L * 1000000L
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
-      val c = ev.filter(col("event_type") === "click")
-        .join(v, "user_id")
-        .filter(col("us") > col("v_us") && col("us") <= col("v_us") + win)
-        .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .join(c, "user_id")
-        .filter(col("us") > col("c_us") && col("us") <= col("c_us") + win)
-        .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+      val st = Funnel.windowedStageTimes(ev, "event_type", "user_id",
+        "us", Seq("view", "click", "purchase"), 7L * 86400L * 1000000L)
       ev.agg(countDistinct(col("user_id")).as("n_users"))
-        .crossJoin(broadcast(v.agg(count(lit(1)).as("n_view"))))
-        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click_7d"))))
-        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase_7d"))))
+        .crossJoin(broadcast(st.agg(
+          count(col("t_1")).as("n_view"),
+          count(col("t_2")).as("n_click_7d"),
+          count(col("t_3")).as("n_purchase_7d"))))
         .select(col("n_users"), col("n_view"), col("n_click_7d"),
           col("n_purchase_7d"),
           expr("(n_view * 10000) div nullif(n_users, 0)").as("view_bps"),

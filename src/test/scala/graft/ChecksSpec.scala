@@ -75,6 +75,29 @@ class ChecksSpec extends AnyFunSuite {
     assert(err.getMessage.contains("single key column"))
   }
 
+  test("categorical drift: vanished category reports (expected>0, " +
+    "observed 0); brand-new category yields NULL term; chi2 exact on " +
+    "a hand-computed split") {
+    val ref = Seq("a", "a", "a", "b").toDF("cat")
+    val cur = Seq("a", "b", "b", "c").toDF("cat")
+    val out = Checks.categoricalDrift(ref, cur, "cat")
+      .orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Double])))
+    // totals: tr=4, tc=4; expected a=3, b=1, c=0
+    // a: (1-3)²/3 = 4/3 → 1.333333 at 6dp
+    assert(out(0) === (("a", 3L, 1L, 3.0, Some(1.333333))))
+    assert(out(1) === (("b", 1L, 2L, 1.0, Some(1.0))))
+    assert(out(2)._1 === "c" && out(2)._2 === 0L && out(2)._3 === 1L)
+    assert(out(2)._5.isEmpty, "no reference mass → NULL term, no ε")
+    // vanished category: present in ref, absent from cur
+    val gone = Checks.categoricalDrift(ref,
+      Seq("a").toDF("cat"), "cat").orderBy("cat").collect()
+    val bRow = gone.find(_.getString(0) == "b").get
+    assert(bRow.getLong(2) === 0L && bRow.getDouble(3) > 0,
+      "a vanished category must still report with expected > 0")
+  }
+
   test("freshness: stale partition fails the SLO, fresh one passes, " +
     "lag floors to whole seconds") {
     val asOf = 1706745600000000L
