@@ -407,30 +407,8 @@ object ExtendedQueries {
         .agg(min_by(col("c_custkey"),
           struct((-col("jw")).as("nj"), col("c_custkey"))).as("entity"))
       val recsE = records.join(entity, "rec_id")
-      val long = recsE.select(col("entity"),
-        explode(map(
-          lit("name"), col("name"), lit("phone"), col("phone"),
-          lit("segment"), col("segment"))).as(Seq("field", "value")))
-        .filter(col("value").isNotNull)
-      val picked = long
-        .groupBy(col("entity"), col("field"), col("value"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("entity"), col("field"))
-        .agg(min_by(col("value"),
-          struct((-col("cnt")).as("nc"), col("value"))).as("golden"),
-          count(lit(1)).as("n_values"))
-      picked.groupBy(col("entity"))
-        .agg(
-          max(when(col("field") === "name", col("golden")))
-            .as("golden_name"),
-          max(when(col("field") === "phone", col("golden")))
-            .as("golden_phone"),
-          max(when(col("field") === "segment", col("golden")))
-            .as("golden_segment"),
-          sum(when(col("n_values") > 1, 1L).otherwise(0L))
-            .as("n_conflicts"))
-        .join(recsE.groupBy(col("entity"))
-          .agg(count(lit(1)).as("n_records")), "entity")
+      graft.er.Survivorship.goldenRecords(recsE, "entity",
+        Seq("name", "phone", "segment"))
         .select(col("entity"), col("golden_name"), col("golden_phone"),
           col("golden_segment"), col("n_records"), col("n_conflicts"))
         .orderBy("entity")
