@@ -585,6 +585,49 @@ object ExtendedQueries {
         asOfMicros = 1706745600000000L, maxLagSeconds = 88200L)
         .orderBy("event_type")
     }),
+    // RFM SEGMENTATION (the marketing-analytics classic, built the
+    // 100 TB way): each user's recency (days since last event),
+    // frequency (event count), monetary (Σvalue floored to whole
+    // units — documented quantization) quartile-coded, users counted
+    // per (r,f,m) cell. NO user-sized sort/ntile anywhere: quartile
+    // edges come from DOMAIN-BOUNDED (dim → count) histograms via the
+    // ml12 integer rank-pick (cum·4 ≥ i·N), and binning is the
+    // count-of-edges-below trick against three 3-row broadcasts —
+    // the corpus contributes one user-grain aggregate
+    "x64_rfm_segmentation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val asOf = 1706745600000000L // 2024-02-01 00:00:00 UTC µs
+      val per = eventsUs(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(col("us")).as("last_us"),
+          count(lit(1)).as("f"),
+          coalesce(sum(col("value").cast("decimal(18,2)")),
+            lit(0).cast("decimal(18,2)")).as("m_exact"))
+        .select(col("user_id"),
+          expr(s"($asOf - last_us) div 86400000000").as("r"),
+          col("f"), col("m_exact"),
+          floor(col("m_exact")).cast("long").as("m"))
+      def edges(dim: String) = {
+        val h = per.groupBy(col(dim).as("v"))
+          .agg(count(lit(1)).as("c"))
+        h.withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
+          .crossJoin(broadcast(h.agg(sum(col("c")).as("n"))))
+          .select(col("v"), col("cum"), col("n"),
+            explode(sequence(lit(1), lit(3))).as("i"))
+          .filter(col("cum") * 4 >= col("i") * col("n"))
+          .groupBy(col("i")).agg(min(col("v")).as("edge"))
+          .select(col("i").as(s"${dim}_i"), col("edge").as(s"${dim}_e"))
+      }
+      def bin(df: DataFrame, dim: String) = df
+        .join(broadcast(edges(dim)), col(dim) > col(s"${dim}_e"), "left")
+        .groupBy(df.columns.map(col): _*)
+        .agg((count(col(s"${dim}_i")) + 1).as(s"${dim}_bin"))
+      bin(bin(bin(per.drop("m_exact"), "r"), "f"), "m")
+        .groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("m")).as("sum_m_units"))
+        .orderBy("r_bin", "f_bin", "m_bin")
+    }),
     // CATEGORICAL drift gate (dq5 — ml12's categorical sibling, the
     // fifth quality check): ref-vs-current event-type distribution
     // compared by chi-square contribution per category. Both sides
@@ -2506,6 +2549,45 @@ object ExtendedQueries {
         |  CAST(n_child_rows AS BIGINT) AS n_child_rows,
         |  coalesce(n_orphan_rows, 0) = 0 AS pass
         |FROM t LEFT JOIN o ON o.rule = t.rule ORDER BY t.rule"""
+        .stripMargin.replace('\n', ' '),
+    // same histogram rank-pick edges + count-of-edges-below binning;
+    // user-unique keys make the per-user bin a GROUP BY user_id
+    "x64_rfm_segmentation" ->
+      """WITH ev AS (SELECT user_id, value, epoch_us(ts) AS us
+        |  FROM events),
+        |per AS (SELECT user_id,
+        |    (1706745600000000 - max(us)) // 86400000000 AS r,
+        |    count(*) AS f,
+        |    CAST(floor(coalesce(sum(CAST(value AS DECIMAL(18,2))),
+        |      CAST(0 AS DECIMAL(18,2)))) AS BIGINT) AS m
+        |  FROM ev GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM per),
+        |rh AS (SELECT r AS v, count(*) AS c FROM per GROUP BY 1),
+        |rc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM rh),
+        |re AS (SELECT i, min(v) AS e FROM rc CROSS JOIN nn
+        |  CROSS JOIN unnest(range(1, 4)) AS t(i)
+        |  WHERE cum * 4 >= i * n GROUP BY 1),
+        |fh AS (SELECT f AS v, count(*) AS c FROM per GROUP BY 1),
+        |fc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM fh),
+        |fe AS (SELECT i, min(v) AS e FROM fc CROSS JOIN nn
+        |  CROSS JOIN unnest(range(1, 4)) AS t(i)
+        |  WHERE cum * 4 >= i * n GROUP BY 1),
+        |mh AS (SELECT m AS v, count(*) AS c FROM per GROUP BY 1),
+        |mc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM mh),
+        |me AS (SELECT i, min(v) AS e FROM mc CROSS JOIN nn
+        |  CROSS JOIN unnest(range(1, 4)) AS t(i)
+        |  WHERE cum * 4 >= i * n GROUP BY 1),
+        |rb AS (SELECT user_id, 1 + count(e.i) AS r_bin
+        |  FROM per LEFT JOIN re e ON per.r > e.e GROUP BY 1),
+        |fb AS (SELECT user_id, 1 + count(e.i) AS f_bin
+        |  FROM per LEFT JOIN fe e ON per.f > e.e GROUP BY 1),
+        |mb AS (SELECT user_id, 1 + count(e.i) AS m_bin
+        |  FROM per LEFT JOIN me e ON per.m > e.e GROUP BY 1)
+        |SELECT r_bin, f_bin, m_bin, count(*) AS n_users,
+        |  CAST(sum(p.m) AS BIGINT) AS sum_m_units
+        |FROM per p JOIN rb USING (user_id) JOIN fb USING (user_id)
+        |  JOIN mb USING (user_id)
+        |GROUP BY 1, 2, 3 ORDER BY r_bin, f_bin, m_bin"""
         .stripMargin.replace('\n', ' '),
     // same |categories|-row reduction; chi² terms as the identical
     // double expression, NULL when the category is absent from ref
