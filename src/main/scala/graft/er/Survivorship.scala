@@ -21,7 +21,11 @@ object Survivorship {
 
   /** @param records  resolved records: `entityCol` + string `fields`
     * @return one row per entity: golden_<field> columns, n_records,
-    *         n_conflicts (fields with >1 distinct non-null value) */
+    *         n_conflicts (fields with >1 distinct non-null value).
+    *         An entity whose records are NULL in EVERY field still
+    *         surfaces (all-NULL golden columns, 0 conflicts) — the
+    *         records side of the final join is preserved, so "one row
+    *         per entity" holds even for the degenerate cluster. */
   def goldenRecords(records: DataFrame, entityCol: String,
       fields: Seq[String]): DataFrame = {
     require(fields.nonEmpty, "at least one field required")
@@ -40,9 +44,12 @@ object Survivorship {
       max(when(col("field") === f, col("golden"))).as(s"golden_$f"))
     val aggs = goldenCols :+
       sum(when(col("n_values") > 1, 1L).otherwise(0L)).as("n_conflicts")
-    picked.groupBy(col(entityCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .join(records.groupBy(col(entityCol))
-        .agg(count(lit(1)).as("n_records")), entityCol)
+    records.groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_records"))
+      .join(picked.groupBy(col(entityCol)).agg(aggs.head, aggs.tail: _*),
+        Seq(entityCol), "left_outer")
+      .withColumn("n_conflicts", coalesce(col("n_conflicts"), lit(0L)))
+      .select(col(entityCol) +: fields.map(f => col(s"golden_$f")) :+
+        col("n_conflicts") :+ col("n_records"): _*)
   }
 }

@@ -102,8 +102,12 @@ object Checks {
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val tot = joined.agg(sum(col("n_ref")).as("tr"),
       sum(col("n_cur")).as("tc"))
-    val exp = col("n_ref").cast("double") / col("tr").cast("double") *
-      col("tc").cast("double")
+    // tr > 0 guard: an empty reference window would otherwise make the
+    // division NaN/Inf in Spark while DuckDB's ÷0 semantics differ —
+    // the degenerate input yields NULLs in BOTH engines instead
+    val exp = when(col("tr") > 0,
+      col("n_ref").cast("double") / col("tr").cast("double") *
+        col("tc").cast("double"))
     joined.crossJoin(broadcast(tot))
       .select(col(catCol), col("n_ref"), col("n_cur"),
         round(exp, 6).as("expected_cur"),
@@ -122,9 +126,12 @@ object Checks {
     *
     * `asOfMicros` is an explicit µs instant, not now(): deterministic,
     * replayable, and at 100 TB the "as of" is the orchestrator's run
-    * logical time anyway. Must be ≥ every event's timestamp — the lag
-    * division is documented non-negative so Spark's truncating `div`
-    * and DuckDB's flooring `//` cannot diverge.
+    * logical time anyway. The as-of SHOULD be ≥ every event's
+    * timestamp, but the contract is enforced rather than assumed: lag
+    * is floored at 0 (so Spark's truncating `div` and DuckDB's
+    * flooring `//` can never see a negative operand and diverge) and a
+    * future-dated partition — max(ts) past the as-of — FAILS the gate
+    * outright instead of silently reading fresh.
     *
     * Scale: ONE partial-aggregatable (key → max, count) pass at scan
     * speed; the report is |keys|-sized. */
@@ -133,9 +140,10 @@ object Checks {
     df.groupBy(col(keyCol))
       .agg(max(tsMicros).as("latest_us"), count(lit(1)).as("n_rows"))
       .withColumn("lag_s",
-        expr(s"($asOfMicros - latest_us) div 1000000"))
+        expr(s"greatest(0, ($asOfMicros - latest_us) div 1000000)"))
       .select(col(keyCol), timestamp_micros(col("latest_us"))
           .as("latest_ts"),
         col("n_rows"), col("lag_s"),
-        (col("lag_s") <= maxLagSeconds).as("pass"))
+        (col("lag_s") <= maxLagSeconds &&
+          col("latest_us") <= asOfMicros).as("pass"))
 }

@@ -1882,16 +1882,17 @@ object ExtendedQueries {
         |  WHERE rn = 1),
         |nr AS (SELECT e.entity, count(*) AS n_records
         |  FROM records r JOIN ent e USING (rec_id) GROUP BY 1)
-        |SELECT m.entity,
+        |SELECT nr.entity,
         |  max(CASE WHEN field = 'name' THEN value END) AS golden_name,
         |  max(CASE WHEN field = 'phone' THEN value END) AS golden_phone,
         |  max(CASE WHEN field = 'segment' THEN value END)
         |    AS golden_segment,
-        |  max(n_records) AS n_records,
-        |  CAST(sum(CASE WHEN n_values > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  max(nr.n_records) AS n_records,
+        |  CAST(coalesce(
+        |    sum(CASE WHEN n_values > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
         |    AS n_conflicts
-        |FROM modes m JOIN nr ON m.entity = nr.entity
-        |GROUP BY m.entity ORDER BY m.entity"""
+        |FROM nr LEFT JOIN modes m ON m.entity = nr.entity
+        |GROUP BY nr.entity ORDER BY nr.entity"""
         .stripMargin.replace('\n', ' '),
     // DuckDB's jaro_winkler_similarity implements the same classic
     // algorithm (0.7 boost threshold, 0.1 prefix scale, cap 4 —
@@ -2603,21 +2604,26 @@ object ExtendedQueries {
         |  FROM r FULL OUTER JOIN c ON r.event_type = c.event_type),
         |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
         |SELECT event_type, n_ref, n_cur,
-        |  round(CAST(n_ref AS DOUBLE) / tr * tc, 6) AS expected_cur,
+        |  CASE WHEN tr > 0
+        |    THEN round(CAST(n_ref AS DOUBLE) / tr * tc, 6) END
+        |    AS expected_cur,
         |  CASE WHEN n_ref > 0 THEN round(
         |    (CAST(n_cur AS DOUBLE) - CAST(n_ref AS DOUBLE) / tr * tc) *
         |    (CAST(n_cur AS DOUBLE) - CAST(n_ref AS DOUBLE) / tr * tc) /
         |    (CAST(n_ref AS DOUBLE) / tr * tc), 6) END AS chi2_term
         |FROM j CROSS JOIN t ORDER BY event_type"""
         .stripMargin.replace('\n', ' '),
-    // lag is non-negative by the as-of contract, so DuckDB's flooring
-    // // and Spark's truncating div agree
+    // lag floored at 0 in BOTH engines (so DuckDB's flooring // and
+    // Spark's truncating div never see a negative operand); a
+    // future-dated partition fails via the max(ts) <= as-of conjunct
     "dq4_freshness" ->
       """SELECT event_type, max(ts) AS latest_ts,
         |  count(*) AS n_rows,
-        |  (1706745600000000 - epoch_us(max(ts))) // 1000000 AS lag_s,
-        |  (1706745600000000 - epoch_us(max(ts))) // 1000000 <= 88200
-        |    AS pass
+        |  greatest(0, (1706745600000000 - epoch_us(max(ts))) // 1000000)
+        |    AS lag_s,
+        |  (greatest(0,
+        |     (1706745600000000 - epoch_us(max(ts))) // 1000000) <= 88200
+        |   AND epoch_us(max(ts)) <= 1706745600000000) AS pass
         |FROM events GROUP BY 1 ORDER BY event_type"""
         .stripMargin.replace('\n', ' '),
     "x28_grouping_sets" -> withPipeline(

@@ -168,6 +168,11 @@ object TextAnalysis {
 
   def fingerprintSql(t: String): String = s"md5(${normalizedSql(t)})"
 
+  /** SQL string-literal escape for values interpolated into generated
+    * oracle SQL (stratum names, budgets keys): doubles embedded single
+    * quotes so a value like "o'brien" cannot produce malformed SQL. */
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
   /** 64-bit fast fingerprint for shuffle keys (Spark-side only). */
   def fingerprint64(text: Column): Column = xxhash64(normalized(text))
 
@@ -285,7 +290,8 @@ object TextAnalysis {
   def stratifiedSampleSql(strataCol: String, t: String,
       rates: Map[String, Double], defaultRate: Double): String = {
     val whens = rates.toSeq.sortBy(_._1)
-      .map { case (s, r) => s"WHEN $strataCol = '$s' THEN '${sampleCut(r)}'" }
+      .map { case (s, r) =>
+        s"WHEN $strataCol = '${sqlLit(s)}' THEN '${sampleCut(r)}'" }
       .mkString(" ")
     s"substr(${fingerprintSql(t)}, 1, 4) < " +
       s"(CASE $whens ELSE '${sampleCut(defaultRate)}' END)"
@@ -358,7 +364,7 @@ object TextAnalysis {
   def targetMixtureSampleSql(strataCol: String,
       weights: Map[String, Int]): String = {
     val wCase = weights.toSeq.sortBy(_._1)
-      .map { case (s, w) => s"WHEN $strataCol = '$s' THEN $w" }
+      .map { case (s, w) => s"WHEN $strataCol = '${sqlLit(s)}' THEN $w" }
       .mkString("(CASE ", " ", " ELSE NULL END)")
     val h = s"CAST(('0x' || substr(${fingerprintSql("text")}, 1, 4)) " +
       "AS BIGINT)"
@@ -418,7 +424,7 @@ object TextAnalysis {
       budgets: Map[String, Long], defaultBudget: Long): String = {
     val toks = tokensSql("text")
     val whens = budgets.toSeq.sortBy(_._1)
-      .map { case (s, b) => s"WHEN $strataCol = '$s' THEN $b" }
+      .map { case (s, b) => s"WHEN $strataCol = '${sqlLit(s)}' THEN $b" }
       .mkString(" ")
     s"""SELECT * FROM (
        |  SELECT doc_id, lang, source,

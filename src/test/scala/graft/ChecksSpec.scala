@@ -115,6 +115,35 @@ class ChecksSpec extends AnyFunSuite {
       ("fresh", 2L, 5L, true), ("stale", 1L, 7200L, false)))
   }
 
+  test("freshness: a future-dated partition FAILS rather than reading " +
+    "fresh; its lag floors to 0") {
+    val asOf = 1706745600000000L
+    val rows = Seq(
+      ("future", asOf + 60000000L),   // 60 s AFTER the as-of instant
+      ("ok", asOf - 1000000L)
+    ).toDF("k", "us")
+    val out = Checks.freshness(rows, "k", col("us"), asOf,
+      maxLagSeconds = 60)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq === Seq(("future", 0L, false), ("ok", 1L, true)),
+      "contract violation (max ts > as-of) must fail the gate, never " +
+        "produce a negative lag")
+  }
+
+  test("categorical drift: empty reference window yields NULL expected " +
+    "and NULL terms, not NaN/Infinity") {
+    val ref = Seq.empty[String].toDF("cat")
+    val cur = Seq("a", "b").toDF("cat")
+    val out = Checks.categoricalDrift(ref, cur, "cat")
+      .orderBy("cat").collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.isNullAt(3), s"expected_cur must be NULL, got ${r.get(3)}")
+      assert(r.isNullAt(4), s"chi2_term must be NULL, got ${r.get(4)}")
+    }
+  }
+
   test("clean data passes every rule") {
     val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "value")
     val out = Checks.report(df,

@@ -48,4 +48,23 @@ class SurvivorshipSpec extends AnyFunSuite {
     assert(r.getAs[String]("golden_phone") === null)
     assert(r.getAs[Long]("n_conflicts") === 0L)
   }
+
+  test("an entity whose records are NULL in EVERY field still surfaces " +
+    "with all-NULL golden columns and 0 conflicts") {
+    val n = null.asInstanceOf[String]
+    val mixed = Seq(
+      (1L, "A", "111"),
+      (2L, n, n),
+      (2L, n, n)
+    ).toDF("entity", "name", "phone")
+    val out = Survivorship.goldenRecords(mixed, "entity",
+      Seq("name", "phone")).orderBy("entity").collect()
+    assert(out.length === 2, "one row per entity even when all fields " +
+      "are NULL everywhere")
+    val ghost = out(1)
+    assert(ghost.getAs[String]("golden_name") === null)
+    assert(ghost.getAs[String]("golden_phone") === null)
+    assert(ghost.getAs[Long]("n_conflicts") === 0L)
+    assert(ghost.getAs[Long]("n_records") === 2L)
+  }
 }
