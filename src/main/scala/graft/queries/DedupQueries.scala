@@ -162,6 +162,28 @@ object DedupQueries {
         .unionAll(docs.filter(col("doc_id") % 10 === 1)
           .withColumn("doc_id", col("doc_id") + 400000))
       Dedup.incrementalDedup(corpus, incoming).orderBy("doc_id")
+    }),
+    // cross-batch NEAR-dup dedup: the d10 scenario again, but the
+    // planted re-deliveries are MUTATED — every 10th doc of the sliced
+    // corpus re-arrives with an appended unique token (shingle Jaccard
+    // ≈ 0.95, exact fingerprint DIFFERENT, so d10 would accept it) and
+    // every 20th verbatim (near-dup must subsume exact). The slice
+    // (doc_id < 600) bounds the oracle's all-pairs ground truth at any
+    // SF; the engine side runs the LSH band-index probe + exact-Jaccard
+    // verify, so a green row also certifies total LSH recall here
+    "d11_incremental_neardup" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 600)
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .unionAll(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(col("text"), lit(" zq"),
+              col("doc_id").cast("string"), lit("x")).as("text")))
+        .unionAll(docs.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + 400000))
+      Dedup.incrementalNearDedup(corpus, incoming).orderBy("doc_id")
     })
   )
 
@@ -285,6 +307,38 @@ object DedupQueries {
          |  CAST(sum(e - s + 1) AS DOUBLE) / n_tokens AS dup_fraction
          |FROM sp GROUP BY doc_id, n_tokens
          |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+    },
+    // ground-truth all-pairs shingle Jaccard over the sliced
+    // batch×corpus — NO LSH oracle-side, so a green row certifies both
+    // the verify arithmetic AND the band probe's recall (see the d11
+    // registry comment); same min-id collapse as d10 on the survivors
+    "d11_incremental_neardup" -> {
+      val fp = TextAnalysis.fingerprintSql("text")
+      val norm = TextAnalysis.normalizedSql("text")
+      val sh = s"list_distinct([substr(n, i, 5) " +
+        "for i in range(1, greatest(len(n) - 4, 1) + 1)])"
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 600),
+         |corpus AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+         |incoming AS (
+         |  SELECT doc_id, text FROM base WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id + 300000,
+         |    text || ' zq' || CAST(doc_id AS VARCHAR) || 'x'
+         |    FROM base WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 400000, text FROM base
+         |    WHERE doc_id % 20 = 0),
+         |csh AS (SELECT doc_id, $sh AS s FROM
+         |  (SELECT doc_id, $norm AS n FROM corpus)),
+         |ish AS (SELECT doc_id, $sh AS s FROM
+         |  (SELECT doc_id, $norm AS n FROM incoming)),
+         |rej AS (SELECT DISTINCT i.doc_id FROM ish i JOIN csh c
+         |  ON CAST(len(list_intersect(i.s, c.s)) AS DOUBLE)
+         |     / CAST(len(list_distinct(i.s || c.s)) AS DOUBLE) >= 0.7),
+         |fresh AS (SELECT doc_id, $fp AS fingerprint FROM incoming
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM rej))
+         |SELECT min(doc_id) AS doc_id, fingerprint
+         |FROM fresh GROUP BY fingerprint ORDER BY doc_id"""
+        .stripMargin.replace('\n', ' ')
     },
     // same index/anti-join/min-id-collapse construction; NOT IN is safe
     // here (fingerprints are never NULL)

@@ -121,6 +121,43 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(12L, 14L))
   }
 
+  test("incrementalNearDedup: a MUTATED re-delivery slips past the " +
+    "exact index (d10) but dies against the LSH band index (d11); " +
+    "novel docs survive both") {
+    val corpus = docs.filter(col("doc_id") <= 2) // texts of 1 and 2
+    val incoming = Seq(
+      (10L, base + " z"),            // mutated re-delivery of corpus 1
+      (11L, base),                   // exact re-delivery of corpus 1
+      (12L, "a genuinely new document about stream processing engines " +
+        "and their watermark semantics under late arriving data"),
+      (13L, "another new document mentioning columnar storage formats " +
+        "dictionary encoding and predicate pushdown at the scan")
+    ).toDF("doc_id", "text")
+    // d10's exact index accepts the mutation (different fingerprint)...
+    val exactKept = Dedup.incrementalDedup(corpus, incoming)
+      .select("doc_id").as[Long].collect().sorted
+    assert(exactKept.toSeq === Seq(10L, 12L, 13L),
+      "exact-only dedup must MISS the mutated re-delivery")
+    // ...the near-dup band index catches it (and still the exact one)
+    val nearKept = Dedup.incrementalNearDedup(corpus, incoming)
+      .select("doc_id").as[Long].collect().sorted
+    assert(nearKept.toSeq === Seq(12L, 13L),
+      "near-dup dedup must catch both the mutated and the exact " +
+        "re-delivery while keeping novel docs")
+  }
+
+  test("lshBandIndex is the persistable probe surface: bands × docs " +
+    "rows, and identical texts collide on every band") {
+    val idx = Dedup.lshBandIndex(docs)
+    assert(idx.count() === 5 * 4)
+    val byDoc = idx.collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L) === byDoc(3L),
+      "normalization-equal texts must share all band buckets")
+    assert(byDoc(4L) != byDoc(5L))
+  }
+
   test("decontaminate drops docs sharing an n-gram with the benchmark") {
     // doc 2 embeds a verbatim 5-gram of benchmark doc 1; docs 4/5 share
     // no 5-gram with it (case/whitespace-insensitive via normalization)
