@@ -71,12 +71,13 @@ object LogisticIrls {
     trajectory.result().toDF("iter", "b0", "b1")
   }
 
-  /** DuckDB twin of [[train]]: the same iterations statically unrolled
-    * as CTEs (the g3/g4 pattern; the data CTE is MATERIALIZED since
-    * every iteration references it). `dataSql` must yield (x, y) with
-    * y ∈ {0.0, 1.0}. */
-  def irlsSql(dataSql: String, iters: Int = 3): String = {
-    val one = "CAST('1' AS DOUBLE)"
+  private val one = "CAST('1' AS DOUBLE)"
+
+  /** The statically unrolled iteration CTEs `it0, s1, it1, …, itN`
+    * shared by [[irlsSql]] and [[irlsScoredSql]]; callers prepend the
+    * MATERIALIZED `d` CTE (must expose columns x, y) and append their
+    * own final SELECT. */
+  private def unrolledCtes(iters: Int): String = {
     val steps = (1 to iters).map { t =>
       s"""s$t AS (SELECT
          |  CAST(sum(CAST(round(w, 6) AS DECIMAL(38,6))) AS DOUBLE)
@@ -100,14 +101,38 @@ object LogisticIrls {
          |    (s.sw * s.swxx - s.swx * s.swx) AS b1
          |FROM s$t s CROSS JOIN it${t - 1} b)""".stripMargin
     }
+    s"""it0 AS (SELECT CAST('0' AS DOUBLE) AS b0,
+       |  CAST('0' AS DOUBLE) AS b1),
+       |${steps.mkString(", ")}""".stripMargin
+  }
+
+  /** DuckDB twin of [[train]]: the same iterations statically unrolled
+    * as CTEs (the g3/g4 pattern; the data CTE is MATERIALIZED since
+    * every iteration references it). `dataSql` must yield (x, y) with
+    * y ∈ {0.0, 1.0}. */
+  def irlsSql(dataSql: String, iters: Int = 3): String = {
     val union = (1 to iters)
       .map(t => s"SELECT $t AS i, b0, b1 FROM it$t")
       .mkString(" UNION ALL ")
     s"""WITH d AS MATERIALIZED (SELECT x, y FROM ($dataSql)),
-       |it0 AS (SELECT CAST('0' AS DOUBLE) AS b0,
-       |  CAST('0' AS DOUBLE) AS b1),
-       |${steps.mkString(", ")}
+       |${unrolledCtes(iters)}
        |SELECT CAST(i AS INT) AS iter, b0, b1
        |FROM ($union) ORDER BY iter""".stripMargin.replace('\n', ' ')
   }
+
+  /** Per-row scored twin: identical unrolled training, but instead of
+    * the beta trajectory it emits every input row with its calibrated
+    * probability under the FINAL betas — the oracle for operators that
+    * ship scores, not models (t27). `dataSql` must yield `keyCols` ++
+    * (x, y). */
+  def irlsScoredSql(dataSql: String, keyCols: Seq[String],
+      iters: Int = 3): String = {
+    val keys = keyCols.mkString(", ")
+    s"""WITH d AS MATERIALIZED (SELECT $keys, x, y FROM ($dataSql)),
+       |${unrolledCtes(iters)}
+       |SELECT $keys, x, y,
+       |  round($one / ($one + exp(-(b.b0 + b.b1 * x))), 6) AS p
+       |FROM d CROSS JOIN it$iters b""".stripMargin.replace('\n', ' ')
+  }
+
 }

@@ -222,6 +222,28 @@ object TextQueries {
           sum(when(col("predicted_lang") === col("lang"), 1).otherwise(0))
             .as("n_lang_match"))
         .orderBy("source", "lang")
+    }),
+    // MODEL-BASED quality filter (t27): hashed-token log-odds + IRLS
+    // calibration (graft.text.QualityFilter). Labels are planted:
+    // docs < 400 are clean (y=1); every 3rd spawns a junk twin (every
+    // token prefixed with 'q' — all its tokens hash to other buckets)
+    // under id+500000 (y=0). Output = each labeled doc's raw mean
+    // log-odds x and calibrated p; fully oracle-checked (betas are
+    // bit-identical by the IRLS determinism contract, the scoring
+    // expression is the same arithmetic in DuckDB)
+    "t27_quality_filter" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 400)
+      val junk = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "q$1").as("text"))
+      val labeled = docs.withColumn("y", lit(1.0))
+        .unionAll(junk.withColumn("y", lit(0.0)))
+      graft.text.QualityFilter.fitScore(labeled)
+        .select(col("doc_id"), col("y").cast("bigint").as("label"),
+          col("x"), col("p"))
+        .orderBy("doc_id")
     })
   )
 
@@ -370,6 +392,49 @@ object TextQueries {
          |    AS BIGINT) AS n_lang_match
          |FROM q JOIN r USING (doc_id)
          |GROUP BY 1, 2 ORDER BY source, lang"""
+        .stripMargin.replace('\n', ' '),
+    // same hashed-bucket log-odds model + per-doc DECIMAL-summed mean,
+    // fed through the identical unrolled IRLS and scored under the
+    // final betas (graft.ml.LogisticIrls.irlsScoredSql)
+    "t27_quality_filter" -> {
+      val norm = TextAnalysis.normalizedSql("text")
+      val dataSql =
+        s"""WITH labeled AS (
+           |  SELECT doc_id, text, CAST('1' AS DOUBLE) AS y
+           |  FROM documents WHERE doc_id < 400
+           |  UNION ALL SELECT doc_id + 500000,
+           |    regexp_replace(text, '(\\S+)', 'q\\1', 'g'),
+           |    CAST('0' AS DOUBLE)
+           |  FROM documents WHERE doc_id < 400 AND doc_id % 3 = 0),
+           |toks AS (SELECT doc_id, y,
+           |    unnest(regexp_split_to_array(trim($norm), '\\s+')) AS tok
+           |  FROM labeled),
+           |bt AS (SELECT doc_id, y,
+           |    CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 64
+           |      AS idx,
+           |    count(*) AS c FROM toks GROUP BY 1, 2, 3),
+           |cls AS (SELECT idx,
+           |    CAST(sum(CASE WHEN y = 1 THEN c ELSE 0 END) AS BIGINT)
+           |      AS pos_b,
+           |    CAST(sum(CASE WHEN y = 0 THEN c ELSE 0 END) AS BIGINT)
+           |      AS neg_b
+           |  FROM bt GROUP BY 1),
+           |tot AS (SELECT sum(pos_b) AS pos_tot, sum(neg_b) AS neg_tot
+           |  FROM cls),
+           |mdl AS (SELECT idx, round(ln(
+           |    CAST((pos_b + 1) * (neg_tot + 64) AS DOUBLE) /
+           |    CAST((neg_b + 1) * (pos_tot + 64) AS DOUBLE)), 6) AS w
+           |  FROM cls CROSS JOIN tot)
+           |SELECT doc_id, max(y) AS y,
+           |  round(CAST(sum(CAST(round(c * w, 6) AS DECIMAL(38,6)))
+           |    AS DOUBLE) / sum(c), 6) AS x
+           |FROM bt JOIN mdl USING (idx) GROUP BY doc_id"""
+          .stripMargin.replace('\n', ' ')
+      val scored = graft.ml.LogisticIrls.irlsScoredSql(
+        dataSql, Seq("doc_id"), iters = 3)
+      s"""SELECT doc_id, CAST(y AS BIGINT) AS label, x, p
+         |FROM ($scored) ORDER BY doc_id"""
         .stripMargin.replace('\n', ' ')
+    }
   )
 }
