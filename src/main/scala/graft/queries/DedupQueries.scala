@@ -184,6 +184,34 @@ object DedupQueries {
         .unionAll(docs.filter(col("doc_id") % 20 === 0)
           .withColumn("doc_id", col("doc_id") + 400000))
       Dedup.incrementalNearDedup(corpus, incoming).orderBy("doc_id")
+    }),
+    // SEMANTIC dedup (SemDeDup-style, d12): embedding-space near-dups
+    // pruned within clusters only. The corpus plants perturbed copies
+    // (every 7th vector re-arrives with dim0 bumped by +0.3 — cosine vs
+    // its original ≈ 0.97+, far above every natural pair's ≤ 0.56) so
+    // the within-cluster prune has real work; the kept representative
+    // per duplicate set is the member LEAST similar to its centroid,
+    // min-id tie-break. Clusters are the x10 nearest-label-centroid
+    // assignment — deterministic and oracle-expressible
+    "d12_semantic_dedup" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val base = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val planted = base.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          concat(array(element_at(col("vec"), 1) + 0.3),
+            slice(col("vec"), 2, 63)).as("vec"))
+      val corpus = base.unionAll(planted)
+      val centroids = emb
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("dim_avg"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("dim_avg")))),
+          x => x.getField("dim_avg")).as("centroid"))
+      graft.dedup.SemDedup.semanticDedup(corpus, centroids)
+        .orderBy("vec_id")
     })
   )
 
@@ -340,6 +368,65 @@ object DedupQueries {
          |FROM fresh GROUP BY fingerprint ORDER BY doc_id"""
         .stripMargin.replace('\n', ' ')
     },
+    // same clustering (x10's oracle shape), same within-cluster pair
+    // predicate, d5's recursive-CTE components, and the least-centroid-
+    // sim keeper pick as a row_number over (csim, node)
+    "d12_semantic_dedup" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    [vec[1] + CAST('0.3' AS DOUBLE)] || vec[2:]
+        |  FROM base WHERE vec_id % 7 = 0),
+        |exploded AS (
+        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |    unnest(embedding) AS val
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 6)
+        |    AS dim_avg
+        |  FROM exploded GROUP BY 1, 2),
+        |cents AS (
+        |  SELECT label, list(dim_avg ORDER BY pos) AS centroid
+        |  FROM dims GROUP BY label),
+        |scored AS (
+        |  SELECT c.vec_id, ce.label,
+        |    round(list_cosine_similarity(c.vec, ce.centroid), 4) AS sim
+        |  FROM corpus c, cents ce),
+        |assigned AS (
+        |  SELECT vec_id, label AS cluster, sim AS csim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, label) AS rnk FROM scored)
+        |  WHERE rnk = 1),
+        |members AS (SELECT a.vec_id, a.cluster, a.csim, c.vec
+        |  FROM assigned a JOIN corpus c USING (vec_id)),
+        |pairs AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM members x JOIN members y
+        |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |  WHERE round(list_cosine_similarity(x.vec, y.vec), 4) >= 0.95),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, root) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+        |comp AS (SELECT node, min(root) AS component FROM reach
+        |  GROUP BY 1),
+        |keepers AS (SELECT component, node AS keep_id FROM (
+        |    SELECT c.component, c.node,
+        |      row_number() OVER (PARTITION BY c.component
+        |        ORDER BY a.csim, c.node) AS rn
+        |    FROM comp c JOIN assigned a ON a.vec_id = c.node)
+        |  WHERE rn = 1),
+        |losers AS (SELECT node FROM comp JOIN keepers USING (component)
+        |  WHERE node <> keep_id)
+        |SELECT vec_id, cluster, csim FROM assigned
+        |WHERE vec_id NOT IN (SELECT node FROM losers)
+        |ORDER BY vec_id""".stripMargin.replace('\n', ' '),
     // same index/anti-join/min-id-collapse construction; NOT IN is safe
     // here (fingerprints are never NULL)
     "d10_incremental_dedup" -> {
