@@ -21,10 +21,42 @@ import graft.model.Schemas
   * shuffle — they scale with source partitions). Gold keeps one state row
   * per (location, hour) group; the 1 h watermark (T3) bounds state: groups
   * older than (max event time − 1 h) are finalized and evicted each
-  * micro-batch. State store is the default HDFS-backed one, keyed by the
-  * same group columns as the batch shuffle.
+  * micro-batch. State store defaults to the HDFS-backed heap provider —
+  * right for the harness's thousands of keys; at 100× the stream-stream
+  * joins (x14/x25/x37) and watermark-dedup buffer per-key state that
+  * would pressure executor heap, so [[withStateStoreProvider]] pins the
+  * RocksDB provider (state on local disk + block cache, bounded heap)
+  * for queries started under it — see SCALE.md "Streaming state at
+  * 100×".
   */
 object StreamPipeline {
+
+  /** The RocksDB state-store provider that ships with Spark
+    * (rocksdbjni is on the classpath). Per-query: the provider is fixed
+    * into a query's checkpoint at START, so it is selected by setting
+    * `spark.sql.streaming.stateStore.providerClass` BEFORE `.start()`
+    * — which also means switching providers for an EXISTING checkpoint
+    * requires a state rebuild (replay), exactly like changing
+    * `shuffle.partitions` for a stateful query. */
+  val RocksDbProviderClass: String =
+    "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+
+  /** Run `body` with the streaming state-store provider pinned; every
+    * query STARTED inside picks it up (already-running queries keep
+    * their checkpointed provider). Restores the prior setting after.
+    * Flag-gated by design: harness/default behavior is unchanged unless
+    * a caller opts in. */
+  def withStateStoreProvider[T](spark: SparkSession,
+      provider: String = RocksDbProviderClass)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, provider)
+    try body finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 
   /** T1/S2: Kafka unbounded source (production path; not exercisable in
     * the offline harness — config parity with stream_processor.py:244-251). */

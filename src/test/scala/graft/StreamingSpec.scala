@@ -160,6 +160,102 @@ class StreamingSpec extends AnyFunSuite {
         .collect().toSeq)
   }
 
+  test("RocksDB state store: the watermarked gold aggregation emits " +
+    "IDENTICAL rows under the heap provider and RocksDB") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory(
+      StreamPipeline.scratchRoot(), "graft_rocks_eq_")
+    val inDir = root.resolve("in").toString
+    // two files + maxFilesPerTrigger=1 ⇒ a fixed 2-micro-batch schedule,
+    // so the emitted (closed) hours are deterministic per provider
+    Seq(
+      wireJson("2024-01-01 10:00:00", 1, "pm25", 10.0, 42),
+      wireJson("2024-01-01 10:30:00", 1, "pm10", 60.0, 53),
+      wireJson("2024-01-01 12:30:00", 1, "pm25", 14.0, 55)
+    ).toDF("value").coalesce(1).write.mode("append").parquet(inDir)
+    Seq(
+      wireJson("2024-01-01 11:15:00", 1, "pm25", 12.0, 50),
+      wireJson("2024-01-01 14:10:00", 1, "pm25", 20.0, 68)
+    ).toDF("value").coalesce(1).write.mode("append").parquet(inDir)
+    def goldReplay(name: String): Seq[String] = {
+      val src = spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val gold = StreamPipeline.goldStream(
+        StreamPipeline.silverStream(StreamPipeline.bronzeStream(
+          Bronze.parseWire(src, "value"))),
+        deterministicArrays = true)
+      StreamPipeline.replayToMemory(spark, gold, name)
+        .select(col("datetime").cast("string"), col("location_id"),
+          col("aqi"), col("parameters").cast("string"))
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val heap = goldReplay("rocks_eq_heap")
+    val rocks = StreamPipeline.withStateStoreProvider(spark) {
+      goldReplay("rocks_eq_rocksdb")
+    }
+    assert(heap.nonEmpty, "the fixture must close at least one hour")
+    assert(rocks === heap,
+      "provider choice must never change query results")
+  }
+
+  test("RocksDB state store: kill/restart of the stateful gold sink " +
+    "resumes exactly-once from its RocksDB checkpoint") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory(
+      StreamPipeline.scratchRoot(), "graft_rocks_t6_")
+    val inDir = root.resolve("in").toString
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt")
+    def runOnce(): Unit = StreamPipeline.withStateStoreProvider(spark) {
+      val src = spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val gold = StreamPipeline.goldStream(
+        StreamPipeline.silverStream(StreamPipeline.bronzeStream(
+          Bronze.parseWire(src, "value"))),
+        deterministicArrays = true)
+      val q = StreamPipeline.parquetSink(gold, outDir, ckpt.toString,
+        Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // phase 1: hours 10/11 + a 12:30 watermark pusher (wm → 11:30
+    // after the last batch ⇒ hours 10 and 11 close and are written)
+    Seq(
+      wireJson("2024-01-01 10:00:00", 1, "pm25", 10.0, 42),
+      wireJson("2024-01-01 10:30:00", 1, "pm10", 60.0, 53)
+    ).toDF("value").coalesce(1).write.mode("append").parquet(inDir)
+    Seq(
+      wireJson("2024-01-01 11:15:00", 1, "pm25", 12.0, 50),
+      wireJson("2024-01-01 12:30:00", 1, "pm25", 14.0, 55)
+    ).toDF("value").coalesce(1).write.mode("append").parquet(inDir)
+    runOnce() // the "crash" after AvailableNow drains phase 1
+    val phase1 = spark.read.parquet(outDir)
+      .select(col("datetime").cast("string")).as[String].collect().toSet
+    assert(phase1.contains("2024-01-01 10:00:00"))
+    // the RocksDB provider actually engaged: its checkpointed state is
+    // zip snapshots (+ optional changelogs), never the heap provider's
+    // .delta files
+    val stateFiles = Files.walk(ckpt.resolve("state")).toArray
+      .map(_.toString).filter(p => Files.isRegularFile(
+        java.nio.file.Paths.get(p)))
+    assert(stateFiles.nonEmpty)
+    assert(!stateFiles.exists(_.endsWith(".delta")),
+      s"heap-provider .delta files in a RocksDB checkpoint: " +
+        stateFiles.take(3).mkString(","))
+    // phase 2: push the watermark past hour 12 ⇒ it closes on restart
+    Seq(
+      wireJson("2024-01-01 14:10:00", 1, "pm25", 20.0, 68)
+    ).toDF("value").coalesce(1).write.mode("append").parquet(inDir)
+    runOnce() // restart from the SAME RocksDB checkpoint
+    val out = spark.read.parquet(outDir)
+      .select(col("datetime").cast("string")).as[String].collect()
+    assert(out.toSet.contains("2024-01-01 12:00:00"),
+      "restart must resume state and close hour 12")
+    assert(out.length === out.toSet.size,
+      "no hour may be emitted twice across the restart")
+    assert(out.toSet === phase1 + "2024-01-01 12:00:00",
+      "no phase-1 hour may be re-emitted, none lost")
+  }
+
   test("streamUpsert: multi-batch changelog with redelivery folds to " +
     "exactly-once latest state") {
     import java.nio.file.Files
