@@ -19,6 +19,39 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** ONE-PASS unbounded funnel (the x23 path): when conversion windows
+    * never expire, stage k's "first qualifying occurrence" degenerates
+    * to a condition on FIRST-TOUCH times alone — the user converted at
+    * stage k iff t_1 < t_2 < … < t_k where t_j is simply the user's
+    * first stage-j event. (Proof sketch: with no window, any stage-j
+    * event after t_(j−1) qualifies, and the earliest one is ≥ the
+    * global first touch; the strict chain on first touches is therefore
+    * necessary and sufficient.) That collapses the whole funnel to ONE
+    * events scan: one conditional `min` per stage inside a single
+    * user-keyed aggregate, stage flags row-local on the result — n−1
+    * scans and n−1 joins fewer than the windowed chain, which is the
+    * difference between 1× and n× I/O at 100 TB. Returns one row per
+    * user: (user, s_1 .. s_n booleans). Windowed funnels CANNOT take
+    * this path (stage k's window anchors on the chosen stage-(k−1)
+    * time, not the global first touch) — they use
+    * [[windowedStageTimes]]. */
+  def firstTouchFlags(ev: DataFrame, typeCol: String, userCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    val mins = stages.zipWithIndex.map { case (st, i) =>
+      min(when(col(typeCol) === st, col(tsCol))).as(s"t_${i + 1}")
+    }
+    val perUser = ev.groupBy(col(userCol)).agg(mins.head, mins.tail: _*)
+    // coalesce: a NULL t_j makes the 3-valued chain NULL, and a funnel
+    // flag must be a definite boolean (fall-out = false, never unknown)
+    val flags = (1 to stages.size).map { k =>
+      coalesce((2 to k).foldLeft(col("t_1").isNotNull) { (acc, j) =>
+        acc && col(s"t_$j") > col(s"t_${j - 1}")
+      }, lit(false)).as(s"s_$k")
+    }
+    perUser.select(col(userCol) +: flags: _*)
+  }
+
   /** Per-user first-occurrence times down the funnel: one row per user
     * who performed `stages.head` at all, with `t_1 .. t_n` µs columns
     * (t_k NULL once the user falls out). Stage k qualifies iff its

@@ -1343,28 +1343,22 @@ object ExtendedQueries {
             "(partition by prev_type), 0)"))
         .orderBy("prev_type", "next_type")
     }),
-    // first-touch funnel (view → click → purchase): one hash aggregate
-    // computes each user's first event time per stage, the stage logic
-    // is row-local, and conversion ratios are exact integer basis
-    // points (a 4-dp float pct can land on a rounding tie). ONE pass
-    // over events at any scale
+    // first-touch funnel (view → click → purchase) through the shared
+    // ONE-PASS path (analytics.Funnel.firstTouchFlags): a single events
+    // scan, one conditional min per stage in one user-keyed aggregate,
+    // stage flags row-local; conversion ratios are exact integer basis
+    // points (a 4-dp float pct can land on a rounding tie). The plan
+    // shape (1 scan, 2 exchanges) is pinned in PlanShapeSpec
     "x23_funnel" -> ((s, d) => {
-      val ev = eventsTs(s, d)
-      def firstTs(t: String) = min(when(col("event_type") === t, col("ts")))
-      val perUser = ev.groupBy(col("user_id"))
-        .agg(firstTs("view").as("t_view"), firstTs("click").as("t_click"),
-          firstTs("purchase").as("t_purchase"))
-        .select(col("user_id"),
-          col("t_view").isNotNull.as("s1"),
-          (col("t_view").isNotNull && col("t_click") > col("t_view"))
-            .as("s2"),
-          (col("t_view").isNotNull && col("t_click") > col("t_view") &&
-            col("t_purchase") > col("t_click")).as("s3"))
+      val perUser = graft.analytics.Funnel.firstTouchFlags(
+        eventsTs(s, d), "event_type", "user_id", "ts",
+        Seq("view", "click", "purchase"))
       perUser.agg(
         count(lit(1)).as("n_users"),
-        sum(when(col("s1"), 1L).otherwise(0L)).as("n_view"),
-        sum(when(col("s2"), 1L).otherwise(0L)).as("n_click_after_view"),
-        sum(when(col("s3"), 1L).otherwise(0L)).as("n_purchase_after_click"))
+        sum(when(col("s_1"), 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("s_2"), 1L).otherwise(0L)).as("n_click_after_view"),
+        sum(when(col("s_3"), 1L).otherwise(0L))
+          .as("n_purchase_after_click"))
         .select(col("n_users"), col("n_view"), col("n_click_after_view"),
           col("n_purchase_after_click"),
           expr("(n_view * 10000) div nullif(n_users, 0)").as("view_bps"),

@@ -58,4 +58,36 @@ class FunnelSpec extends AnyFunSuite {
     assert(st(7L) === ((0L, None, None)),
       "simultaneous events are not 'after' (strict lower edge)")
   }
+
+  test("one-pass firstTouchFlags equals the windowed chain under an " +
+    "effectively-infinite window, flags are definite booleans, and " +
+    "out-of-order first touches fall out") {
+    val flags = Funnel.firstTouchFlags(ev, "event_type", "user_id",
+      "us", Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+      .toMap
+    // every user appears (even non-starters — flags false, not absent)
+    assert(flags(4L) === ((false, false, false)),
+      "click-only user: in the table, never converted stage 1")
+    assert(flags(1L) === ((true, true, true)))
+    // u5: first click (40) precedes first view (50) → stage 2 false
+    // even though a later click (60) follows the view — the documented
+    // first-touch semantics, NOT the windowed chain's
+    assert(flags(5L) === ((true, false, false)))
+    assert(flags(7L) === ((true, false, false)),
+      "simultaneous first touches are not an increase")
+    // cross-check vs the windowed chain with a huge window on users
+    // whose first touches are ordered (where both definitions agree)
+    val chain = Funnel.windowedStageTimes(ev, "event_type", "user_id",
+      "us", Seq("view", "click", "purchase"), Long.MaxValue / 4)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)).isDefined, Option(r.get(3)).isDefined)).toMap
+    for (u <- Seq(1L, 2L, 3L, 6L, 7L)) {
+      assert((flags(u)._2, flags(u)._3) === chain(u),
+        s"user $u: one-pass and chained funnels must agree when first " +
+          "touches are in stage order")
+    }
+  }
 }

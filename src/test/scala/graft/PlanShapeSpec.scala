@@ -175,6 +175,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(formatted("x10_centroid_assign").contains("max_by"))
   }
 
+  test("x23 one-pass funnel: ONE events scan, exactly two exchanges " +
+    "(user-keyed aggregate + global roll-up)") {
+    val p = plan("x23_funnel")
+    assert(shuffles(p) === 2,
+      "the unbounded funnel must not chain per-stage scans/joins")
+    val scans = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size
+    assert(scans === 1,
+      s"one-pass means events is read exactly once, found $scans scans")
+  }
+
   test("w5 latest top-n: TakeOrderedAndProject, zero shuffles") {
     val p = plan("w5_latest_topn")
     assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty)
