@@ -9,37 +9,89 @@ import org.apache.spark.sql.functions._
   * many triangles is intra-community; bridges have support 0). */
 object KTruss {
 
-  /** Iterative edge peel: each round counts per-edge triangle support
-    * through the SAME degree-ordered O(|E|^1.5) enumeration as triangle
-    * counting (each closed triangle credits its three edges — never a
-    * per-edge neighborhood intersection), drops edges below k−2, and
-    * repeats until the edge set stops shrinking. Dropping an edge can
-    * only reduce other edges' support, so the edge set strictly shrinks
-    * until the fixpoint — rounds are bounded by |E| and in practice a
-    * handful; `localCheckpoint` truncates the per-round lineage. The
-    * DuckDB twin statically unrolls the peel (peeling a fixpoint is the
-    * identity, the g3 contract). */
+  /** Iterative edge peel with HYBRID support maintenance. Every round
+    * drops edges below k−2 support; the next round's supports come from
+    * one of two equivalent computations, chosen by drop size:
+    *
+    *  - big drop (early rounds, where most of the graph peels away):
+    *    full degree-ordered O(|E|^1.5) re-enumeration on the SMALLER
+    *    kept graph — re-counting what survived is cheaper than
+    *    enumerating the neighborhoods of everything that died;
+    *  - small drop (the convergence tail): INCREMENTAL decrement — only
+    *    triangles that contained a just-dropped edge are enumerated
+    *    (dropped-edge × old adjacency, deduped on the node triple so a
+    *    triangle losing two edges at once still decrements its survivor
+    *    exactly once) and subtracted from kept supports. A tail round
+    *    then costs O(dropped-edge neighborhoods) instead of a full
+    *    recount.
+    *
+    * Both branches yield the same supports (a kept edge's old triangles
+    * minus those touching a dropped edge ARE its triangles in the kept
+    * graph), so the fixpoint — and the DuckDB twin, which statically
+    * unrolls full recounts (peeling a fixpoint is the identity, the g3
+    * contract) — is unchanged. Dropping an edge only reduces other
+    * supports, so the edge set strictly shrinks; `localCheckpoint`
+    * truncates per-round lineage. */
   def run(edges: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
     require(k >= 3, s"k must be >= 3: $k")
-    var und = edges.filter(col("src") =!= col("dst"))
+    val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct().localCheckpoint()
     var n = und.count()
+    if (n == 0L) return und
+    def fullSupport(e: DataFrame): DataFrame =
+      e.join(edgeSupport(e), Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("support"), lit(0L)).as("support"))
+        .localCheckpoint()
+    var withSup = fullSupport(und)
     var round = 0
-    var converged = n == 0L
+    var converged = false
     while (!converged && round < maxRounds) {
       round += 1
-      val sup = edgeSupport(und)
-      val kept = und.join(sup, Seq("a", "b"), "left")
-        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
-        .select(col("a"), col("b")).localCheckpoint()
+      val kept = withSup.filter(col("support") >= k - 2).localCheckpoint()
       val m = kept.count()
-      converged = m == n
-      n = m
-      und = kept
+      if (m == n) converged = true
+      else if ((n - m) * 4 > m) {
+        // big drop: recount on the kept graph
+        withSup = fullSupport(kept.select(col("a"), col("b")))
+        n = m
+      } else {
+        val dropped = withSup.filter(col("support") < k - 2)
+          .select(col("a"), col("b"))
+        // triangles of the PRE-drop graph containing >=1 dropped edge:
+        // dropped (a,b) + common neighbor c over the old adjacency
+        val sym = withSup
+          .select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(withSup.select(col("b").as("src"), col("a").as("dst")))
+        val tri = dropped
+          .join(sym.select(col("src").as("a"), col("dst").as("c")),
+            Seq("a"))
+          .join(sym.select(col("src").as("b"), col("dst").as("c")),
+            Seq("b", "c"))
+          .select(array_sort(array(col("a"), col("b"), col("c")))
+            .as("t"))
+          .distinct()
+          .select(element_at(col("t"), 1).as("x"),
+            element_at(col("t"), 2).as("y"),
+            element_at(col("t"), 3).as("z"))
+        val dec = tri.select(explode(array(
+            struct(col("x").as("a"), col("y").as("b")),
+            struct(col("x").as("a"), col("z").as("b")),
+            struct(col("y").as("a"), col("z").as("b")))).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("dec"))
+        withSup = kept.join(dec, Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            (col("support") - coalesce(col("dec"), lit(0L)))
+              .as("support"))
+          .localCheckpoint()
+        n = m
+      }
     }
-    und
+    withSup.filter(col("support") >= k - 2).select(col("a"), col("b"))
   }
 
   /** Per-edge triangle support from one oriented enumeration. */

@@ -2257,7 +2257,11 @@ object ExtendedQueries {
         |FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
         |  AND x.l_suppkey < y.l_suppkey)""".stripMargin
         .replace('\n', ' '),
-      k = 4, rounds = 4),
+      // 14 ≥ the empirical convergence round count at every tested SF
+      // (sf0.01 converges in ≤4 rounds, sf0.1 in 12; extra unrolled
+      // rounds peel a fixpoint = no-ops) — rounds=4 was enough for the
+      // sf0.01 gate but silently short of sf0.1's fixpoint
+      k = 4, rounds = 14),
     "g9_hits" -> graft.graph.Hits.hitsSql(
       """(SELECT o_custkey AS src, l_suppkey AS dst
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"""
