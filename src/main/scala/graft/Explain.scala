@@ -44,7 +44,10 @@ object Explain {
         "dq4_freshness", "w14_rolling_slope", "ml12_psi",
         "g14_personalized_pagerank", "er4_golden_record",
         "ml13_threshold_sweep", "ml14_learning_curve",
-        "x62_windowed_funnel", "dq5_categorical_drift")
+        "x62_windowed_funnel", "dq5_categorical_drift",
+        // round-7 additions
+        "d11_incremental_neardup", "d12_semantic_dedup",
+        "t27_quality_filter", "x23_funnel", "g12_ktruss")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

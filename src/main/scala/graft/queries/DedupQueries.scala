@@ -8,12 +8,17 @@ import graft.graph.ConnectedComponents
 import graft.queries.PipelineQueries.table
 import graft.text.TextAnalysis
 
-/** Registry + oracles for deduplication over `documents`.
+/** Registry + oracles for deduplication over `documents` (and, for the
+  * semantic variant, `embeddings`).
   *
   * d1/d3 have exact DuckDB twins. d2 (MinHash+LSH) and d4 (SimHash) depend
   * on xxhash64, which DuckDB cannot reproduce → rows-only harness check;
   * their algorithmic correctness is asserted in ScalaTest with planted
-  * near-duplicates (DedupSpec).
+  * near-duplicates (DedupSpec). d11 — although its candidate generation is
+  * the same xxhash LSH — IS oracle-checked: its twin computes ground-truth
+  * all-pairs Jaccard over the slice, so green certifies total band-probe
+  * recall on this corpus, not just matching arithmetic. d12 (semantic) is
+  * fully oracle-checked — clustering, prune, components, keeper pick.
   *
   * The testdata has no verbatim duplicates, so d1 plants them: the corpus
   * unioned with an id-shifted copy of itself — every text then has exactly
