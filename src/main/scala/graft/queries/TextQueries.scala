@@ -244,6 +244,23 @@ object TextQueries {
         .select(col("doc_id"), col("y").cast("bigint").as("label"),
           col("x"), col("p"))
         .orderBy("doc_id")
+    }),
+    // bigram-LM perplexity scoring (t28, graft.text.NgramLm) — the
+    // unsupervised CCNet-style quality signal next to t27's supervised
+    // classifier: avg negative log likelihood under an add-one bigram
+    // model trained on the full documents reference. Scored set = the
+    // clean slice plus 'q'-prefixed junk twins (every 5th doc, id +
+    // 600000) whose tokens are all OOV — their every bigram degrades
+    // to the 1/V floor
+    "t28_lm_perplexity" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val clean = docs.select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 400)
+      val scored = clean.unionAll(
+        clean.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 600000).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", "q$1").as("text")))
+      graft.text.NgramLm.avgNll(docs, scored).orderBy("doc_id")
     })
   )
 
@@ -434,6 +451,39 @@ object TextQueries {
         dataSql, Seq("doc_id"), iters = 3)
       s"""SELECT doc_id, CAST(y AS BIGINT) AS label, x, p
          |FROM ($scored) ORDER BY doc_id"""
+        .stripMargin.replace('\n', ' ')
+    },
+    // same add-one bigram model: vocabulary-bounded count tables from
+    // the full reference, per-bigram -ln terms as one double division
+    // of exact integers rounded to 6dp, DECIMAL-summed per doc
+    "t28_lm_perplexity" -> {
+      val toks = TextAnalysis.tokensSql(TextAnalysis.normalizedSql("text"))
+      s"""WITH scored AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+         |  UNION ALL SELECT doc_id + 600000,
+         |    regexp_replace(text, '(\\S+)', 'q\\1', 'g')
+         |  FROM documents WHERE doc_id < 400 AND doc_id % 5 = 0),
+         |rt AS (SELECT $toks AS t FROM documents),
+         |cu AS (SELECT w1, count(*) AS cu FROM (
+         |    SELECT unnest(t) AS w1 FROM rt) GROUP BY 1),
+         |vv AS (SELECT count(*) AS v FROM cu),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM (
+         |    SELECT t[i] AS w1, t[i + 1] AS w2
+         |    FROM rt, unnest(range(1, len(t))) AS u(i)
+         |    WHERE len(t) >= 2) GROUP BY 1, 2),
+         |db AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT doc_id, $toks AS t FROM scored) s,
+         |    unnest(range(1, len(t))) AS u(i)
+         |  WHERE len(t) >= 2),
+         |terms AS (SELECT doc_id,
+         |    round(-ln(CAST(coalesce(cb.cb, 0) + 1 AS DOUBLE) /
+         |      CAST(coalesce(cu.cu, 0) + v AS DOUBLE)), 6) AS nll
+         |  FROM db LEFT JOIN cb USING (w1, w2)
+         |  LEFT JOIN cu USING (w1) CROSS JOIN vv)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(CAST(sum(CAST(nll AS DECIMAL(38,6))) AS DOUBLE)
+         |    / count(*), 6) AS avg_nll
+         |FROM terms GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replace('\n', ' ')
     }
   )
