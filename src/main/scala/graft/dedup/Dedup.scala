@@ -81,6 +81,47 @@ object Dedup {
       .select(col(idCol), col("fingerprint"))
   }
 
+  /** Signature-only variant of [[incrementalNearDedup]] (d13): verify
+    * candidates by ESTIMATED Jaccard — the fraction of agreeing minhash
+    * components — instead of exact shingle overlap, so corpus TEXT is
+    * never touched after index build. The persisted index grows from
+    * B band rows to B + K longs per doc (still ~10⁻³ of corpus bytes);
+    * in exchange the verify leg is a pure signature join bounded by
+    * candidates, with no corpus re-read at all — the trade a lake makes
+    * when the corpus is cold storage. Estimator contract: E[agree/K] =
+    * true Jaccard, σ = √(J(1−J)/K) ≈ 0.12 at K=16 — a SCREENING
+    * verifier (pair quality), not an exact one, which is why the
+    * harness entry is rows-only (like d2/d4) with recall pinned in
+    * DedupSpec rather than a DuckDB twin. */
+  def incrementalNearDedupBySignature(corpus: DataFrame,
+      incoming: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5, numHashes: Int = 16,
+      bands: Int = 4, minAgree: Double = 0.7): DataFrame = {
+    val cs = minhashSignatures(corpus, idCol, textCol, k, numHashes)
+    val is = minhashSignatures(incoming, idCol, textCol, k, numHashes)
+    val index = bandBuckets(cs, idCol, numHashes, bands)
+      .withColumnRenamed(idCol, "__corpus_id")
+    val probes = bandBuckets(is, idCol, numHashes, bands)
+    val cands = probes.join(index, Seq("band", "bucket"))
+      .select(col(idCol), col("__corpus_id")).distinct()
+    val csr = cs.select(col(idCol).as("__corpus_id") +:
+      (0 until numHashes).map(i => col(s"mh_$i").as(s"c_mh_$i")): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"mh_$i") === col(s"c_mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val rejected = cands
+      .join(is, Seq(idCol))
+      .join(csr, Seq("__corpus_id"))
+      .filter(agree.cast("double") >= lit(minAgree * numHashes))
+      .select(col(idCol)).distinct()
+    incoming
+      .join(rejected, Seq(idCol), "left_anti")
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("fingerprint"))
+  }
+
   // ------------------------------------------------------------ MinHash LSH
 
   /** Distinct character shingles (k-grams) from an already-materialized

@@ -190,6 +190,26 @@ object DedupQueries {
           .withColumn("doc_id", col("doc_id") + 400000))
       Dedup.incrementalNearDedup(corpus, incoming).orderBy("doc_id")
     }),
+    // signature-only cross-batch near-dedup (d13): the d11 scenario
+    // verified by ESTIMATED Jaccard from the stored minhash signatures
+    // — corpus text never re-read after index build. xxhash-derived
+    // output → rows-only harness check (like d2/d4); recall and the
+    // d10/d11/d13 relationship are pinned in DedupSpec
+    "d13_neardup_signature" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 600)
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .unionAll(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(col("text"), lit(" zq"),
+              col("doc_id").cast("string"), lit("x")).as("text")))
+        .unionAll(docs.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + 400000))
+      Dedup.incrementalNearDedupBySignature(corpus, incoming)
+        .orderBy("doc_id")
+    }),
     // SEMANTIC dedup (SemDeDup-style, d12): embedding-space near-dups
     // pruned within clusters only. The corpus plants perturbed copies
     // (every 7th vector re-arrives with dim0 bumped by +0.3 — cosine vs

@@ -146,6 +146,22 @@ class DedupSpec extends AnyFunSuite {
         "re-delivery while keeping novel docs")
   }
 
+  test("incrementalNearDedupBySignature: same catches as the exact-" +
+    "verify path on planted data, with NO text on the verify leg") {
+    val corpus = docs.filter(col("doc_id") <= 2)
+    val incoming = Seq(
+      (10L, base + " z"),            // mutated re-delivery of corpus 1
+      (11L, base),                   // exact re-delivery of corpus 1
+      (12L, "a genuinely new document about stream processing engines " +
+        "and their watermark semantics under late arriving data")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNearDedupBySignature(corpus, incoming)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(12L),
+      "estimated-Jaccard verification must catch both re-deliveries " +
+        "and keep the novel doc")
+  }
+
   test("lshBandIndex is the persistable probe surface: bands × docs " +
     "rows, and identical texts collide on every band") {
     val idx = Dedup.lshBandIndex(docs)
