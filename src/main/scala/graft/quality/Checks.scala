@@ -79,6 +79,50 @@ object Checks {
     }.reduce(_.unionByName(_))
   }
 
+  /** Column profile — the table-profiling report every lake runs on
+    * ingest (the Deequ/Great-Expectations "profiler" next to the rule
+    * report): per column, row count, null count, exact distinct count,
+    * and min/max (numeric columns in `min_num`/`max_num`, string
+    * columns in `min_str`/`max_str` — typed lanes instead of a
+    * cast-to-string that engines format differently).
+    *
+    * Scale: ONE shared aggregate pass computes every per-column
+    * statistic (count/null/min/max fold into conditional aggregates;
+    * each exact distinct is its own partial-aggregatable
+    * count-distinct inside the same aggregate), then the single result
+    * row unpivots driver-free into |columns| report rows. Adding a
+    * column adds aggregate slots, never a pass. */
+  def profile(df: DataFrame, numericCols: Seq[String],
+      stringCols: Seq[String]): DataFrame = {
+    require(numericCols.nonEmpty || stringCols.nonEmpty,
+      "at least one column required")
+    val aggs =
+      numericCols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c"))) ++
+      stringCols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).as(s"mn_$c"),
+        max(col(c)).as(s"mx_$c"))) :+
+      count(lit(1)).as("n_rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows =
+      numericCols.map(c => struct(lit(c).as("column"), col("n_rows"),
+        col(s"nn_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
+        col(s"mn_$c").as("min_num"), col(s"mx_$c").as("max_num"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"))) ++
+      stringCols.map(c => struct(lit(c).as("column"), col("n_rows"),
+        col(s"nn_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        col(s"mn_$c").as("min_str"), col(s"mx_$c").as("max_str")))
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Categorical drift gate — [[report]]'s fifth sibling and the
     * categorical counterpart of the numeric PSI: reference-vs-current
     * distribution of a category column compared by per-category

@@ -131,6 +131,27 @@ object ExtendedQueries {
           col("best.sim").as("sim"))
         .orderBy("vec_id")
     }),
+    // FULL spherical k-means (x65 — the Lloyd loop x4/x10 are the
+    // pieces of): 2 deterministic iterations from the per-label-mean
+    // warm start; per iteration one corpus scan under the k×dims
+    // broadcast (x10 argmax assignment) + one partial-aggregatable
+    // (cluster, dim) mean. Output = final long-form centroids + the
+    // producing assignment's cluster sizes
+    "x65_kmeans_lloyd" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val init = emb
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("dim_avg"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("dim_avg")))),
+          x => x.getField("dim_avg")).as("centroid"))
+      graft.ml.KMeans.lloyd(vecs, init, iters = 2)
+        .orderBy("cluster", "pos")
+    }),
     // multi-level aggregation: ROLLUP (country, parameter) totals
     "x5_rollup" -> ((s, d) =>
       PipelineQueries.silver(s, d)
@@ -584,6 +605,19 @@ object ExtendedQueries {
       Checks.freshness(ev, "event_type", col("us"),
         asOfMicros = 1706745600000000L, maxLagSeconds = 88200L)
         .orderBy("event_type")
+    }),
+    // column PROFILE (dq6, the sixth quality check — the ingest-time
+    // profiler next to the rule report): per column, rows / nulls /
+    // exact distincts / typed min-max lanes, ALL from one shared
+    // aggregate pass unpivoted driver-free into |columns| report rows
+    "dq6_column_profile" -> ((s, d) => {
+      val ev = eventsUs(s, d)
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("us"))
+      graft.quality.Checks.profile(ev,
+        numericCols = Seq("user_id", "value", "us"),
+        stringCols = Seq("event_type"))
+        .orderBy("column")
     }),
     // RFM SEGMENTATION (the marketing-analytics classic, built the
     // 100 TB way): each user's recency (days since last event),
@@ -1741,6 +1775,8 @@ object ExtendedQueries {
         |  SELECT *, row_number() OVER (PARTITION BY vec_id
         |    ORDER BY sim DESC, label) AS rnk FROM scored)
         |WHERE rnk = 1 ORDER BY vec_id""".stripMargin.replace('\n', ' '),
+    // same unrolled Lloyd iterations (graft.ml.KMeans.lloydSql)
+    "x65_kmeans_lloyd" -> graft.ml.KMeans.lloydSql(iters = 2),
     "x5_rollup" -> withPipeline(
       """SELECT coalesce(country, 'ALL') AS country,
         |  coalesce(parameter, 'ALL') AS parameter,
@@ -2611,6 +2647,31 @@ object ExtendedQueries {
         |    (CAST(n_ref AS DOUBLE) / tr * tc), 6) END AS chi2_term
         |FROM j CROSS JOIN t ORDER BY event_type"""
         .stripMargin.replace('\n', ' '),
+    // one SELECT per column unioned (oracle runs at test scale; the
+    // engine side is the single shared aggregate)
+    "dq6_column_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_num,
+           |  CAST(max($c) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str,
+           |  CAST(NULL AS VARCHAR) AS max_str FROM ev""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c', count(*),
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT),
+           |  count(DISTINCT $c),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           |  min($c), max($c) FROM ev""".stripMargin
+      s"""WITH ev AS (SELECT user_id, event_type, value,
+         |    epoch_us(ts) AS us FROM events)
+         |${Seq(num("user_id"), num("value"), num("us"),
+              str("event_type")).mkString(" UNION ALL ")}
+         |ORDER BY "column"""".stripMargin.replace('\n', ' ')
+    },
     // lag floored at 0 in BOTH engines (so DuckDB's flooring // and
     // Spark's truncating div never see a negative operand); a
     // future-dated partition fails via the max(ts) <= as-of conjunct

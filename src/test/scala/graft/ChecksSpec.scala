@@ -144,6 +144,28 @@ class ChecksSpec extends AnyFunSuite {
     }
   }
 
+  test("profile: one row per column with typed min/max lanes, null " +
+    "and exact-distinct counts; nulls excluded from distinct/min/max") {
+    val df = Seq(
+      (Some(1.0), Some("a")),
+      (Some(3.0), Some("a")),
+      (None, Some("b")),
+      (Some(3.0), None)
+    ).toDF("v", "s")
+    val out = Checks.profile(df, Seq("v"), Seq("s"))
+      .orderBy("column").collect()
+    val sRow = out(0); val vRow = out(1)
+    assert(vRow.getString(0) === "v" && vRow.getLong(1) === 4L)
+    assert(vRow.getLong(2) === 1L && vRow.getLong(3) === 2L)
+    assert(vRow.getDouble(4) === 1.0 && vRow.getDouble(5) === 3.0)
+    assert(vRow.isNullAt(6) && vRow.isNullAt(7),
+      "numeric columns leave the string lane NULL")
+    assert(sRow.getString(0) === "s" && sRow.getLong(2) === 1L &&
+      sRow.getLong(3) === 2L)
+    assert(sRow.isNullAt(4) && sRow.isNullAt(5))
+    assert(sRow.getString(6) === "a" && sRow.getString(7) === "b")
+  }
+
   test("clean data passes every rule") {
     val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "value")
     val out = Checks.report(df,
