@@ -57,6 +57,81 @@ object KMeans {
         col("pos").cast("long").as("pos"), col("dim_avg"))
   }
 
+  /** Simplified silhouette (x66) — the clustering-quality eval that
+    * ships with every k-means (sklearn's `silhouette` on the
+    * centroid approximation): per vector, a = cosine distance to its
+    * OWN centroid, b = distance to the nearest OTHER centroid,
+    * s = (b − a) / max(a, b); reported as per-cluster mean + size.
+    * The centroid approximation is what makes it a SCALE metric: the
+    * exact silhouette is all-pairs (corpus²); this one is one corpus
+    * scan under the k×dims broadcast — the same cost as an assignment
+    * step — plus two partial-aggregatable reductions, no window over
+    * the corpus anywhere.
+    *
+    * Determinism: sims round to 4 dp (the x10 contract); the assigned
+    * centroid is the (sim desc, label asc) argmax; b excludes the
+    * assigned LABEL (not equal sims) so ties cannot flip membership
+    * of the b-set; per-row s rounds to 4 dp and averages through a
+    * DECIMAL sum. Duplicate-centroid degeneracy (second_sim = 1)
+    * yields NULL rather than ±Inf, mirrored in the twin. */
+  def simplifiedSilhouette(vecs: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id"): DataFrame = {
+    val scored = vecs.join(broadcast(centroids))
+      .select(col(idCol), col("label"),
+        round(graft.sim.Similarity.cosine(col("vec"), col("centroid")),
+          4).as("sim"))
+    val best = scored.groupBy(col(idCol))
+      .agg(max_by(struct(col("label"), col("sim")),
+        struct(col("sim"), (-col("label")).as("neg_label"))).as("b"))
+      .select(col(idCol), col("b.label").as("cluster"),
+        col("b.sim").as("best_sim"))
+    val second = scored.join(best, Seq(idCol))
+      .filter(col("label") =!= col("cluster"))
+      .groupBy(col(idCol))
+      .agg(max(col("sim")).as("second_sim"))
+    val s = best.join(second, Seq(idCol))
+      .withColumn("sil", when(col("second_sim") < 1, round(
+        (col("best_sim") - col("second_sim")) /
+          (lit(1.0) - col("second_sim")), 4)))
+    s.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("sil").cast("decimal(18,4)")).cast("double") /
+          count(col("sil")), 4).as("avg_silhouette"))
+  }
+
+  /** DuckDB twin of [[simplifiedSilhouette]] over `embeddings` with
+    * per-label-mean centroids. */
+  def silhouetteSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+       |  FROM embeddings),
+       |e0 AS (SELECT label, generate_subscripts(embedding, 1) - 1
+       |    AS pos, unnest(embedding) AS val FROM embeddings),
+       |d0 AS (SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 6)
+       |    AS dim_avg FROM e0 GROUP BY 1, 2),
+       |c0 AS (SELECT label, list(dim_avg ORDER BY pos) AS centroid
+       |  FROM d0 GROUP BY label),
+       |scored AS (SELECT vec_id, c.label,
+       |    round(list_cosine_similarity(v.vec, c.centroid), 4) AS sim
+       |  FROM v, c0 c),
+       |best AS (SELECT vec_id, label AS cluster, sim AS best_sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, label) AS rnk FROM scored)
+       |  WHERE rnk = 1),
+       |snd AS (SELECT s.vec_id, max(s.sim) AS second_sim
+       |  FROM scored s JOIN best b ON b.vec_id = s.vec_id
+       |    AND s.label <> b.cluster
+       |  GROUP BY 1),
+       |sil AS (SELECT b.vec_id, b.cluster,
+       |    CASE WHEN second_sim < 1 THEN
+       |      round((best_sim - second_sim) /
+       |        (CAST('1' AS DOUBLE) - second_sim), 4) END AS sil
+       |  FROM best b JOIN snd USING (vec_id))
+       |SELECT cluster, count(*) AS n_members,
+       |  round(CAST(sum(CAST(sil AS DECIMAL(18,4))) AS DOUBLE)
+       |    / count(sil), 4) AS avg_silhouette
+       |FROM sil GROUP BY cluster ORDER BY cluster"""
+      .stripMargin.replace('\n', ' ')
+
   /** DuckDB twin of [[lloyd]] over `embeddings` with per-label-mean
     * init: the same iterations statically unrolled as CTEs (the
     * g1/irlsSql pattern — assignment as a row_number argmax, update as

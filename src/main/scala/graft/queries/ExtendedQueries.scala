@@ -152,6 +152,27 @@ object ExtendedQueries {
       graft.ml.KMeans.lloyd(vecs, init, iters = 2)
         .orderBy("cluster", "pos")
     }),
+    // clustering-quality eval (x66 — simplified silhouette on the
+    // centroid approximation): the exact silhouette is corpus²; this
+    // one costs an assignment step (one scan under the k×dims
+    // broadcast) + two partial-aggregatable reductions. Per-cluster
+    // mean of s = (b − a)/max(a, b) with cosine distances to own vs
+    // nearest-other centroid
+    "x66_silhouette" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val init = emb
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("dim_avg"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("dim_avg")))),
+          x => x.getField("dim_avg")).as("centroid"))
+      graft.ml.KMeans.simplifiedSilhouette(vecs, init)
+        .orderBy("cluster")
+    }),
     // multi-level aggregation: ROLLUP (country, parameter) totals
     "x5_rollup" -> ((s, d) =>
       PipelineQueries.silver(s, d)
@@ -1777,6 +1798,7 @@ object ExtendedQueries {
         |WHERE rnk = 1 ORDER BY vec_id""".stripMargin.replace('\n', ' '),
     // same unrolled Lloyd iterations (graft.ml.KMeans.lloydSql)
     "x65_kmeans_lloyd" -> graft.ml.KMeans.lloydSql(iters = 2),
+    "x66_silhouette" -> graft.ml.KMeans.silhouetteSql,
     "x5_rollup" -> withPipeline(
       """SELECT coalesce(country, 'ALL') AS country,
         |  coalesce(parameter, 'ALL') AS parameter,

@@ -40,6 +40,28 @@ class KMeansSpec extends AnyFunSuite {
     assert(dim((1, 1L)) === 0.95 && dim((1, 2L)) === 0.05)
   }
 
+  test("simplified silhouette: tight clusters score 1, a boundary " +
+    "point scores 0 (and ties assign to the lower label)") {
+    val centroids = Seq(
+      (0, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1, Seq(0.0, 1.0, 0.0, 0.0))
+    ).toDF("label", "centroid")
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (4L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (5L, Seq(0.7071, 0.7071, 0.0, 0.0)) // equidistant boundary
+    ).toDF("vec_id", "vec")
+    val out = KMeans.simplifiedSilhouette(vecs, centroids)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0)._1 === 3L, "the tie must land on the lower label")
+    assert(out(1)._1 === 2L)
+    assert(out(1)._2 === 1.0, "axis-aligned members: a=0, b=1 → s=1")
+    assert(out(0)._2 === 0.6667, "(1 + 1 + 0)/3 — boundary point s=0")
+  }
+
   test("a cluster whose members all defect vanishes from the output") {
     val data = Seq(
       (1L, Seq(1.0, 0.0, 0.0, 0.0), 0),
