@@ -190,4 +190,43 @@ object Checks {
         col("n_rows"), col("lag_s"),
         (col("lag_s") <= maxLagSeconds &&
           col("latest_us") <= asOfMicros).as("pass"))
+
+  /** Functional-dependency / candidate-key profiler — the seventh
+    * check (the schema-semantics sibling of [[profile]]): for each
+    * asserted dependency LHS → RHS, does every LHS group determine
+    * exactly one RHS value? Reports groups, violating groups (≥2
+    * distinct RHS values), violating rows (all rows of a violating
+    * group — the rows a repair would have to touch), and a pass flag.
+    * With RHS = the LHS itself degenerate FDs double as uniqueness
+    * checks; the interesting use is discovering which "keys" the data
+    * actually honors before a merge/survivorship step trusts them.
+    *
+    * NULL RHS values ABSTAIN (count-distinct ignores them — the
+    * survivorship convention, identical in DuckDB): a group holding
+    * {NULL, 'a'} has one determined value, not a conflict.
+    *
+    * Scale: each dependency is one (lhs → distinct-rhs, count)
+    * aggregate — the shuffle carries the partially-reduced
+    * (lhs, rhs) grain, never raw rows — followed by a metadata-sized
+    * rollup; the report is |deps| rows. Dependencies on the same
+    * table still run as separate passes (different shuffle keys —
+    * inherent, not a defect). */
+  def functionalDependencies(
+      deps: Seq[(String, DataFrame, Seq[String], String)]): DataFrame = {
+    require(deps.nonEmpty, "at least one dependency required")
+    deps.map { case (name, df, lhs, rhs) =>
+      df.groupBy(lhs.map(col): _*)
+        .agg(countDistinct(col(rhs)).as("nd"), count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L))
+            .as("n_violating_groups"),
+          sum(when(col("nd") > 1, col("c")).otherwise(0L))
+            .as("n_violating_rows"))
+        .select(lit(name).as("rule"), col("n_groups"),
+          col("n_violating_groups"),
+          coalesce(col("n_violating_rows"), lit(0L))
+            .as("n_violating_rows"),
+          (col("n_violating_groups") === 0).as("pass"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -640,6 +640,22 @@ object ExtendedQueries {
         stringCols = Seq("event_type"))
         .orderBy("column")
     }),
+    // FUNCTIONAL-DEPENDENCY / candidate-key profiler (dq7, the
+    // seventh quality check): does every LHS group determine one RHS
+    // value? One (lhs → distinct-rhs, count) aggregate per asserted
+    // dependency, metadata-sized report; event_id→user_id and
+    // doc_id→lang assert real keys, user_id→event_type and
+    // source→lang are the expected-fail discovery probes
+    "dq7_fd_check" -> ((s, d) => {
+      val ev = eventsUs(s, d)
+      val docs = table(s, d, "documents")
+      graft.quality.Checks.functionalDependencies(Seq(
+        ("doc_id_determines_lang", docs, Seq("doc_id"), "lang"),
+        ("event_id_determines_user", ev, Seq("event_id"), "user_id"),
+        ("source_determines_lang", docs, Seq("source"), "lang"),
+        ("user_determines_type", ev, Seq("user_id"), "event_type")))
+        .orderBy("rule")
+    }),
     // RFM SEGMENTATION (the marketing-analytics classic, built the
     // 100 TB way): each user's recency (days since last event),
     // frequency (event count), monetary (Σvalue floored to whole
@@ -2669,6 +2685,28 @@ object ExtendedQueries {
         |    (CAST(n_ref AS DOUBLE) / tr * tc), 6) END AS chi2_term
         |FROM j CROSS JOIN t ORDER BY event_type"""
         .stripMargin.replace('\n', ' '),
+    // one aggregate per dependency, NULL RHS abstains (count DISTINCT
+    // ignores NULLs in both engines)
+    "dq7_fd_check" -> {
+      def fd(name: String, tbl: String, lhs: String, rhs: String) =
+        s"""SELECT '$name' AS rule, count(*) AS n_groups,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating_groups,
+           |  coalesce(CAST(sum(CASE WHEN nd > 1 THEN c ELSE 0 END)
+           |    AS BIGINT), 0) AS n_violating_rows,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    = 0 AS pass
+           |FROM (SELECT $lhs, count(DISTINCT $rhs) AS nd,
+           |  count(*) AS c FROM $tbl GROUP BY $lhs)""".stripMargin
+      s"""${Seq(
+          fd("doc_id_determines_lang", "documents", "doc_id", "lang"),
+          fd("event_id_determines_user", "events", "event_id",
+            "user_id"),
+          fd("source_determines_lang", "documents", "source", "lang"),
+          fd("user_determines_type", "events", "user_id",
+            "event_type")).mkString(" UNION ALL ")}
+         |ORDER BY rule""".stripMargin.replace('\n', ' ')
+    },
     // one SELECT per column unioned (oracle runs at test scale; the
     // engine side is the single shared aggregate)
     "dq6_column_profile" -> {

@@ -166,6 +166,28 @@ class ChecksSpec extends AnyFunSuite {
     assert(sRow.getString(6) === "a" && sRow.getString(7) === "b")
   }
 
+  test("functional dependencies: a violating group counts once but " +
+    "contributes all its rows; NULL RHS abstains; a held FD passes") {
+    val df = Seq(
+      (1L, "a", Some("en")),  // group 'a': en, en, NULL -> held
+      (2L, "a", Some("en")),
+      (3L, "a", None),
+      (4L, "b", Some("en")),  // group 'b': en, de -> violated (2 rows)
+      (5L, "b", Some("de")),
+      (6L, "c", None)         // group 'c': all NULL -> 0 distinct, held
+    ).toDF("id", "grp", "lang")
+    val out = Checks.functionalDependencies(Seq(
+      ("grp_determines_lang", df, Seq("grp"), "lang"),
+      ("id_determines_grp", df, Seq("id"), "grp")))
+      .orderBy("rule").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(out(0) === ("grp_determines_lang", 3L, 1L, 2L, false),
+      "only group b violates, and its TWO rows are the repair surface")
+    assert(out(1) === ("id_determines_grp", 6L, 0L, 0L, true),
+      "id is a real key for grp")
+  }
+
   test("clean data passes every rule") {
     val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "value")
     val out = Checks.report(df,
