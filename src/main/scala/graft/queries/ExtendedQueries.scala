@@ -640,6 +640,20 @@ object ExtendedQueries {
         stringCols = Seq("event_type"))
         .orderBy("column")
     }),
+    // A/B TEST readout (x68): hash-assigned arms (48-bit md5 of the
+    // unit id — RNG-free, outcome-blind), per-arm conversion to
+    // 'purchase', pooled two-proportion z. ONE user-grain aggregate;
+    // the z formula is the same SQL fragment in both engines over the
+    // exact counts
+    "x68_ab_test" -> ((s, d) =>
+      graft.analytics.Experiment.abTest(eventsUs(s, d))),
+    // CUPED variance reduction (x69): pre/post-period per-user value
+    // sums as exact decimals, pooled theta = cov/var, per-arm raw vs
+    // adjusted post means + achieved variance-reduction ratio. ONE
+    // user-grain aggregate; scalar tail shared verbatim with the twin
+    "x69_cuped" -> ((s, d) =>
+      graft.analytics.Experiment.cuped(eventsUs(s, d),
+        cutoffMicros = 1705363200000000L)), // 2024-01-16 00:00 UTC
     // FUNCTIONAL-DEPENDENCY / candidate-key profiler (dq7, the
     // seventh quality check): does every LHS group determine one RHS
     // value? One (lhs → distinct-rhs, count) aggregate per asserted
@@ -2685,6 +2699,11 @@ object ExtendedQueries {
         |    (CAST(n_ref AS DOUBLE) / tr * tc), 6) END AS chi2_term
         |FROM j CROSS JOIN t ORDER BY event_type"""
         .stripMargin.replace('\n', ' '),
+    "x68_ab_test" -> graft.analytics.Experiment.abTestSql(),
+    "x69_cuped" -> graft.analytics.Experiment.cupedSql(
+      1705363200000000L,
+      eventsRel = "(SELECT user_id, value, epoch_us(ts) AS us FROM events)",
+      usExpr = "us"),
     // one aggregate per dependency, NULL RHS abstains (count DISTINCT
     // ignores NULLs in both engines)
     "dq7_fd_check" -> {
