@@ -640,6 +640,22 @@ object ExtendedQueries {
         stringCols = Seq("event_type"))
         .orderBy("column")
     }),
+    // KAPLAN-MEIER churn survival (x67): per-user lifetime = days
+    // between first and last event, EVENT observed iff the user went
+    // quiet >= 7 days before the as-of instant (else right-censored —
+    // still active when observation ended). Corpus collapses to the
+    // day-granularity (duration -> events, censored) histogram in one
+    // pass; the KM windows run on that metadata-sized table
+    "x67_survival_km" -> ((s, d) => {
+      val asOf = 1706745600000000L // 2024-02-01 00:00:00 UTC µs
+      val gap = 604800000000L      // 7 days
+      val per = eventsUs(s, d).groupBy(col("user_id"))
+        .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+        .select(expr("(last_us - first_us) div 86400000000").as("t"),
+          when(col("last_us") <= asOf - gap, 1).otherwise(0)
+            .as("observed"))
+      graft.analytics.Survival.kaplanMeier(per)
+    }),
     // A/B TEST readout (x68): hash-assigned arms (48-bit md5 of the
     // unit id — RNG-free, outcome-blind), per-arm conversion to
     // 'purchase', pooled two-proportion z. ONE user-grain aggregate;
@@ -2699,6 +2715,13 @@ object ExtendedQueries {
         |    (CAST(n_ref AS DOUBLE) / tr * tc), 6) END AS chi2_term
         |FROM j CROSS JOIN t ORDER BY event_type"""
         .stripMargin.replace('\n', ' '),
+    "x67_survival_km" -> graft.analytics.Survival.kaplanMeierSql(
+      """(SELECT (max(epoch_us(ts)) - min(epoch_us(ts)))
+        |    // 86400000000 AS t,
+        |  CASE WHEN max(epoch_us(ts)) <= 1706745600000000 - 604800000000
+        |    THEN 1 ELSE 0 END AS observed
+        |  FROM events GROUP BY user_id)"""
+        .stripMargin.replace('\n', ' ')),
     "x68_ab_test" -> graft.analytics.Experiment.abTestSql(),
     "x69_cuped" -> graft.analytics.Experiment.cupedSql(
       1705363200000000L,
