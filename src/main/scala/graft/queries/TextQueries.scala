@@ -200,6 +200,12 @@ object TextQueries {
     // beyond chance)
     "t23_pmi_collocations" -> ((s, d) =>
       TextAnalysis.pmiCollocations(table(s, d, "documents"))),
+    // TextRank keywords (t29): PageRank over the word co-occurrence
+    // graph — the graph-centrality keyword list next to frequency
+    // (x3) and tf-idf (t5); vocabulary-bounded graph, exact integer
+    // fixed-point rank, oracle unrolls the same 5 iterations
+    "t29_textrank" -> ((s, d) =>
+      TextAnalysis.textRankKeywords(table(s, d, "documents"))),
     // corpus health report: the per-row gates (quality, repetition,
     // language agreement) rolled up per (source, lang) — one pass over
     // the corpus, one metadata-sized aggregate; the monitoring query a
@@ -301,6 +307,7 @@ object TextQueries {
       (TextAnalysis.tfIdfTopKSql(3) + " ORDER BY doc_id, rnk"),
     "t17_bm25_topk" -> TextAnalysis.bm25TopKSql(bm25Query, 10),
     "t23_pmi_collocations" -> TextAnalysis.pmiCollocationsSql(),
+    "t29_textrank" -> TextAnalysis.textRankKeywordsSql(),
     "t19_bigram_logprob" ->
       (TextAnalysis.bigramLogProbSql() + " ORDER BY doc_id"),
     "t18_three_way_split" ->

@@ -992,6 +992,59 @@ object TextAnalysis {
        |        FROM documents))""".stripMargin.replace('\n', ' ')
   }
 
+  // ------------------------------------------------------- TextRank
+
+  /** TextRank corpus keywords (Mihalcea & Tarau 2004, keyword mode):
+    * PageRank over the word co-occurrence graph — nodes are
+    * normalized tokens, an undirected edge links each ADJACENT token
+    * pair (window 2, unweighted, deduped), rank = 5 damped
+    * iterations, output = the top-N terms. The graph-centrality
+    * alternative to frequency-based keyword lists (x3) and tf-idf
+    * (t5): a term ranks high when it co-occurs with other
+    * high-ranking terms, not merely when it is common.
+    *
+    * Composition, not re-implementation: the edge list feeds
+    * [[graft.graph.PageRank]] unchanged, inheriting its exact
+    * integer fixed-point determinism (the oracle unrolls the same
+    * iterations via PageRank.sql over the same SQL-rendered edges).
+    * Scale: the pair explode is row-local off the materialized token
+    * array (HOF rule); the graph is VOCABULARY-bounded — distinct
+    * token pairs, not corpus positions — so the rank frame broadcasts
+    * and the cached edge table never re-shuffles across iterations.
+    * Ties in the top-N cut break by term, exactly as in the twin. */
+  def textRankKeywords(docs: DataFrame, topN: Int = 20,
+      iters: Int = 5, textCol: String = "text"): DataFrame = {
+    val withToks = docs.select(
+      tokens(normalized(col(textCol))).as("toks"))
+    val pairs = withToks.select(
+      explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionAll(pairs.select(col("w2").as("src"), col("w1").as("dst")))
+    graft.graph.PageRank.run(edges, iters = iters,
+      broadcastRanks = true, symmetric = true)
+      .orderBy(desc("rank_units"), col("node"))
+      .limit(topN)
+  }
+
+  /** DuckDB twin of [[textRankKeywords]] over `documents`. */
+  def textRankKeywordsSql(topN: Int = 20, iters: Int = 5): String = {
+    val toks = tokensSql(normalizedSql("text"))
+    val edgesRel =
+      s"""(WITH bg AS (SELECT l[i] AS w1, l[i + 1] AS w2
+         |    FROM (SELECT $toks AS l FROM documents) tl,
+         |      unnest(range(1, len(l))) AS u(i)
+         |    WHERE l[i] <> l[i + 1])
+         |  SELECT w1 AS src, w2 AS dst FROM bg
+         |  UNION ALL SELECT w2, w1 FROM bg)"""
+        .stripMargin.replace('\n', ' ')
+    graft.graph.PageRank.sql(edgesRel, iters = iters) +
+      s" ORDER BY rank_units DESC, node LIMIT $topN"
+  }
+
   /** DuckDB twin of [[packSequences]] over `documents` (single-task
     * window oracle-side — test scale only). */
   def packSequencesSql(strataCol: String, capacity: Int): String = {
