@@ -640,6 +640,28 @@ object ExtendedQueries {
         stringCols = Seq("event_type"))
         .orderBy("column")
     }),
+    // DETERMINISTIC random walks (g15): the node2vec/DeepWalk corpus
+    // generator at p=q=1 over the g1 bipartite graph — one 4-step
+    // walk per supplier node, each step a hash-picked neighbor
+    // (md5_48(walk|step|node) mod outdeg over the dst-ranked
+    // adjacency). RNG-free; the oracle replays identical choices
+    "g15_random_walks" -> ((s, d) => {
+      val pairs = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("s_node"),
+          (col("o_custkey") * 2 + 1).as("c_node"))
+        .distinct()
+      val edges = pairs
+        .select(col("s_node").as("src"), col("c_node").as("dst"))
+        .unionAll(pairs
+          .select(col("c_node").as("src"), col("s_node").as("dst")))
+      val starts = table(s, d, "supplier")
+        .select((col("s_suppkey") * 2).as("node"))
+      graft.graph.RandomWalks.run(edges, starts, steps = 4)
+    }),
     // KAPLAN-MEIER churn survival (x67): per-user lifetime = days
     // between first and last event, EVENT observed iff the user went
     // quiet >= 7 days before the as-of instant (else right-censored —
@@ -2715,6 +2737,14 @@ object ExtendedQueries {
         |    (CAST(n_ref AS DOUBLE) / tr * tc), 6) END AS chi2_term
         |FROM j CROSS JOIN t ORDER BY event_type"""
         .stripMargin.replace('\n', ' '),
+    "g15_random_walks" -> graft.graph.RandomWalks.sql(
+      """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT o_custkey * 2 + 1, l_suppkey * 2
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
+        .stripMargin.replace('\n', ' '),
+      "(SELECT s_suppkey * 2 AS node FROM supplier)"),
     "x67_survival_km" -> graft.analytics.Survival.kaplanMeierSql(
       """(SELECT (max(epoch_us(ts)) - min(epoch_us(ts)))
         |    // 86400000000 AS t,
