@@ -45,6 +45,15 @@ object SimilarityQueries {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
         .orderBy("query_id", "rank")
     }),
+    // MMR diversified re-ranking (sim9): greedy top-5 from each
+    // query's 20-NN pool by lambda*rel - (1-lambda)*max-sim-to-
+    // selected — the diversity pass between ANN candidates and the
+    // final answer. Quadratic stage capped at poolK^2 per query;
+    // oracle unrolls the identical 5 greedy rounds
+    "sim9_mmr_rerank" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 20), k = 5)
+    }),
     // retrieval-quality evaluation: recall@10 / MRR / nDCG@10 of the
     // deterministic cosine ranking against label-match relevance — the
     // eval harness any retrieval stack runs before shipping a ranker.
@@ -168,6 +177,8 @@ object SimilarityQueries {
     },
     "sim1_knn_bruteforce" ->
       Similarity.bruteForceTopKSql(5, "vec_id < 20"),
+    "sim9_mmr_rerank" ->
+      Similarity.mmrRerankSql("vec_id < 20", k = 5),
     "ir1_retrieval_eval" -> {
       val topSql = Similarity.bruteForceTopKSql(10, "vec_id % 25 = 7")
       s"""WITH top AS ($topSql),

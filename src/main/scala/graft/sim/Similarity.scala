@@ -542,4 +542,142 @@ object Similarity {
        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
        |  CAST(b.embedding AS DOUBLE[])), 4) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin.replace('\n', ' ')
+
+  // -------------------------------------------------------------- MMR
+
+  /** Shared MMR score: λ·relevance − λ·max-sim-to-selected over the
+    * 4dp-rounded cosines, identical text in both engines (round 1
+    * feeds ms = 0, so the formula never branches). */
+  private def mmrScore(lambda: Double): String =
+    s"round(CAST('$lambda' AS DOUBLE) * rel " +
+      s"- CAST('${1 - lambda}' AS DOUBLE) * ms, 6)"
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998): greedy top-`k` from each query's `poolK` nearest
+    * neighbors, each round picking argmax of λ·rel − (1−λ)·max
+    * similarity to the already-selected set — the diversity pass a
+    * retrieval stack runs between ANN candidates and the final
+    * answer, so near-duplicate hits don't crowd out coverage.
+    *
+    * Determinism: relevance and in-pool pairwise cosines round to
+    * 4 dp first (the sim1 convention), the MMR score is one shared
+    * double expression at 6 dp, and every argmax breaks ties by
+    * corpus_id — the oracle replays the identical k greedy rounds as
+    * unrolled CTEs.
+    *
+    * Scale: the candidate pool caps the quadratic stage at poolK²
+    * pairs PER QUERY (never corpus-sized); each greedy round is an
+    * anti-join + a pool-sized aggregate + one per-query window over
+    * ≤ poolK rows, localCheckpointed so round r never recomputes
+    * rounds 1..r−1. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      poolK: Int = 20, lambda: Double = 0.5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cand = bruteForceTopK(corpus, queries, poolK, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"), col("sim").as("rel"))
+      .localCheckpoint()
+    val vecs = corpus.select(col(idCol).as("vid"),
+      toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = cand.join(vecs, col("corpus_id") === col("vid"))
+      .select(col("query_id"), col("corpus_id").as("id1"),
+        col("v").as("v1"), col("nrm").as("n1"))
+    val b = cand.join(vecs, col("corpus_id") === col("vid"))
+      .select(col("query_id").as("q2"), col("corpus_id").as("id2"),
+        col("v").as("v2"), col("nrm").as("n2"))
+    val pairSim = a.join(b,
+      col("query_id") === col("q2") && col("id1") =!= col("id2"))
+      .select(col("query_id"), col("id1"), col("id2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4)
+          .as("psim"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), col("corpus_id"))
+    var selected: DataFrame = null
+    for (r <- 1 to k) {
+      val remaining =
+        if (r == 1) cand
+        else cand.join(selected.select("query_id", "corpus_id"),
+          Seq("query_id", "corpus_id"), "left_anti")
+      val withMs =
+        if (r == 1) remaining.withColumn("ms", lit(0.0))
+        else {
+          val ms = pairSim
+            .join(selected.select(col("query_id").as("sq"),
+              col("corpus_id").as("sid")),
+              pairSim("query_id") === col("sq") &&
+                pairSim("id2") === col("sid"))
+            .groupBy(pairSim("query_id").as("mq"), col("id1"))
+            .agg(max(col("psim")).as("ms"))
+          remaining.join(ms,
+            remaining("query_id") === col("mq") &&
+              remaining("corpus_id") === col("id1"))
+            .select(remaining("query_id"), col("corpus_id"), col("rel"),
+              col("ms"))
+        }
+      val pick = withMs
+        .withColumn("score", expr(mmrScore(lambda)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(r).as("rank"), col("corpus_id"),
+          col("score"))
+        .localCheckpoint()
+      selected =
+        if (r == 1) pick else selected.unionAll(pick).localCheckpoint()
+    }
+    selected.orderBy("query_id", "rank")
+  }
+
+  /** DuckDB twin of [[mmrRerank]] for queries `WHERE <queryPred>`:
+    * the same k greedy rounds as unrolled CTEs. */
+  def mmrRerankSql(queryPred: String, k: Int = 5, poolK: Int = 20,
+      lambda: Double = 0.5): String = {
+    val score = mmrScore(lambda)
+    val pre =
+      s"""cand AS (SELECT query_id, corpus_id, sim AS rel
+         |  FROM (${bruteForceTopKSql(poolK, queryPred)})),
+         |ps AS (SELECT a.query_id, a.corpus_id AS id1,
+         |    b.corpus_id AS id2,
+         |    round(list_cosine_similarity(
+         |      CAST(e1.embedding AS DOUBLE[]),
+         |      CAST(e2.embedding AS DOUBLE[])), 4) AS psim
+         |  FROM cand a
+         |  JOIN cand b ON a.query_id = b.query_id
+         |    AND a.corpus_id <> b.corpus_id
+         |  JOIN embeddings e1 ON e1.vec_id = a.corpus_id
+         |  JOIN embeddings e2 ON e2.vec_id = b.corpus_id),
+         |sel1 AS (SELECT query_id, CAST(1 AS INT) AS rank, corpus_id,
+         |    score FROM (
+         |  SELECT query_id, corpus_id, score, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, corpus_id)
+         |      AS rn
+         |  FROM (SELECT query_id, corpus_id,
+         |      CAST('0' AS DOUBLE) AS ms, rel, $score AS score
+         |    FROM cand)) WHERE rn = 1),
+         |p1 AS (SELECT * FROM sel1)""".stripMargin.replace('\n', ' ')
+    val rounds = (2 to k).map { r =>
+      s"""m$r AS (SELECT p.query_id, p.id1, max(p.psim) AS ms
+         |  FROM ps p JOIN p${r - 1} s ON p.query_id = s.query_id
+         |    AND p.id2 = s.corpus_id
+         |  GROUP BY 1, 2),
+         |sel$r AS (SELECT query_id, CAST($r AS INT) AS rank,
+         |    corpus_id, score FROM (
+         |  SELECT query_id, corpus_id, score, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, corpus_id)
+         |      AS rn
+         |  FROM (SELECT c.query_id, c.corpus_id, m.ms, c.rel,
+         |      $score AS score
+         |    FROM cand c JOIN m$r m ON m.query_id = c.query_id
+         |      AND m.id1 = c.corpus_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM p${r - 1} s
+         |      WHERE s.query_id = c.query_id
+         |        AND s.corpus_id = c.corpus_id)))
+         |  WHERE rn = 1),
+         |p$r AS (SELECT * FROM p${r - 1}
+         |  UNION ALL SELECT * FROM sel$r)"""
+        .stripMargin.replace('\n', ' ')
+    }.mkString(", ")
+    s"WITH $pre, $rounds SELECT query_id, rank, corpus_id, score " +
+      s"FROM p$k ORDER BY query_id, rank"
+  }
 }

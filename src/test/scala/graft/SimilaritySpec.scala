@@ -206,4 +206,44 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mmr: a near-clone of the first pick is demoted below an " +
+    "equally-relevant but diverse candidate") {
+    // query 0; candidates 1 and 2 are clones at +26 deg, candidate 3
+    // mirrors them at -26 deg (same relevance, low mutual similarity)
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.436f, 0.0f)),
+      (2L, Seq(0.9f, 0.4359f, 0.01f)),
+      (3L, Seq(0.9f, -0.436f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.sim.Similarity
+      .mmrRerank(emb, emb.filter($"vec_id" === 0), k = 3, poolK = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1, 1L), (2, 3L), (3, 2L)),
+      "greedy order must be: top pick, then the diverse mirror, " +
+        "then the clone")
+  }
+
+  test("mmr at lambda = 1 degenerates to pure relevance ranking") {
+    val emb = vecs
+    val mmr = graft.sim.Similarity
+      .mmrRerank(emb, emb.filter($"vec_id" === 1), k = 3, poolK = 4,
+        lambda = 1.0)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    val plain = graft.sim.Similarity
+      .bruteForceTopK(emb, emb.filter($"vec_id" === 1), k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(mmr.toSeq === plain.toSeq)
+  }
+
+  test("mmr never repeats a pick within a query") {
+    val emb = vecs
+    val out = graft.sim.Similarity
+      .mmrRerank(emb, emb.filter($"vec_id" <= 2), k = 3, poolK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    out.groupBy(_._1).values.foreach { picks =>
+      assert(picks.map(_._2).distinct.length === picks.length)
+    }
+  }
 }
