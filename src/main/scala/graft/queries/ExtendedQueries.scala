@@ -640,6 +640,22 @@ object ExtendedQueries {
         stringCols = Seq("event_type"))
         .orderBy("column")
     }),
+    // MAXIMAL INDEPENDENT SET (g16): Luby-style with FIXED md5
+    // priorities — node joins when it is the priority local minimum
+    // among undecided neighbors, neighbors drop out, fixpoint. The
+    // symmetry-breaking primitive (conflict-free scheduling, exemplar
+    // picking); fixed priorities = the canonical greedy MIS, so the
+    // oracle unrolls the identical rounds
+    "g16_mis" -> ((s, d) => {
+      val pairs = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
+      graft.graph.Mis.run(pairs)
+    }),
     // DETERMINISTIC random walks (g15): the node2vec/DeepWalk corpus
     // generator at p=q=1 over the g1 bipartite graph — one 4-step
     // walk per supplier node, each step a hash-picked neighbor
@@ -2737,6 +2753,10 @@ object ExtendedQueries {
         |    (CAST(n_ref AS DOUBLE) / tr * tc), 6) END AS chi2_term
         |FROM j CROSS JOIN t ORDER BY event_type"""
         .stripMargin.replace('\n', ' '),
+    "g16_mis" -> graft.graph.Mis.sql(
+      """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
+        .stripMargin.replace('\n', ' ')),
     "g15_random_walks" -> graft.graph.RandomWalks.sql(
       """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
