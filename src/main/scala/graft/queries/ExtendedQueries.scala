@@ -640,6 +640,13 @@ object ExtendedQueries {
         stringCols = Seq("event_type"))
         .orderBy("column")
     }),
+    // SEASONAL-TREND decomposition (x70): y = trend + seasonal +
+    // remainder on the gap-filled hourly value series — centered
+    // 25-h rolling-mean trend (NULL at edges), hour-of-day seasonal
+    // index, remainder for the anomaly gates. One corpus pass; all
+    // windows run on the span-bounded dense hour series
+    "x70_stl_decompose" -> ((s, d) =>
+      graft.analytics.Decompose.hourlyAdditive(eventsUs(s, d))),
     // MAXIMAL INDEPENDENT SET (g16): Luby-style with FIXED md5
     // priorities — node joins when it is the priority local minimum
     // among undecided neighbors, neighbors drop out, fixpoint. The
@@ -2753,6 +2760,8 @@ object ExtendedQueries {
         |    (CAST(n_ref AS DOUBLE) / tr * tc), 6) END AS chi2_term
         |FROM j CROSS JOIN t ORDER BY event_type"""
         .stripMargin.replace('\n', ' '),
+    "x70_stl_decompose" ->
+      graft.analytics.Decompose.hourlyAdditiveSql(),
     "g16_mis" -> graft.graph.Mis.sql(
       """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
