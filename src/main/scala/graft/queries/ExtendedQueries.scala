@@ -310,6 +310,32 @@ object ExtendedQueries {
     // such keys for recall); the codegen'd graft_jaro_winkler scores
     // candidates inside the join's WholeStageCodegen span, best match
     // via min_by((-jw, key)) with no window over the candidates
+    // BLOCKING-QUALITY metrics (er5): pair completeness vs reduction
+    // ratio for three candidate blocking keys over er1's planted
+    // dirty records — the report that decides which blocking ships.
+    // Candidate counts come from (key -> count) products, never
+    // materialized pairs; the tail key overlaps the planted
+    // mutations, so its completeness measurably drops below 1
+    "er5_blocking_quality" -> ((s, d) => {
+      val cust = table(s, d, "customer")
+      val dirty = cust.filter(col("c_custkey") % 10 === 7)
+        .select(col("c_custkey").as("d_key"),
+          expr("""CASE CAST(c_custkey % 3 AS INT)
+            | WHEN 0 THEN concat(substring(c_name, 1, 16),
+            |   substring(c_name, 18, 1), substring(c_name, 17, 1))
+            | WHEN 1 THEN concat(substring(c_name, 1, 16),
+            |   substring(c_name, 18))
+            | ELSE concat(substring(c_name, 1, 17), 'X')
+            |END""".stripMargin).as("dirty_name"))
+      graft.er.BlockingMetrics.report(dirty, cust, Seq(
+        ("key_mid5", substring(col("dirty_name"), 12, 5),
+          substring(col("c_name"), 12, 5)),
+        ("key_mid3", substring(col("dirty_name"), 12, 3),
+          substring(col("c_name"), 12, 3)),
+        ("key_tail3", substring(col("dirty_name"), 16, 3),
+          substring(col("c_name"), 16, 3))))
+        .orderBy("scheme")
+    }),
     "er1_fuzzy_match" -> ((s, d) => {
       import graft.expr.JaroWinkler
       val cust = table(s, d, "customer")
@@ -2041,6 +2067,24 @@ object ExtendedQueries {
     // algorithm (0.7 boost threshold, 0.1 prefix scale, cap 4 —
     // verified on the textbook pairs); 4-dp rounding absorbs last-bit
     // formula-grouping differences
+    "er5_blocking_quality" -> (graft.er.BlockingMetrics.reportSql(
+      """(SELECT c_custkey AS d_key,
+        |  CASE c_custkey % 3
+        |    WHEN 0 THEN concat(substr(c_name, 1, 16),
+        |      substr(c_name, 18, 1), substr(c_name, 17, 1))
+        |    WHEN 1 THEN concat(substr(c_name, 1, 16),
+        |      substr(c_name, 18))
+        |    ELSE concat(substr(c_name, 1, 17), 'X') END AS dirty_name
+        |  FROM customer WHERE c_custkey % 10 = 7)"""
+        .stripMargin.replace('\n', ' '),
+      "customer",
+      Seq(
+        ("key_mid5", "substr(dirty_name, 12, 5)",
+          "substr(c_name, 12, 5)"),
+        ("key_mid3", "substr(dirty_name, 12, 3)",
+          "substr(c_name, 12, 3)"),
+        ("key_tail3", "substr(dirty_name, 16, 3)",
+          "substr(c_name, 16, 3)"))) + " ORDER BY scheme"),
     "er1_fuzzy_match" ->
       """WITH dirty AS (
         |  SELECT c_custkey AS d_key,
