@@ -271,6 +271,24 @@ object FeatureQueries {
     "ml2_normal_equations" -> ((s, d) =>
       graft.ml.NormalEquations.gram(
         graft.ml.NormalEquations.designMatrix(gold(s, d)))),
+    // EXACT linear-model Shapley (ml15): spend regressed on clicks
+    // and views (closed-form 2-feature OLS from nine exact sums in
+    // one pass), then per-row attributions phi_j = beta_j(x_j - mean)
+    // with base = mean(y) and pred = base + sum(phi) exactly — which
+    // feature drove THIS user's prediction, no sampling
+    "ml15_linear_shap" -> ((s, d) => {
+      val per = PipelineQueries.table(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x2"),
+          coalesce(sum(col("value").cast("decimal(18,2)")),
+            lit(0).cast("decimal(18,2)")).as("y"))
+      graft.ml.LinearShap.attribute(per, "user_id", "x1", "x2", "y",
+        explainFilter = col("id") % 50 === 3)
+    }),
     // exact tied-rank ROC-AUC + fixed-threshold confusion metrics over
     // the embeddings table (label >= 5 plays the positive class, one
     // embedding coordinate plays the model score)
@@ -736,6 +754,16 @@ object FeatureQueries {
         "FROM gold ORDER BY location_id, datetime"),
     "ml2_normal_equations" ->
       withPipeline(graft.ml.NormalEquations.gramSql),
+    "ml15_linear_shap" -> graft.ml.LinearShap.sql(
+      """(SELECT user_id AS id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS DECIMAL(18,0)) AS x1,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS DECIMAL(18,0)) AS x2,
+        |  CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))),
+        |    CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |  FROM events GROUP BY 1)""".stripMargin.replace('\n', ' '),
+      "id % 50 = 3"),
     "ml3_auc" ->
       s"""WITH by_score AS (
          |  SELECT score, count(*) AS n, sum(label) AS p
