@@ -82,20 +82,10 @@ object ExtendedQueries {
     // change-data-capture → warehouse-dimension operator. One shuffle
     // (window by user); consecutive same-type rows collapse first so
     // intervals are maximal.
-    "x11_scd2_intervals" -> ((s, d) => {
-      val ev = eventsTs(s, d)
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      val changes = ev
-        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
-        .filter(col("prev_type").isNull ||
-          col("prev_type") =!= col("event_type"))
-      changes
-        .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
-        .select(col("user_id"), col("event_type"),
-          col("ts").as("valid_from"), col("valid_to"),
-          col("valid_to").isNull.as("is_current"))
-        .orderBy("user_id", "valid_from")
-    }),
+    "x11_scd2_intervals" -> ((s, d) =>
+      graft.etl.Scd2.intervals(eventsTs(s, d),
+        "user_id", "event_type", "ts")
+        .orderBy("user_id", "valid_from")),
     // k-means assignment step: every embedding → nearest label centroid
     // (centroids from the x4 pipeline, 6-dp rounded for cross-engine
     // stability; tiny centroid table broadcasts, corpus never shuffles).

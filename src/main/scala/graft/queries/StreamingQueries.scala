@@ -384,6 +384,31 @@ object StreamingQueries {
     // The static side is broadcast: no stream-side shuffle, no state.
     // Only order-independent aggregates (max, count) keep the oracle
     // exact.
+    // STREAMING SCD2 point-in-time enrichment (s12): each streamed
+    // event looks up the dimension interval VALID AT ITS EVENT TIME
+    // (user's regime from the x11/Scd2 intervals) via a stream-static
+    // range join on the broadcast dimension — the as-of lookup every
+    // streaming enrichment against a type-2 dimension needs;
+    // latest-value joins (x13) silently rewrite history. Stateless
+    // per-event lookup: no watermark, no state store; the dimension
+    // is bounded by attribute CHANGES, not events
+    "s12_stream_scd2_enrich" -> ((s, d) => {
+      val dim = graft.etl.Scd2.intervals(
+        PipelineQueries.eventsTs(s, d), "user_id", "event_type", "ts")
+        .select(col("user_id").as("dim_user"),
+          col("event_type").as("regime_type"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+      val enriched = fullEventsStream(s, d)
+        .join(broadcast(dim),
+          col("user_id") === col("dim_user") &&
+            col("ts") >= col("valid_from") &&
+            (col("valid_to").isNull || col("ts") < col("valid_to")))
+      StreamPipeline.replayToMemory(s, enriched, "s12_stream_scd2")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("regime_type"),
+          col("valid_from").as("regime_from"), col("is_current"))
+        .orderBy("event_id")
+    }),
     "x13_stream_enrich" -> ((s, d) => {
       val stationRef = PipelineQueries.silver(s, d)
         .groupBy(col("location_id"))
@@ -404,6 +429,28 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // batch twin: identical interval build + as-of range join
+    "s12_stream_scd2_enrich" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    user_id, event_type FROM events),
+        |ch AS (SELECT user_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+        |      AS prev
+        |  FROM ev),
+        |iv0 AS (SELECT user_id, event_type AS regime_type,
+        |    ts AS valid_from
+        |  FROM ch WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (SELECT user_id, regime_type, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from) AS valid_to
+        |  FROM iv0)
+        |SELECT e.event_id, e.ts, e.user_id, e.event_type,
+        |  i.regime_type, i.valid_from AS regime_from,
+        |  i.valid_to IS NULL AS is_current
+        |FROM ev e JOIN iv i ON e.user_id = i.user_id
+        |  AND e.ts >= i.valid_from
+        |  AND (i.valid_to IS NULL OR e.ts < i.valid_to)
+        |ORDER BY event_id""".stripMargin.replace('\n', ' '),
     // dedup of the doubled stream ≡ the original table
     "s7_stream_dedup" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
