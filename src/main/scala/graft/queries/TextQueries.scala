@@ -200,6 +200,13 @@ object TextQueries {
     // beyond chance)
     "t23_pmi_collocations" -> ((s, d) =>
       TextAnalysis.pmiCollocations(table(s, d, "documents"))),
+    // BPE merge training (t30): 8 rounds of count-pairs -> merge the
+    // most frequent, on the VOCABULARY-sized (word, count) table —
+    // the corpus is scanned exactly once. Double-space symbol
+    // separators make plain string replace the exact greedy merge
+    // in both engines; output is the learned merge table
+    "t30_bpe_train" -> ((s, d) =>
+      graft.text.Bpe.trainMerges(table(s, d, "documents"))),
     // TextRank keywords (t29): PageRank over the word co-occurrence
     // graph — the graph-centrality keyword list next to frequency
     // (x3) and tf-idf (t5); vocabulary-bounded graph, exact integer
@@ -308,6 +315,7 @@ object TextQueries {
     "t17_bm25_topk" -> TextAnalysis.bm25TopKSql(bm25Query, 10),
     "t23_pmi_collocations" -> TextAnalysis.pmiCollocationsSql(),
     "t29_textrank" -> TextAnalysis.textRankKeywordsSql(),
+    "t30_bpe_train" -> graft.text.Bpe.trainMergesSql(),
     "t19_bigram_logprob" ->
       (TextAnalysis.bigramLogProbSql() + " ORDER BY doc_id"),
     "t18_three_way_split" ->
