@@ -47,7 +47,12 @@ object Explain {
         "x62_windowed_funnel", "dq5_categorical_drift",
         // round-7 additions
         "d11_incremental_neardup", "d12_semantic_dedup",
-        "t27_quality_filter", "x23_funnel", "g12_ktruss")
+        "t27_quality_filter", "x23_funnel", "g12_ktruss",
+        // round-7 continuation additions
+        "dq7_fd_check", "x67_survival_km", "x68_ab_test", "x69_cuped",
+        "t29_textrank", "g15_random_walks", "g16_mis",
+        "x70_stl_decompose", "sim9_mmr_rerank", "er5_blocking_quality",
+        "ml15_linear_shap", "t30_bpe_train")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -458,4 +458,51 @@ class PlanShapeSpec extends AnyFunSuite {
     "aggregate exchange plus the ordered output only") {
     assert(shuffles(plan("dq4_freshness")) <= 2)
   }
+
+  test("x68/x69: the corpus contributes exactly one user-grain " +
+    "aggregate — shuffles are that exchange plus the 1-row gather") {
+    assert(shuffles(plan("x68_ab_test")) <= 2)
+    assert(shuffles(plan("x69_cuped")) <= 2)
+  }
+
+  test("x70 decomposition: every window sits above the hourly " +
+    "aggregate, never raw events, and the seasonal join broadcasts") {
+    import org.apache.spark.sql.execution.aggregate.{
+      HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val p = plan("x70_stl_decompose")
+    val ws = p.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty)
+    ws.foreach { w =>
+      assert(w.child.exists {
+        case _: HashAggregateExec | _: ObjectHashAggregateExec |
+            _: SortAggregateExec => true
+        case _ => false
+      }, "windows must run on the span-bounded hour series")
+    }
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "the 24-row seasonal table must broadcast back")
+  }
+
+  test("ml15: the nine sufficient statistics reduce in one aggregate " +
+    "and broadcast onto the explain rows — no sort-merge join") {
+    val p = plan("ml15_linear_shap")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "the 1-row stats frame must broadcast, never shuffle-join")
+  }
+
+  test("er5 blocking report: candidate counting joins only key-grain " +
+    "aggregates — no pair-level sort-merge join anywhere") {
+    import org.apache.spark.sql.execution.aggregate.{
+      HashAggregateExec, ObjectHashAggregateExec}
+    val p = plan("er5_blocking_quality")
+    p.collect { case j: SortMergeJoinExec => j }.foreach { j =>
+      val hasAgg = j.exists {
+        case _: HashAggregateExec | _: ObjectHashAggregateExec => true
+        case _ => false
+      }
+      assert(hasAgg,
+        "any shuffle join must sit above (key -> count) aggregates, " +
+          "never raw record pairs")
+    }
+  }
 }
