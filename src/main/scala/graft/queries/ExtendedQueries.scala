@@ -656,6 +656,12 @@ object ExtendedQueries {
         stringCols = Seq("event_type"))
         .orderBy("column")
     }),
+    // MANN-KENDALL trend test (x71): is the hourly series actually
+    // trending — exact integer S over the span-bounded dense series'
+    // pairs, tie-corrected variance, continuity-corrected z; x70
+    // shows the components, x71 tests the drift
+    "x71_mann_kendall" -> ((s, d) =>
+      graft.analytics.TrendTest.mannKendallHourly(eventsUs(s, d))),
     // SEASONAL-TREND decomposition (x70): y = trend + seasonal +
     // remainder on the gap-filled hourly value series — centered
     // 25-h rolling-mean trend (NULL at edges), hour-of-day seasonal
@@ -2796,6 +2802,8 @@ object ExtendedQueries {
         .stripMargin.replace('\n', ' '),
     "x70_stl_decompose" ->
       graft.analytics.Decompose.hourlyAdditiveSql(),
+    "x71_mann_kendall" ->
+      graft.analytics.TrendTest.mannKendallHourlySql(),
     "g16_mis" -> graft.graph.Mis.sql(
       """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
