@@ -656,6 +656,16 @@ object ExtendedQueries {
         stringCols = Seq("event_type"))
         .orderBy("column")
     }),
+    // MARKOV removal-effect attribution (x72): user journeys as a
+    // first-order channel chain with absorbing CONV/NULL; credit =
+    // conversion drop when a channel is removed (Anderl et al.) —
+    // the data-driven alternative to x45/x61's positional heuristics.
+    // Integer fixed-point (the g1 discipline) on the metadata-sized
+    // transition matrix; the oracle unrolls identical iterations
+    "x72_markov_attribution" -> ((s, d) =>
+      graft.analytics.MarkovAttribution.removalEffects(
+        eventsUs(s, d), channels = Seq("view", "click", "signup",
+          "error"))),
     // MANN-KENDALL trend test (x71): is the hourly series actually
     // trending — exact integer S over the span-bounded dense series'
     // pairs, tie-corrected variance, continuity-corrected z; x70
@@ -2804,6 +2814,9 @@ object ExtendedQueries {
       graft.analytics.Decompose.hourlyAdditiveSql(),
     "x71_mann_kendall" ->
       graft.analytics.TrendTest.mannKendallHourlySql(),
+    "x72_markov_attribution" ->
+      graft.analytics.MarkovAttribution.removalEffectsSql(
+        channels = Seq("view", "click", "signup", "error")),
     "g16_mis" -> graft.graph.Mis.sql(
       """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
