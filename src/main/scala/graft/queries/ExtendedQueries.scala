@@ -656,6 +656,14 @@ object ExtendedQueries {
         stringCols = Seq("event_type"))
         .orderBy("column")
     }),
+    // POISSON-bootstrap CI (x73): distribution-free interval for the
+    // A/B conversion diff — per-(unit, replicate) Poisson(1) weights
+    // from precomputed integer CDF thresholds on the md5 hash (no
+    // transcendental at query time, bit-identical draws in both
+    // engines), B=32 one-aggregate replicates, rank-picked ~94%
+    // percentile interval
+    "x73_bootstrap_ci" -> ((s, d) =>
+      graft.analytics.Bootstrap.conversionDiffCi(eventsUs(s, d))),
     // MARKOV removal-effect attribution (x72): user journeys as a
     // first-order channel chain with absorbing CONV/NULL; credit =
     // conversion drop when a channel is removed (Anderl et al.) —
@@ -2817,6 +2825,8 @@ object ExtendedQueries {
     "x72_markov_attribution" ->
       graft.analytics.MarkovAttribution.removalEffectsSql(
         channels = Seq("view", "click", "signup", "error")),
+    "x73_bootstrap_ci" ->
+      graft.analytics.Bootstrap.conversionDiffCiSql(),
     "g16_mis" -> graft.graph.Mis.sql(
       """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
