@@ -1787,6 +1787,40 @@ object ExtendedQueries {
     // SPAN aggregate — ≤ |type vocabulary| rows per user — and the
     // per-user self-join is vocabulary², never events². Support in
     // exact integer basis points over the distinct-user total.
+    // 3-STEP sequential-pattern support (x74): x59's PrefixSpan-style
+    // big sibling — users with a t1 < t2 < t3 subsequence (distinct
+    // types), by the greedy-witness argument (earliest t1, earliest
+    // t2 after it, any t3 after that). Stage 2 joins events to the
+    // user's ≤|types| first-occurrence rows (bounded fan-out, partial
+    // agg to the (user, t1, t2) grain); stages 1/3 ride the span
+    // table. Support in exact integer basis points
+    "x74_seq3_support" -> ((s, d) => {
+      val ev = eventsUs(s, d)
+      val spans = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("us")).as("tmin"), max(col("us")).as("tmax"))
+        .localCheckpoint()
+      val total = ev.agg(countDistinct(col("user_id")).as("nu"))
+      val s1 = spans.select(col("user_id").as("u1"),
+        col("event_type").as("t1"), col("tmin").as("tmin1"))
+      val s2 = ev.select(col("user_id").as("u2"),
+        col("event_type").as("t2"), col("us"))
+        .join(s1, col("u2") === col("u1") && col("t2") =!= col("t1") &&
+          col("us") > col("tmin1"))
+        .groupBy(col("u1"), col("t1"), col("t2"))
+        .agg(min(col("us")).as("t2e"))
+      val s3 = s2.join(spans,
+        col("user_id") === col("u1") &&
+          col("event_type") =!= col("t1") &&
+          col("event_type") =!= col("t2") &&
+          col("tmax") > col("t2e"))
+      s3.groupBy(col("t1"), col("t2"),
+        col("event_type").as("t3"))
+        .agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(total))
+        .select(col("t1"), col("t2"), col("t3"), col("n_users"),
+          expr("(n_users * 10000) div nu").as("support_bp"))
+        .orderBy("t1", "t2", "t3")
+    }),
     "x59_seq2_support" -> ((s, d) => {
       val spans = table(s, d, "events")
         .groupBy(col("user_id"), col("event_type"))
@@ -2153,6 +2187,28 @@ object ExtendedQueries {
         |SELECT d_key, dirty_name, matched_key, matched_name, jw
         |FROM best WHERE rn = 1 ORDER BY d_key"""
         .stripMargin.replace('\n', ' '),
+    "x74_seq3_support" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |spans AS (SELECT user_id, event_type, min(us) AS tmin,
+        |    max(us) AS tmax
+        |  FROM ev GROUP BY 1, 2),
+        |u AS (SELECT count(DISTINCT user_id) AS nu FROM ev),
+        |s2 AS (SELECT s1.user_id, s1.event_type AS t1,
+        |    e.event_type AS t2, min(e.us) AS t2e
+        |  FROM spans s1 JOIN ev e ON e.user_id = s1.user_id
+        |    AND e.event_type <> s1.event_type AND e.us > s1.tmin
+        |  GROUP BY 1, 2, 3),
+        |s3 AS (SELECT s2.t1, s2.t2, sp.event_type AS t3,
+        |    count(*) AS n_users
+        |  FROM s2 JOIN spans sp ON sp.user_id = s2.user_id
+        |    AND sp.event_type <> s2.t1 AND sp.event_type <> s2.t2
+        |    AND sp.tmax > s2.t2e
+        |  GROUP BY 1, 2, 3)
+        |SELECT t1, t2, t3, n_users,
+        |  CAST(n_users * 10000 // nu AS BIGINT) AS support_bp
+        |FROM s3 CROSS JOIN u
+        |ORDER BY t1, t2, t3""".stripMargin.replace('\n', ' '),
     "x59_seq2_support" ->
       """WITH spans AS (
         |  SELECT user_id, event_type, min(ts) AS tmin, max(ts) AS tmax
