@@ -100,6 +100,33 @@ object SinkQueries {
     // The oracle checks content is preserved; IoSpec checks the file
     // counts. At 100 TB the repartition count comes from target file
     // size (≈128 MB-1 GB), not a constant
+    // WRITE-AUDIT-PUBLISH (io9): the lakehouse commit protocol —
+    // stage invisibly, audit the staged files AS WRITTEN, publish by
+    // versioned rename + pointer swap. A good batch publishes v1; a
+    // planted-bad batch (negated values) is REJECTED and quarantined,
+    // and the read-back still serves v1 — content equality with the
+    // source is the oracle, the rejection path is exercised inline
+    "io9_write_audit_publish" -> ((s, d) => {
+      import graft.io.Wap
+      val root = tmp(s"events_wap_${java.util.UUID.randomUUID()
+        .toString.take(8)}", d)
+      val ev = table(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val rules = Seq(
+        "value_non_negative" -> (col("value") >= 0),
+        "event_id_present" -> col("event_id").isNotNull)
+      val (ok1, _) = Wap.publish(ev, root, rules)
+      require(ok1, "clean batch must publish")
+      val (ok2, _) = Wap.publish(
+        ev.withColumn("value", -col("value") - lit(1)), root, rules)
+      require(!ok2, "the planted-bad batch must be rejected")
+      Wap.readPublished(s, root).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+    }),
     "io4_compaction" -> ((s, d) => {
       val src = tmp("events_small_files", d)
       val dst = tmp("events_compacted", d)
@@ -300,6 +327,11 @@ object SinkQueries {
         |    ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY bucket"""
         .stripMargin.replace('\n', ' '),
+    "io9_write_audit_publish" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin.replace('\n', ' '),
     "io4_compaction" ->
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT user_id) AS n_users,

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.io.Wap
+
+/** Write–audit–publish: versioned promotion, pointer semantics, and
+  * the quarantine path readers never observe. */
+class WapSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def root() =
+    s"/tmp/graft_wap_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private val rules = Seq("v_non_negative" -> (col("v") >= 0))
+
+  test("sequential valid publishes advance the pointer; readers see " +
+    "exactly the latest version") {
+    val r = root()
+    val (ok1, rep1) = Wap.publish(Seq((1L, 10.0), (2L, 20.0))
+      .toDF("id", "v"), r, rules)
+    assert(ok1 && rep1.collect().forall(_.getBoolean(3)))
+    assert(Wap.readPublished(spark, r).count() === 2)
+    val (ok2, _) = Wap.publish(Seq((3L, 30.0)).toDF("id", "v"), r, rules)
+    assert(ok2)
+    val now = Wap.readPublished(spark, r).collect()
+    assert(now.length === 1 && now.head.getLong(0) === 3L,
+      "the pointer must resolve to v2's content")
+  }
+
+  test("a failed audit quarantines the batch and leaves the published " +
+    "version untouched; the next valid batch reuses the version slot") {
+    val r = root()
+    assert(Wap.publish(Seq((1L, 1.0)).toDF("id", "v"), r, rules)._1)
+    val (ok, report) = Wap.publish(Seq((9L, -5.0)).toDF("id", "v"),
+      r, rules)
+    assert(!ok)
+    assert(report.filter(col("rule") === "v_non_negative")
+      .collect().head.getLong(1) === 1L, "one violating row reported")
+    val still = Wap.readPublished(spark, r).collect()
+    assert(still.length === 1 && still.head.getLong(0) === 1L,
+      "readers must never see the rejected batch")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(r, "_rejected_v2")),
+      "the bad batch is quarantined, not deleted")
+    assert(Wap.publish(Seq((7L, 7.0)).toDF("id", "v"), r, rules)._1)
+    assert(Wap.readPublished(spark, r).collect().head.getLong(0) === 7L)
+  }
+
+  test("reading an empty root fails loudly rather than returning an " +
+    "empty frame") {
+    intercept[IllegalArgumentException] {
+      Wap.readPublished(spark, root())
+    }
+  }
+}
