@@ -687,6 +687,24 @@ object ExtendedQueries {
     // windows run on the span-bounded dense hour series
     "x70_stl_decompose" -> ((s, d) =>
       graft.analytics.Decompose.hourlyAdditive(eventsUs(s, d))),
+    // MULTI-SOURCE closeness centrality (g17): how central is each
+    // seed — one BFS for ALL hash-picked sources over (source, node)
+    // composite state (k sources = one traversal with kx state, the
+    // sampled-closeness shape exact all-pairs can't afford); exact
+    // integer counts, one rounded division
+    "g17_closeness" -> ((s, d) => {
+      val pairs = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
+      val sources = table(s, d, "supplier")
+        .filter(col("s_suppkey") % 25 === 3)
+        .select((col("s_suppkey") * 2).as("node"))
+      graft.graph.Closeness.multiSource(pairs, sources)
+    }),
     // MAXIMAL INDEPENDENT SET (g16): Luby-style with FIXED md5
     // priorities — node joins when it is the priority local minimum
     // among undecided neighbors, neighbors drop out, fixpoint. The
@@ -2883,6 +2901,12 @@ object ExtendedQueries {
         channels = Seq("view", "click", "signup", "error")),
     "x73_bootstrap_ci" ->
       graft.analytics.Bootstrap.conversionDiffCiSql(),
+    "g17_closeness" -> graft.graph.Closeness.multiSourceSql(
+      """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
+        .stripMargin.replace('\n', ' '),
+      "(SELECT s_suppkey * 2 AS node FROM supplier " +
+        "WHERE s_suppkey % 25 = 3)"),
     "g16_mis" -> graft.graph.Mis.sql(
       """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
