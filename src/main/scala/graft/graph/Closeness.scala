@@ -25,10 +25,10 @@ import org.apache.spark.sql.functions._
   * nothing within the cap is absent from the report in both. */
 object Closeness {
 
-  /** @param sources one `node` column
-    * @return (node, n_reached, sum_dist, closeness), self excluded */
-  def multiSource(edges: DataFrame, sources: DataFrame,
-      maxHops: Int = 10): DataFrame = {
+  /** The shared multi-source BFS: (s, node, hops) rows for every node
+    * reachable from each source within `maxHops` (self at hops 0). */
+  private def reachSet(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"),
         col("src").as("dst")))
@@ -52,7 +52,14 @@ object Closeness {
         .localCheckpoint()
       visited = visited.unionAll(frontier).localCheckpoint()
     }
-    visited.filter(col("hops") > 0)
+    visited
+  }
+
+  /** @param sources one `node` column
+    * @return (node, n_reached, sum_dist, closeness), self excluded */
+  def multiSource(edges: DataFrame, sources: DataFrame,
+      maxHops: Int = 10): DataFrame = {
+    reachSet(edges, sources, maxHops).filter(col("hops") > 0)
       .groupBy(col("s"))
       .agg(count(lit(1)).as("n_reached"),
         sum(col("hops").cast("long")).as("sum_dist"))
@@ -61,6 +68,63 @@ object Closeness {
           "/ CAST(sum_dist AS DOUBLE), 6)").as("closeness"))
       .orderBy("node")
   }
+
+  /** Hop-distance distribution + EFFECTIVE DIAMETER (g18) over the
+    * same sampled-source BFS: per hop, the number of (source, node)
+    * pairs at that exact distance, the running cumulative, and the
+    * integer-exact test cum·10 ≥ 9·total marking the 90th-percentile
+    * hop — the smallest flagged hop IS the effective diameter
+    * (Leskovec & Faloutsos's graph-over-time statistic, computed the
+    * only way it ever is at scale: from a source sample). Exact
+    * integers throughout except the one rounded cum fraction; the
+    * distribution is hop-grained (≤ maxHops rows) no matter the SF. */
+  def hopDistribution(edges: DataFrame, sources: DataFrame,
+      maxHops: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHop = reachSet(edges, sources, maxHops)
+      .filter(col("hops") > 0)
+      .groupBy(col("hops").as("hop"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val total = byHop.agg(sum(col("n_pairs")).as("tot"))
+    byHop
+      .withColumn("cum_pairs", sum(col("n_pairs")).over(Window
+        .orderBy(col("hop"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("hop").cast("int").as("hop"), col("n_pairs"),
+        col("cum_pairs"),
+        round(col("cum_pairs").cast("double") /
+          col("tot").cast("double"), 6).as("cum_frac"),
+        (col("cum_pairs") * 10 >= col("tot") * 9).as("reaches_p90"))
+      .orderBy("hop")
+  }
+
+  /** DuckDB twin of [[hopDistribution]]: recursive reach, min-d
+    * collapse, hop-grain cumulative with the same integer p90 test. */
+  def hopDistributionSql(edgesSql: String, sourcesSql: String,
+      maxHops: Int = 10): String =
+    s"""WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM $edgesSql
+       |   UNION ALL SELECT dst, src FROM $edgesSql) WHERE src <> dst),
+       |srcs AS (SELECT node AS s FROM $sourcesSql),
+       |reach(s, node, d) AS (
+       |  SELECT s, s, 0 FROM srcs
+       |  UNION
+       |  SELECT r.s, e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.node
+       |  WHERE r.d < $maxHops),
+       |md AS (SELECT s, node, min(d) AS d FROM reach GROUP BY 1, 2),
+       |bh AS (SELECT d AS hop, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM md WHERE d > 0 GROUP BY 1),
+       |cm AS (SELECT hop, n_pairs,
+       |    CAST(sum(n_pairs) OVER (ORDER BY hop) AS BIGINT) AS cum_pairs
+       |  FROM bh),
+       |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tot FROM bh)
+       |SELECT CAST(hop AS INT) AS hop, n_pairs, cum_pairs,
+       |  round(CAST(cum_pairs AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+       |    AS cum_frac,
+       |  cum_pairs * 10 >= tot * 9 AS reaches_p90
+       |FROM cm CROSS JOIN t ORDER BY hop"""
+      .stripMargin.replace('\n', ' ')
 
   /** DuckDB twin: recursive multi-source reach, min-d collapse. */
   def multiSourceSql(edgesSql: String, sourcesSql: String,

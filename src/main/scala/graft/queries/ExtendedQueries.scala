@@ -692,6 +692,24 @@ object ExtendedQueries {
     // composite state (k sources = one traversal with kx state, the
     // sampled-closeness shape exact all-pairs can't afford); exact
     // integer counts, one rounded division
+    // HOP-DISTANCE DISTRIBUTION + effective diameter (g18): the same
+    // sampled-source BFS as g17, summarized per hop — n_pairs / cum /
+    // fraction, with the integer cum·10 ≥ 9·total test whose smallest
+    // true hop is the effective diameter. Hop-grained output (≤ cap
+    // rows) at any SF.
+    "g18_effective_diameter" -> ((s, d) => {
+      val pairs = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
+      val sources = table(s, d, "supplier")
+        .filter(col("s_suppkey") % 25 === 3)
+        .select((col("s_suppkey") * 2).as("node"))
+      graft.graph.Closeness.hopDistribution(pairs, sources)
+    }),
     "g17_closeness" -> ((s, d) => {
       val pairs = table(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
@@ -1839,6 +1857,19 @@ object ExtendedQueries {
           expr("(n_users * 10000) div nu").as("support_bp"))
         .orderBy("t1", "t2", "t3")
     }),
+    // GROWTH ACCOUNTING (the Social-Capital DAU decomposition): each
+    // day's actives split into new (first-ever day), retained (active
+    // yesterday too), resurrected (returning after a gap); churned(d) =
+    // active(d-1) − retained(d) — the identity form, so churn needs no
+    // per-user look-ahead. One distinct (user, day) reduction of the
+    // corpus, one per-user lag window over ≤|active days| rows per
+    // user, then everything is day-grain (metadata-sized at any SF).
+    // Quick ratio = (new + resurrected) / churned, NULL-guarded; all
+    // else exact integers.
+    "x75_growth_accounting" -> ((s, d) =>
+      graft.analytics.Growth.dailyAccounting(
+        eventsTs(s, d).select(col("user_id"),
+          col("ts").cast("date").as("day")))),
     "x59_seq2_support" -> ((s, d) => {
       val spans = table(s, d, "events")
         .groupBy(col("user_id"), col("event_type"))
@@ -2227,6 +2258,30 @@ object ExtendedQueries {
         |  CAST(n_users * 10000 // nu AS BIGINT) AS support_bp
         |FROM s3 CROSS JOIN u
         |ORDER BY t1, t2, t3""".stripMargin.replace('\n', ' '),
+    // same (user, day) reduction + per-user lag + day-grain identity
+    // churn; quick ratio guarded on churned > 0 exactly like the engine
+    "x75_growth_accounting" ->
+      """WITH ua AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |fl AS (SELECT user_id, day,
+        |    lag(day) OVER (PARTITION BY user_id ORDER BY day)
+        |      AS prev_day FROM ua),
+        |pd AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN date_diff('day', prev_day, day) = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+        |  FROM fl GROUP BY 1)
+        |SELECT d.day, d.n_active, d.n_new, d.n_retained,
+        |  CAST(d.n_active - d.n_new - d.n_retained AS BIGINT)
+        |    AS n_resurrected,
+        |  CAST(p.n_active - d.n_retained AS BIGINT) AS n_churned,
+        |  CASE WHEN p.n_active - d.n_retained > 0 THEN round(
+        |    CAST(d.n_new + d.n_active - d.n_new - d.n_retained
+        |      AS DOUBLE) / (p.n_active - d.n_retained), 6)
+        |  END AS quick_ratio
+        |FROM pd d LEFT JOIN pd p ON p.day = d.day - 1
+        |ORDER BY d.day""".stripMargin.replace('\n', ' '),
     "x59_seq2_support" ->
       """WITH spans AS (
         |  SELECT user_id, event_type, min(ts) AS tmin, max(ts) AS tmax
@@ -2901,6 +2956,12 @@ object ExtendedQueries {
         channels = Seq("view", "click", "signup", "error")),
     "x73_bootstrap_ci" ->
       graft.analytics.Bootstrap.conversionDiffCiSql(),
+    "g18_effective_diameter" -> graft.graph.Closeness.hopDistributionSql(
+      """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
+        .stripMargin.replace('\n', ' '),
+      "(SELECT s_suppkey * 2 AS node FROM supplier " +
+        "WHERE s_suppkey % 25 = 3)"),
     "g17_closeness" -> graft.graph.Closeness.multiSourceSql(
       """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""

@@ -526,6 +526,25 @@ object FeatureQueries {
             lit(10.0) * (col("sum_all").cast("double") / col("n_all"))) /
             (col("n_cat") + lit(10)).cast("double")).as("encoded"))
         .orderBy("c_mktsegment")
+    }),
+    // ISOTONIC CALIBRATION — the non-parametric monotone calibrator
+    // (sklearn IsotonicRegression semantics) via the exact minimax
+    // characterization of the PAV fit; see graft.ml.Isotonic for why
+    // that form (pure joins/aggregates on the domain-bounded score
+    // grain) is the distributed shape and sequential PAV is not. The
+    // corpus contributes ONE user-grain aggregate (the ml13 frame:
+    // score = click count, label = converted).
+    "ml16_isotonic" -> ((s, d) => {
+      val grain = PipelineQueries.table(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("label"))
+        .groupBy(col("score"))
+        .agg(sum(col("label")).as("np"),
+          (count(lit(1)) - sum(col("label"))).as("nn"))
+      graft.ml.Isotonic.calibrate(grain).orderBy("score")
     })
   )
 
@@ -543,6 +562,19 @@ object FeatureQueries {
       .stripMargin.replace('\n', ' ')
 
   val oracle: Map[String, String] = Map(
+    // identical cumulative-sum interval means + minimax lattice over the
+    // same user-grain (score, np, nn) reduction
+    "ml16_isotonic" -> (graft.ml.Isotonic.calibrateSql(
+      """SELECT CAST(score AS BIGINT) AS score,
+        |  CAST(sum(label) AS BIGINT) AS np,
+        |  CAST(count(*) - sum(label) AS BIGINT) AS nn
+        |FROM (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS score,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS label
+        |  FROM events GROUP BY 1) GROUP BY 1"""
+        .stripMargin.replace('\n', ' ')) + " ORDER BY score"),
     // decimal-exact sums; the two final double expressions are spelled
     // identically to the Spark side (cast, ×10.0 prior, ÷(n+10))
     "ml11_target_encoding" ->

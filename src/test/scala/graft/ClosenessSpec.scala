@@ -36,4 +36,29 @@ class ClosenessSpec extends AnyFunSuite {
       maxHops = 3).collect().head
     assert(out.getLong(1) === 3L && out.getLong(2) === 6L)
   }
+
+  test("hop distribution from the path end: one pair per hop, " +
+    "effective diameter at the 90th-percentile hop") {
+    // from node 1 on the 5-path: exactly one node at each hop 1..4
+    val out = Closeness.hopDistribution(path5, Seq(1L).toDF("node"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      (1, 1L, 1L, 0.25, false),
+      (2, 1L, 2L, 0.5, false),
+      (3, 1L, 3L, 0.75, false),
+      (4, 1L, 4L, 1.0, true)))
+  }
+
+  test("hop distribution pools pairs across sources and flags the " +
+    "first hop covering 90% of reachable pairs") {
+    // sources 1 and 3 on the 5-path: 8 reachable pairs total;
+    // hop1: (1->2),(3->2),(3->4) = 3; hop2: (1->3),(3->1),(3->5) = 3;
+    // hop3: (1->4) = 1; hop4: (1->5) = 1. cum: 3,6,7,8 -> p90 at hop 4
+    val out = Closeness.hopDistribution(path5, Seq(1L, 3L).toDF("node"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getBoolean(4)))
+    assert(out.toSeq === Seq((1, 3L, false), (2, 3L, false),
+      (3, 1L, false), (4, 1L, true)))
+  }
 }
