@@ -127,6 +127,34 @@ object SinkQueries {
         sum(col("value").cast("decimal(18,2)")).cast("double")
           .as("sum_value"))
     }),
+    // ZONE-MAP data skipping (io10): write a bucket-clustered layout,
+    // build the file-level min/max index from parquet FOOTERS only
+    // (graft.io.ZoneMap — no row scan; the index a table format keeps
+    // in its manifest), prune the file list for value ∈ [120, 180],
+    // scan only survivors with the residual predicate. The oracle is
+    // the plain filtered aggregate over ALL rows, so a green row
+    // certifies pruning completeness; IoSpec pins that files really
+    // are skipped on this layout and that the footer stats match the
+    // data.
+    "io10_zone_map_scan" -> ((s, d) => {
+      import graft.io.ZoneMap
+      val path = tmp("events_zonemap", d)
+      table(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("bucket", floor(col("value") / 25).cast("int"))
+        .repartition(16, col("bucket"))
+        .write.mode("overwrite").parquet(path)
+      val zones = ZoneMap.build(s, path, "value")
+      val kept = ZoneMap.prunedPaths(zones, 120.0, 180.0)
+      s.read.parquet(kept: _*)
+        .filter(col("value") >= 120 && col("value") <= 180)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+    }),
     "io4_compaction" -> ((s, d) => {
       val src = tmp("events_small_files", d)
       val dst = tmp("events_compacted", d)
@@ -332,6 +360,15 @@ object SinkQueries {
         |  count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events""".stripMargin.replace('\n', ' '),
+    // completeness certificate: the pruned scan must equal the full
+    // filtered aggregate
+    "io10_zone_map_scan" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM events WHERE value >= 120 AND value <= 180"""
+        .stripMargin.replace('\n', ' '),
     "io4_compaction" ->
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT user_id) AS n_users,

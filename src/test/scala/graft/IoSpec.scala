@@ -27,6 +27,43 @@ class IoSpec extends AnyFunSuite {
       spark.read.parquet(src).count())
   }
 
+  test("io10 zone maps: footer stats match the data per file, the " +
+    "predicate skips files on the clustered layout, and the pruned " +
+    "scan equals the full filter") {
+    import org.apache.spark.sql.functions._
+    import graft.io.ZoneMap
+    val agg = SparkEntry.queries("io10_zone_map_scan")(spark, dir)
+      .collect()
+    assert(agg.length === 1 && agg(0).getLong(0) > 0)
+    val path = graft.queries.SinkQueries.tmp("events_zonemap", dir)
+    val zones = ZoneMap.build(spark, path, "value")
+    // footer stats == data stats, per file
+    val byFile = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("mn"),
+        max(col("value")).as("mx"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(zones.nonEmpty && zones.size === byFile.size)
+    zones.foreach { z =>
+      val key = byFile.keys.find(_.endsWith(
+        z.path.split('/').last)).get
+      assert(byFile(key) === ((z.rows, z.min, z.max)),
+        s"footer stats diverge for ${z.path}")
+    }
+    // pruning really skips files on this layout...
+    val kept = ZoneMap.prunedPaths(zones, 120.0, 180.0)
+    assert(kept.nonEmpty && kept.size < zones.size,
+      s"expected skipping: kept ${kept.size} of ${zones.size}")
+    // ...without losing a single matching row
+    val full = spark.read.parquet(path)
+      .filter(col("value") >= 120 && col("value") <= 180).count()
+    val pruned = spark.read.parquet(kept: _*)
+      .filter(col("value") >= 120 && col("value") <= 180).count()
+    assert(pruned === full)
+  }
+
   test("io5 z-order: every file covers a small rectangle of (user, " +
     "time) — both dims cluster, unlike a time-sorted layout") {
     import org.apache.spark.sql.functions._
