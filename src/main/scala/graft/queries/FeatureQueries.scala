@@ -545,7 +545,17 @@ object FeatureQueries {
         .agg(sum(col("label")).as("np"),
           (count(lit(1)) - sum(col("label"))).as("nn"))
       graft.ml.Isotonic.calibrate(grain).orderBy("score")
-    })
+    }),
+    // MULTINOMIAL NAIVE BAYES over hashed token buckets (ml17): the
+    // generative multiclass text classifier next to t27's
+    // discriminative binary filter — language prediction on the
+    // held-out content-hash half, reported as a confusion matrix. See
+    // graft.ml.NaiveBayes for the broadcastable dense model + decimal
+    // scoring determinism story.
+    "ml17_naive_bayes" -> ((s, d) =>
+      graft.ml.NaiveBayes.confusion(
+        PipelineQueries.table(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("lang").as("cls"))))
   )
 
   /** (label, score) pairs for the evaluation metrics: positive class =
@@ -562,6 +572,9 @@ object FeatureQueries {
       .stripMargin.replace('\n', ' ')
 
   val oracle: Map[String, String] = Map(
+    // identical hashed buckets, dense smoothed model, decimal scoring,
+    // same argmax tie-break
+    "ml17_naive_bayes" -> graft.ml.NaiveBayes.confusionSql("lang"),
     // identical cumulative-sum interval means + minimax lattice over the
     // same user-grain (score, np, nn) reduction
     "ml16_isotonic" -> (graft.ml.Isotonic.calibrateSql(
