@@ -1,0 +1,85 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Autocorrelation function (x76) of the hourly event-count series at
+  * lags 1..maxLag — the seasonality detector that tells a forecasting
+  * pipeline WHICH lag features to build (the w1 lags 1/24/168 are
+  * exactly the spikes this surfaces) and the diagnostics behind x54's
+  * seasonal profile and x70's decomposition.
+  *
+  * Determinism is total: with integer counts y_t, the standard
+  * mean-centered estimator r_k = c_k / c_0 multiplies through by n²
+  * into pure integer arithmetic —
+  *   n²·c_k = n²·Σ y_t·y_{t+k} − n·S·(A_k + B_k) + (n−k)·S²
+  *   n²·c_0 = n²·Σ y² − n·S²
+  * (S = Σy, A_k/B_k = the overlapping prefix/suffix sums that fall out
+  * of the lag join for free), so both engines compare identical
+  * integers and the ONE double division rounds once at 6 dp. No
+  * floating mean ever enters.
+  *
+  * Scale shape: the corpus reduces at scan speed to the gap-filled
+  * hourly series (span-bounded — hours in the window, not rows in the
+  * corpus); the lag join is maxLag × series — metadata-sized at any
+  * SF. Integer headroom: n²·Σy² must fit 2⁶³ — at 10⁵ hourly events
+  * over a year that is ~10¹⁷, still safe; beyond that, quantize y or
+  * compute per shard and combine. */
+object Autocorrelation {
+
+  /** @param events frame with a µs-timestamp column `us`
+    * @return (lag, acf) for lag = 1..maxLag */
+  def hourlyAcf(events: DataFrame, maxLag: Int = 24): DataFrame = {
+    val counts = events
+      .select(expr("us div 3600000000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("y"))
+    val bounds = counts.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+    val series = bounds
+      .select(explode(sequence(col("mn"), col("mx"))).as("h"))
+      .join(counts, Seq("h"), "left")
+      .na.fill(0L, Seq("y"))
+    val tot = series.agg(count(lit(1)).as("n"), sum(col("y")).as("sm"),
+      sum(col("y") * col("y")).as("syy"))
+    series
+      .withColumn("k", explode(sequence(lit(1), lit(maxLag))))
+      .join(series.select(col("h").as("hb"), col("y").as("yb")),
+        col("hb") === col("h") + col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("y") * col("yb")).as("sab"),
+        sum(col("y")).as("sa"), sum(col("yb")).as("sb"))
+      .crossJoin(broadcast(tot))
+      .select(col("k").cast("int").as("lag"),
+        round(
+          (col("n") * col("n") * col("sab") -
+            col("n") * col("sm") * (col("sa") + col("sb")) +
+            (col("n") - col("k")) * col("sm") * col("sm")).cast("double") /
+            (col("n") * col("n") * col("syy") -
+              col("n") * col("sm") * col("sm")).cast("double"), 6)
+          .as("acf"))
+      .orderBy("lag")
+  }
+
+  /** DuckDB twin of [[hourlyAcf]] over the `events` table. */
+  def hourlyAcfSql(maxLag: Int = 24): String =
+    s"""WITH ev AS (SELECT epoch_us(ts) // 3600000000 AS h FROM events),
+       |c AS (SELECT h, CAST(count(*) AS BIGINT) AS y FROM ev GROUP BY 1),
+       |bd AS (SELECT min(h) AS mn, max(h) AS mx FROM c),
+       |sr AS (SELECT sp.h, coalesce(c.y, 0) AS y
+       |  FROM (SELECT unnest(range(mn, mx + 1)) AS h FROM bd) sp
+       |  LEFT JOIN c USING (h)),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS sm,
+       |    CAST(sum(y * y) AS BIGINT) AS syy FROM sr),
+       |p AS (SELECT kk.k, CAST(sum(a.y * b.y) AS BIGINT) AS sab,
+       |    CAST(sum(a.y) AS BIGINT) AS sa,
+       |    CAST(sum(b.y) AS BIGINT) AS sb
+       |  FROM (SELECT unnest(range(1, ${maxLag + 1})) AS k) kk
+       |  JOIN sr a ON true
+       |  JOIN sr b ON b.h = a.h + kk.k
+       |  GROUP BY 1)
+       |SELECT CAST(k AS INT) AS lag,
+       |  round(CAST(n*n*sab - n*sm*(sa + sb) + (n - k)*sm*sm AS DOUBLE)
+       |    / CAST(n*n*syy - n*sm*sm AS DOUBLE), 6) AS acf
+       |FROM p CROSS JOIN tt ORDER BY lag"""
+      .stripMargin.replace('\n', ' ')
+}

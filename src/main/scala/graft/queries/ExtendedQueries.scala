@@ -680,6 +680,13 @@ object ExtendedQueries {
     // shows the components, x71 tests the drift
     "x71_mann_kendall" -> ((s, d) =>
       graft.analytics.TrendTest.mannKendallHourly(eventsUs(s, d))),
+    // AUTOCORRELATION function (x76): r_k at lags 1..24 of the
+    // gap-filled hourly count series — the seasonality detector that
+    // justifies w1's lag choices. Integer-exact via the n²-multiplied
+    // estimator (no floating mean); span-bounded series, metadata
+    // lag join
+    "x76_acf" -> ((s, d) =>
+      graft.analytics.Autocorrelation.hourlyAcf(eventsUs(s, d))),
     // SEASONAL-TREND decomposition (x70): y = trend + seasonal +
     // remainder on the gap-filled hourly value series — centered
     // 25-h rolling-mean trend (NULL at edges), hour-of-day seasonal
@@ -2951,6 +2958,7 @@ object ExtendedQueries {
       graft.analytics.Decompose.hourlyAdditiveSql(),
     "x71_mann_kendall" ->
       graft.analytics.TrendTest.mannKendallHourlySql(),
+    "x76_acf" -> graft.analytics.Autocorrelation.hourlyAcfSql(),
     "x72_markov_attribution" ->
       graft.analytics.MarkovAttribution.removalEffectsSql(
         channels = Seq("view", "click", "signup", "error")),

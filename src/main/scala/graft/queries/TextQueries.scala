@@ -207,6 +207,13 @@ object TextQueries {
     // in both engines; output is the learned merge table
     "t30_bpe_train" -> ((s, d) =>
       graft.text.Bpe.trainMerges(table(s, d, "documents"))),
+    // per-source domain shift (t31): KL(P_source || P_corpus) over
+    // token unigrams — ranks which ingestion sources diverge from the
+    // blend (the domain-weighting diagnostic). One tokenize pass to
+    // the vocabulary-bounded (source, token) grain; decimal-summed
+    // 6dp terms, always-finite by construction
+    "t31_source_kl" -> ((s, d) =>
+      graft.text.DomainShift.sourceKl(table(s, d, "documents"))),
     // TextRank keywords (t29): PageRank over the word co-occurrence
     // graph — the graph-centrality keyword list next to frequency
     // (x3) and tf-idf (t5); vocabulary-bounded graph, exact integer
@@ -316,6 +323,7 @@ object TextQueries {
     "t23_pmi_collocations" -> TextAnalysis.pmiCollocationsSql(),
     "t29_textrank" -> TextAnalysis.textRankKeywordsSql(),
     "t30_bpe_train" -> graft.text.Bpe.trainMergesSql(),
+    "t31_source_kl" -> graft.text.DomainShift.sourceKlSql(),
     "t19_bigram_logprob" ->
       (TextAnalysis.bigramLogProbSql() + " ORDER BY doc_id"),
     "t18_three_way_split" ->
