@@ -52,7 +52,10 @@ object Explain {
         "dq7_fd_check", "x67_survival_km", "x68_ab_test", "x69_cuped",
         "t29_textrank", "g15_random_walks", "g16_mis",
         "x70_stl_decompose", "sim9_mmr_rerank", "er5_blocking_quality",
-        "ml15_linear_shap", "t30_bpe_train")
+        "ml15_linear_shap", "t30_bpe_train",
+        // round-7 session-3 additions
+        "ml16_isotonic", "ml17_naive_bayes", "x75_growth_accounting",
+        "x76_acf", "t31_source_kl", "io10_zone_map_scan")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

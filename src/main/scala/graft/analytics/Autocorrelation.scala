@@ -34,10 +34,13 @@ object Autocorrelation {
       .select(expr("us div 3600000000").as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("y"))
     val bounds = counts.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+    // referenced three times (totals + both sides of the lag join):
+    // truncate so the corpus-sized hourly count runs exactly once
     val series = bounds
       .select(explode(sequence(col("mn"), col("mx"))).as("h"))
       .join(counts, Seq("h"), "left")
       .na.fill(0L, Seq("y"))
+      .localCheckpoint()
     val tot = series.agg(count(lit(1)).as("n"), sum(col("y")).as("sm"),
       sum(col("y") * col("y")).as("syy"))
     series

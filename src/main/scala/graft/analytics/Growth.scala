@@ -39,6 +39,9 @@ object Growth {
           .otherwise(0L)).as("n_retained"))
       .withColumn("n_resurrected",
         col("n_active") - col("n_new") - col("n_retained"))
+      // day-grain, referenced twice (self-join for prev-day actives):
+      // truncate so the (user, day) reduction + lag run exactly once
+      .localCheckpoint()
     val prev = perDay.select(date_add(col("day"), 1).as("day"),
       col("n_active").as("prev_active"))
     perDay.join(prev, Seq("day"), "left")

@@ -43,11 +43,15 @@ object Isotonic {
     val cum = Window.orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // single-partition window: the grain is domain-bounded (S rows)
+    // localCheckpoint: the grain is referenced three times below (iv,
+    // fit spine, final join) — without truncation each lineage would
+    // re-run the corpus-sized upstream aggregate
     val c = grain
       .select(col(scoreCol).as("s"), col(posCol).cast("long").as("np"),
         (col(posCol) + col(negCol)).cast("long").as("nt"))
       .withColumn("cp", sum(col("np")).over(cum))
       .withColumn("cw", sum(col("nt")).over(cum))
+      .localCheckpoint()
     // contiguous-interval means: sum over bins a..b via cumsum differences
     val a = c.select(col("s").as("sa"), col("cp").as("cpa"),
       col("cw").as("cwa"), col("np").as("npa"), col("nt").as("nta"))

@@ -49,14 +49,20 @@ object NaiveBayes {
   def train(labeled: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", classCol: String = "cls",
       buckets: Int = 64): DataFrame = {
+    // localCheckpoint: byClass (≤ C·B rows) feeds both the dense spine
+    // join and the per-class totals — truncation keeps the corpus
+    // tokenize+count pass from running twice
     val byClass = docBuckets(labeled.select(col(idCol), col(textCol)),
         idCol, textCol, buckets)
       .join(labeled.select(col(idCol), col(classCol).as("cls")), idCol)
       .groupBy(col("cls"), col("idx")).agg(sum(col("c")).as("cnt"))
+      .localCheckpoint()
     val tokC = byClass.groupBy(col("cls")).agg(sum(col("cnt")).as("tok_c"))
     val nC = labeled.groupBy(col(classCol).as("cls"))
       .agg(count(lit(1)).as("n_c"))
-    val n = labeled.agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // total docs derived from the class counts — no second corpus scan
+    val n = nC.agg(sum(col("n_c")).as("n"))
     val spine = nC.select(col("cls"))
       .select(col("cls"), explode(sequence(lit(0L),
         lit((buckets - 1).toLong))).as("idx"))

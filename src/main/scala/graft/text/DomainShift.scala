@@ -30,6 +30,9 @@ object DomainShift {
         TextAnalysis.normalized(col(textCol)))).as("tok"))
       .groupBy(col("src"), col("tok"))
       .agg(count(lit(1)).as("c_st"))
+      // referenced three times (ct, ns, the term join): truncate so the
+      // corpus tokenizes exactly once
+      .localCheckpoint()
     val ct = cst.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
     val ns = cst.groupBy(col("src")).agg(sum(col("c_st")).as("n_s"))
     val n = ns.agg(sum(col("n_s")).as("n"))
