@@ -229,4 +229,27 @@ object Checks {
           (col("n_violating_groups") === 0).as("pass"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Row-level QUARANTINE routing (dq8) — the transformation half of
+    * the quality stack: where [[report]] COUNTS violations and io9's
+    * write-audit-publish rejects whole batches, this splits the rows
+    * themselves, tagging every failing row with the comma-joined list
+    * of the rules it violates (in the caller's rule order) — the
+    * dead-letter-queue payload a pipeline lands next to the clean
+    * write so nothing is silently dropped and every quarantined row
+    * is self-explaining.
+    *
+    * NULL rule results count as violations (the [[report]] contract:
+    * a rule that cannot evaluate is not a pass). Pure per-row
+    * expression work — scan speed, no shuffle, no state; adding a
+    * rule adds a CASE arm, never a pass. */
+  def quarantine(df: DataFrame,
+      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule required")
+    val tags = rules.map { case (name, cond) =>
+      when(!coalesce(cond, lit(false)), lit(name))
+    }
+    df.withColumn("violated", concat_ws(",", tags: _*))
+      .filter(col("violated") =!= "")
+  }
 }

@@ -687,6 +687,27 @@ object ExtendedQueries {
     // lag join
     "x76_acf" -> ((s, d) =>
       graft.analytics.Autocorrelation.hourlyAcf(eventsUs(s, d))),
+    // THEIL–SEN slope (x77): the robust trend magnitude next to x71's
+    // significance — median pairwise slope of the same span-bounded
+    // hourly series; one double division per pair of exact operands,
+    // integer rank-pick median (lower middle on even counts)
+    "x77_theil_sen" -> ((s, d) =>
+      graft.analytics.TrendTest.theilSenHourly(eventsUs(s, d))),
+    // ROW-LEVEL QUARANTINE (dq8): the transformation half of the
+    // quality stack — failing rows routed out with the comma-joined
+    // violated-rule tags (dead-letter payload); NULL rule results
+    // violate, per the dq1 contract; scan-speed CASE arms, no shuffle
+    "dq8_quarantine" -> ((s, d) =>
+      graft.quality.Checks.quarantine(
+        table(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value")),
+        Seq(
+          "value_le_450" -> (col("value") <= 450),
+          "value_ge_1" -> (col("value") >= 1),
+          "type_known" -> col("event_type").isin(
+            "view", "click", "purchase", "signup")))
+        .orderBy("event_id")),
     // SEASONAL-TREND decomposition (x70): y = trend + seasonal +
     // remainder on the gap-filled hourly value series — centered
     // 25-h rolling-mean trend (NULL at edges), hour-of-day seasonal
@@ -2959,6 +2980,24 @@ object ExtendedQueries {
     "x71_mann_kendall" ->
       graft.analytics.TrendTest.mannKendallHourlySql(),
     "x76_acf" -> graft.analytics.Autocorrelation.hourlyAcfSql(),
+    "x77_theil_sen" -> graft.analytics.TrendTest.theilSenHourlySql(),
+    // same IS-DISTINCT-FROM-TRUE violation semantics and rule order
+    "dq8_quarantine" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  concat_ws(',',
+        |    CASE WHEN (value <= 450) IS DISTINCT FROM TRUE
+        |      THEN 'value_le_450' END,
+        |    CASE WHEN (value >= 1) IS DISTINCT FROM TRUE
+        |      THEN 'value_ge_1' END,
+        |    CASE WHEN (event_type IN ('view', 'click', 'purchase',
+        |      'signup')) IS DISTINCT FROM TRUE
+        |      THEN 'type_known' END) AS violated
+        |FROM events
+        |WHERE NOT (coalesce(value <= 450, FALSE)
+        |    AND coalesce(value >= 1, FALSE)
+        |    AND coalesce(event_type IN ('view', 'click', 'purchase',
+        |      'signup'), FALSE))
+        |ORDER BY event_id""".stripMargin.replace('\n', ' '),
     "x72_markov_attribution" ->
       graft.analytics.MarkovAttribution.removalEffectsSql(
         channels = Seq("view", "click", "signup", "error")),

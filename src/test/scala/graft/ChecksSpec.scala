@@ -37,6 +37,26 @@ class ChecksSpec extends AnyFunSuite {
       ("value_non_negative", 2L, 5L, false)))
   }
 
+  test("quarantine routes only failing rows, tags every violated " +
+    "rule in order, and treats NULL rule results as violations") {
+    val df = Seq(
+      (1L, Some(5.0), "ok"),    // clean -> not quarantined
+      (2L, Some(-1.0), "ok"),   // one violation
+      (3L, None, "bad"),        // NULL value violates + bad tag
+      (4L, Some(2.0), "bad")    // tag only
+    ).toDF("id", "value", "tag")
+    val out = Checks.quarantine(df, Seq(
+      "value_non_negative" -> (col("value") >= 0),
+      "tag_known" -> col("tag").isin("ok")))
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (2L, "value_non_negative"),
+      (3L, "value_non_negative,tag_known"),
+      (4L, "tag_known")))
+  }
+
   test("referential integrity: planted orphans are counted by key " +
     "and by row; NULL foreign keys are orphans; intact edge passes") {
     val parent = Seq(10L, 20L, 30L).toDF("pk")

@@ -50,4 +50,36 @@ class TrendTestSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 48.0 / 18) < 1e-6)
     assert(math.abs(r.getDouble(3) - 1.0 / math.sqrt(48.0 / 18)) < 1e-6)
   }
+
+  test("theil-sen: exact slope on a clean line, unmoved by one " +
+    "planted outlier (where OLS would shift)") {
+    // y = 2h: every pairwise slope is exactly 2
+    val clean = TrendTest.theilSenHourly(
+      series((0 until 9).map(h => 2.0 * h))).collect().head
+    assert(clean.getLong(0) === 36L && clean.getDouble(1) === 2.0)
+    // one wild outlier at h=4: only 8 of 36 pairs touch it; the
+    // median pairwise slope is still exactly 2
+    val vals = (0 until 9).map(h => if (h == 4) 1000.0 else 2.0 * h)
+    val robust = TrendTest.theilSenHourly(series(vals)).collect().head
+    assert(robust.getDouble(1) === 2.0,
+      s"outlier moved the slope: ${robust.getDouble(1)}")
+  }
+
+  test("theil-sen even pair count picks the lower middle " +
+    "deterministically") {
+    // 2 hours -> 1 pair; 3 hours -> 3 pairs; use 2 points with slope
+    // 5: single pair, rank (1+1) div 2 = 1
+    val r = TrendTest.theilSenHourly(series(Seq(1.0, 6.0)))
+      .collect().head
+    assert(r.getLong(0) === 1L && r.getDouble(1) === 5.0)
+    // 4 values -> 6 pairs, slopes {1,1,1,3,2,5/3...}: verify the pick
+    // equals the sorted multiset's 3rd element ((6+1) div 2 = 3)
+    val vals = Seq(0.0, 1.0, 2.0, 5.0)
+    val slopes = (for {
+      i <- 0 until 4; j <- i + 1 until 4
+    } yield (vals(j) - vals(i)) / (j - i)).sorted
+    val out = TrendTest.theilSenHourly(series(vals)).collect().head
+    assert(out.getLong(0) === 6L)
+    assert(math.abs(out.getDouble(1) - slopes(2)) < 1e-6)
+  }
 }
