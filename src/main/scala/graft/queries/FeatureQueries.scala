@@ -555,7 +555,13 @@ object FeatureQueries {
     "ml17_naive_bayes" -> ((s, d) =>
       graft.ml.NaiveBayes.confusion(
         PipelineQueries.table(s, d, "documents")
-          .select(col("doc_id"), col("text"), col("lang").as("cls"))))
+          .select(col("doc_id"), col("text"), col("lang").as("cls")))),
+    // PCA top component via power iteration (ml18): one corpus pass to
+    // the d² covariance, 20 quantized iterations on the tiny matrix —
+    // see graft.ml.Pca for the floating-point determinism discipline
+    "ml18_pca_power" -> ((s, d) =>
+      graft.ml.Pca.topComponent(
+        PipelineQueries.table(s, d, "embeddings")))
   )
 
   /** (label, score) pairs for the evaluation metrics: positive class =
@@ -575,6 +581,7 @@ object FeatureQueries {
     // identical hashed buckets, dense smoothed model, decimal scoring,
     // same argmax tie-break
     "ml17_naive_bayes" -> graft.ml.NaiveBayes.confusionSql("lang"),
+    "ml18_pca_power" -> graft.ml.Pca.topComponentSql(),
     // identical cumulative-sum interval means + minimax lattice over the
     // same user-grain (score, np, nn) reduction
     "ml16_isotonic" -> (graft.ml.Isotonic.calibrateSql(
