@@ -326,6 +326,89 @@ object ExtendedQueries {
           substring(col("c_name"), 16, 3))))
         .orderBy("scheme")
     }),
+    // FELLEGI–SUNTER probabilistic record linkage (er6): the
+    // principled multi-field scorer above er1-er3's single-field
+    // matchers — per candidate pair, each field contributes ln(m/u) on
+    // agreement and ln((1−m)/(1−u)) on disagreement; the u
+    // probabilities (random-pair agreement odds) are ESTIMATED FROM
+    // THE DATA as Σ(count_v²)/N² over each field's value distribution
+    // (frequency-based u; fuzzy name field uses u = 1/N, m = 0.95
+    // fixed — documented priors). The total is a FIXED 4-term
+    // expression, so no aggregation-order discipline is needed; the
+    // decision bands (match > 10 > possible > 0 > non-match) come from
+    // the weight magnitudes. Same bounded blocking as er1; the u/
+    // weight table is ONE metadata row crossed onto candidates.
+    "er6_fellegi_sunter" -> ((s, d) => {
+      import graft.expr.JaroWinkler
+      val cust = table(s, d, "customer")
+      def s2(c: org.apache.spark.sql.Column, out: String) = cust
+        .groupBy(c.as("v")).agg(count(lit(1)).as("cc"))
+        .agg(sum(col("cc") * col("cc")).as(out))
+      def ua(s2c: org.apache.spark.sql.Column,
+          nn: org.apache.spark.sql.Column) =
+        s2c.cast("double") / (nn * nn)
+      val m = lit(0.95)
+      val md = lit(0.05)
+      val wts = cust.agg(count(lit(1)).as("nn"))
+        .crossJoin(s2(col("c_mktsegment"), "s_seg"))
+        .crossJoin(s2(col("c_nationkey"), "s_nat"))
+        .crossJoin(s2(expr("CAST(round(c_acctbal * 100) AS BIGINT) % 10000"),
+          "s_ph"))
+        .select(
+          log(m / (lit(1.0) / col("nn"))).as("w_name_a"),
+          log(md / (lit(1.0) - lit(1.0) / col("nn"))).as("w_name_d"),
+          log(m / ua(col("s_seg"), col("nn"))).as("w_seg_a"),
+          log(md / (lit(1.0) - ua(col("s_seg"), col("nn"))))
+            .as("w_seg_d"),
+          log(m / ua(col("s_nat"), col("nn"))).as("w_nat_a"),
+          log(md / (lit(1.0) - ua(col("s_nat"), col("nn"))))
+            .as("w_nat_d"),
+          log(m / ua(col("s_ph"), col("nn"))).as("w_ph_a"),
+          log(md / (lit(1.0) - ua(col("s_ph"), col("nn"))))
+            .as("w_ph_d"))
+      val dirty = cust.filter(col("c_custkey") % 10 === 7)
+        .select(col("c_custkey").as("d_key"),
+          expr("""CASE CAST(c_custkey % 3 AS INT)
+            | WHEN 0 THEN concat(substring(c_name, 1, 16),
+            |   substring(c_name, 18, 1), substring(c_name, 17, 1))
+            | WHEN 1 THEN concat(substring(c_name, 1, 16),
+            |   substring(c_name, 18))
+            | ELSE concat(substring(c_name, 1, 17), 'X')
+            |END""".stripMargin).as("d_name"),
+          when(col("c_custkey") % 4 === 0, lit("MISMATCHED"))
+            .otherwise(col("c_mktsegment")).as("d_seg"),
+          col("c_nationkey").as("d_nat"),
+          when(col("c_custkey") % 2 === 0, lit(-1L))
+            .otherwise(expr(
+              "CAST(round(c_acctbal * 100) AS BIGINT) % 10000"))
+            .as("d_ph4"))
+      val score =
+        when(col("jw") >= 0.9, col("w_name_a")).otherwise(col("w_name_d")) +
+        when(col("d_seg") === col("c_mktsegment"), col("w_seg_a"))
+          .otherwise(col("w_seg_d")) +
+        when(col("d_nat") === col("c_nationkey"), col("w_nat_a"))
+          .otherwise(col("w_nat_d")) +
+        when(col("d_ph4") === expr(
+            "CAST(round(c_acctbal * 100) AS BIGINT) % 10000"),
+          col("w_ph_a"))
+          .otherwise(col("w_ph_d"))
+      dirty
+        .join(cust, substring(col("d_name"), 12, 5) ===
+          substring(col("c_name"), 12, 5))
+        .crossJoin(broadcast(wts))
+        .withColumn("jw", round(JaroWinkler.jw(col("d_name"),
+          col("c_name")), 4))
+        .withColumn("score", round(score, 6))
+        .groupBy(col("d_key"))
+        .agg(min_by(struct(col("c_custkey"), col("score")),
+          struct((-col("score")).as("ns"), col("c_custkey"))).as("b"))
+        .select(col("d_key"), col("b.c_custkey").as("matched_key"),
+          col("b.score").as("score"),
+          when(col("b.score") > 10, "match")
+            .when(col("b.score") > 0, "possible")
+            .otherwise("non_match").as("decision"))
+        .orderBy("d_key")
+    }),
     "er1_fuzzy_match" -> ((s, d) => {
       import graft.expr.JaroWinkler
       val cust = table(s, d, "customer")
@@ -2210,6 +2293,77 @@ object ExtendedQueries {
           "substr(c_name, 12, 3)"),
         ("key_tail3", "substr(dirty_name, 16, 3)",
           "substr(c_name, 16, 3)"))) + " ORDER BY scheme"),
+    // same frequency-based u estimation, identical 4-term score
+    // expression, same decision bands and (score desc, key) pick
+    "er6_fellegi_sunter" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS nn
+        |  FROM customer),
+        |sseg AS (SELECT CAST(sum(cc * cc) AS BIGINT) AS s_seg FROM
+        |  (SELECT count(*) AS cc FROM customer GROUP BY c_mktsegment)),
+        |snat AS (SELECT CAST(sum(cc * cc) AS BIGINT) AS s_nat FROM
+        |  (SELECT count(*) AS cc FROM customer GROUP BY c_nationkey)),
+        |sph AS (SELECT CAST(sum(cc * cc) AS BIGINT) AS s_ph FROM
+        |  (SELECT count(*) AS cc FROM customer
+        |   GROUP BY CAST(round(c_acctbal * 100) AS BIGINT) % 10000)),
+        |w AS (SELECT
+        |    ln(CAST('0.95' AS DOUBLE) / (CAST('1' AS DOUBLE) / nn))
+        |      AS w_name_a,
+        |    ln(CAST('0.05' AS DOUBLE)
+        |      / (CAST('1' AS DOUBLE) - CAST('1' AS DOUBLE) / nn))
+        |      AS w_name_d,
+        |    ln(CAST('0.95' AS DOUBLE)
+        |      / (CAST(s_seg AS DOUBLE) / (nn * nn))) AS w_seg_a,
+        |    ln(CAST('0.05' AS DOUBLE) / (CAST('1' AS DOUBLE)
+        |      - CAST(s_seg AS DOUBLE) / (nn * nn))) AS w_seg_d,
+        |    ln(CAST('0.95' AS DOUBLE)
+        |      / (CAST(s_nat AS DOUBLE) / (nn * nn))) AS w_nat_a,
+        |    ln(CAST('0.05' AS DOUBLE) / (CAST('1' AS DOUBLE)
+        |      - CAST(s_nat AS DOUBLE) / (nn * nn))) AS w_nat_d,
+        |    ln(CAST('0.95' AS DOUBLE)
+        |      / (CAST(s_ph AS DOUBLE) / (nn * nn))) AS w_ph_a,
+        |    ln(CAST('0.05' AS DOUBLE) / (CAST('1' AS DOUBLE)
+        |      - CAST(s_ph AS DOUBLE) / (nn * nn))) AS w_ph_d
+        |  FROM nn CROSS JOIN sseg CROSS JOIN snat CROSS JOIN sph),
+        |dirty AS (
+        |  SELECT c_custkey AS d_key,
+        |    CASE CAST(c_custkey % 3 AS INT)
+        |      WHEN 0 THEN concat(substr(c_name, 1, 16),
+        |        substr(c_name, 18, 1), substr(c_name, 17, 1))
+        |      WHEN 1 THEN concat(substr(c_name, 1, 16),
+        |        substr(c_name, 18))
+        |      ELSE concat(substr(c_name, 1, 17), 'X') END AS d_name,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'MISMATCHED'
+        |      ELSE c_mktsegment END AS d_seg,
+        |    c_nationkey AS d_nat,
+        |    CASE WHEN c_custkey % 2 = 0 THEN CAST(-1 AS BIGINT)
+        |      ELSE CAST(round(c_acctbal * 100) AS BIGINT) % 10000
+        |      END AS d_ph4
+        |  FROM customer WHERE c_custkey % 10 = 7),
+        |cand AS (
+        |  SELECT d_key, c_custkey, round(
+        |    (CASE WHEN round(jaro_winkler_similarity(d_name, c_name), 4)
+        |        >= CAST('0.9' AS DOUBLE)
+        |      THEN w_name_a ELSE w_name_d END) +
+        |    (CASE WHEN d_seg = c_mktsegment
+        |      THEN w_seg_a ELSE w_seg_d END) +
+        |    (CASE WHEN d_nat = c_nationkey
+        |      THEN w_nat_a ELSE w_nat_d END) +
+        |    (CASE WHEN d_ph4 =
+        |        CAST(round(c_acctbal * 100) AS BIGINT) % 10000
+        |      THEN w_ph_a ELSE w_ph_d END), 6) AS score
+        |  FROM dirty JOIN customer
+        |    ON substr(d_name, 12, 5) = substr(c_name, 12, 5)
+        |  CROSS JOIN w),
+        |best AS (SELECT d_key, c_custkey AS matched_key, score,
+        |    row_number() OVER (PARTITION BY d_key
+        |      ORDER BY score DESC, c_custkey) AS rn
+        |  FROM cand)
+        |SELECT d_key, matched_key, score,
+        |  CASE WHEN score > 10 THEN 'match'
+        |    WHEN score > 0 THEN 'possible'
+        |    ELSE 'non_match' END AS decision
+        |FROM best WHERE rn = 1 ORDER BY d_key"""
+        .stripMargin.replace('\n', ' '),
     "er1_fuzzy_match" ->
       """WITH dirty AS (
         |  SELECT c_custkey AS d_key,
