@@ -55,7 +55,9 @@ object Explain {
         "ml15_linear_shap", "t30_bpe_train",
         // round-7 session-3 additions
         "ml16_isotonic", "ml17_naive_bayes", "x75_growth_accounting",
-        "x76_acf", "t31_source_kl", "io10_zone_map_scan")
+        "x76_acf", "t31_source_kl", "io10_zone_map_scan",
+        "x77_theil_sen", "dq8_quarantine", "ml18_pca_power",
+        "er6_fellegi_sunter")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,42 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gini coefficient of a per-entity integer quantity (x78) — the
+  * whale-dependence / concentration metric next to x50's revenue-share
+  * ladder and ds3's top-decile cut: 0 = perfectly equal, (n−1)/n = one
+  * entity holds everything.
+  *
+  * Exact integer form on the ascending-sorted values:
+  *   G = (2·Σ i·yᵢ − (n+1)·Σy) / (n·Σy)
+  * Within-tie rank order provably cancels (Σ i·y over a tie group is
+  * y·Σi whatever the permutation), so the one entity-grain window is
+  * deterministic; Σ(i·y) accumulates in DECIMAL(38,0) for headroom
+  * (the doubling is iy + iy so no decimal width ever exceeds 38 in
+  * either engine). One corpus aggregate to entity grain upstream, one
+  * entity-grain window here, one rounded division — the entity-grain
+  * sort is the accepted cost (same class as x6/ml8's rankings). */
+object Concentration {
+
+  /** @param per one row per entity: (`keyCol`, `centsCol` integer ≥ 0)
+    * @return one row (n_entities, total, gini) */
+  def gini(per: DataFrame, keyCol: String, centsCol: String): DataFrame = {
+    val ranked = per
+      .select(col(keyCol).as("k"), col(centsCol).cast("long").as("y"))
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("y"), col("k"))).cast("long"))
+    ranked
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("y")).as("total"),
+        sum((col("i") * col("y")).cast("decimal(38,0)")).as("iy"))
+      .select(col("n_entities"), col("total"),
+        round(
+          (col("iy") + col("iy") -
+            ((col("n_entities") + 1) * col("total"))
+              .cast("decimal(38,0)")).cast("double") /
+            (col("n_entities") * col("total")).cast("double"),
+          6).as("gini"))
+  }
+}

@@ -776,6 +776,24 @@ object ExtendedQueries {
     // integer rank-pick median (lower middle on even counts)
     "x77_theil_sen" -> ((s, d) =>
       graft.analytics.TrendTest.theilSenHourly(eventsUs(s, d))),
+    // GINI COEFFICIENT of revenue concentration (x78): how unequal is
+    // spend across customers — the whale-dependence metric next to
+    // x50's revenue-share ladder and ds3's top-decile cut. Exact
+    // integer form on cent-quantized per-customer revenue sorted
+    // ascending: G = (2·Σ i·yᵢ − (n+1)·Σy) / (n·Σy) — within-tie rank
+    // order provably cancels (Σ i·y over a tie group is y·Σi), so the
+    // one customer-grain window is deterministic; Σ(i·y) accumulates
+    // in DECIMAL(38,0) for headroom. One corpus aggregate to customer
+    // grain, one bounded window, one rounded division.
+    "x78_gini" -> ((s, d) =>
+      graft.analytics.Concentration.gini(
+        table(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("y")),
+        "o_custkey", "y")
+        .withColumnsRenamed(Map("n_entities" -> "n_customers",
+          "total" -> "total_cents"))),
     // ROW-LEVEL QUARANTINE (dq8): the transformation half of the
     // quality stack — failing rows routed out with the comma-joined
     // violated-rule tags (dead-letter payload); NULL rule results
@@ -3135,6 +3153,25 @@ object ExtendedQueries {
       graft.analytics.TrendTest.mannKendallHourlySql(),
     "x76_acf" -> graft.analytics.Autocorrelation.hourlyAcfSql(),
     "x77_theil_sen" -> graft.analytics.TrendTest.theilSenHourlySql(),
+    // same cent quantization, tie-cancelling rank, decimal headroom
+    "x78_gini" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT y, CAST(row_number() OVER (ORDER BY y, o_custkey)
+        |    AS BIGINT) AS i FROM per),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(y) AS BIGINT) AS total_cents,
+        |    CAST(sum(CAST(i * y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |      AS iy
+        |  FROM rk)
+        |SELECT n_customers, total_cents,
+        |  round(CAST(iy + iy -
+        |      CAST((n_customers + 1) * total_cents AS DECIMAL(38,0))
+        |    AS DOUBLE) /
+        |    CAST(n_customers * total_cents AS DOUBLE), 6) AS gini
+        |FROM ag""".stripMargin.replace('\n', ' '),
     // same IS-DISTINCT-FROM-TRUE violation semantics and rule order
     "dq8_quarantine" ->
       """SELECT event_id, user_id, event_type, value,
