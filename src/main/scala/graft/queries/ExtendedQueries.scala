@@ -776,6 +776,40 @@ object ExtendedQueries {
     // integer rank-pick median (lower middle on even counts)
     "x77_theil_sen" -> ((s, d) =>
       graft.analytics.TrendTest.theilSenHourly(eventsUs(s, d))),
+    // CONVERSION-LATENCY percentiles (x79): p25/p50/p75/p90 of the
+    // first-click → first-subsequent-purchase delay — the "how long
+    // does conversion take" readout behind x62's window choices. The
+    // corpus reduces to ONE user-grain aggregate (two chained
+    // min-aggregates, the x62 shape), latencies quantize to whole
+    // minutes (div, exact in both engines), and the percentiles are
+    // integer RANK-PICKS (cum·100 ≥ p·n) on the span-bounded
+    // (minutes → count) histogram — no user-grain sort, the ml12
+    // discipline. NULL-free: non-converters simply drop out.
+    "x79_conversion_latency" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = eventsUs(s, d)
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+      val lat = ev.filter(col("event_type") === "purchase")
+        .join(firstClick, Seq("user_id"))
+        .filter(col("us") >= col("c_us"))
+        .groupBy(col("user_id"), col("c_us"))
+        .agg(min(col("us")).as("p_us"))
+        .select(expr("(p_us - c_us) div 60000000").as("minutes"))
+      val hist = lat.groupBy(col("minutes"))
+        .agg(count(lit(1)).as("c"))
+      val n = hist.agg(sum(col("c")).as("n"))
+      hist
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy(col("minutes"))))
+        .crossJoin(broadcast(n))
+        .select(col("minutes"), col("cum"), col("n"),
+          explode(array(lit(25), lit(50), lit(75), lit(90))).as("p"))
+        .filter(col("cum") * 100 >= col("p") * col("n"))
+        .groupBy(col("p"))
+        .agg(min(col("minutes")).as("latency_minutes"))
+        .orderBy("p")
+    }),
     // GINI COEFFICIENT of revenue concentration (x78): how unequal is
     // spend across customers — the whale-dependence metric next to
     // x50's revenue-share ladder and ds3's top-decile cut. Exact
@@ -3153,6 +3187,28 @@ object ExtendedQueries {
       graft.analytics.TrendTest.mannKendallHourlySql(),
     "x76_acf" -> graft.analytics.Autocorrelation.hourlyAcfSql(),
     "x77_theil_sen" -> graft.analytics.TrendTest.theilSenHourlySql(),
+    // same chained min-aggregates, minute div, integer rank-picks
+    "x79_conversion_latency" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |fc AS (SELECT user_id, min(us) AS c_us FROM ev
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |lat AS (SELECT (min(e.us) - fc.c_us) // 60000000 AS minutes
+        |  FROM ev e JOIN fc ON fc.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= fc.c_us
+        |  GROUP BY e.user_id, fc.c_us),
+        |hist AS (SELECT minutes, CAST(count(*) AS BIGINT) AS c
+        |  FROM lat GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+        |cm AS (SELECT minutes,
+        |    CAST(sum(c) OVER (ORDER BY minutes) AS BIGINT) AS cum
+        |  FROM hist)
+        |SELECT CAST(p AS INT) AS p,
+        |  CAST(min(minutes) AS BIGINT) AS latency_minutes
+        |FROM cm CROSS JOIN nn
+        |CROSS JOIN (SELECT unnest([25, 50, 75, 90]) AS p)
+        |WHERE cum * 100 >= p * n
+        |GROUP BY 1 ORDER BY p""".stripMargin.replace('\n', ' '),
     // same cent quantization, tie-cancelling rank, decimal headroom
     "x78_gini" ->
       """WITH per AS (SELECT o_custkey,
