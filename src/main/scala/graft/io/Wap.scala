@@ -86,4 +86,35 @@ object Wap {
     require(v > 0, s"nothing published under $root")
     spark.read.parquet(s"$root/v=$v")
   }
+
+  /** TIME TRAVEL (io11): read a specific published snapshot version —
+    * the Iceberg/Delta `VERSION AS OF` primitive the versioned-
+    * directory layout gives for free: every publish keeps its
+    * predecessor's directory intact (the pointer moves, data never
+    * mutates), so any audit, backfill reproduction, or A/B-against-
+    * yesterday reads an older version by number with zero extra
+    * storage machinery. Rejected batches burn no version numbers, so
+    * the sequence 1..currentVersion is dense. */
+  def readVersion(spark: SparkSession, root: String,
+      version: Int): DataFrame = {
+    val f = fs(spark, root)
+    require(version > 0 && f.exists(new Path(root, s"v=$version")),
+      s"version $version does not exist under $root")
+    spark.read.parquet(s"$root/v=$version")
+  }
+
+  /** The published-version history: (version, is_current), ascending —
+    * the snapshot catalog a lakehouse surfaces as `DESCRIBE HISTORY`.
+    * Metadata-only (one directory listing + one pointer read). */
+  def versions(spark: SparkSession, root: String): Seq[(Int, Boolean)] = {
+    val f = fs(spark, root)
+    val cur = currentVersion(spark, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Seq.empty
+    else f.listStatus(rootPath).map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt)
+      .sorted.toSeq
+      .map(v => (v, v == cur))
+  }
 }

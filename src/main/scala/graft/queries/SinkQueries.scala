@@ -155,6 +155,32 @@ object SinkQueries {
             .as("sum_value"),
           min(col("value")).as("min_v"), max(col("value")).as("max_v"))
     }),
+    // TIME TRAVEL (io11): the versioned WAP layout's free snapshot
+    // history — publish v1 (a slice), publish v2 (the full set), then
+    // read VERSION 1 AS OF: the superseded snapshot must still be
+    // byte-intact (the pointer moved; data never mutates). Oracle =
+    // the v1 slice aggregate recomputed from source, certifying the
+    // old snapshot's content survived the v2 publish.
+    "io11_time_travel" -> ((s, d) => {
+      import graft.io.Wap
+      val root = tmp(s"events_tt_${java.util.UUID.randomUUID()
+        .toString.take(8)}", d)
+      val ev = table(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val rules = Seq("event_id_present" -> col("event_id").isNotNull)
+      val (ok1, _) = Wap.publish(ev.filter(col("user_id") % 4 =!= 0),
+        root, rules)
+      val (ok2, _) = Wap.publish(ev, root, rules)
+      require(ok1 && ok2, "both batches must publish")
+      require(Wap.versions(s, root) == Seq((1, false), (2, true)),
+        "history must list v1 superseded, v2 current")
+      Wap.readVersion(s, root, 1).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+    }),
     "io4_compaction" -> ((s, d) => {
       val src = tmp("events_small_files", d)
       val dst = tmp("events_compacted", d)
@@ -360,6 +386,14 @@ object SinkQueries {
         |  count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events""".stripMargin.replace('\n', ' '),
+    // the v1 slice recomputed from source — certifies the superseded
+    // snapshot's content survived the v2 publish untouched
+    "io11_time_travel" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE user_id % 4 <> 0"""
+        .stripMargin.replace('\n', ' '),
     // completeness certificate: the pruned scan must equal the full
     // filtered aggregate
     "io10_zone_map_scan" ->

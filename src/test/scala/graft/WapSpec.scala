@@ -57,4 +57,26 @@ class WapSpec extends AnyFunSuite {
       Wap.readPublished(spark, root())
     }
   }
+
+  test("time travel: a superseded version stays byte-intact, the " +
+    "history lists it, and a missing version fails loudly") {
+    import spark.implicits._
+    val r = root()
+    val rules = Seq[(String, org.apache.spark.sql.Column)](
+      "v_non_negative" -> (col("v") >= 0))
+    assert(Wap.publish(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"),
+      r, rules)._1)
+    assert(Wap.publish(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("id", "v"), r, rules)._1)
+    assert(Wap.versions(spark, r) === Seq((1, false), (2, true)))
+    // current points at v2...
+    assert(Wap.readPublished(spark, r).count() === 3L)
+    // ...but v1 reads back exactly as published
+    val v1 = Wap.readVersion(spark, r, 1)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).sortBy(_._1)
+    assert(v1.toSeq === Seq((1L, 1.0), (2L, 2.0)))
+    intercept[IllegalArgumentException] {
+      Wap.readVersion(spark, r, 3)
+    }
+  }
 }
