@@ -24,17 +24,17 @@ import org.apache.spark.sql.functions._
 object LinearShap {
 
   private def d(c: String) = s"CAST($c AS DOUBLE)"
-  private val a11 = s"(${d("n")} * ${d("s11")} - ${d("s1")} * ${d("s1")})"
-  private val a22 = s"(${d("n")} * ${d("s22")} - ${d("s2")} * ${d("s2")})"
-  private val a12 = s"(${d("n")} * ${d("s12")} - ${d("s1")} * ${d("s2")})"
-  private val b1n = s"(${d("n")} * ${d("s1y")} - ${d("s1")} * ${d("sy")})"
-  private val b2n = s"(${d("n")} * ${d("s2y")} - ${d("s2")} * ${d("sy")})"
-  private val det = s"($a11 * $a22 - $a12 * $a12)"
-  private val beta1 = s"(($a22 * $b1n - $a12 * $b2n) / $det)"
-  private val beta2 = s"(($a11 * $b2n - $a12 * $b1n) / $det)"
-  private val beta0 =
+  private[ml] val a11 = s"(${d("n")} * ${d("s11")} - ${d("s1")} * ${d("s1")})"
+  private[ml] val a22 = s"(${d("n")} * ${d("s22")} - ${d("s2")} * ${d("s2")})"
+  private[ml] val a12 = s"(${d("n")} * ${d("s12")} - ${d("s1")} * ${d("s2")})"
+  private[ml] val b1n = s"(${d("n")} * ${d("s1y")} - ${d("s1")} * ${d("sy")})"
+  private[ml] val b2n = s"(${d("n")} * ${d("s2y")} - ${d("s2")} * ${d("sy")})"
+  private[ml] val det = s"($a11 * $a22 - $a12 * $a12)"
+  private[ml] val beta1 = s"(($a22 * $b1n - $a12 * $b2n) / $det)"
+  private[ml] val beta2 = s"(($a11 * $b2n - $a12 * $b1n) / $det)"
+  private[ml] val beta0 =
     s"((${d("sy")} - $beta1 * ${d("s1")} - $beta2 * ${d("s2")}) / ${d("n")})"
-  private val guard = s"$det <> 0"
+  private[ml] val guard = s"$det <> 0"
   private def g(e: String) = s"CASE WHEN $guard THEN round($e, 6) END"
   private val phi1 = s"($beta1 * (${d("x1")} - ${d("s1")} / ${d("n")}))"
   private val phi2 = s"($beta2 * (${d("x2")} - ${d("s2")} / ${d("n")}))"

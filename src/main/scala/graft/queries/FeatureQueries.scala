@@ -561,7 +561,23 @@ object FeatureQueries {
     // see graft.ml.Pca for the floating-point determinism discipline
     "ml18_pca_power" -> ((s, d) =>
       graft.ml.Pca.topComponent(
-        PipelineQueries.table(s, d, "embeddings")))
+        PipelineQueries.table(s, d, "embeddings"))),
+    // PERMUTATION feature importance (ml19) over the ml15 frame:
+    // hash-rank cyclic derangement, fixed closed-form OLS, SSE
+    // inflation ratio — see graft.ml.PermutationImportance
+    "ml19_permutation_importance" -> ((s, d) => {
+      val per = PipelineQueries.table(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x2"),
+          coalesce(sum(col("value").cast("decimal(18,2)")),
+            lit(0).cast("decimal(18,2)")).as("y"))
+      graft.ml.PermutationImportance.importance(per, "user_id", "x1",
+        "x2", "y")
+    })
   )
 
   /** (label, score) pairs for the evaluation metrics: positive class =
@@ -582,6 +598,15 @@ object FeatureQueries {
     // same argmax tie-break
     "ml17_naive_bayes" -> graft.ml.NaiveBayes.confusionSql("lang"),
     "ml18_pca_power" -> graft.ml.Pca.topComponentSql(),
+    "ml19_permutation_importance" -> graft.ml.PermutationImportance.sql(
+      """(SELECT user_id AS id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS DECIMAL(18,0)) AS x1,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS DECIMAL(18,0)) AS x2,
+        |  CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), 0)
+        |    AS DECIMAL(18,2)) AS y
+        |FROM events GROUP BY 1)""".stripMargin.replace('\n', ' ')),
     // identical cumulative-sum interval means + minimax lattice over the
     // same user-grain (score, np, nn) reduction
     "ml16_isotonic" -> (graft.ml.Isotonic.calibrateSql(
