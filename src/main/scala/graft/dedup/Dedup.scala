@@ -426,6 +426,70 @@ object Dedup {
       .select(col(idCol),
         explode(ngramsFromTokens(col("toks"), n)).as("gram"))
 
+  /** N-gram CONTAINMENT pairs (d14) — the ASYMMETRIC near-dup measure
+    * Jaccard structurally misses: containment(A→B) = |A∩B| / |A| over
+    * word-n-gram sets flags "A is (mostly) inside B" even when B is
+    * 100× longer — quote/excerpt duplication, boilerplate inclusion,
+    * the doc-embeds-doc case (Broder's original resemblance/
+    * containment pair). Directed by construction: (a contained-in b)
+    * and (b contained-in a) are different facts and both emit when
+    * true.
+    *
+    * Same scale shape as [[ngramJaccardPairs]]: posting-list join with
+    * the absolute-df stop-gram cutoff bounding per-gram fan-out; the
+    * denominator join ships only the probe side's gram-set sizes. */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, threshold: Double = 0.9,
+      maxDf: Long = 10000L): DataFrame = {
+    val g = gramRows(docs, idCol, textCol, n)
+      .select(col(idCol).as("id"), col("gram"))
+    val hot = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("gram"))
+    val kept = g.join(hot, Seq("gram"), "left_anti")
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    kept.select(col("id").as("id_a"), col("gram"))
+      .join(kept.select(col("id").as("id_b"), col("gram")), Seq("gram"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .withColumn("containment", round(
+        col("shared").cast("double") / col("sz_a").cast("double"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
+  /** DuckDB twin of [[ngramContainmentPairs]]; `docsRel` yields
+    * (id, text). */
+  def ngramContainmentSql(docsRel: String, n: Int = 3,
+      threshold: Double = 0.9, maxDf: Long = 10000L): String = {
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val toks = s"regexp_split_to_array($norm, '\\s+')"
+    val grams = s"[array_to_string(toks[i:i+${n - 1}], ' ') " +
+      s"for i in range(1, len(toks)-$n+2)]"
+    s"""WITH g AS (
+       |  SELECT id, unnest(list_distinct($grams)) AS gram
+       |  FROM (SELECT id, $toks AS toks FROM $docsRel)
+       |  WHERE len(toks) >= $n),
+       |hot AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g
+       |  GROUP BY gram) WHERE df > $maxDf),
+       |kept AS (SELECT * FROM g
+       |  WHERE gram NOT IN (SELECT gram FROM hot)),
+       |sizes AS (SELECT id, count(*) AS sz FROM kept GROUP BY id),
+       |shared AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+       |  FROM kept a JOIN kept b ON a.gram = b.gram AND a.id <> b.id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(CAST(shared AS DOUBLE) / CAST(sa.sz AS DOUBLE), 4)
+       |    AS containment
+       |FROM shared JOIN sizes sa ON sa.id = id_a
+       |WHERE round(CAST(shared AS DOUBLE) / CAST(sa.sz AS DOUBLE), 4)
+       |  >= $threshold""".stripMargin.replace('\n', ' ')
+  }
+
   /** Benchmark decontamination: drop every corpus document sharing at
     * least one word n-gram with the benchmark (eval-set) documents — the
     * standard guard against test-set leakage into training corpora

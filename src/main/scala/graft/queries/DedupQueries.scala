@@ -87,6 +87,24 @@ object DedupQueries {
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     }),
+    // ASYMMETRIC containment pairs (d14): |A∩B|/|A| over 3-gram sets
+    // — catches the excerpt-inside-document duplication Jaccard
+    // structurally misses (|B| ≫ |A| caps Jaccard at |A|/|B|).
+    // Planted 8-token excerpts of every 7th doc must flag against
+    // their sources with containment ≈ 1 in the DIRECTED sense only.
+    "d14_containment_pairs" -> ((s, d) => {
+      val base = table(s, d, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id").as("id"), col("text"))
+      val excerpts = table(s, d, "documents")
+        .filter(col("doc_id") < 200 && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 900000).as("id"),
+          array_join(slice(TextAnalysis.tokens(
+            TextAnalysis.normalized(col("text"))), 1, 8), " ")
+            .as("text"))
+      Dedup.ngramContainmentPairs(base.unionAll(excerpts), "id", "text")
+        .orderBy("id_a", "id_b")
+    }),
     "d3_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
         table(s, d, "documents").filter(col("doc_id") < 200)
@@ -260,6 +278,15 @@ object DedupQueries {
          |WHERE doc_id = keep_id
          |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
     },
+    "d14_containment_pairs" ->
+      (Dedup.ngramContainmentSql(
+        """(SELECT doc_id AS id, text FROM documents WHERE doc_id < 200
+          |UNION ALL
+          |SELECT doc_id + 900000 AS id, array_to_string(
+          |    (regexp_split_to_array(trim(regexp_replace(lower(text),
+          |     '\s+', ' ', 'g')), '\s+'))[1:8], ' ') AS text
+          |FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0)"""
+          .stripMargin.replace('\n', ' ')) + " ORDER BY id_a, id_b"),
     "d3_ngram_jaccard" ->
       (Dedup.ngramJaccardSql(
         "(SELECT doc_id AS id, text FROM documents WHERE doc_id < 200)",

@@ -146,6 +146,24 @@ object StreamingQueries {
           col("f.sum_value").as("sum_value"), col("f.last_ts").as("last_ts"))
         .orderBy("event_type", "user_bucket")
     }),
+    // STREAMING dead-letter routing (s13): dq8's quarantine applied on
+    // the stream itself — failing rows peel off into the DLQ leg as
+    // they arrive, tagged with their violated rules. Pure stateless
+    // per-row CASE arms: no watermark, no state store, append mode —
+    // the cheapest possible streaming operator, and the one every
+    // ingest stream runs first so bad rows never reach stateful
+    // operators downstream. Oracle = the identical batch filter.
+    "s13_stream_quarantine" -> ((s, d) => {
+      val q = graft.quality.Checks.quarantine(
+        fullEventsStream(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value")),
+        Seq(
+          "value_le_450" -> (col("value") <= 450),
+          "value_ge_1" -> (col("value") >= 1)))
+      StreamPipeline.replayToMemory(s, q, "s13_stream_quarantine")
+        .orderBy("event_id")
+    }),
     // at-least-once replay dedup: the stream self-unioned (every row
     // delivered twice) must come out exactly once
     "s7_stream_dedup" -> ((s, d) => {
@@ -450,6 +468,19 @@ object StreamingQueries {
         |FROM ev e JOIN iv i ON e.user_id = i.user_id
         |  AND e.ts >= i.valid_from
         |  AND (i.valid_to IS NULL OR e.ts < i.valid_to)
+        |ORDER BY event_id""".stripMargin.replace('\n', ' '),
+    // the stream's DLQ leg ≡ the identical batch filter (stateless
+    // routing commutes with replay)
+    "s13_stream_quarantine" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  concat_ws(',',
+        |    CASE WHEN (value <= 450) IS DISTINCT FROM TRUE
+        |      THEN 'value_le_450' END,
+        |    CASE WHEN (value >= 1) IS DISTINCT FROM TRUE
+        |      THEN 'value_ge_1' END) AS violated
+        |FROM events
+        |WHERE NOT (coalesce(value <= 450, FALSE)
+        |    AND coalesce(value >= 1, FALSE))
         |ORDER BY event_id""".stripMargin.replace('\n', ' '),
     // dedup of the doubled stream ≡ the original table
     "s7_stream_dedup" ->

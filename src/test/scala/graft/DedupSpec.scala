@@ -231,4 +231,23 @@ class DedupSpec extends AnyFunSuite {
       .head().getAs[collection.Seq[String]]("g")
     assert(empty.isEmpty)
   }
+
+  test("containment is DIRECTED: the excerpt flags against its " +
+    "source at 1.0, the source does not flag against the excerpt, " +
+    "and Jaccard misses the pair entirely") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // strict excerpt of 1
+      (3L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramContainmentPairs(docs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((2L, 1L, 1.0)),
+      s"expected only the directed excerpt pair, got ${out.toSeq}")
+    // the symmetric token Jaccard at the same bar sees nothing: the
+    // excerpt's 5 tokens over the union of 20 is 0.25
+    val j = Dedup.ngramJaccardPairs(docs, threshold = 0.9).collect()
+    assert(j.isEmpty)
+  }
 }
