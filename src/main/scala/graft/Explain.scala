@@ -57,7 +57,9 @@ object Explain {
         "ml16_isotonic", "ml17_naive_bayes", "x75_growth_accounting",
         "x76_acf", "t31_source_kl", "io10_zone_map_scan",
         "x77_theil_sen", "dq8_quarantine", "ml18_pca_power",
-        "er6_fellegi_sunter")
+        "er6_fellegi_sunter", "x78_gini", "x79_conversion_latency",
+        "io11_time_travel", "ml19_permutation_importance",
+        "d14_containment_pairs", "g19_degree_stats")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

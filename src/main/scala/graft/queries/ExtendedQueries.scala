@@ -873,6 +873,44 @@ object ExtendedQueries {
         .select((col("s_suppkey") * 2).as("node"))
       graft.graph.Closeness.hopDistribution(pairs, sources)
     }),
+    // DEGREE DISTRIBUTION summary + Hill tail exponent (g19): the
+    // graph-shape statistic that decides every downstream algorithm
+    // choice (skew-aware joins, degree-ordered triangle counting,
+    // hub sampling) — node/edge counts, degree extremes, and the MLE
+    // power-law alpha = 1 + n'/Σ ln(dᵢ/dmin) over the tail dᵢ ≥ dmin
+    // (Clauset-Shalizi-Newman form, dmin = 2 fixed). One edge-list
+    // aggregate to the degree grain; ln terms are 6dp-rounded
+    // decimal-summed doubles of exact integer ratios; alpha NULL when
+    // the tail is empty or all at dmin (no ε).
+    "g19_degree_stats" -> ((s, d) => {
+      val pairs = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
+      val sym = pairs.select(col("src"), col("dst"))
+        .unionAll(pairs.select(col("dst").as("src"),
+          col("src").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      deg.agg(
+          count(lit(1)).as("n_nodes"),
+          sum(col("dg")).as("sum_deg"),
+          min(col("dg")).as("min_deg"),
+          max(col("dg")).as("max_deg"),
+          sum(when(col("dg") >= 2, 1L).otherwise(0L)).as("n_tail"),
+          sum(when(col("dg") >= 2,
+            round(log(col("dg").cast("double") / lit(2.0)), 6)
+              .cast("decimal(38,6)"))).as("lnsum"))
+        .select(col("n_nodes"), expr("sum_deg div 2").as("n_edges"),
+          col("min_deg"), col("max_deg"), col("n_tail"),
+          when(col("lnsum") > 0, round(lit(1.0) +
+            col("n_tail").cast("double") /
+              col("lnsum").cast("double"), 6)).as("alpha"))
+    }),
     "g17_closeness" -> ((s, d) => {
       val pairs = table(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
@@ -3250,6 +3288,32 @@ object ExtendedQueries {
         channels = Seq("view", "click", "signup", "error")),
     "x73_bootstrap_ci" ->
       graft.analytics.Bootstrap.conversionDiffCiSql(),
+    // same degree grain, 6dp ln terms, decimal sum, NULL-guarded alpha
+    "g19_degree_stats" ->
+      """WITH e AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    UNION ALL
+        |    SELECT o_custkey * 2 + 1 AS src, l_suppkey * 2 AS dst
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |  WHERE src <> dst),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg
+        |  FROM e GROUP BY 1),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(dg) AS BIGINT) AS sum_deg,
+        |    min(dg) AS min_deg, max(dg) AS max_deg,
+        |    CAST(sum(CASE WHEN dg >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_tail,
+        |    sum(CASE WHEN dg >= 2 THEN
+        |      CAST(round(ln(CAST(dg AS DOUBLE) / CAST('2' AS DOUBLE)), 6)
+        |        AS DECIMAL(38,6)) END) AS lnsum
+        |  FROM deg)
+        |SELECT n_nodes, sum_deg // 2 AS n_edges, min_deg, max_deg,
+        |  n_tail,
+        |  CASE WHEN lnsum > 0 THEN round(CAST('1' AS DOUBLE) +
+        |    CAST(n_tail AS DOUBLE) / CAST(lnsum AS DOUBLE), 6)
+        |  END AS alpha
+        |FROM ag""".stripMargin.replace('\n', ' '),
     "g18_effective_diameter" -> graft.graph.Closeness.hopDistributionSql(
       """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
