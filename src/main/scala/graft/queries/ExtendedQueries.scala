@@ -2071,6 +2071,30 @@ object ExtendedQueries {
       graft.analytics.Growth.dailyAccounting(
         eventsTs(s, d).select(col("user_id"),
           col("ts").cast("date").as("day")))),
+    // DAU/MAU STICKINESS (x80): the engagement-depth headline next to
+    // x75's growth decomposition — per day, actives today vs actives
+    // in the trailing 30 days. The (user, day) grain joins a ≤30-day
+    // band of the day spine (bounded fan-out, partial-aggregatable
+    // distinct), so nothing event-sized moves; one rounded division.
+    "x80_stickiness" -> ((s, d) => {
+      val ua = eventsTs(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+        .localCheckpoint() // referenced by days, dau, and the band join
+      val days = ua.select(col("day")).distinct()
+      val dau = ua.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val mau = days
+        .join(ua.select(col("user_id"), col("day").as("ad")),
+          col("ad") >= date_sub(col("day"), 29) &&
+            col("ad") <= col("day"))
+        .select(col("day"), col("user_id")).distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("mau"))
+      dau.join(mau, Seq("day"))
+        .select(col("day"), col("dau"), col("mau"),
+          round(col("dau").cast("double") / col("mau").cast("double"),
+            6).as("stickiness"))
+        .orderBy("day")
+    }),
     "x59_seq2_support" -> ((s, d) => {
       val spans = table(s, d, "events")
         .groupBy(col("user_id"), col("event_type"))
@@ -2532,6 +2556,23 @@ object ExtendedQueries {
         |ORDER BY t1, t2, t3""".stripMargin.replace('\n', ' '),
     // same (user, day) reduction + per-user lag + day-grain identity
     // churn; quick ratio guarded on churned > 0 exactly like the engine
+    // same (user, day) grain, 30-day band join, distinct-then-count
+    "x80_stickiness" ->
+      """WITH ua AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ua),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |  FROM ua GROUP BY 1),
+        |mau AS (SELECT d.day,
+        |    CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+        |  FROM days d JOIN ua u
+        |    ON u.day >= d.day - 29 AND u.day <= d.day
+        |  GROUP BY 1)
+        |SELECT dau.day, dau.dau, mau.mau,
+        |  round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 6)
+        |    AS stickiness
+        |FROM dau JOIN mau USING (day) ORDER BY day"""
+        .stripMargin.replace('\n', ' '),
     "x75_growth_accounting" ->
       """WITH ua AS (SELECT DISTINCT user_id,
         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),

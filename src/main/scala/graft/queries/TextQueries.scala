@@ -214,6 +214,21 @@ object TextQueries {
     // 6dp terms, always-finite by construction
     "t31_source_kl" -> ((s, d) =>
       graft.text.DomainShift.sourceKl(table(s, d, "documents"))),
+    // CLASSIFIER EVAL for the t2 language-ID heuristic (t32): the
+    // labeled confusion matrix with per-truth share in exact basis
+    // points — the eval loop every heuristic gate needs before it
+    // filters a corpus. One scan + a |langs|²-row aggregate.
+    "t32_langid_eval" -> ((s, d) => {
+      val cm = TextAnalysis.langId(table(s, d, "documents"))
+        .groupBy(col("lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = cm.groupBy(col("lang")).agg(sum(col("n_docs"))
+        .as("n_lang"))
+      cm.join(broadcast(tot), Seq("lang"))
+        .select(col("lang"), col("predicted_lang"), col("n_docs"),
+          expr("n_docs * 10000 div n_lang").as("share_bp"))
+        .orderBy("lang", "predicted_lang")
+    }),
     // TextRank keywords (t29): PageRank over the word co-occurrence
     // graph — the graph-centrality keyword list next to frequency
     // (x3) and tf-idf (t5); vocabulary-bounded graph, exact integer
@@ -324,6 +339,19 @@ object TextQueries {
     "t29_textrank" -> TextAnalysis.textRankKeywordsSql(),
     "t30_bpe_train" -> graft.text.Bpe.trainMergesSql(),
     "t31_source_kl" -> graft.text.DomainShift.sourceKlSql(),
+    "t32_langid_eval" ->
+      (s"""WITH p AS (SELECT lang, predicted_lang FROM
+         |  (SELECT lang, ${TextAnalysis.langIdSql("text")}
+         |   FROM documents)),
+         |cm AS (SELECT lang, predicted_lang,
+         |    CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY 1, 2),
+         |t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang
+         |  FROM cm GROUP BY 1)
+         |SELECT cm.lang, cm.predicted_lang, cm.n_docs,
+         |  CAST(cm.n_docs * 10000 // t.n_lang AS BIGINT) AS share_bp
+         |FROM cm JOIN t USING (lang)
+         |ORDER BY lang, predicted_lang""".stripMargin
+        .replace('\n', ' ')),
     "t19_bigram_logprob" ->
       (TextAnalysis.bigramLogProbSql() + " ORDER BY doc_id"),
     "t18_three_way_split" ->
