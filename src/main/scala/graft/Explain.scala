@@ -59,7 +59,8 @@ object Explain {
         "x77_theil_sen", "dq8_quarantine", "ml18_pca_power",
         "er6_fellegi_sunter", "x78_gini", "x79_conversion_latency",
         "io11_time_travel", "ml19_permutation_importance",
-        "d14_containment_pairs", "g19_degree_stats")
+        "d14_containment_pairs", "g19_degree_stats",
+        "t32_langid_eval", "x80_stickiness")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -326,6 +326,59 @@ object ExtendedQueries {
           substring(col("c_name"), 16, 3))))
         .orderBy("scheme")
     }),
+    // MATCH-THRESHOLD SWEEP (er7): the er-family's operating-point
+    // eval — at JW cutoffs 0.80..0.99, how many planted dirty records
+    // resolve to their true source, match WRONG, or drop (no
+    // candidate clears the bar). The key economy: the best candidate
+    // is threshold-INDEPENDENT (filter-then-argmax ≡ argmax-then-
+    // filter under jw-ordering), so the corpus contributes ONE
+    // blocked+scored argmax and the sweep is a 5-row explode over the
+    // per-dirty best table. JW quantizes to exact basis points
+    // (CAST(round(jw·10000)) — the 4dp round makes the product
+    // integer-valued) so threshold compares are integer-exact.
+    "er7_threshold_sweep" -> ((s, d) => {
+      import graft.expr.JaroWinkler
+      val cust = table(s, d, "customer")
+      val dirty = cust.filter(col("c_custkey") % 10 === 7)
+        .select(col("c_custkey").as("d_key"),
+          expr("""CASE CAST(c_custkey % 3 AS INT)
+            | WHEN 0 THEN concat(substring(c_name, 1, 16),
+            |   substring(c_name, 18, 1), substring(c_name, 17, 1))
+            | WHEN 1 THEN concat(substring(c_name, 1, 16),
+            |   substring(c_name, 18))
+            | ELSE concat(substring(c_name, 1, 17), 'X')
+            |END""".stripMargin).as("dirty_name"))
+      val best = dirty
+        .join(cust, substring(col("dirty_name"), 12, 5) ===
+          substring(col("c_name"), 12, 5))
+        .withColumn("jw_bp", expr(
+          "CAST(round(graft_jaro_winkler(dirty_name, c_name) * 10000)" +
+            " AS BIGINT)"))
+        .groupBy(col("d_key"))
+        .agg(min_by(struct(col("c_custkey"), col("jw_bp")),
+          struct((-col("jw_bp")).as("nj"), col("c_custkey"))).as("b"))
+        .select(col("d_key"), col("b.c_custkey").as("mk"),
+          col("b.jw_bp").as("bp"))
+      val nd = dirty.agg(count(lit(1)).as("n_dirty"))
+      best
+        .withColumn("threshold_bp", explode(array(
+          lit(8000L), lit(8500L), lit(9000L), lit(9500L), lit(9900L))))
+        .groupBy(col("threshold_bp"))
+        .agg(
+          sum(when(col("bp") >= col("threshold_bp") &&
+            col("mk") === col("d_key"), 1L).otherwise(0L))
+            .as("n_resolved"),
+          sum(when(col("bp") >= col("threshold_bp") &&
+            col("mk") =!= col("d_key"), 1L).otherwise(0L))
+            .as("n_wrong"),
+          sum(when(col("bp") < col("threshold_bp"), 1L).otherwise(0L))
+            .as("n_dropped"))
+        .crossJoin(broadcast(nd))
+        .select(col("threshold_bp"), col("n_resolved"), col("n_wrong"),
+          col("n_dropped"),
+          expr("n_resolved * 10000 div n_dirty").as("recall_bp"))
+        .orderBy("threshold_bp")
+    }),
     // FELLEGI–SUNTER probabilistic record linkage (er6): the
     // principled multi-field scorer above er1-er3's single-field
     // matchers — per candidate pair, each field contributes ln(m/u) on
@@ -2407,6 +2460,44 @@ object ExtendedQueries {
           "substr(c_name, 12, 3)"),
         ("key_tail3", "substr(dirty_name, 16, 3)",
           "substr(c_name, 16, 3)"))) + " ORDER BY scheme"),
+    // same blocked argmax on bp-quantized JW, same 5-threshold explode
+    "er7_threshold_sweep" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS d_key,
+        |    CASE c_custkey % 3
+        |      WHEN 0 THEN concat(substr(c_name, 1, 16),
+        |        substr(c_name, 18, 1), substr(c_name, 17, 1))
+        |      WHEN 1 THEN concat(substr(c_name, 1, 16),
+        |        substr(c_name, 18))
+        |      ELSE concat(substr(c_name, 1, 17), 'X') END AS dirty_name
+        |  FROM customer WHERE c_custkey % 10 = 7),
+        |cand AS (
+        |  SELECT d_key, c_custkey,
+        |    CAST(round(jaro_winkler_similarity(dirty_name, c_name)
+        |      * 10000) AS BIGINT) AS bp
+        |  FROM dirty JOIN customer
+        |    ON substr(dirty_name, 12, 5) = substr(c_name, 12, 5)),
+        |best AS (SELECT d_key, c_custkey AS mk, bp,
+        |    row_number() OVER (PARTITION BY d_key
+        |      ORDER BY bp DESC, c_custkey) AS rn
+        |  FROM cand),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_dirty FROM dirty),
+        |sw AS (SELECT t.threshold_bp,
+        |    CAST(sum(CASE WHEN bp >= t.threshold_bp AND mk = d_key
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resolved,
+        |    CAST(sum(CASE WHEN bp >= t.threshold_bp AND mk <> d_key
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong,
+        |    CAST(sum(CASE WHEN bp < t.threshold_bp
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |  FROM (SELECT * FROM best WHERE rn = 1) b
+        |  CROSS JOIN (SELECT unnest([8000, 8500, 9000, 9500, 9900])
+        |    AS threshold_bp) t
+        |  GROUP BY 1)
+        |SELECT CAST(threshold_bp AS BIGINT) AS threshold_bp,
+        |  n_resolved, n_wrong, n_dropped,
+        |  CAST(n_resolved * 10000 // n_dirty AS BIGINT) AS recall_bp
+        |FROM sw CROSS JOIN nd ORDER BY threshold_bp"""
+        .stripMargin.replace('\n', ' '),
     // same frequency-based u estimation, identical 4-term score
     // expression, same decision bands and (score desc, key) pick
     "er6_fellegi_sunter" ->

@@ -577,6 +577,47 @@ object FeatureQueries {
             lit(0).cast("decimal(18,2)")).as("y"))
       graft.ml.PermutationImportance.importance(per, "user_id", "x1",
         "x2", "y")
+    }),
+    // MUTUAL INFORMATION feature screen (ml20): I(score; label) over
+    // the ml13 user grain — the model-free feature-selection signal
+    // next to ml19's model-dependent importance. Cells are the
+    // domain-bounded (score, y) counts; each term is
+    // (c/n)·ln(c·n / (c_s·c_y)) — integer products inside the ln so
+    // both engines divide identical operands — rounded 6dp and
+    // DECIMAL-summed; zero cells never materialize. Output keeps the
+    // per-cell decomposition (which score levels carry the
+    // information) with the total on every row.
+    "ml20_mutual_info" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = PipelineQueries.table(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        .groupBy(col("score"), col("y"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // domain-bounded; referenced four times
+      val n = cells.agg(sum(col("c")).as("n"))
+      val cs = cells.groupBy(col("score")).agg(sum(col("c")).as("c_s"))
+      val cy = cells.groupBy(col("y")).agg(sum(col("c")).as("c_y"))
+      val whole = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      cells
+        .join(broadcast(cs), Seq("score"))
+        .join(broadcast(cy), Seq("y"))
+        .crossJoin(broadcast(n))
+        .withColumn("term", round(
+          (col("c").cast("double") / col("n")) *
+            log((col("c").cast("double") * col("n")) /
+              (col("c_s").cast("double") * col("c_y"))), 6)
+          .cast("decimal(38,6)"))
+        .select(col("score"), col("y"), col("c").as("n_cell"),
+          col("term").cast("double").as("mi_term"),
+          round(sum(col("term")).over(whole).cast("double"), 6)
+            .as("mi_total"))
+        .orderBy("score", "y")
     })
   )
 
@@ -598,6 +639,32 @@ object FeatureQueries {
     // same argmax tie-break
     "ml17_naive_bayes" -> graft.ml.NaiveBayes.confusionSql("lang"),
     "ml18_pca_power" -> graft.ml.Pca.topComponentSql(),
+    // same cell grain, identical integer-operand ln terms, decimal sum
+    "ml20_mutual_info" ->
+      """WITH per AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS score,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS y
+        |  FROM events GROUP BY 1),
+        |cells AS (SELECT CAST(score AS BIGINT) AS score,
+        |    CAST(y AS BIGINT) AS y, CAST(count(*) AS BIGINT) AS c
+        |  FROM per GROUP BY 1, 2),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        |cs AS (SELECT score, CAST(sum(c) AS BIGINT) AS c_s
+        |  FROM cells GROUP BY 1),
+        |cy AS (SELECT y, CAST(sum(c) AS BIGINT) AS c_y
+        |  FROM cells GROUP BY 1),
+        |t AS (SELECT cells.score, cells.y, cells.c,
+        |    CAST(round((CAST(c AS DOUBLE) / n) *
+        |      ln((CAST(c AS DOUBLE) * n) /
+        |         (CAST(c_s AS DOUBLE) * c_y)), 6) AS DECIMAL(38,6))
+        |      AS term
+        |  FROM cells JOIN cs USING (score) JOIN cy USING (y)
+        |  CROSS JOIN nn)
+        |SELECT score, y, c AS n_cell, CAST(term AS DOUBLE) AS mi_term,
+        |  round(CAST(sum(term) OVER () AS DOUBLE), 6) AS mi_total
+        |FROM t ORDER BY score, y""".stripMargin.replace('\n', ' '),
     "ml19_permutation_importance" -> graft.ml.PermutationImportance.sql(
       """(SELECT user_id AS id,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
