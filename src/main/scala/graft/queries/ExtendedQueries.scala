@@ -2124,6 +2124,32 @@ object ExtendedQueries {
       graft.analytics.Growth.dailyAccounting(
         eventsTs(s, d).select(col("user_id"),
           col("ts").cast("date").as("day")))),
+    // JOURNEY-PREFIX path analysis (x82): the distribution of each
+    // user's FIRST-THREE-event path ("signup>view>click") — the
+    // onboarding-flow readout behind x26's pairwise transitions and
+    // x72's full-chain attribution. Per-user window bounded at 3 rows
+    // kept, path space bounded by |types|³; exact integer share in
+    // basis points. Deterministic ordering: (us, event_id) total
+    // order, sort_array on the (rn, type) structs before joining (a
+    // bare collect_list order would be partition-dependent).
+    "x82_top_paths" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val paths = eventsUs(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      val tot = paths.agg(count(lit(1)).as("nu"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(tot))
+        .select(col("path"), col("n_users"),
+          expr("n_users * 10000 div nu").as("share_bp"))
+        .orderBy("path")
+    }),
     // DAU/MAU STICKINESS (x80): the engagement-depth headline next to
     // x75's growth decomposition — per day, actives today vs actives
     // in the trailing 30 days. The (user, day) grain joins a ≤30-day
@@ -2647,6 +2673,21 @@ object ExtendedQueries {
         |ORDER BY t1, t2, t3""".stripMargin.replace('\n', ' '),
     // same (user, day) reduction + per-user lag + day-grain identity
     // churn; quick ratio guarded on churned > 0 exactly like the engine
+    // same (us, event_id) total order; DuckDB's ordered list aggregate
+    // replays the sort_array construction
+    "x82_top_paths" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id,
+        |    array_to_string(list(event_type ORDER BY rn), '>') AS path
+        |  FROM ev WHERE rn <= 3 GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM p)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(count(*) * 10000 // nu AS BIGINT) AS share_bp
+        |FROM p CROSS JOIN t GROUP BY path, nu ORDER BY path"""
+        .stripMargin.replace('\n', ' '),
     // same (user, day) grain, 30-day band join, distinct-then-count
     "x80_stickiness" ->
       """WITH ua AS (SELECT DISTINCT user_id,

@@ -146,6 +146,21 @@ object StreamingQueries {
           col("f.sum_value").as("sum_value"), col("f.last_ts").as("last_ts"))
         .orderBy("event_type", "user_bucket")
     }),
+    // STREAMING write-audit-publish (s14): the io9 commit protocol per
+    // micro-batch — stage, audit, pointer-swap; redelivery-idempotent
+    // via key dedup on merge. Two genuine micro-batches (the id-parity
+    // split); final published snapshot must equal the full table.
+    "s14_stream_wap" -> ((s, d) => {
+      val root = SinkQueries.tmp(s"events_swap_${java.util.UUID
+        .randomUUID().toString.take(8)}", d)
+      val stream = splitEventsFileStream(s, d)
+        .transform(df => df.select(col("event_id"), col("user_id"),
+          col("event_type"), col("value")))
+      StreamPipeline.streamWapPublish(s, stream, root,
+        rules = Seq("event_id_present" -> col("event_id").isNotNull),
+        keyCols = Seq("event_id"))
+        .orderBy("event_id")
+    }),
     // STREAMING dead-letter routing (s13): dq8's quarantine applied on
     // the stream itself — failing rows peel off into the DLQ leg as
     // they arrive, tagged with their violated rules. Pure stateless
@@ -469,6 +484,12 @@ object StreamingQueries {
         |  AND e.ts >= i.valid_from
         |  AND (i.valid_to IS NULL OR e.ts < i.valid_to)
         |ORDER BY event_id""".stripMargin.replace('\n', ' '),
+    // the final published snapshot ≡ the whole table: both batches
+    // audited clean and merged exactly-once
+    "s14_stream_wap" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id"""
+        .stripMargin.replace('\n', ' '),
     // the stream's DLQ leg ≡ the identical batch filter (stateless
     // routing commutes with replay)
     "s13_stream_quarantine" ->

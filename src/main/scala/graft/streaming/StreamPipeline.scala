@@ -327,6 +327,54 @@ object StreamPipeline {
     }
   }
 
+  /** STREAMING write–audit–publish (s14): every micro-batch lands
+    * through the io9 commit protocol — the accumulated snapshot
+    * (previously published ∪ batch, deduped on `keyCols` so a
+    * redelivered batch is a no-op: exactly-once from at-least-once,
+    * the x16 argument) is staged, audited against `rules`, and only
+    * then pointer-swapped live. A batch that fails the audit is
+    * quarantined and the published version is untouched — readers
+    * NEVER see a partial or invalid streaming write, the guarantee a
+    * bare parquet-appending stream sink cannot give.
+    *
+    * Cost: one audit pass + one snapshot rewrite per micro-batch —
+    * the snapshot-rewrite is the toy-layout simplification (a real
+    * lake appends data files and commits manifests; the PROTOCOL —
+    * stage, audit, atomic pointer — is identical). Returns the final
+    * published frame. */
+  def streamWapPublish(spark: SparkSession, stream: DataFrame,
+      root: String, rules: Seq[(String, org.apache.spark.sql.Column)],
+      keyCols: Seq[String]): DataFrame = {
+    import graft.io.Wap
+    val ckpt = scratchRoot().resolve(
+      s"graft_ckpt_swap_${java.util.UUID.randomUUID().toString.take(8)}")
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val b = batch.toDF()
+          val acc =
+            if (Wap.versions(b.sparkSession, root).isEmpty) b
+            else Wap.readPublished(b.sparkSession, root)
+              .unionByName(b)
+              .dropDuplicates(keyCols)
+          Wap.publish(acc, root, rules)
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set(key, saved)
+      try deleteRecursively(ckpt) catch { case _: Throwable => () }
+    }
+    Wap.readPublished(spark, root)
+  }
+
   /** Harness entry: replay a bounded wire DataFrame through the streaming
     * engine via a file re-read as stream + AvailableNow, collecting into a
     * memory sink. Returns the materialized result table. Re-entrant: the

@@ -58,6 +58,42 @@ class WapSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming WAP: a bad micro-batch is quarantined while clean " +
+    "batches publish, and a redelivered batch merges exactly-once") {
+    import java.nio.file.Files
+    import graft.streaming.StreamPipeline
+    val tmp = Files.createTempDirectory(
+      StreamPipeline.scratchRoot(), "graft_swap_")
+    val inDir = tmp.resolve("in").toString
+    val r = root()
+    // three single-file micro-batches: clean, BAD (negative v), clean
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    Seq((3L, -3.0)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    Seq((4L, 4.0), (1L, 1.0)).toDF("id", "v") // id 1 redelivered
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val stream = spark.readStream.schema("id BIGINT, v DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val out = StreamPipeline.streamWapPublish(spark, stream, r,
+      rules = Seq[(String, org.apache.spark.sql.Column)](
+        "v_non_negative" -> (col("v") >= 0)),
+      keyCols = Seq("id"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).sortBy(_._1)
+    // the bad batch never published; the redelivered id merged once
+    assert(out.toSeq === Seq((1L, 1.0), (2L, 2.0), (4L, 4.0)))
+    // exactly the clean publishes appear in the history; the bad batch
+    // is quarantined on disk, not silently dropped
+    val vs = Wap.versions(spark, r)
+    assert(vs.map(_._1) === vs.map(_._1).sorted && vs.count(_._2) === 1)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val rejected = fs.listStatus(new org.apache.hadoop.fs.Path(r))
+      .map(_.getPath.getName).count(_.startsWith("_rejected"))
+    assert(rejected === 1, "the bad batch must be quarantined")
+  }
+
   test("time travel: a superseded version stays byte-intact, the " +
     "history lists it, and a missing version fails loudly") {
     import spark.implicits._
