@@ -147,4 +147,64 @@ object Multimodal {
     val n = math.max(bytes.length, 1)
     Seq(bytes.length.toDouble, sum.toDouble / n, min.toDouble, max.toDouble)
   }
+
+  // ------------------------------------------------- perceptual dedup
+
+  /** 64-cell "luminance" grid — the deterministic stand-in for
+    * decode + downscale-to-8×8 (a real deployment replaces this with
+    * the codec + resampler; everything downstream is codec-agnostic).
+    * Cell i averages the unsigned bytes of the i-th of 64 equal spans,
+    * so a LOCAL edit to the payload perturbs only the cells it
+    * touches — the property perceptual hashing needs and a
+    * cryptographic hash destroys. */
+  private def gridStub(bytes: Array[Byte], cells: Int = 64)
+      : Array[Double] = {
+    val len = bytes.length
+    if (len == 0) Array.fill(cells)(0.0)
+    else Array.tabulate(cells) { i =>
+      val s = math.min((i.toLong * len / cells).toInt, len - 1)
+      val e = math.max(((i + 1).toLong * len / cells).toInt, s + 1)
+      var sum = 0L
+      var j = s
+      while (j < e) { sum += bytes(j) & 0xff; j += 1 }
+      sum.toDouble / (e - s)
+    }
+  }
+
+  /** Average-hash (aHash) per media row: bit i set iff grid cell i is
+    * above the grid mean — the classic 64-bit perceptual signature.
+    * Runs in the same per-partition decode boundary as
+    * [[extractFeatures]] (one codec init per partition at scale). */
+  def perceptualHashes(withMedia: DataFrame): DataFrame = {
+    val spark = withMedia.sparkSession
+    val rdd = withMedia.select(col("doc_id"), col("media"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val g = gridStub(r.getAs[Array[Byte]](1))
+          val mean = g.sum / g.length
+          var h = 0L
+          var i = 0
+          while (i < g.length) {
+            if (g(i) > mean) h |= (1L << i)
+            i += 1
+          }
+          Row(id, h)
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("simhash", LongType))))
+  }
+
+  /** Perceptual near-dup pairs (mm6): aHash signatures blocked by
+    * d4's pigeonhole scheme (Hamming ≤ maxDist ⇒ some exact chunk
+    * collides) — the image-dedup pipeline every multimodal corpus
+    * runs, with the decode behind the documented stub and every stage
+    * after it real: bucket-join candidate generation, exact popcount
+    * verify, no all-pairs anywhere. */
+  def mediaNearDupPairs(withMedia: DataFrame, maxDist: Int = 6)
+      : DataFrame =
+    graft.dedup.Dedup.simhashNearPairs(perceptualHashes(withMedia),
+      maxDist = maxDist)
 }

@@ -327,6 +327,23 @@ object SinkQueries {
       Multimodal.audioChunkPlan(
         Multimodal.withBinaryPayload(table(s, d, "documents")))
         .orderBy("doc_id", "chunk_idx")),
+    // perceptual media near-dup (mm6): aHash over the stubbed 64-cell
+    // grid, Hamming ≤ 6 pairs via d4's pigeonhole blocking. Planted
+    // locally-perturbed payload copies must pair with their sources at
+    // small Hamming distance; rows-only (mapPartitions decode — no
+    // DuckDB twin, like mm2), recall pinned in MultimodalSpec
+    "mm6_perceptual_dedup" -> ((s, d) => {
+      val base = Multimodal.withBinaryPayload(
+        table(s, d, "documents").filter(col("doc_id") < 200))
+      val perturbed = Multimodal.withBinaryPayload(
+        table(s, d, "documents")
+          .filter(col("doc_id") < 200 && col("doc_id") % 9 === 0)
+          .withColumn("text", concat(expr("substring(text, 1, 20)"),
+            lit("ZZZ"), expr("substring(text, 24)"))))
+        .withColumn("doc_id", col("doc_id") + 900000)
+      Multimodal.mediaNearDupPairs(base.unionAll(perturbed))
+        .orderBy("id_a", "id_b")
+    }),
     // bucketed layout → co-located join: zero Exchange on either join
     // side (PlanShapeSpec pins the plan; the oracle checks the result
     // equals the plain join)

@@ -39,4 +39,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getAs[Int]("byte_len") === 3)
     assert(r.getAs[Seq[Double]]("feature") === Seq(3.0, 98.0, 97.0, 99.0))
   }
+
+  test("mm6 perceptual dedup: an exact copy pairs at hamming 0, a " +
+    "local edit pairs at small hamming, an unrelated payload does " +
+    "not pair") {
+    import org.apache.spark.sql.functions.col
+    val base = ("aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj " +
+      "kkkk llll mmmm nnnn oooo pppp qqqq rrrr ssss tttt") * 3
+    val edited = base.updated(50, 'Z').updated(51, 'Z')
+    val unrelated = ("zz a zz yy b xx zz ww c vv zz uu d tt zz ss e " +
+      "rr zz qq f pp zz oo g nn zz mm h ll zz kk i jj") * 3
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, edited), (4L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.mediaNearDupPairs(
+      Multimodal.withBinaryPayload(docs))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 0, "exact copy must be hamming 0")
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 6,
+      s"local edit must pair closely: $pairs")
+    assert(!pairs.keys.exists(k => k._1 == 4L || k._2 == 4L),
+      s"unrelated payload must not pair: $pairs")
+  }
 }
