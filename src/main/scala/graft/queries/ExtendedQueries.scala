@@ -2162,7 +2162,10 @@ object ExtendedQueries {
         .localCheckpoint() // referenced by days, dau, and the band join
       val days = ua.select(col("day")).distinct()
       val dau = ua.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-      val mau = days
+      // the band join is non-equi → nested-loop: pin the broadcast to
+      // the CALENDAR side (≤ span days) so the user-day grain never
+      // becomes the build side at scale
+      val mau = broadcast(days)
         .join(ua.select(col("user_id"), col("day").as("ad")),
           col("ad") >= date_sub(col("day"), 29) &&
             col("ad") <= col("day"))
