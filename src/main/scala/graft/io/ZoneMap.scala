@@ -34,7 +34,10 @@ import org.apache.spark.sql.SparkSession
 object ZoneMap {
 
   /** One file's zone: (path, rows, min, max) for a double column.
-    * Files with no non-null values for the column get no zone row. */
+    * Files PROVABLY all-NULL for the column (stats present, no
+    * non-null value) get no zone row — no range predicate can match
+    * them; files whose stats were never written get an unbounded
+    * (−∞, +∞) zone so they always survive pruning. */
   final case class FileZone(path: String, rows: Long, min: Double,
       max: Double)
 
@@ -56,13 +59,22 @@ object ZoneMap {
           var min = Double.PositiveInfinity
           var max = Double.NegativeInfinity
           var seen = false
+          var statsMissing = false
           rd.getFooter.getBlocks.asScala.foreach { b =>
             rows += b.getRowCount
             b.getColumns.asScala
               .filter(_.getPath.toDotString == column)
               .foreach { c =>
                 val st = c.getStatistics
-                if (st != null && !st.isEmpty && st.hasNonNullValue) {
+                if (st == null || st.isEmpty) {
+                  // stats not WRITTEN (disabled writer / legacy file):
+                  // the file's content is unknown — it must stay
+                  // scannable, the conservative direction. Distinct
+                  // from hasNonNullValue=false with stats present
+                  // (provably all-NULL ⇒ no range predicate can match
+                  // ⇒ skipping is exact).
+                  statsMissing = true
+                } else if (st.hasNonNullValue) {
                   seen = true
                   min = math.min(min,
                     st.genericGetMin.asInstanceOf[Number].doubleValue())
@@ -71,7 +83,11 @@ object ZoneMap {
                 }
               }
           }
-          if (seen) Some(FileZone(p.toString, rows, min, max)) else None
+          if (statsMissing)
+            Some(FileZone(p.toString, rows, Double.NegativeInfinity,
+              Double.PositiveInfinity))
+          else if (seen) Some(FileZone(p.toString, rows, min, max))
+          else None
         } finally rd.close()
       }
   }
