@@ -87,4 +87,82 @@ object LabelPropagation {
   def lpaSql(edgesSql: String, rounds: Int = 5): String =
     lpaCtes(edgesSql, rounds) +
       s" SELECT node, community FROM l$rounds ORDER BY node"
+
+  /** COMMUNITY CONDUCTANCE (g21) — the partition-quality eval for the
+    * communities [[run]] finds: per community, cut / vol where vol =
+    * 2·internal + cut (every member's incident edge is one or the
+    * other, so no degree table is needed). Low conductance = a real
+    * community (few escaping edges); 1.0 = pure bridge nodes. The
+    * "did the algorithm find structure" readout next to g13's
+    * modularity — modularity scores the PARTITION, conductance scores
+    * each community, which is what an application prunes on.
+    *
+    * Exact integers until one rounded division; canonical (least,
+    * greatest) undirected edges counted once, cut edges charged to
+    * BOTH sides. Scale: one labels join per edge endpoint + two
+    * community-grain aggregates; vol > 0 always (members exist only
+    * via edges). */
+  def conductance(edges: DataFrame, rounds: Int = 5): DataFrame = {
+    val labels = run(edges, rounds).localCheckpoint()
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val tagged = e
+      .join(labels.select(col("node").as("a"),
+        col("community").as("ca")), Seq("a"))
+      .join(labels.select(col("node").as("b"),
+        col("community").as("cb")), Seq("b"))
+      .localCheckpoint() // edge-grain, referenced by both counters
+    val internal = tagged.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("n_internal"))
+    val cut = tagged.filter(col("ca") =!= col("cb"))
+      .select(col("ca").as("community"))
+      .unionAll(tagged.filter(col("ca") =!= col("cb"))
+        .select(col("cb").as("community")))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_cut"))
+    labels.groupBy(col("community")).agg(count(lit(1)).as("n_nodes"))
+      .join(internal, Seq("community"), "left")
+      .join(cut, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("n_internal"), lit(0L)).as("n_internal"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        round(coalesce(col("n_cut"), lit(0L)).cast("double") /
+          (lit(2) * coalesce(col("n_internal"), lit(0L)) +
+            coalesce(col("n_cut"), lit(0L))).cast("double"), 6)
+          .as("conductance"))
+      .orderBy("community")
+  }
+
+  /** DuckDB twin of [[conductance]]. */
+  def conductanceSql(edgesSql: String, rounds: Int = 5): String =
+    lpaCtes(edgesSql, rounds) +
+      s""", lab AS (SELECT node, community FROM l$rounds),
+         |ed AS (SELECT DISTINCT least(src, dst) AS a,
+         |    greatest(src, dst) AS b FROM $edgesSql WHERE src <> dst),
+         |tg AS (SELECT la.community AS ca, lb.community AS cb
+         |  FROM ed JOIN lab la ON la.node = ed.a
+         |  JOIN lab lb ON lb.node = ed.b),
+         |icnt AS (SELECT ca AS community,
+         |    CAST(count(*) AS BIGINT) AS n_internal
+         |  FROM tg WHERE ca = cb GROUP BY 1),
+         |ccnt AS (SELECT c AS community,
+         |    CAST(count(*) AS BIGINT) AS n_cut FROM (
+         |    SELECT ca AS c FROM tg WHERE ca <> cb
+         |    UNION ALL SELECT cb AS c FROM tg WHERE ca <> cb)
+         |  GROUP BY 1),
+         |nn AS (SELECT community, CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM lab GROUP BY 1)
+         |SELECT nn.community, nn.n_nodes,
+         |  coalesce(icnt.n_internal, 0) AS n_internal,
+         |  coalesce(ccnt.n_cut, 0) AS n_cut,
+         |  round(CAST(coalesce(ccnt.n_cut, 0) AS DOUBLE) /
+         |    (2 * coalesce(icnt.n_internal, 0)
+         |      + coalesce(ccnt.n_cut, 0)), 6) AS conductance
+         |FROM nn LEFT JOIN icnt USING (community)
+         |LEFT JOIN ccnt USING (community)
+         |ORDER BY community""".stripMargin.replace('\n', ' ')
 }

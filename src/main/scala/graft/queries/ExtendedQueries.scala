@@ -1736,6 +1736,20 @@ object ExtendedQueries {
     // community detection by synchronous label propagation (self-vote +
     // min tie-break = a pure deterministic function of the previous
     // round, so exactly 5 rounds reproduce identically in both engines)
+    // COMMUNITY CONDUCTANCE (g21): cut/vol per g4 community — the
+    // per-community quality score next to g13's whole-partition
+    // modularity (what an application actually prunes on); exact
+    // integers, vol = 2·internal + cut so no degree table
+    "g21_conductance" -> ((s, d) => {
+      val sl = table(s, d, "lineitem")
+        .filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val edges = sl.alias("x")
+        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      graft.graph.LabelPropagation.conductance(edges, rounds = 5)
+    }),
     "g4_label_propagation" -> ((s, d) => {
       val sl = table(s, d, "lineitem")
         .filter(col("l_quantity") >= 45)
@@ -2124,6 +2138,33 @@ object ExtendedQueries {
       graft.analytics.Growth.dailyAccounting(
         eventsTs(s, d).select(col("user_id"),
           col("ts").cast("date").as("day")))),
+    // DAY-N RETENTION CURVE (x83): share of users active EXACTLY N
+    // days after their first active day, N ∈ {1,7,14,30} — the classic
+    // curve next to x24's cohort-week matrix and x75's daily
+    // decomposition (exact-day definition, documented; bounded-window
+    // variants are a predicate swap). One (user, day) reduction, one
+    // first-day aggregate, an equi-join per N via a 4-row explode;
+    // exact basis points.
+    "x83_retention_curve" -> ((s, d) => {
+      val ua = eventsTs(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+        .localCheckpoint() // referenced by first-day agg and the probe
+      val first = ua.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+      val tot = first.agg(count(lit(1)).as("n_users"))
+      first
+        .withColumn("day_n", explode(array(lit(1), lit(7), lit(14),
+          lit(30))))
+        .join(ua.select(col("user_id"), col("day").as("ad")),
+          Seq("user_id"))
+        .filter(col("ad") === date_add(col("d0"), col("day_n")))
+        .groupBy(col("day_n"))
+        .agg(count(lit(1)).as("n_retained"))
+        .crossJoin(broadcast(tot))
+        .select(col("day_n"), col("n_users"), col("n_retained"),
+          expr("n_retained * 10000 div n_users").as("retention_bp"))
+        .orderBy("day_n")
+    }),
     // JOURNEY-PREFIX path analysis (x82): the distribution of each
     // user's FIRST-THREE-event path ("signup>view>click") — the
     // onboarding-flow readout behind x26's pairwise transitions and
@@ -2676,6 +2717,23 @@ object ExtendedQueries {
         |ORDER BY t1, t2, t3""".stripMargin.replace('\n', ' '),
     // same (user, day) reduction + per-user lag + day-grain identity
     // churn; quick ratio guarded on churned > 0 exactly like the engine
+    // same (user, day) reduction, first-day equi-probe per N
+    "x83_retention_curve" ->
+      """WITH ua AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS d0 FROM ua GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM f),
+        |r AS (SELECT n.day_n, CAST(count(*) AS BIGINT) AS n_retained
+        |  FROM f
+        |  CROSS JOIN (SELECT unnest([1, 7, 14, 30]) AS day_n) n
+        |  JOIN ua ON ua.user_id = f.user_id
+        |    AND ua.day = f.d0 + n.day_n
+        |  GROUP BY 1)
+        |SELECT CAST(day_n AS INT) AS day_n, n_users, n_retained,
+        |  CAST(n_retained * 10000 // n_users AS BIGINT)
+        |    AS retention_bp
+        |FROM r CROSS JOIN t ORDER BY day_n"""
+        .stripMargin.replace('\n', ' '),
     // same (us, event_id) total order; DuckDB's ordered list aggregate
     // replays the sort_array construction
     "x82_top_paths" ->
@@ -3148,6 +3206,13 @@ object ExtendedQueries {
         |CROSS JOIN n
         |ORDER BY lift DESC, p1, p2 LIMIT 25"""
         .stripMargin.replace('\n', ' '),
+    "g21_conductance" -> graft.graph.LabelPropagation.conductanceSql(
+      """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem WHERE l_quantity >= 49)
+        |SELECT x.l_suppkey AS src, y.l_suppkey AS dst
+        |FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
+        |  AND x.l_suppkey < y.l_suppkey)""".stripMargin.replace('\n', ' '),
+      rounds = 5),
     "g4_label_propagation" -> graft.graph.LabelPropagation.lpaSql(
       """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
         |  FROM lineitem WHERE l_quantity >= 45)
