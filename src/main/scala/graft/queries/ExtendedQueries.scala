@@ -2138,6 +2138,58 @@ object ExtendedQueries {
       graft.analytics.Growth.dailyAccounting(
         eventsTs(s, d).select(col("user_id"),
           col("ts").cast("date").as("day")))),
+    // PRICE-VOLUME-MIX revenue bridge (x84): the finance-analytics
+    // decomposition of Δrevenue between two periods into volume,
+    // price, new-product, and discontinued effects — per part:
+    // Δ = p₀·(q₁−q₀) + q₁·(p₁−p₀) (exact algebraic identity; the
+    // documented two-term convention — mix folds into price). One
+    // scan to the (part, period) grain; quantities are exact longs,
+    // revenues exact decimals, the per-part effects are double
+    // divisions rounded 6dp and DECIMAL-summed. Parts present in only
+    // one period route to the new/discontinued buckets whole.
+    "x84_pvm_bridge" -> ((s, d) => {
+      val cutoff = "1998-06-01"
+      val per = table(s, d, "lineitem")
+        .groupBy(col("l_partkey"),
+          (col("l_shipdate") < lit(cutoff)).as("p0"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("r"))
+      val a = per.filter(col("p0"))
+        .select(col("l_partkey"), col("q").as("q0"), col("r").as("r0"))
+      val b = per.filter(!col("p0"))
+        .select(col("l_partkey"), col("q").as("q1"), col("r").as("r1"))
+      val j = a.join(b, Seq("l_partkey"), "full_outer")
+      j.agg(
+          sum(when(col("q0").isNotNull && col("q1").isNotNull, 1L)
+            .otherwise(0L)).as("n_parts_both"),
+          sum(when(col("q0").isNull, 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("q1").isNull, 1L).otherwise(0L))
+            .as("n_discontinued"),
+          sum(coalesce(col("r1"), lit(0).cast("decimal(18,2)")) -
+            coalesce(col("r0"), lit(0).cast("decimal(18,2)")))
+            .as("delta_revenue_d"),
+          sum(when(col("q0").isNotNull && col("q1").isNotNull,
+            round((col("q1") - col("q0")).cast("double") *
+              (col("r0").cast("double") / col("q0")), 6)
+              .cast("decimal(38,6)"))).as("volume_effect_d"),
+          sum(when(col("q0").isNotNull && col("q1").isNotNull,
+            round(col("q1").cast("double") *
+              (col("r1").cast("double") / col("q1") -
+                col("r0").cast("double") / col("q0")), 6)
+              .cast("decimal(38,6)"))).as("price_effect_d"),
+          sum(when(col("q0").isNull, col("r1"))).as("new_effect_d"),
+          sum(when(col("q1").isNull, -col("r0")))
+            .as("discontinued_effect_d"))
+        .select(col("n_parts_both"), col("n_new"), col("n_discontinued"),
+          col("delta_revenue_d").cast("double").as("delta_revenue"),
+          col("volume_effect_d").cast("double").as("volume_effect"),
+          col("price_effect_d").cast("double").as("price_effect"),
+          coalesce(col("new_effect_d"), lit(0).cast("decimal(18,2)"))
+            .cast("double").as("new_effect"),
+          coalesce(col("discontinued_effect_d"),
+            lit(0).cast("decimal(18,2)")).cast("double")
+            .as("discontinued_effect"))
+    }),
     // DAY-N RETENTION CURVE (x83): share of users active EXACTLY N
     // days after their first active day, N ∈ {1,7,14,30} — the classic
     // curve next to x24's cohort-week matrix and x75's daily
@@ -2717,6 +2769,42 @@ object ExtendedQueries {
         |ORDER BY t1, t2, t3""".stripMargin.replace('\n', ' '),
     // same (user, day) reduction + per-user lag + day-grain identity
     // churn; quick ratio guarded on churned > 0 exactly like the engine
+    // same (part, period) grain, identical per-part effect
+    // expressions, decimal sums
+    "x84_pvm_bridge" ->
+      """WITH per AS (SELECT l_partkey,
+        |    l_shipdate < TIMESTAMP '1998-06-01' AS p0,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+        |  FROM lineitem GROUP BY 1, 2),
+        |a AS (SELECT l_partkey, q AS q0, r AS r0 FROM per WHERE p0),
+        |b AS (SELECT l_partkey, q AS q1, r AS r1 FROM per
+        |  WHERE NOT p0),
+        |j AS (SELECT * FROM a FULL OUTER JOIN b USING (l_partkey))
+        |SELECT
+        |  CAST(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_parts_both,
+        |  CAST(sum(CASE WHEN q0 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(sum(CASE WHEN q1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_discontinued,
+        |  CAST(sum(coalesce(r1, CAST(0 AS DECIMAL(18,2))) -
+        |    coalesce(r0, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS delta_revenue,
+        |  CAST(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL THEN
+        |    CAST(round(CAST(q1 - q0 AS DOUBLE) *
+        |      (CAST(r0 AS DOUBLE) / q0), 6) AS DECIMAL(38,6)) END)
+        |    AS DOUBLE) AS volume_effect,
+        |  CAST(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL THEN
+        |    CAST(round(CAST(q1 AS DOUBLE) *
+        |      (CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0), 6)
+        |      AS DECIMAL(38,6)) END) AS DOUBLE) AS price_effect,
+        |  CAST(coalesce(sum(CASE WHEN q0 IS NULL THEN r1 END),
+        |    CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS new_effect,
+        |  CAST(coalesce(sum(CASE WHEN q1 IS NULL THEN -r0 END),
+        |    CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS discontinued_effect
+        |FROM j""".stripMargin.replace('\n', ' '),
     // same (user, day) reduction, first-day equi-probe per N
     "x83_retention_curve" ->
       """WITH ua AS (SELECT DISTINCT user_id,
