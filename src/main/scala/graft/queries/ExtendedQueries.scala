@@ -2143,52 +2143,51 @@ object ExtendedQueries {
     // price, new-product, and discontinued effects — per part:
     // Δ = p₀·(q₁−q₀) + q₁·(p₁−p₀) (exact algebraic identity; the
     // documented two-term convention — mix folds into price). One
-    // scan to the (part, period) grain; quantities are exact longs,
-    // revenues exact decimals, the per-part effects are double
-    // divisions rounded 6dp and DECIMAL-summed. Parts present in only
-    // one period route to the new/discontinued buckets whole.
+    // scan to the (part, period) grain.
+    //
+    // Determinism lesson learned HERE: the first cut rounded per-part
+    // DOUBLE effects to 6dp — and at sf0.1 ONE part of 2000 landed on
+    // a rounding boundary where Spark (decimal-string HALF_UP) and
+    // DuckDB (binary std::round) disagree by 1 ulp; round(x, 6) is
+    // only cross-engine-safe for SMALL magnitudes (ratios, rates),
+    // not 1e8-scale cents. So the bridge is now PURE INTEGER: cents ×
+    // quantities with an explicit floor-division (spelled as a CASE
+    // in Spark so truncating `div` matches DuckDB's flooring `//` on
+    // negative numerators), each per-part floor losing < 1 cent —
+    // deterministic by construction at any magnitude. Headroom:
+    // (q1−q0)·r0_cents ≤ ~1e13 here; at larger SFs route the product
+    // through DECIMAL(38,0).
     "x84_pvm_bridge" -> ((s, d) => {
       val cutoff = "1998-06-01"
       val per = table(s, d, "lineitem")
         .groupBy(col("l_partkey"),
           (col("l_shipdate") < lit(cutoff)).as("p0"))
         .agg(sum(col("l_quantity").cast("long")).as("q"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("r"))
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .as("rc"))
       val a = per.filter(col("p0"))
-        .select(col("l_partkey"), col("q").as("q0"), col("r").as("r0"))
+        .select(col("l_partkey"), col("q").as("q0"), col("rc").as("r0c"))
       val b = per.filter(!col("p0"))
-        .select(col("l_partkey"), col("q").as("q1"), col("r").as("r1"))
-      val j = a.join(b, Seq("l_partkey"), "full_outer")
-      j.agg(
+        .select(col("l_partkey"), col("q").as("q1"), col("rc").as("r1c"))
+      a.join(b, Seq("l_partkey"), "full_outer")
+        .agg(
           sum(when(col("q0").isNotNull && col("q1").isNotNull, 1L)
             .otherwise(0L)).as("n_parts_both"),
           sum(when(col("q0").isNull, 1L).otherwise(0L)).as("n_new"),
           sum(when(col("q1").isNull, 1L).otherwise(0L))
             .as("n_discontinued"),
-          sum(coalesce(col("r1"), lit(0).cast("decimal(18,2)")) -
-            coalesce(col("r0"), lit(0).cast("decimal(18,2)")))
-            .as("delta_revenue_d"),
+          sum(coalesce(col("r1c"), lit(0L)) -
+            coalesce(col("r0c"), lit(0L))).as("delta_revenue_cents"),
           sum(when(col("q0").isNotNull && col("q1").isNotNull,
-            round((col("q1") - col("q0")).cast("double") *
-              (col("r0").cast("double") / col("q0")), 6)
-              .cast("decimal(38,6)"))).as("volume_effect_d"),
+            expr("((q1 - q0) * r0c) div q0")))
+            .as("volume_effect_cents"),
           sum(when(col("q0").isNotNull && col("q1").isNotNull,
-            round(col("q1").cast("double") *
-              (col("r1").cast("double") / col("q1") -
-                col("r0").cast("double") / col("q0")), 6)
-              .cast("decimal(38,6)"))).as("price_effect_d"),
-          sum(when(col("q0").isNull, col("r1"))).as("new_effect_d"),
-          sum(when(col("q1").isNull, -col("r0")))
-            .as("discontinued_effect_d"))
-        .select(col("n_parts_both"), col("n_new"), col("n_discontinued"),
-          col("delta_revenue_d").cast("double").as("delta_revenue"),
-          col("volume_effect_d").cast("double").as("volume_effect"),
-          col("price_effect_d").cast("double").as("price_effect"),
-          coalesce(col("new_effect_d"), lit(0).cast("decimal(18,2)"))
-            .cast("double").as("new_effect"),
-          coalesce(col("discontinued_effect_d"),
-            lit(0).cast("decimal(18,2)")).cast("double")
-            .as("discontinued_effect"))
+            col("r1c") - expr("(q1 * r0c) div q0")))
+            .as("price_effect_cents"),
+          coalesce(sum(when(col("q0").isNull, col("r1c"))), lit(0L))
+            .as("new_effect_cents"),
+          coalesce(sum(when(col("q1").isNull, -col("r0c"))), lit(0L))
+            .as("discontinued_effect_cents"))
     }),
     // DAY-N RETENTION CURVE (x83): share of users active EXACTLY N
     // days after their first active day, N ∈ {1,7,14,30} — the classic
@@ -2769,16 +2768,17 @@ object ExtendedQueries {
         |ORDER BY t1, t2, t3""".stripMargin.replace('\n', ' '),
     // same (user, day) reduction + per-user lag + day-grain identity
     // churn; quick ratio guarded on churned > 0 exactly like the engine
-    // same (part, period) grain, identical per-part effect
-    // expressions, decimal sums
+    // same (part, period) cent grain; DuckDB's flooring // IS the
+    // floor-division the Spark CASE spells out
     "x84_pvm_bridge" ->
       """WITH per AS (SELECT l_partkey,
         |    l_shipdate < TIMESTAMP '1998-06-01' AS p0,
         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rc
         |  FROM lineitem GROUP BY 1, 2),
-        |a AS (SELECT l_partkey, q AS q0, r AS r0 FROM per WHERE p0),
-        |b AS (SELECT l_partkey, q AS q1, r AS r1 FROM per
+        |a AS (SELECT l_partkey, q AS q0, rc AS r0c FROM per WHERE p0),
+        |b AS (SELECT l_partkey, q AS q1, rc AS r1c FROM per
         |  WHERE NOT p0),
         |j AS (SELECT * FROM a FULL OUTER JOIN b USING (l_partkey))
         |SELECT
@@ -2788,22 +2788,18 @@ object ExtendedQueries {
         |    AS n_new,
         |  CAST(sum(CASE WHEN q1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_discontinued,
-        |  CAST(sum(coalesce(r1, CAST(0 AS DECIMAL(18,2))) -
-        |    coalesce(r0, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE)
-        |    AS delta_revenue,
-        |  CAST(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL THEN
-        |    CAST(round(CAST(q1 - q0 AS DOUBLE) *
-        |      (CAST(r0 AS DOUBLE) / q0), 6) AS DECIMAL(38,6)) END)
-        |    AS DOUBLE) AS volume_effect,
-        |  CAST(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL THEN
-        |    CAST(round(CAST(q1 AS DOUBLE) *
-        |      (CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0), 6)
-        |      AS DECIMAL(38,6)) END) AS DOUBLE) AS price_effect,
-        |  CAST(coalesce(sum(CASE WHEN q0 IS NULL THEN r1 END),
-        |    CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS new_effect,
-        |  CAST(coalesce(sum(CASE WHEN q1 IS NULL THEN -r0 END),
-        |    CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS discontinued_effect
+        |  CAST(sum(coalesce(r1c, 0) - coalesce(r0c, 0)) AS BIGINT)
+        |    AS delta_revenue_cents,
+        |  CAST(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+        |    THEN ((q1 - q0) * r0c) // q0 END) AS BIGINT)
+        |    AS volume_effect_cents,
+        |  CAST(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+        |    THEN r1c - (q1 * r0c) // q0 END) AS BIGINT)
+        |    AS price_effect_cents,
+        |  CAST(coalesce(sum(CASE WHEN q0 IS NULL THEN r1c END), 0)
+        |    AS BIGINT) AS new_effect_cents,
+        |  CAST(coalesce(sum(CASE WHEN q1 IS NULL THEN -r0c END), 0)
+        |    AS BIGINT) AS discontinued_effect_cents
         |FROM j""".stripMargin.replace('\n', ' '),
     // same (user, day) reduction, first-day equi-probe per N
     "x83_retention_curve" ->
