@@ -60,7 +60,9 @@ object Explain {
         "er6_fellegi_sunter", "x78_gini", "x79_conversion_latency",
         "io11_time_travel", "ml19_permutation_importance",
         "d14_containment_pairs", "g19_degree_stats",
-        "t32_langid_eval", "x80_stickiness")
+        "t32_langid_eval", "x80_stickiness",
+        "ml20_mutual_info", "er7_threshold_sweep", "x82_top_paths",
+        "x83_retention_curve", "x84_pvm_bridge", "g21_conductance")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
