@@ -128,6 +128,48 @@ object FeatureQueries {
             .as("slope_per_hour"))
         .orderBy("location_id", "datetime")
     }),
+    // ROLLING CORRELATION (w15): 24-row windowed Pearson between the
+    // series and its own 24 h lag, per station — the local
+    // seasonality-strength feature (x76 gives the global ACF; this
+    // gives the per-station per-time evolution a regime-change
+    // monitor watches). w14's discipline: all five sufficient
+    // statistics are exact DECIMAL window sums; num/dy/dz are exact
+    // decimals and only the final sqrt/division run in doubles with
+    // an identical tree; dy·dz would exceed decimal width 38, hence
+    // the double sqrt of the exact factors. NULL (not NaN) on
+    // constant windows.
+    "w15_rolling_corr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wl = Window.partitionBy(col("location_id"))
+        .orderBy(col("datetime"))
+      val w = wl.rowsBetween(-23, 0)
+      val base = gold(s, d).filter(col("aqi").isNotNull)
+        .select(col("location_id"), col("datetime"),
+          col("aqi").cast("decimal(9,6)").as("y"),
+          lag(col("aqi"), 24).over(wl).cast("decimal(9,6)").as("z"))
+        .filter(col("z").isNotNull)
+      base
+        .select(col("location_id"), col("datetime"),
+          count(lit(1)).over(w).cast("decimal(3,0)").as("n"),
+          sum(col("y")).over(w).cast("decimal(14,6)").as("sy"),
+          sum(col("z")).over(w).cast("decimal(14,6)").as("sz"),
+          sum(col("y") * col("z")).over(w).cast("decimal(26,12)")
+            .as("syz"),
+          sum(col("y") * col("y")).over(w).cast("decimal(26,12)")
+            .as("syy"),
+          sum(col("z") * col("z")).over(w).cast("decimal(26,12)")
+            .as("szz"))
+        .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
+        .withColumn("dz", col("n") * col("szz") - col("sz") * col("sz"))
+        .select(col("location_id"), col("datetime"),
+          col("n").cast("bigint").as("n_window"),
+          when(col("dy") > 0 && col("dz") > 0, round(
+            (col("n") * col("syz") - col("sy") * col("sz"))
+              .cast("double") /
+              sqrt(col("dy").cast("double") * col("dz").cast("double")),
+            6)).as("corr_24h"))
+        .orderBy("location_id", "datetime")
+    }),
     // truncated exponential smoothing (EWMA, decay 1/2, 12 taps):
     // smoothed_t = Σ 2^(11-i)·x_{t-i} / Σ 2^(11-i) over the taps
     // present. Integer power-of-two weights are the determinism trick:
@@ -859,6 +901,41 @@ object FeatureQueries {
         |    CAST(n * sxy - sx * sy AS DOUBLE) /
         |      CAST(n * sxx - sx * sx AS DOUBLE)
         |  END AS slope_per_hour
+        |FROM st ORDER BY location_id, datetime"""
+        .stripMargin.replace('\n', ' ')),
+    // same exact decimal sufficient statistics; double only at the
+    // final sqrt/division with the identical tree
+    "w15_rolling_corr" -> withPipeline(
+      """, b0 AS (SELECT location_id, datetime,
+        |    CAST(aqi AS DECIMAL(9,6)) AS y,
+        |    CAST(lag(aqi, 24) OVER (PARTITION BY location_id
+        |      ORDER BY datetime) AS DECIMAL(9,6)) AS z
+        |  FROM gold WHERE aqi IS NOT NULL),
+        |b AS (SELECT * FROM b0 WHERE z IS NOT NULL),
+        |st AS (SELECT location_id, datetime,
+        |    CAST(count(*) OVER w AS DECIMAL(3,0)) AS n,
+        |    CAST(sum(y) OVER w AS DECIMAL(14,6)) AS sy,
+        |    CAST(sum(z) OVER w AS DECIMAL(14,6)) AS sz,
+        |    CAST(sum(CAST(y * z AS DECIMAL(26,12))) OVER w
+        |      AS DECIMAL(26,12)) AS syz,
+        |    CAST(sum(CAST(y * y AS DECIMAL(26,12))) OVER w
+        |      AS DECIMAL(26,12)) AS syy,
+        |    CAST(sum(CAST(z * z AS DECIMAL(26,12))) OVER w
+        |      AS DECIMAL(26,12)) AS szz
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY location_id ORDER BY datetime
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT location_id, datetime,
+        |  CAST(n AS BIGINT) AS n_window,
+        |  CASE WHEN n * syy - CAST(sy AS DECIMAL(19,6)) * sy > 0
+        |    AND n * szz - CAST(sz AS DECIMAL(19,6)) * sz > 0
+        |  THEN round(
+        |    CAST(n * syz - CAST(sy AS DECIMAL(19,6)) * sz AS DOUBLE) /
+        |    sqrt(CAST(n * syy - CAST(sy AS DECIMAL(19,6)) * sy
+        |        AS DOUBLE) *
+        |      CAST(n * szz - CAST(sz AS DECIMAL(19,6)) * sz
+        |        AS DOUBLE)), 6)
+        |  END AS corr_24h
         |FROM st ORDER BY location_id, datetime"""
         .stripMargin.replace('\n', ' ')),
     "ml6_seasonal_baseline" -> withPipeline(
