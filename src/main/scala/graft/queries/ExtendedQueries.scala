@@ -249,6 +249,35 @@ object ExtendedQueries {
         assumeDistinct = true, symmetric = true)
         .orderBy("node")
     }),
+    // TWO-HOP NEIGHBOR FEATURE AGGREGATION (g20): the GraphSAGE-style
+    // message-passing feature prep — each node's mean neighbor
+    // account balance and mean neighbor-of-neighbor summary over the
+    // g1 bipartite supplier↔customer graph. Two edge joins + two
+    // partial aggregates on node-id shuffle keys; means are integer
+    // fixed-point micro-cent units (div truncation parity with the
+    // oracle's HUGEINT //), hop-2 sums DECIMAL-widened before summing
+    "g20_feature_prop" -> ((s, d) => {
+      val pairs = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("s_node"),
+          (col("o_custkey") * 2 + 1).as("c_node"))
+        .distinct()
+      val edges = pairs
+        .select(col("s_node").as("src"), col("c_node").as("dst"))
+        .unionAll(pairs
+          .select(col("c_node").as("src"), col("s_node").as("dst")))
+      val feats = table(s, d, "supplier")
+        .select((col("s_suppkey") * 2).as("node"),
+          expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("f"))
+        .unionAll(table(s, d, "customer")
+          .select((col("c_custkey") * 2 + 1).as("node"),
+            expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("f")))
+      graft.graph.FeatureProp.twoHopMeans(edges, feats)
+        .orderBy("node")
+    }),
     // PERSONALIZED PageRank over the same bipartite graph: teleport
     // restarts at the nation<5 supplier seeds, so rank = proximity to
     // that seed set (the related-items / trust-propagation primitive),
@@ -881,6 +910,91 @@ object ExtendedQueries {
         "o_custkey", "y")
         .withColumnsRenamed(Map("n_entities" -> "n_customers",
           "total" -> "total_cents"))),
+    // ABC / PARETO CLASSIFICATION (x81): the inventory-management cut
+    // of x50's share ladder — parts ranked by revenue, class A = the
+    // head whose cumulative share stays within 80%, B within 95%, C
+    // the tail. One corpus scan to the part grain (dimension-bounded),
+    // one window over that bounded grain, 3-row output. The class
+    // boundary is a pure INTEGER test (cum·5 ≤ total·4, cum·20 ≤
+    // total·19) — no share doubles ever decide a class; int64 holds to
+    // ~$3.7e15 total revenue (SCALE.md)
+    "x81_abc_class" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = table(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("cents"))
+      val byRev = Window.orderBy(desc("cents"), col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev
+        .withColumn("cum", sum(col("cents")).over(byRev))
+        .withColumn("total", sum(col("cents")).over(Window.partitionBy()))
+        .withColumn("abc_class",
+          when(col("cum") * 5 <= col("total") * 4, "A")
+            .when(col("cum") * 20 <= col("total") * 19, "B")
+            .otherwise("C"))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("cents")).as("class_cents"),
+          max(col("total")).as("total"))
+        .select(col("abc_class"), col("n_parts"), col("class_cents"),
+          round(col("class_cents").cast("double") /
+            col("total").cast("double"), 6).as("share"))
+        .orderBy("abc_class")
+    }),
+    // ONE-WAY ANOVA across day-of-week (x86): does weekday explain
+    // daily-revenue variance — the significance test behind x54's
+    // seasonal profile, next to x71's trend test. Corpus reduces to
+    // the span-bounded day grain (exact integer cents), then 7 weekday
+    // groups, then 1 row. Determinism is EXACT FIXED-POINT throughout
+    // — the naive computational form would round(double,6) at 1e20
+    // magnitudes, the measured x84 cross-engine trap. Instead group
+    // and grand means quantize to 1e-4-cent units by integer div
+    // (truncation parity established in x84; s·10⁴ holds in int64 to
+    // $9e12 per group — SCALE.md), deviation squares ride
+    // DECIMAL(17/19,0)² widths that both engines accept, and both
+    // sums-of-squares are exact DECIMAL(38,0) unit² sums, so partial
+    // order is irrelevant. Doubles appear only in the final /1e8
+    // unit conversion and the F ratio (small, round-safe). Weekday =
+    // Mon 0 (Spark weekday == DuckDB isodow−1)
+    "x86_anova_dow" -> ((s, d) => {
+      val daily = table(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("y"))
+      val grp = daily
+        .groupBy(weekday(col("day")).as("dow"))
+        .agg(count(lit(1)).as("n_g"), sum(col("y")).as("s_g"))
+        .withColumn("mean_u", expr("(s_g * 10000) div n_g"))
+      val grand = grp
+        .agg(sum(col("n_g")).as("n"), sum(col("s_g")).as("s"),
+          count(lit(1)).as("k"))
+        .withColumn("m_u", expr("(s * 10000) div n"))
+      // one day-grain pass computes BOTH sums: each day contributes
+      // (y − mean_g)² to SSW and (mean_g − m)² to SSB — summing the
+      // group term per member day IS the n_g· multiply, without the
+      // decimal-width gymnastics a (38,0)×n_g product would need
+      def sq(c: org.apache.spark.sql.Column) =
+        c.cast("decimal(19,0)") * c.cast("decimal(19,0)")
+      val sums = daily
+        .withColumn("dow", weekday(col("day")))
+        .join(broadcast(grp.select(col("dow"), col("mean_u"))),
+          Seq("dow"))
+        .crossJoin(broadcast(grand.select(col("m_u"))))
+        .agg(sum(sq(col("y") * 10000 - col("mean_u"))).as("ssw_u2"),
+          sum(sq(col("mean_u") - col("m_u"))).as("ssb_u2"))
+      sums.crossJoin(broadcast(grand))
+        .select(col("n").as("n_days"), col("k").as("k_groups"),
+          (col("ssb_u2").cast("double") / 1e8).as("ssb_cents2"),
+          (col("ssw_u2").cast("double") / 1e8).as("ssw_cents2"))
+        .select(col("n_days"), col("k_groups"), col("ssb_cents2"),
+          col("ssw_cents2"),
+          round((col("ssb_cents2") / (col("k_groups") - 1)
+            .cast("double")) /
+            (col("ssw_cents2") / (col("n_days") - col("k_groups"))
+              .cast("double")), 6).as("f_stat"))
+    }),
     // ROW-LEVEL QUARANTINE (dq8): the transformation half of the
     // quality stack — failing rows routed out with the comma-joined
     // violated-rule tags (dead-letter payload); NULL rule results
@@ -896,6 +1010,21 @@ object ExtendedQueries {
           "type_known" -> col("event_type").isin(
             "view", "click", "purchase", "signup")))
         .orderBy("event_id")),
+    // BENFORD first-digit test (dq9): the fraud / data-fabrication
+    // screen — first digits of natural multi-magnitude positive
+    // quantities follow P(d)=log10(1+1/d); the χ² against that law is
+    // the audit readout. One scan to the 9-row digit histogram; first
+    // digit via the decimal STRING of the integer cents (no float
+    // log10 boundary risk); expected shares are precomputed 6dp
+    // literals shared with the oracle; χ² terms are fixed trees
+    // rounded 6dp and DECIMAL-summed
+    "dq9_benford" -> ((s, d) =>
+      graft.quality.Benford.firstDigitTest(
+        table(s, d, "orders")
+          .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            .as("cents")),
+        "cents")
+        .orderBy("digit")),
     // SEASONAL-TREND decomposition (x70): y = trend + seasonal +
     // remainder on the gap-filled hourly value series — centered
     // 25-h rolling-mean trend (NULL at edges), hour-of-day seasonal
@@ -2189,6 +2318,20 @@ object ExtendedQueries {
           coalesce(sum(when(col("q1").isNull, -col("r0c"))), lit(0L))
             .as("discontinued_effect_cents"))
     }),
+    // HOLT LINEAR-TREND FORECAST (x85): level+trend double
+    // exponential smoothing over the gap-filled daily revenue series —
+    // the forecaster between w12's EWMA and x70's STL. One aggregate
+    // to the span-bounded day grain; the sequential recursion runs on
+    // the driver over the collected series (x72-class span-bounded
+    // collect) in exact milli-cent integer units (α=1/5, β=1/10,
+    // truncating div parity), so the oracle's WITH RECURSIVE walks
+    // bit-identical states
+    "x85_holt_forecast" -> ((s, d) =>
+      graft.analytics.Holt.forecast(
+        table(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("y")))),
     // DAY-N RETENTION CURVE (x83): share of users active EXACTLY N
     // days after their first active day, N ∈ {1,7,14,30} — the classic
     // curve next to x24's cohort-week matrix and x75's daily
@@ -2801,6 +2944,7 @@ object ExtendedQueries {
         |  CAST(coalesce(sum(CASE WHEN q1 IS NULL THEN -r0c END), 0)
         |    AS BIGINT) AS discontinued_effect_cents
         |FROM j""".stripMargin.replace('\n', ' '),
+    "x85_holt_forecast" -> graft.analytics.Holt.forecastSql(),
     // same (user, day) reduction, first-day equi-probe per N
     "x83_retention_curve" ->
       """WITH ua AS (SELECT DISTINCT user_id,
@@ -3591,6 +3735,63 @@ object ExtendedQueries {
         |    AS DOUBLE) /
         |    CAST(n_customers * total_cents AS DOUBLE), 6) AS gini
         |FROM ag""".stripMargin.replace('\n', ' '),
+    // same cent quantization, integer class-boundary tests, tie order
+    "x81_abc_class" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT l_partkey, cents,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS total
+        |  FROM rev),
+        |c AS (SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+        |    WHEN cum * 20 <= total * 19 THEN 'B' ELSE 'C' END
+        |    AS abc_class, cents, total FROM w)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(cents) AS BIGINT) AS class_cents,
+        |  round(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) /
+        |    CAST(max(total) AS DOUBLE), 6) AS share
+        |FROM c GROUP BY 1 ORDER BY abc_class""".stripMargin
+        .replace('\n', ' '),
+    // same 1e-4-cent mean quantization, decimal unit² sums, fixed
+    // final trees; isodow−1 == Spark weekday
+    "x86_anova_dow" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dd,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |grp AS (SELECT isodow(dd) - 1 AS dow,
+        |    CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(y) AS BIGINT) AS s_g
+        |  FROM daily GROUP BY 1),
+        |grp2 AS (SELECT dow, n_g, s_g, (s_g * 10000) // n_g AS mean_u
+        |  FROM grp),
+        |grand AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(s_g) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM grp2),
+        |grand2 AS (SELECT n, s, k, (s * 10000) // n AS m_u FROM grand),
+        |sums AS (SELECT
+        |    CAST(sum(CAST(y * 10000 - mean_u AS DECIMAL(19,0)) *
+        |      CAST(y * 10000 - mean_u AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS ssw_u2,
+        |    CAST(sum(CAST(mean_u - m_u AS DECIMAL(19,0)) *
+        |      CAST(mean_u - m_u AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS ssb_u2
+        |  FROM daily JOIN grp2 ON isodow(dd) - 1 = grp2.dow
+        |  CROSS JOIN grand2),
+        |fin AS (SELECT n AS n_days, k AS k_groups,
+        |    CAST(ssb_u2 AS DOUBLE) / 1e8 AS ssb_cents2,
+        |    CAST(ssw_u2 AS DOUBLE) / 1e8 AS ssw_cents2
+        |  FROM sums CROSS JOIN grand2)
+        |SELECT n_days, k_groups, ssb_cents2, ssw_cents2,
+        |  round((ssb_cents2 / CAST(k_groups - 1 AS DOUBLE)) /
+        |    (ssw_cents2 / CAST(n_days - k_groups AS DOUBLE)), 6)
+        |    AS f_stat
+        |FROM fin""".stripMargin.replace('\n', ' '),
     // same IS-DISTINCT-FROM-TRUE violation semantics and rule order
     "dq8_quarantine" ->
       """SELECT event_id, user_id, event_type, value,
@@ -3608,11 +3809,68 @@ object ExtendedQueries {
         |    AND coalesce(event_type IN ('view', 'click', 'purchase',
         |      'signup'), FALSE))
         |ORDER BY event_id""".stripMargin.replace('\n', ' '),
+    // same digit-string extraction, 6dp literal shares, fixed χ² tree,
+    // decimal total
+    "dq9_benford" ->
+      """WITH law AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+        |    unnest([CAST('0.301030' AS DOUBLE), CAST('0.176091' AS DOUBLE),
+        |      CAST('0.124939' AS DOUBLE), CAST('0.096910' AS DOUBLE),
+        |      CAST('0.079181' AS DOUBLE), CAST('0.066947' AS DOUBLE),
+        |      CAST('0.057992' AS DOUBLE), CAST('0.051153' AS DOUBLE),
+        |      CAST('0.045757' AS DOUBLE)]) AS exp_share),
+        |src AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        |cnt AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+        |    AS digit, CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM src GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM src),
+        |terms AS (SELECT law.digit,
+        |    coalesce(n_obs, CAST(0 AS BIGINT)) AS n_obs, exp_share, n
+        |  FROM law LEFT JOIN cnt ON law.digit = cnt.digit CROSS JOIN nn),
+        |t2 AS (SELECT digit, n_obs,
+        |    round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |      AS obs_share, exp_share,
+        |    round((CAST(n_obs AS DOUBLE) - exp_share * CAST(n AS DOUBLE)) *
+        |      (CAST(n_obs AS DOUBLE) - exp_share * CAST(n AS DOUBLE)) /
+        |      (exp_share * CAST(n AS DOUBLE)), 6) AS chi2_term
+        |  FROM terms)
+        |SELECT digit, n_obs, obs_share, exp_share, chi2_term,
+        |  CAST(sum(CAST(chi2_term AS DECIMAL(38,6))) OVER () AS DOUBLE)
+        |    AS chi2_total
+        |FROM t2 ORDER BY digit""".stripMargin.replace('\n', ' '),
     "x72_markov_attribution" ->
       graft.analytics.MarkovAttribution.removalEffectsSql(
         channels = Seq("view", "click", "signup", "error")),
     "x73_bootstrap_ci" ->
       graft.analytics.Bootstrap.conversionDiffCiSql(),
+    // same bipartite edges, HUGEINT fixed-point means (// truncation
+    // parity with Spark div), /1e6 fixed-tree output doubles
+    "g20_feature_prop" ->
+      """WITH pairs AS (SELECT DISTINCT l_suppkey * 2 AS s_node,
+        |    o_custkey * 2 + 1 AS c_node
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT s_node AS src, c_node AS dst FROM pairs
+        |  UNION ALL SELECT c_node, s_node FROM pairs),
+        |feats AS (SELECT s_suppkey * 2 AS node,
+        |    CAST(round(s_acctbal * 100) AS BIGINT) AS f FROM supplier
+        |  UNION ALL SELECT c_custkey * 2 + 1,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) FROM customer),
+        |hop1 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg,
+        |    CAST(sum(f) AS HUGEINT) AS sf
+        |  FROM e JOIN feats ON e.dst = feats.node GROUP BY 1),
+        |h1 AS (SELECT src, deg,
+        |    CAST((sf * 1000000) // deg AS BIGINT) AS h1_units
+        |  FROM hop1),
+        |hop2 AS (SELECT e.src,
+        |    CAST(sum(CAST(h1.h1_units AS HUGEINT)) AS HUGEINT) AS s2
+        |  FROM e JOIN h1 ON e.dst = h1.src GROUP BY 1),
+        |j AS (SELECT h1.src AS node, feats.f, h1.deg, h1.h1_units,
+        |    CAST(hop2.s2 // h1.deg AS BIGINT) AS h2_units
+        |  FROM h1 JOIN hop2 ON h1.src = hop2.src
+        |  JOIN feats ON h1.src = feats.node)
+        |SELECT node, f, deg, CAST(h1_units AS DOUBLE) / 1e6 AS h1,
+        |  CAST(h2_units AS DOUBLE) / 1e6 AS h2
+        |FROM j ORDER BY node""".stripMargin.replace('\n', ' '),
     // same degree grain, 6dp ln terms, decimal sum, NULL-guarded alpha
     "g19_degree_stats" ->
       """WITH e AS (SELECT DISTINCT src, dst FROM (

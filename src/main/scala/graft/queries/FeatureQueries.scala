@@ -660,6 +660,58 @@ object FeatureQueries {
           round(sum(col("term")).over(whole).cast("double"), 6)
             .as("mi_total"))
         .orderBy("score", "y")
+    }),
+    // DECISION STUMP (ml21): the one-split regression tree trained
+    // distributedly — the CART building block (and the weak learner
+    // boosting stacks). Predict per-user purchase cents from the
+    // user's click count: the corpus reduces to the user grain, then
+    // to the DOMAIN-BOUNDED (clicks → n, Σy, Σy²) histogram (bounded
+    // by max events per user, the ml12/x64 class), and every candidate
+    // split is evaluated from cumulative sums over that bounded grain
+    // — no per-candidate corpus pass, no threshold sampling. Σy² rides
+    // DECIMAL(19,0)² → (38,0); SSE terms are fixed DOUBLE trees over
+    // exact integers emitted UNROUNDED (the w13 identical-operands
+    // discipline — round(double,6) at 1e14 magnitudes is the measured
+    // x84 trap), so both engines produce bit-identical doubles
+    "ml21_decision_stump" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = PipelineQueries.table(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("event_type") === "purchase",
+            expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+            .as("y"))
+      val hist = per
+        .groupBy(col("x"))
+        .agg(count(lit(1)).as("n_x"), sum(col("y")).as("s_x"),
+          sum(col("y").cast("decimal(19,0)") *
+            col("y").cast("decimal(19,0)")).as("q_x"))
+      val cum = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val whole = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      val c = hist
+        .withColumn("n_l", sum(col("n_x")).over(cum))
+        .withColumn("s_l", sum(col("s_x")).over(cum))
+        .withColumn("q_l", sum(col("q_x")).over(cum))
+        .withColumn("n_t", sum(col("n_x")).over(whole))
+        .withColumn("s_t", sum(col("s_x")).over(whole))
+        .withColumn("q_t", sum(col("q_x")).over(whole))
+        .filter(col("n_l") < col("n_t")) // both sides non-empty
+      def sse(q: org.apache.spark.sql.Column,
+          sv: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column) =
+        q.cast("double") -
+          sv.cast("double") * sv.cast("double") / n.cast("double")
+      c.select(col("x").as("threshold"), col("n_l").as("n_left"),
+        (col("n_t") - col("n_l")).as("n_right"),
+        (sse(col("q_t"), col("s_t"), col("n_t")) -
+          sse(col("q_l"), col("s_l"), col("n_l")) -
+          sse(col("q_t") - col("q_l"), col("s_t") - col("s_l"),
+            col("n_t") - col("n_l"))).as("var_reduction"))
+        .orderBy("threshold")
     })
   )
 
@@ -707,6 +759,43 @@ object FeatureQueries {
         |SELECT score, y, c AS n_cell, CAST(term AS DOUBLE) AS mi_term,
         |  round(CAST(sum(term) OVER () AS DOUBLE), 6) AS mi_total
         |FROM t ORDER BY score, y""".stripMargin.replace('\n', ' '),
+    // same domain-bounded histogram, cumulative splits, unrounded
+    // fixed-tree SSE doubles over exact integer operands
+    "ml21_decision_stump" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |hist AS (SELECT x, CAST(count(*) AS BIGINT) AS n_x,
+        |    CAST(sum(y) AS BIGINT) AS s_x,
+        |    CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS q_x
+        |  FROM per GROUP BY 1),
+        |c AS (SELECT x,
+        |    CAST(sum(n_x) OVER w AS BIGINT) AS n_l,
+        |    CAST(sum(s_x) OVER w AS BIGINT) AS s_l,
+        |    CAST(sum(q_x) OVER w AS DECIMAL(38,0)) AS q_l,
+        |    CAST(sum(n_x) OVER () AS BIGINT) AS n_t,
+        |    CAST(sum(s_x) OVER () AS BIGINT) AS s_t,
+        |    CAST(sum(q_x) OVER () AS DECIMAL(38,0)) AS q_t
+        |  FROM hist
+        |  WINDOW w AS (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT x AS threshold, n_l AS n_left, n_t - n_l AS n_right,
+        |  (CAST(q_t AS DOUBLE) -
+        |     CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE) /
+        |       CAST(n_t AS DOUBLE)) -
+        |  (CAST(q_l AS DOUBLE) -
+        |     CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) /
+        |       CAST(n_l AS DOUBLE)) -
+        |  (CAST(q_t - q_l AS DOUBLE) -
+        |     CAST(s_t - s_l AS DOUBLE) * CAST(s_t - s_l AS DOUBLE) /
+        |       CAST(n_t - n_l AS DOUBLE)) AS var_reduction
+        |FROM c WHERE n_l < n_t
+        |ORDER BY threshold""".stripMargin.replace('\n', ' '),
     "ml19_permutation_importance" -> graft.ml.PermutationImportance.sql(
       """(SELECT user_id AS id,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)

@@ -155,6 +155,45 @@ object SinkQueries {
             .as("sum_value"),
           min(col("value")).as("min_v"), max(col("value")).as("max_v"))
     }),
+    // INCREMENTAL FILE-LEDGER INGESTION (io12): process only the
+    // files that landed since the last run — a persisted ledger of
+    // processed paths anti-joins each listing (the manual half of
+    // Auto-Loader / Iceberg incremental scan; file-level sibling of
+    // d10's row-level index). Two feed batches land as files; run 2
+    // must read ONLY batch-2 files and run 3 must be a no-op — both
+    // require()d inline; the union of the two processed frames must
+    // equal the full feed, which is the oracle
+    "io12_incremental_ledger" -> ((s, d) => {
+      import graft.io.IncrementalLedger
+      val root = tmp(s"events_ledger_${java.util.UUID.randomUUID()
+        .toString.take(8)}", d)
+      val srcDir = s"$root/src"
+      val ledger = s"$root/ledger"
+      val ev = table(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      ev.filter(col("user_id") % 3 =!= 0)
+        .repartition(4).write.mode("overwrite").parquet(srcDir)
+      val b1 = IncrementalLedger.processNew(s, srcDir, ledger, 1L)
+        .getOrElse(sys.error("batch 1 must process"))
+      val nFilesB1 = IncrementalLedger.listDataFiles(s, srcDir).size
+      ev.filter(col("user_id") % 3 === 0)
+        .repartition(2).write.mode("append").parquet(srcDir)
+      val batch2 = IncrementalLedger.newFiles(s, srcDir, ledger)
+      require(batch2.nonEmpty &&
+        batch2.size == IncrementalLedger.listDataFiles(s, srcDir).size
+          - nFilesB1,
+        "run 2 must see exactly the appended files")
+      val b2 = IncrementalLedger.processNew(s, srcDir, ledger, 2L)
+        .getOrElse(sys.error("batch 2 must process"))
+      require(IncrementalLedger.processNew(s, srcDir, ledger, 3L)
+        .isEmpty, "a run with nothing new must be a no-op")
+      b1.unionByName(b2).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+    }),
     // TIME TRAVEL (io11): the versioned WAP layout's free snapshot
     // history — publish v1 (a slice), publish v2 (the full set), then
     // read VERSION 1 AS OF: the superseded snapshot must still be
@@ -399,6 +438,12 @@ object SinkQueries {
         |FROM events GROUP BY 1 ORDER BY bucket"""
         .stripMargin.replace('\n', ' '),
     "io9_write_audit_publish" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin.replace('\n', ' '),
+    // the two incremental batches must reassemble the full feed
+    "io12_incremental_ledger" ->
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -229,6 +229,14 @@ object TextQueries {
           expr("n_docs * 10000 div n_lang").as("share_bp"))
         .orderBy("lang", "predicted_lang")
     }),
+    // ZIPF rank-frequency fit (t33): OLS slope of ln(freq) on ln(rank)
+    // over the top-100 tokens — the corpus-shape diagnostic next to
+    // g19's degree-tail Hill exponent (natural text ≈ −1; generated /
+    // templated corpora flatten). One scan to the vocabulary grain,
+    // one vocabulary-bounded rank window, one 100-row aggregate; 6dp
+    // ln terms, DECIMAL(28,12) products, fixed final trees
+    "t33_zipf_fit" -> ((s, d) =>
+      TextAnalysis.zipfFit(table(s, d, "documents"))),
     // TextRank keywords (t29): PageRank over the word co-occurrence
     // graph — the graph-centrality keyword list next to frequency
     // (x3) and tf-idf (t5); vocabulary-bounded graph, exact integer
@@ -338,6 +346,7 @@ object TextQueries {
     "t23_pmi_collocations" -> TextAnalysis.pmiCollocationsSql(),
     "t29_textrank" -> TextAnalysis.textRankKeywordsSql(),
     "t30_bpe_train" -> graft.text.Bpe.trainMergesSql(),
+    "t33_zipf_fit" -> TextAnalysis.zipfFitSql(),
     "t31_source_kl" -> graft.text.DomainShift.sourceKlSql(),
     "t32_langid_eval" ->
       (s"""WITH p AS (SELECT lang, predicted_lang FROM

@@ -1065,4 +1065,82 @@ object TextAnalysis {
        |      AS BIGINT) AS cum_tokens
        |  FROM documents)""".stripMargin.replace('\n', ' ')
   }
+
+  // ---------------------------------------------------------- Zipf fit
+
+  /** Zipf rank-frequency fit (t33): OLS slope of ln(freq) on ln(rank)
+    * over the top-`topK` tokens — the corpus-shape diagnostic paired
+    * with g19's degree-tail Hill exponent: natural language sits near
+    * slope −1; templated/generated text flattens, boilerplate steepens.
+    *
+    * Scale: one scan to the vocabulary grain, one rank window over the
+    * vocabulary-bounded table (the accepted x6-class cost), then a
+    * topK-row aggregate. Determinism: ln terms are 6dp-rounded doubles
+    * (the g19 ln discipline), products widen through DECIMAL(28,12)
+    * before the order-free decimal sums; slope/intercept are fixed
+    * double trees over the exact sums, rounded once. */
+  def zipfFit(docs: DataFrame, topK: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs
+      .select(explode(tokens(normalized(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val ranked = freq
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("cnt"), col("term"))))
+      .filter(col("rnk") <= topK)
+    val xy = ranked.select(
+      round(log(col("rnk").cast("double")), 6)
+        .cast("decimal(12,6)").as("x"),
+      round(log(col("cnt").cast("double")), 6)
+        .cast("decimal(12,6)").as("y"))
+    val ag = xy.agg(count(lit(1)).as("n_terms"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("y")).cast("decimal(28,12)")).as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(28,12)")).as("sxx"))
+    val n = col("n_terms").cast("double")
+    val slope = (n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) /
+      (n * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+    ag.select(col("n_terms"),
+      round(slope, 6).as("slope"),
+      round((col("sy").cast("double") - slope *
+        col("sx").cast("double")) / n, 6).as("intercept"))
+  }
+
+  /** DuckDB twin of [[zipfFit]] over `documents`. */
+  def zipfFitSql(topK: Int = 100): String = {
+    val toks = tokensSql(normalizedSql("text"))
+    s"""WITH freq AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest($toks) AS term FROM documents)
+       |  GROUP BY 1),
+       |ranked AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term)
+       |    AS rnk FROM freq QUALIFY rnk <= $topK),
+       |xy AS (SELECT
+       |    CAST(round(ln(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+       |    CAST(round(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y
+       |  FROM ranked),
+       |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       |    CAST(sum(x) AS DECIMAL(20,6)) AS sx,
+       |    CAST(sum(y) AS DECIMAL(20,6)) AS sy,
+       |    CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DECIMAL(38,12))
+       |      AS sxy,
+       |    CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DECIMAL(38,12))
+       |      AS sxx
+       |  FROM xy)
+       |SELECT n_terms,
+       |  round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE) -
+       |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |    (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE) -
+       |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+       |  round((CAST(sy AS DOUBLE) -
+       |    (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE) -
+       |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |      (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE) -
+       |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+       |      CAST(sx AS DOUBLE)) / CAST(n_terms AS DOUBLE), 6)
+       |    AS intercept
+       |FROM ag""".stripMargin.replace('\n', ' ')
+  }
 }
