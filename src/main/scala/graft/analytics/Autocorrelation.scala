@@ -85,4 +85,89 @@ object Autocorrelation {
        |    / CAST(n*n*syy - n*sm*sm AS DOUBLE), 6) AS acf
        |FROM p CROSS JOIN tt ORDER BY lag"""
       .stripMargin.replace('\n', ' ')
+
+  /** Cross-correlation (x87) between two event-type hourly series at
+    * lags −maxLag..maxLag — the LEAD-LAG detector next to [[hourlyAcf]]:
+    * a peak at positive lag k means series A (clicks) leads series B
+    * (purchases) by k hours, the signal that decides which lagged
+    * features (w1) and attribution windows (x62) are worth building.
+    *
+    * Same discipline as the ACF: both series gap-fill onto ONE
+    * span-bounded hourly spine, every per-lag sufficient statistic
+    * (n_k, Σy, Σz, Σy², Σz², Σyz over the overlap) is an exact
+    * integer from the lag join, and the one double expression is a
+    * fixed tree — two correctly-rounded IEEE sqrts (identical in both
+    * engines), one division, one 6 dp rounding. Degenerate windows
+    * (either side constant) yield NULL, never NaN. Integer headroom is
+    * x76's documented n·Σy² bound. */
+  def hourlyCrossCorr(events: DataFrame, typeA: String = "click",
+      typeB: String = "purchase", maxLag: Int = 12): DataFrame = {
+    val hourly = events
+      .select(expr("us div 3600000000").as("h"), col("event_type"))
+      .groupBy(col("h"))
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L))
+        .as("ya"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L))
+          .as("yb"))
+    val bounds = hourly.agg(min(col("h")).as("mn"),
+      max(col("h")).as("mx"))
+    val series = bounds
+      .select(explode(sequence(col("mn"), col("mx"))).as("h"))
+      .join(hourly, Seq("h"), "left")
+      .na.fill(0L, Seq("ya", "yb"))
+      .localCheckpoint() // both sides of the lag join
+    val va = col("nk") * col("syy") - col("sy") * col("sy")
+    val vb = col("nk") * col("szz") - col("sz") * col("sz")
+    series
+      .withColumn("k", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .join(series.select(col("h").as("hb"), col("yb").as("zb")),
+        col("hb") === col("h") + col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("nk"),
+        sum(col("ya") * col("zb")).as("syz"),
+        sum(col("ya")).as("sy"), sum(col("zb")).as("sz"),
+        sum(col("ya") * col("ya")).as("syy"),
+        sum(col("zb") * col("zb")).as("szz"))
+      .select(col("k").cast("int").as("lag"),
+        when(va > 0 && vb > 0,
+          round((col("nk") * col("syz") - col("sy") * col("sz"))
+            .cast("double") /
+            (sqrt(va.cast("double")) * sqrt(vb.cast("double"))), 6))
+          .as("xcorr"))
+      .orderBy("lag")
+  }
+
+  /** DuckDB twin of [[hourlyCrossCorr]] over the `events` table. */
+  def hourlyCrossCorrSql(typeA: String = "click",
+      typeB: String = "purchase", maxLag: Int = 12): String =
+    s"""WITH ev AS (SELECT epoch_us(ts) // 3600000000 AS h, event_type
+       |  FROM events),
+       |c AS (SELECT h,
+       |    CAST(sum(CASE WHEN event_type = '$typeA' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ya,
+       |    CAST(sum(CASE WHEN event_type = '$typeB' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS yb
+       |  FROM ev GROUP BY 1),
+       |bd AS (SELECT min(h) AS mn, max(h) AS mx FROM c),
+       |sr AS (SELECT sp.h, coalesce(c.ya, 0) AS ya,
+       |    coalesce(c.yb, 0) AS yb
+       |  FROM (SELECT unnest(range(mn, mx + 1)) AS h FROM bd) sp
+       |  LEFT JOIN c USING (h)),
+       |p AS (SELECT kk.k, CAST(count(*) AS BIGINT) AS nk,
+       |    CAST(sum(a.ya * b.yb) AS BIGINT) AS syz,
+       |    CAST(sum(a.ya) AS BIGINT) AS sy,
+       |    CAST(sum(b.yb) AS BIGINT) AS sz,
+       |    CAST(sum(a.ya * a.ya) AS BIGINT) AS syy,
+       |    CAST(sum(b.yb * b.yb) AS BIGINT) AS szz
+       |  FROM (SELECT unnest(range(-$maxLag, ${maxLag + 1})) AS k) kk
+       |  JOIN sr a ON true
+       |  JOIN sr b ON b.h = a.h + kk.k
+       |  GROUP BY 1)
+       |SELECT CAST(k AS INT) AS lag,
+       |  CASE WHEN nk*syy - sy*sy > 0 AND nk*szz - sz*sz > 0 THEN
+       |    round(CAST(nk*syz - sy*sz AS DOUBLE) /
+       |      (sqrt(CAST(nk*syy - sy*sy AS DOUBLE)) *
+       |       sqrt(CAST(nk*szz - sz*sz AS DOUBLE))), 6)
+       |  END AS xcorr
+       |FROM p ORDER BY lag""".stripMargin.replace('\n', ' ')
 }

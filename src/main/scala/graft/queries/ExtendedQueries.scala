@@ -852,6 +852,49 @@ object ExtendedQueries {
     // lag join
     "x76_acf" -> ((s, d) =>
       graft.analytics.Autocorrelation.hourlyAcf(eventsUs(s, d))),
+    // SEASONALITY-ADJUSTED OUTLIER DAYS (x88): days whose revenue
+    // deviates more than 3 MADs from their WEEKDAY median — the
+    // anomaly monitor that x40's global z-score and x42's global MAD
+    // get wrong on weekly-seasonal series (every Sunday would alarm).
+    // All statistics are integer RANK-PICKS on the span-bounded day
+    // grain (lower median at position (n+1) div 2, the x79
+    // discipline), deviations and the 3·MAD gate are EXACT integers —
+    // zero doubles anywhere in this query
+    "x88_seasonal_outliers" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = table(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("y"))
+        .withColumn("dow", weekday(col("day")))
+        .localCheckpoint() // span-bounded; three window passes follow
+      def groupMedian(df: DataFrame, valCol: String, as: String) = df
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("dow")).orderBy(col(valCol),
+            col("day"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("dow"))))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("dow"), col(valCol).as(as))
+      val med = groupMedian(daily, "y", "med_cents")
+      val dev = daily.join(broadcast(med), Seq("dow"))
+        .withColumn("dev", abs(col("y") - col("med_cents")))
+      val mad = groupMedian(dev, "dev", "mad_cents")
+      dev.join(broadcast(mad), Seq("dow"))
+        .filter(col("dev") > col("mad_cents") * 3)
+        .select(col("day"), col("dow"), col("y").as("revenue_cents"),
+          col("med_cents"), col("mad_cents"),
+          col("dev").as("deviation_cents"))
+        .orderBy("day")
+    }),
+    // CROSS-CORRELATION lead-lag (x87): clicks-vs-purchases hourly
+    // cross-correlation at lags −12..12 — x76's two-series sibling, the
+    // does-A-lead-B detector behind lag-feature and attribution-window
+    // choices. Same span-bounded spine, exact integer sufficient
+    // statistics per lag, two IEEE sqrts + one rounded division;
+    // constant windows yield NULL
+    "x87_cross_correlation" -> ((s, d) =>
+      graft.analytics.Autocorrelation.hourlyCrossCorr(eventsUs(s, d))),
     // THEIL–SEN slope (x77): the robust trend magnitude next to x71's
     // significance — median pairwise slope of the same span-bounded
     // hourly series; one double division per pair of exact operands,
@@ -3693,6 +3736,35 @@ object ExtendedQueries {
     "x71_mann_kendall" ->
       graft.analytics.TrendTest.mannKendallHourlySql(),
     "x76_acf" -> graft.analytics.Autocorrelation.hourlyAcfSql(),
+    "x87_cross_correlation" ->
+      graft.analytics.Autocorrelation.hourlyCrossCorrSql(),
+    // same rank-pick medians/MADs, exact integer 3·MAD gate
+    "x88_seasonal_outliers" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dd,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |d2 AS (SELECT dd, y, CAST(isodow(dd) - 1 AS INT) AS dow
+        |  FROM daily),
+        |med AS (SELECT dow, y AS med_cents FROM (
+        |    SELECT dow, y, dd,
+        |      row_number() OVER (PARTITION BY dow ORDER BY y, dd) AS rn,
+        |      count(*) OVER (PARTITION BY dow) AS n
+        |    FROM d2) WHERE rn = (n + 1) // 2),
+        |dv AS (SELECT d2.dd, d2.dow, d2.y, med.med_cents,
+        |    abs(d2.y - med.med_cents) AS dev
+        |  FROM d2 JOIN med USING (dow)),
+        |mad AS (SELECT dow, dev AS mad_cents FROM (
+        |    SELECT dow, dev, dd,
+        |      row_number() OVER (PARTITION BY dow ORDER BY dev, dd)
+        |        AS rn,
+        |      count(*) OVER (PARTITION BY dow) AS n
+        |    FROM dv) WHERE rn = (n + 1) // 2)
+        |SELECT dv.dd AS day, dv.dow, dv.y AS revenue_cents,
+        |  dv.med_cents, mad.mad_cents, dv.dev AS deviation_cents
+        |FROM dv JOIN mad USING (dow)
+        |WHERE dv.dev > mad.mad_cents * 3
+        |ORDER BY day""".stripMargin.replace('\n', ' '),
     "x77_theil_sen" -> graft.analytics.TrendTest.theilSenHourlySql(),
     // same chained min-aggregates, minute div, integer rank-picks
     "x79_conversion_latency" ->

@@ -712,7 +712,26 @@ object FeatureQueries {
           sse(col("q_t") - col("q_l"), col("s_t") - col("s_l"),
             col("n_t") - col("n_l"))).as("var_reduction"))
         .orderBy("threshold")
-    })
+    }),
+    // TWO-ROUND BOOSTED STUMPS (ml22): the distributed GBT core —
+    // best stump on clicks, exact integer residual update (micro-cent
+    // leaf means by truncating div), best stump on views against the
+    // residuals. Each round is one domain-bounded histogram +
+    // cumulative split scan (the ml21 shape); the fitted stump
+    // broadcasts as one row. Argmax ties break to the smallest
+    // threshold; SSE gains are unrounded fixed-tree doubles
+    "ml22_gbt_stumps" -> ((s, d) =>
+      graft.ml.BoostedStumps.twoRounds(
+        PipelineQueries.table(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("x1"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("x2"),
+            sum(when(col("event_type") === "purchase",
+              expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+              .as("y"))))
   )
 
   /** (label, score) pairs for the evaluation metrics: positive class =
@@ -759,6 +778,17 @@ object FeatureQueries {
         |SELECT score, y, c AS n_cell, CAST(term AS DOUBLE) AS mi_term,
         |  round(CAST(sum(term) OVER () AS DOUBLE), 6) AS mi_total
         |FROM t ORDER BY score, y""".stripMargin.replace('\n', ' '),
+    // same histograms, HUGEINT fixed-point means, tie-broken argmax
+    "ml22_gbt_stumps" -> graft.ml.BoostedStumps.twoRoundsSql(
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS x1,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS x2,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |    AS BIGINT) AS y
+        |FROM events GROUP BY 1""".stripMargin.replace('\n', ' ')),
     // same domain-bounded histogram, cumulative splits, unrounded
     // fixed-tree SSE doubles over exact integer operands
     "ml21_decision_stump" ->

@@ -237,6 +237,13 @@ object TextQueries {
     // ln terms, DECIMAL(28,12) products, fixed final trees
     "t33_zipf_fit" -> ((s, d) =>
       TextAnalysis.zipfFit(table(s, d, "documents"))),
+    // HEAPS'-LAW vocabulary growth (t34): V(N) ≈ K·N^β on nested
+    // content-hash cuts — sizes tokenizer vocabularies and predicts
+    // OOV at 100× the corpus; one scan to the (level, term) grain,
+    // per-term min level replaces per-cut distinct counts (ml14's
+    // nested-cut trick), zipf-discipline 4-point OLS
+    "t34_heaps_law" -> ((s, d) =>
+      TextAnalysis.heapsFit(table(s, d, "documents"))),
     // TextRank keywords (t29): PageRank over the word co-occurrence
     // graph — the graph-centrality keyword list next to frequency
     // (x3) and tf-idf (t5); vocabulary-bounded graph, exact integer
@@ -347,6 +354,7 @@ object TextQueries {
     "t29_textrank" -> TextAnalysis.textRankKeywordsSql(),
     "t30_bpe_train" -> graft.text.Bpe.trainMergesSql(),
     "t33_zipf_fit" -> TextAnalysis.zipfFitSql(),
+    "t34_heaps_law" -> TextAnalysis.heapsFitSql(),
     "t31_source_kl" -> graft.text.DomainShift.sourceKlSql(),
     "t32_langid_eval" ->
       (s"""WITH p AS (SELECT lang, predicted_lang FROM

@@ -1143,4 +1143,131 @@ object TextAnalysis {
        |    AS intercept
        |FROM ag""".stripMargin.replace('\n', ' ')
   }
+
+  // --------------------------------------------------------- Heaps fit
+
+  /** Heaps'-law vocabulary-growth fit (t34): V(N) ≈ K·N^β measured on
+    * nested content-hash corpus cuts (⅛, ¼, ½, 1) — the how-fast-does-
+    * vocabulary-grow readout that sizes tokenizer vocabularies and
+    * predicts OOV rates at 100× the corpus, pairing with [[zipfFit]]
+    * (Zipf slope ↔ Heaps β are two views of the same law).
+    *
+    * Scale: ONE corpus scan to the (level, term) grain (≤ 4×vocab
+    * rows); token totals and first-appearance levels both derive from
+    * that bounded frame — the nested cuts cost no extra passes (the
+    * ml14 nested-cut trick, per-term min level instead of per-cut
+    * distinct counts). Determinism: the ml14 md5-prefix hash picks the
+    * cuts; ln points round once at 6 dp; the 4-point OLS runs on
+    * decimal sums with fixed final trees (the zipfFit discipline). */
+  def heapsFit(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 4),
+      16, 10).cast("long")
+    val lvl = when(h < 8192L, 1).when(h < 16384L, 2)
+      .when(h < 32768L, 3).otherwise(4)
+    val cnts = docs
+      .select(lvl.as("lvl"),
+        explode(tokens(normalized(col(textCol)))).as("term"))
+      .groupBy(col("lvl"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // vocab-bounded; feeds both reductions
+    val nt = cnts.groupBy(col("lvl")).agg(sum(col("c")).as("nt"))
+    val nv = cnts.groupBy(col("term")).agg(min(col("lvl")).as("ml"))
+      .groupBy(col("ml").as("lvl")).agg(count(lit(1)).as("nv"))
+    val cum = Window.orderBy(col("lvl"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+    val pts = Seq((1, 125), (2, 250), (3, 500), (4, 1000))
+      .toDF("lvl", "cut_permille")
+      .join(nt, Seq("lvl"), "left").join(nv, Seq("lvl"), "left")
+      .na.fill(0L, Seq("nt", "nv"))
+      .withColumn("n_tokens", sum(col("nt")).over(cum))
+      .withColumn("n_distinct", sum(col("nv")).over(cum))
+      .withColumn("x", when(col("n_tokens") > 0,
+        round(log(col("n_tokens").cast("double")), 6))
+        .cast("decimal(12,6)"))
+      .withColumn("y", when(col("n_distinct") > 0,
+        round(log(col("n_distinct").cast("double")), 6))
+        .cast("decimal(12,6)"))
+    val fit = pts
+      .withColumn("np", count(col("x")).over(whole))
+      .withColumn("sx", sum(col("x")).over(whole))
+      .withColumn("sy", sum(col("y")).over(whole))
+      .withColumn("sxy", sum((col("x") * col("y"))
+        .cast("decimal(28,12)")).over(whole))
+      .withColumn("sxx", sum((col("x") * col("x"))
+        .cast("decimal(28,12)")).over(whole))
+    val n = col("np").cast("double")
+    val beta = (n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) /
+      (n * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+    fit.select(col("cut_permille"), col("n_tokens"), col("n_distinct"),
+      round(beta, 6).as("beta"),
+      round((col("sy").cast("double") - beta *
+        col("sx").cast("double")) / n, 6).as("ln_k"))
+      .orderBy("cut_permille")
+  }
+
+  /** DuckDB twin of [[heapsFit]] over `documents`. */
+  def heapsFitSql(): String = {
+    val toks = tokensSql(normalizedSql("text"))
+    s"""WITH lv AS (SELECT CASE
+       |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+       |      AS BIGINT) < 8192 THEN 1
+       |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+       |      AS BIGINT) < 16384 THEN 2
+       |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+       |      AS BIGINT) < 32768 THEN 3
+       |    ELSE 4 END AS lvl, unnest($toks) AS term FROM documents),
+       |cnts AS (SELECT lvl, term, CAST(count(*) AS BIGINT) AS c
+       |  FROM lv GROUP BY 1, 2),
+       |nt AS (SELECT lvl, CAST(sum(c) AS BIGINT) AS nt
+       |  FROM cnts GROUP BY 1),
+       |nv AS (SELECT ml AS lvl, CAST(count(*) AS BIGINT) AS nv FROM
+       |  (SELECT term, min(lvl) AS ml FROM cnts GROUP BY 1) GROUP BY 1),
+       |sp AS (SELECT * FROM (VALUES (1, 125), (2, 250), (3, 500),
+       |  (4, 1000)) AS v(lvl, cut_permille)),
+       |cm AS (SELECT cut_permille,
+       |    CAST(sum(coalesce(nt.nt, 0)) OVER w AS BIGINT) AS n_tokens,
+       |    CAST(sum(coalesce(nv.nv, 0)) OVER w AS BIGINT) AS n_distinct
+       |  FROM sp LEFT JOIN nt ON sp.lvl = nt.lvl
+       |  LEFT JOIN nv ON sp.lvl = nv.lvl
+       |  WINDOW w AS (ORDER BY sp.lvl
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |xy AS (SELECT cut_permille, n_tokens, n_distinct,
+       |    CAST(CASE WHEN n_tokens > 0
+       |      THEN round(ln(CAST(n_tokens AS DOUBLE)), 6) END
+       |      AS DECIMAL(12,6)) AS x,
+       |    CAST(CASE WHEN n_distinct > 0
+       |      THEN round(ln(CAST(n_distinct AS DOUBLE)), 6) END
+       |      AS DECIMAL(12,6)) AS y
+       |  FROM cm),
+       |ag AS (SELECT CAST(count(x) AS BIGINT) AS np,
+       |    CAST(sum(x) AS DECIMAL(20,6)) AS sx,
+       |    CAST(sum(y) AS DECIMAL(20,6)) AS sy,
+       |    CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DECIMAL(38,12))
+       |      AS sxy,
+       |    CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DECIMAL(38,12))
+       |      AS sxx
+       |  FROM xy)
+       |SELECT cut_permille, n_tokens, n_distinct,
+       |  round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) -
+       |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |    (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) -
+       |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta,
+       |  round((CAST(sy AS DOUBLE) -
+       |    (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) -
+       |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |      (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) -
+       |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+       |      CAST(sx AS DOUBLE)) / CAST(np AS DOUBLE), 6) AS ln_k
+       |FROM xy CROSS JOIN ag ORDER BY cut_permille"""
+      .stripMargin.replace('\n', ' ')
+  }
 }
