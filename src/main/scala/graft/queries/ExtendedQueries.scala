@@ -519,6 +519,50 @@ object ExtendedQueries {
           col("m.c_name").as("matched_name"), col("m.jw").as("jw"))
         .orderBy("d_key")
     }),
+    // IDENTITY-GRAPH CLUSTERING (er8): the end-to-end ER pipeline the
+    // er1–er7 family stops short of — blocking → per-record best
+    // match → TRANSITIVE CLOSURE into entity clusters. Two planted
+    // dirty variants per selected customer ('Kustomer#…' and
+    // 'Cust0mer#…' prefix typos) each best-match their source by
+    // levenshtein ≤ 1, and the two variants land in one cluster only
+    // via transitivity (they are never compared to each other) —
+    // exactly why production ER runs connected components over its
+    // match pairs. Best-match edges (not all-above-threshold pairs)
+    // keep near-identical serial names from chaining into giant
+    // components. CC = the g5 min-label machinery; bounded: ≤ 1 edge
+    // per dirty record
+    "er8_identity_graph" -> ((s, d) => {
+      val cust = table(s, d, "customer")
+      val sel = cust.filter(col("c_custkey") % 10 === 7)
+      // perturbations live in the ALPHABETIC prefix (serial-number
+      // names make digit-zone noise ambiguous: '…01X' is distance 1
+      // from EVERY '…01d'); prefix edits keep the true source the
+      // unique distance-1 neighbor while any other customer differs
+      // by ≥ 1 digit on top
+      def variant(expr0: org.apache.spark.sql.Column, slot: Int) =
+        sel.select((col("c_custkey") * 10 + slot).as("d_ent"),
+          expr0.as("dirty_name"))
+      val dirty = variant(expr(
+        "concat('K', substring(c_name, 2))"), 1) // Kustomer#…
+        .unionAll(variant(expr(
+          "concat('Cust0mer', substring(c_name, 9))"), 2)) // Cust0mer#…
+      val edges = dirty
+        .join(cust, substring(col("dirty_name"), 12, 5) ===
+          substring(col("c_name"), 12, 5))
+        .withColumn("dist", levenshtein(col("dirty_name"), col("c_name")))
+        .filter(col("dist") <= 1)
+        .groupBy(col("d_ent"))
+        .agg(min_by(col("c_custkey"),
+          struct(col("dist"), col("c_custkey"))).as("mk"))
+        .select(col("d_ent").as("id_a"), (col("mk") * 10).as("id_b"))
+      graft.graph.ConnectedComponents.run(edges)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"),
+          collect_list(col("node")).as("ns"))
+        .select(explode(col("ns")).as("entity_id"),
+          col("component").as("cluster_id"), col("cluster_size"))
+        .orderBy("entity_id")
+    }),
     // er1's blocked fuzzy join with an EDIT-DISTANCE scorer instead of
     // Jaro-Winkler: integer levenshtein ≤ 2 over the same 5-char
     // blocking key, best match = min (distance, custkey) — all-integer
@@ -852,6 +896,41 @@ object ExtendedQueries {
     // lag join
     "x76_acf" -> ((s, d) =>
       graft.analytics.Autocorrelation.hourlyAcf(eventsUs(s, d))),
+    // DIFFERENCE-IN-DIFFERENCES uplift (x89): the quasi-experimental
+    // estimator completing the causal family (x68 z-test, x69 CUPED,
+    // x73 bootstrap) for when assignment was NOT randomized — promo
+    // vs non-promo parts, before vs after a cutover date: DiD =
+    // (T_post − T_pre) − (C_post − C_pre) on per-line mean revenue,
+    // differencing out both the group gap and the common time trend.
+    // One lineitem scan to 4 cells (group × period) with a broadcast
+    // part join; cell means are integer fixed-point (s·10⁴ div n, the
+    // x86 discipline) so the DiD itself is an EXACT integer
+    "x89_did_uplift" -> ((s, d) => {
+      val cells = table(s, d, "lineitem")
+        .join(broadcast(table(s, d, "part")
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy((col("p_type") === "PROMO").as("treated"),
+          (col("l_shipdate") >= lit("1999-01-01")).as("post"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+            .as("cents"))
+        .withColumn("mean_u", expr("(cents * 10000) div n_lines"))
+      def cell(t: Boolean, p: Boolean) =
+        max(when(col("treated") === t && col("post") === p,
+          col("mean_u"))).as(s"${if (t) "t" else "c"}_${
+          if (p) "post" else "pre"}_mean_u")
+      cells
+        .agg(sum(col("n_lines")).as("n_lines"),
+          cell(t = true, p = false), cell(t = true, p = true),
+          cell(t = false, p = false), cell(t = false, p = true))
+        .withColumn("did_units",
+          (col("t_post_mean_u") - col("t_pre_mean_u")) -
+            (col("c_post_mean_u") - col("c_pre_mean_u")))
+        .withColumn("did_cents",
+          col("did_units").cast("double") / 1e4)
+    }),
     // SEASONALITY-ADJUSTED OUTLIER DAYS (x88): days whose revenue
     // deviates more than 3 MADs from their WEEKDAY median — the
     // anomaly monitor that x40's global z-score and x42's global MAD
@@ -2900,6 +2979,42 @@ object ExtendedQueries {
         |SELECT d_key, dirty_name, matched_key, matched_name, jw
         |FROM best WHERE rn = 1 ORDER BY d_key"""
         .stripMargin.replace('\n', ' '),
+    // same dirty variants, best-match edges, g5-style recursive
+    // min-root closure
+    "er8_identity_graph" ->
+      """WITH RECURSIVE dirty AS (
+        |  SELECT c_custkey * 10 + 1 AS d_ent,
+        |    concat('K', substr(c_name, 2)) AS dirty_name
+        |  FROM customer WHERE c_custkey % 10 = 7
+        |  UNION ALL
+        |  SELECT c_custkey * 10 + 2,
+        |    concat('Cust0mer', substr(c_name, 9))
+        |  FROM customer WHERE c_custkey % 10 = 7),
+        |cand AS (SELECT d_ent, c_custkey,
+        |    levenshtein(dirty_name, c_name) AS dist
+        |  FROM dirty JOIN customer
+        |    ON substr(dirty_name, 12, 5) = substr(c_name, 12, 5)),
+        |best AS (SELECT d_ent, c_custkey AS mk FROM (
+        |    SELECT d_ent, c_custkey,
+        |      row_number() OVER (PARTITION BY d_ent
+        |        ORDER BY dist, c_custkey) AS rn
+        |    FROM cand WHERE dist <= 1) WHERE rn = 1),
+        |e0 AS (SELECT d_ent AS id_a, mk * 10 AS id_b FROM best),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+        |  UNION ALL SELECT id_b, id_a FROM e0),
+        |reach(node, root) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN edges e
+        |    ON e.src = r.node),
+        |comp AS (SELECT node, min(root) AS cluster_id FROM reach
+        |  GROUP BY 1),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+        |    AS cluster_size FROM comp GROUP BY 1)
+        |SELECT comp.node AS entity_id, comp.cluster_id,
+        |  sz.cluster_size
+        |FROM comp JOIN sz USING (cluster_id)
+        |ORDER BY entity_id""".stripMargin.replace('\n', ' '),
     // phonetic key: RE2 has no lookbehind/backrefs, so the skeleton is
     // built positionally (first char + vowel-stripped tail) — the same
     // construction the Spark side uses; 'g' flag = replace-all
@@ -3738,6 +3853,35 @@ object ExtendedQueries {
     "x76_acf" -> graft.analytics.Autocorrelation.hourlyAcfSql(),
     "x87_cross_correlation" ->
       graft.analytics.Autocorrelation.hourlyCrossCorrSql(),
+    // same 4-cell reduction, fixed-point means, exact integer DiD
+    "x89_did_uplift" ->
+      """WITH cells AS (SELECT (p_type = 'PROMO') AS treated,
+        |    (l_shipdate >= TIMESTAMP '1999-01-01') AS post,
+        |    CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |      * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT treated, post, n_lines,
+        |    (cents * 10000) // n_lines AS mean_u FROM cells),
+        |ag AS (SELECT CAST(sum(n_lines) AS BIGINT) AS n_lines,
+        |    CAST(max(CASE WHEN treated AND NOT post THEN mean_u END)
+        |      AS BIGINT) AS t_pre_mean_u,
+        |    CAST(max(CASE WHEN treated AND post THEN mean_u END)
+        |      AS BIGINT) AS t_post_mean_u,
+        |    CAST(max(CASE WHEN NOT treated AND NOT post THEN mean_u END)
+        |      AS BIGINT) AS c_pre_mean_u,
+        |    CAST(max(CASE WHEN NOT treated AND post THEN mean_u END)
+        |      AS BIGINT) AS c_post_mean_u
+        |  FROM m)
+        |SELECT n_lines, t_pre_mean_u, t_post_mean_u, c_pre_mean_u,
+        |  c_post_mean_u,
+        |  (t_post_mean_u - t_pre_mean_u) - (c_post_mean_u - c_pre_mean_u)
+        |    AS did_units,
+        |  CAST((t_post_mean_u - t_pre_mean_u) -
+        |    (c_post_mean_u - c_pre_mean_u) AS DOUBLE) / 1e4
+        |    AS did_cents
+        |FROM ag""".stripMargin.replace('\n', ' '),
     // same rank-pick medians/MADs, exact integer 3·MAD gate
     "x88_seasonal_outliers" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dd,
