@@ -136,6 +136,69 @@ object KMeans {
     * init: the same iterations statically unrolled as CTEs (the
     * g1/irlsSql pattern — assignment as a row_number argmax, update as
     * the identical rounded mean). */
+  /** Deterministic farthest-point (maximin) seeding (ml23) — the
+    * k-means++-style init that picks spread-out centers instead of
+    * x65's warm-start-from-labels: seed with the lowest-id vector,
+    * then k−1 times pick the vector LEAST similar to its nearest
+    * already-chosen center (argmin of max cosine, ties to the
+    * smallest id). The classic ++ algorithm draws D²-weighted RANDOM
+    * seeds; the maximin variant is its deterministic limit — same
+    * spread guarantee, no RNG, so both engines replay it exactly.
+    *
+    * Scale: each round is ONE corpus scan under a ≤k-row broadcast
+    * plus a TakeOrdered top-1 — k·scan total, nothing corpus-sized
+    * sorts or collects. Determinism: cosines round to 4 dp (the
+    * x10/x65 contract), per-point max over the chosen set is exact on
+    * those 4 dp values, and the argmin tie-breaks by id. */
+  def maximinInit(vecs: DataFrame, k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    var chosen = vecs.orderBy(col(idCol)).limit(1)
+      .select(lit(1).as("seed_rank"), col(idCol).as("seed_id"),
+        col("vec").as("cvec"),
+        lit(null).cast("double").as("max_sim"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val next = vecs
+        .join(broadcast(chosen.select(col("cvec"))))
+        .withColumn("sim",
+          round(graft.sim.Similarity.cosine(col("vec"), col("cvec")), 4))
+        .groupBy(col(idCol))
+        .agg(max(col("sim")).as("max_sim"))
+        .join(vecs, Seq(idCol))
+        .orderBy(col("max_sim"), col(idCol)).limit(1)
+        .select(lit(r).as("seed_rank"), col(idCol).as("seed_id"),
+          col("vec").as("cvec"), col("max_sim"))
+      chosen = chosen.unionAll(next).localCheckpoint()
+    }
+    chosen.select(col("seed_rank"), col("seed_id"), col("max_sim"))
+      .orderBy("seed_rank")
+  }
+
+  /** DuckDB twin of [[maximinInit]] over `embeddings` (k unrolled). */
+  def maximinInitSql(k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      val prev = (1 until r).map(i => s"SELECT vec FROM p$i")
+        .mkString(" UNION ALL ")
+      s"""m$r AS (SELECT v.vec_id,
+         |    max(round(list_cosine_similarity(v.vec, c.vec), 4)) AS ms
+         |  FROM v, ($prev) c GROUP BY 1),
+         |p$r AS (SELECT m$r.vec_id, v.vec, ms
+         |  FROM m$r JOIN v USING (vec_id)
+         |  ORDER BY ms, vec_id LIMIT 1)""".stripMargin
+    }
+    val out = (s"SELECT CAST(1 AS INT) AS seed_rank, vec_id AS seed_id, " +
+      "CAST(NULL AS DOUBLE) AS max_sim FROM p1") +:
+      (2 to k).map(r =>
+        s"SELECT CAST($r AS INT), vec_id, ms FROM p$r")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+       |  FROM embeddings),
+       |p1 AS (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT 1),
+       |${rounds.mkString(", ")}
+       |${out.mkString(" UNION ALL ")}
+       |ORDER BY seed_rank""".stripMargin.replace('\n', ' ')
+  }
+
   def lloydSql(iters: Int): String = {
     val steps = (1 to iters).map { t =>
       val p = t - 1

@@ -896,6 +896,40 @@ object ExtendedQueries {
     // lag join
     "x76_acf" -> ((s, d) =>
       graft.analytics.Autocorrelation.hourlyAcf(eventsUs(s, d))),
+    // CONTRIBUTION WATERFALL (x90): which nations drove the
+    // year-over-year revenue change — the segment-contribution bridge
+    // next to x84's price/volume decomposition: per nation, the
+    // 1997→1998 delta and its basis-point share of the TOTAL delta
+    // (shares sum to ~100% up to truncation; signs preserved — a
+    // shrinking nation contributes negative bp). One orders scan,
+    // customer shuffle join + broadcast nation, exact integer cents
+    // and integer-div shares throughout — no doubles at all
+    "x90_contribution_bridge" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def yearCents(y: Int) =
+        sum(when(year(col("o_orderdate")) === y,
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .otherwise(0L))
+      table(s, d, "orders")
+        .filter(year(col("o_orderdate")).isin(1997, 1998))
+        .join(table(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(yearCents(1997).as("pre_cents"),
+          yearCents(1998).as("post_cents"))
+        .withColumn("delta_cents", col("post_cents") - col("pre_cents"))
+        .withColumn("total_delta",
+          sum(col("delta_cents")).over(Window.partitionBy()))
+        .select(col("n_name"), col("pre_cents"), col("post_cents"),
+          col("delta_cents"),
+          when(col("total_delta") =!= 0,
+            expr("(delta_cents * 10000) div total_delta"))
+            .as("share_bp"))
+        .orderBy("n_name")
+    }),
     // DIFFERENCE-IN-DIFFERENCES uplift (x89): the quasi-experimental
     // estimator completing the causal family (x68 z-test, x69 CUPED,
     // x73 bootstrap) for when assignment was NOT randomized — promo
@@ -3853,6 +3887,30 @@ object ExtendedQueries {
     "x76_acf" -> graft.analytics.Autocorrelation.hourlyAcfSql(),
     "x87_cross_correlation" ->
       graft.analytics.Autocorrelation.hourlyCrossCorrSql(),
+    // same nation grain, exact cents, truncating bp shares
+    "x90_contribution_bridge" ->
+      """WITH rev AS (SELECT n_name,
+        |    CAST(sum(CASE WHEN year(o_orderdate) = 1997
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS pre_cents,
+        |    CAST(sum(CASE WHEN year(o_orderdate) = 1998
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS post_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE year(o_orderdate) IN (1997, 1998)
+        |  GROUP BY 1),
+        |w AS (SELECT n_name, pre_cents, post_cents,
+        |    post_cents - pre_cents AS delta_cents,
+        |    CAST(sum(post_cents - pre_cents) OVER () AS BIGINT)
+        |      AS total_delta
+        |  FROM rev)
+        |SELECT n_name, pre_cents, post_cents, delta_cents,
+        |  CAST(CASE WHEN total_delta <> 0
+        |    THEN (delta_cents * 10000) // total_delta END AS BIGINT)
+        |    AS share_bp
+        |FROM w ORDER BY n_name""".stripMargin.replace('\n', ' '),
     // same 4-cell reduction, fixed-point means, exact integer DiD
     "x89_did_uplift" ->
       """WITH cells AS (SELECT (p_type = 'PROMO') AS treated,

@@ -731,7 +731,19 @@ object FeatureQueries {
               .as("x2"),
             sum(when(col("event_type") === "purchase",
               expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
-              .as("y"))))
+              .as("y")))),
+    // MAXIMIN k-means++-style seeding (ml23): deterministic
+    // farthest-point init for x65's Lloyd loop — lowest-id seed, then
+    // k−1 rounds of "pick the vector least similar to its nearest
+    // chosen center" (argmin max-cosine, ties to smallest id). Each
+    // round is one corpus scan under a ≤k-row broadcast + TakeOrdered
+    // top-1; 4dp cosine contract shared with x10/x65
+    "ml23_maximin_init" -> ((s, d) =>
+      graft.ml.KMeans.maximinInit(
+        PipelineQueries.table(s, d, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("vec")),
+        k = 4))
   )
 
   /** (label, score) pairs for the evaluation metrics: positive class =
@@ -778,6 +790,8 @@ object FeatureQueries {
         |SELECT score, y, c AS n_cell, CAST(term AS DOUBLE) AS mi_term,
         |  round(CAST(sum(term) OVER () AS DOUBLE), 6) AS mi_total
         |FROM t ORDER BY score, y""".stripMargin.replace('\n', ' '),
+    // same unrolled rounds, 4dp cosine, (ms, vec_id) argmin
+    "ml23_maximin_init" -> graft.ml.KMeans.maximinInitSql(k = 4),
     // same histograms, HUGEINT fixed-point means, tie-broken argmax
     "ml22_gbt_stumps" -> graft.ml.BoostedStumps.twoRoundsSql(
       """SELECT user_id,
