@@ -62,7 +62,14 @@ object Explain {
         "d14_containment_pairs", "g19_degree_stats",
         "t32_langid_eval", "x80_stickiness",
         "ml20_mutual_info", "er7_threshold_sweep", "x82_top_paths",
-        "x83_retention_curve", "x84_pvm_bridge", "g21_conductance")
+        "x83_retention_curve", "x84_pvm_bridge", "g21_conductance",
+        // round-7 session-4 additions
+        "dq9_benford", "x81_abc_class", "x86_anova_dow",
+        "t33_zipf_fit", "ml21_decision_stump", "g20_feature_prop",
+        "x85_holt_forecast", "x87_cross_correlation", "t34_heaps_law",
+        "ml22_gbt_stumps", "x88_seasonal_outliers", "er8_identity_graph",
+        "x89_did_uplift", "ml23_maximin_init", "x90_contribution_bridge",
+        "io12_incremental_ledger")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

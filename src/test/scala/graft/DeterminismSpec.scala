@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Partition-invariance certification — the repo's core determinism
   * claim tested DIRECTLY: every result must be identical under a
   * different shuffle layout, not just hash-equal to DuckDB once.
-  * Fifteen representative registered queries (decimal partial sums,
+  * Twenty representative registered queries (decimal partial sums,
   * integer rank-picks, decimal argmaxes, fixed-point iterations,
   * window statistics, ln-term sums — one per discipline) run twice at
   * sf0.001: once under the session default and once under
@@ -33,13 +33,19 @@ class DeterminismSpec extends AnyFunSuite {
     "x58_weighted_median",   // weighted rank-pick
     "w15_rolling_corr",      // decimal window sufficient statistics
     "x82_top_paths",         // sort_array over collect_list structs
-    "x22_topk_per_group")    // typed TopK aggregator
+    "x22_topk_per_group",    // typed TopK aggregator
+    // round-7 session-4 disciplines
+    "x86_anova_dow",         // quantized-mean fixed point, unit² sums
+    "ml22_gbt_stumps",       // double argmax + integer residual update
+    "g20_feature_prop",      // micro-unit div means over two hops
+    "x85_holt_forecast",     // driver recursion over collected series
+    "dq9_benford")           // precomputed-literal χ² decimal total
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)
       .collect().map(_.toString).sorted.toSeq
 
-  test("fifteen discipline-representative queries are bit-identical " +
+  test("twenty discipline-representative queries are bit-identical " +
     "under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)

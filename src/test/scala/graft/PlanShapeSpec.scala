@@ -505,4 +505,51 @@ class PlanShapeSpec extends AnyFunSuite {
           "never raw record pairs")
     }
   }
+
+  test("x89 DiD: the dimension side broadcasts, the corpus reduces to " +
+    "the 4-cell grain in bounded shuffles, no cartesian product") {
+    val p = plan("x89_did_uplift")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "part must broadcast onto lineitem")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(shuffles(p) <= 3, s"cells + gather only: ${shuffles(p)}")
+  }
+
+  test("x90 waterfall: nation broadcasts; the one window runs on the " +
+    "25-row nation grain above an aggregate, never raw orders") {
+    import org.apache.spark.sql.execution.aggregate.{
+      HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val p = plan("x90_contribution_bridge")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    p.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.child.exists {
+        case _: HashAggregateExec | _: ObjectHashAggregateExec |
+            _: SortAggregateExec => true
+        case _ => false
+      }, "the share window must sit above the nation-grain aggregate")
+    }
+  }
+
+  test("ml22 boosting: the per-round argmax is TakeOrdered top-1, " +
+    "never a global sort; the fitted stump broadcasts back") {
+    // round 1's plan is truncated behind its localCheckpoint, so the
+    // visible plan carries round 2's argmax — same shape both rounds
+    val p = plan("ml22_gbt_stumps")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "each round's best split must be a top-1, not a full sort")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty
+      || p.collect {
+        case b: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => b }.nonEmpty,
+      "the 1-row stump must broadcast onto the corpus")
+  }
+
+  test("g20 feature propagation: both hops are shuffle joins on node " +
+    "ids above bounded frames — no cartesian product, and every " +
+    "aggregate is partial (no corpus-wide window)") {
+    val p = plan("g20_feature_prop")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "feature propagation must be join+aggregate, never windows")
+  }
 }
