@@ -896,6 +896,40 @@ object ExtendedQueries {
     // lag join
     "x76_acf" -> ((s, d) =>
       graft.analytics.Autocorrelation.hourlyAcf(eventsUs(s, d))),
+    // HOUR-OF-DAY TRAFFIC BANDS (x91): p10/p50/p90 of the hourly
+    // event count per hour-of-day — x54's seasonal profile WITH the
+    // uncertainty band a monitor actually alarms against (p50 says
+    // what's typical; p10/p90 say what's still normal). Span-bounded
+    // gap-filled spine (zero-traffic hours count — a dead hour is
+    // data, not absence), integer rank-picks per 24-row group
+    // (rn·100 ≥ p·n, the x79 discipline), exact integers end to end
+    "x91_hourly_profile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = eventsUs(s, d)
+        .select(expr("us div 3600000000").as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("y"))
+      val series = counts
+        .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"))).as("h"))
+        .join(counts, Seq("h"), "left")
+        .na.fill(0L, Seq("y"))
+        .withColumn("hod", (col("h") % 24).cast("int"))
+      series
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("hod")).orderBy(col("y"), col("h"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("hod"))))
+        .select(col("hod"), col("y"), col("rn"), col("n"),
+          explode(array(lit(10), lit(50), lit(90))).as("p"))
+        .filter(col("rn") * 100 >= col("p") * col("n"))
+        .groupBy(col("hod"), col("p"))
+        .agg(min(col("y")).as("v"))
+        .groupBy(col("hod"))
+        .agg(max(when(col("p") === 10, col("v"))).as("p10"),
+          max(when(col("p") === 50, col("v"))).as("p50"),
+          max(when(col("p") === 90, col("v"))).as("p90"))
+        .orderBy("hod")
+    }),
     // CONTRIBUTION WATERFALL (x90): which nations drove the
     // year-over-year revenue change — the segment-contribution bridge
     // next to x84's price/volume decomposition: per nation, the
@@ -3887,6 +3921,30 @@ object ExtendedQueries {
     "x76_acf" -> graft.analytics.Autocorrelation.hourlyAcfSql(),
     "x87_cross_correlation" ->
       graft.analytics.Autocorrelation.hourlyCrossCorrSql(),
+    // same gap-filled spine, per-hod rank-picks
+    "x91_hourly_profile" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 3600000000 AS h FROM events),
+        |c AS (SELECT h, CAST(count(*) AS BIGINT) AS y FROM ev
+        |  GROUP BY 1),
+        |bd AS (SELECT min(h) AS mn, max(h) AS mx FROM c),
+        |sr AS (SELECT sp.h, coalesce(c.y, 0) AS y,
+        |    CAST(sp.h % 24 AS INT) AS hod
+        |  FROM (SELECT unnest(range(mn, mx + 1)) AS h FROM bd) sp
+        |  LEFT JOIN c USING (h)),
+        |rk AS (SELECT hod, y,
+        |    CAST(row_number() OVER (PARTITION BY hod ORDER BY y, h)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY hod) AS BIGINT) AS n
+        |  FROM sr),
+        |pk AS (SELECT hod, p, CAST(min(y) AS BIGINT) AS v
+        |  FROM rk CROSS JOIN (SELECT unnest([10, 50, 90]) AS p)
+        |  WHERE rn * 100 >= p * n GROUP BY 1, 2)
+        |SELECT hod,
+        |  CAST(max(CASE WHEN p = 10 THEN v END) AS BIGINT) AS p10,
+        |  CAST(max(CASE WHEN p = 50 THEN v END) AS BIGINT) AS p50,
+        |  CAST(max(CASE WHEN p = 90 THEN v END) AS BIGINT) AS p90
+        |FROM pk GROUP BY 1 ORDER BY hod""".stripMargin
+        .replace('\n', ' '),
     // same nation grain, exact cents, truncating bp shares
     "x90_contribution_bridge" ->
       """WITH rev AS (SELECT n_name,

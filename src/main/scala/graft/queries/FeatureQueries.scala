@@ -105,6 +105,28 @@ object FeatureQueries {
     // twin); slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) divides the same
     // two exact operands in both engines. x-translation cannot change
     // a slope, so the re-base constant is pure width engineering
+    // ROLLING EXTREMA / Donchian breakout (w16): per station, the
+    // prior-24-row high and low of aqi (frame −24..−1 — the CURRENT
+    // row is excluded, else every row "touches" its own extreme) and
+    // the breakout flags the channel strategy / regime monitor reads.
+    // Pure min/max windows over stored values compared exactly — no
+    // arithmetic, no rounding convention needed (w13 discipline); the
+    // first rows of each station have no prior window → NULL bounds,
+    // flags false via null-safe comparison
+    "w16_rolling_extrema" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("location_id"))
+        .orderBy(col("datetime")).rowsBetween(-24, -1)
+      gold(s, d).filter(col("aqi").isNotNull)
+        .select(col("location_id"), col("datetime"), col("aqi"),
+          max(col("aqi")).over(w).as("high_24"),
+          min(col("aqi")).over(w).as("low_24"))
+        .withColumn("new_high",
+          coalesce(col("aqi") > col("high_24"), lit(false)))
+        .withColumn("new_low",
+          coalesce(col("aqi") < col("low_24"), lit(false)))
+        .orderBy("location_id", "datetime")
+    }),
     "w14_rolling_slope" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("location_id"))
@@ -1011,6 +1033,18 @@ object FeatureQueries {
         .stripMargin.replace('\n', ' ')),
     // sums explicitly down-cast to Spark's widths so the ΣxΣy /
     // (Σx)² products stay under DuckDB's 38-digit ceiling
+    // same −24..−1 frame, NULL-bounded first rows, exact comparisons
+    "w16_rolling_extrema" -> withPipeline(
+      """, b AS (SELECT location_id, datetime, aqi,
+        |    max(aqi) OVER w AS high_24, min(aqi) OVER w AS low_24
+        |  FROM gold WHERE aqi IS NOT NULL
+        |  WINDOW w AS (PARTITION BY location_id ORDER BY datetime
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT location_id, datetime, aqi, high_24, low_24,
+        |  coalesce(aqi > high_24, FALSE) AS new_high,
+        |  coalesce(aqi < low_24, FALSE) AS new_low
+        |FROM b ORDER BY location_id, datetime"""
+        .stripMargin.replace('\n', ' ')),
     "w14_rolling_slope" -> withPipeline(
       """, b AS (SELECT location_id, datetime, aqi,
         |    epoch_us(datetime) // 3600000000 - 473000 AS x

@@ -179,6 +179,43 @@ object StreamingQueries {
       StreamPipeline.replayToMemory(s, q, "s13_stream_quarantine")
         .orderBy("event_id")
     }),
+    // STREAM-vs-LEARNED-BASELINE alerting (s15): the monitoring shape
+    // s13's static rules can't express — the threshold is LEARNED
+    // from history (per-type p99 by integer rank-pick on the
+    // (type, cents) histogram, the x79 discipline), broadcast as a
+    // |types|-row static table, and each arriving event alerts when
+    // it exceeds its own type's baseline. Stateless stream-static
+    // broadcast join: no watermark, no state store, append mode.
+    // In production the baseline refreshes per batch cycle while the
+    // stream keeps running. Oracle = the identical batch computation.
+    "s15_stream_baseline_alert" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = PipelineQueries.table(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+      val baseline = hist
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("cents"))))
+        .withColumn("n", sum(col("c")).over(
+          Window.partitionBy(col("event_type"))))
+        .filter(col("cum") * 100 >= col("n") * 99)
+        .groupBy(col("event_type"))
+        .agg(min(col("cents")).as("p99_cents"))
+      val alerts = fullEventsStream(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .join(broadcast(baseline), Seq("event_type"))
+        .filter(expr("CAST(round(value * 100) AS BIGINT)") >
+          col("p99_cents"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("p99_cents"))
+      StreamPipeline.replayToMemory(s, alerts,
+        "s15_stream_baseline_alert")
+        .orderBy("event_id")
+    }),
     // at-least-once replay dedup: the stream self-unioned (every row
     // delivered twice) must come out exactly once
     "s7_stream_dedup" -> ((s, d) => {
@@ -490,6 +527,27 @@ object StreamingQueries {
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id"""
         .stripMargin.replace('\n', ' '),
+    // the stream's alert leg ≡ the identical batch computation
+    // (stateless stream-static join commutes with replay); same
+    // rank-pick p99 baseline
+    "s15_stream_baseline_alert" ->
+      """WITH hist AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cm AS (SELECT event_type, cents,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM hist),
+        |bl AS (SELECT event_type, CAST(min(cents) AS BIGINT)
+        |    AS p99_cents
+        |  FROM cm WHERE cum * 100 >= n * 99 GROUP BY 1)
+        |SELECT event_id, user_id, e.event_type, value, p99_cents
+        |FROM events e JOIN bl ON e.event_type = bl.event_type
+        |WHERE CAST(round(value * 100) AS BIGINT) > p99_cents
+        |ORDER BY event_id""".stripMargin.replace('\n', ' '),
     // the stream's DLQ leg ≡ the identical batch filter (stateless
     // routing commutes with replay)
     "s13_stream_quarantine" ->
