@@ -45,6 +45,22 @@ object SimilarityQueries {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
         .orderBy("query_id", "rank")
     }),
+    // FILTERED VECTOR SEARCH (sim10): top-k under a metadata predicate
+    // — "nearest EVEN-LABEL neighbors" — the filtered-search mode every
+    // vector store serves (tenant, language, date filters). This is
+    // PRE-filtering: the predicate pushes into the corpus scan BEFORE
+    // the broadcast cross join, so the candidate set shrinks at the
+    // source — the production choice when the filter is selective
+    // (post-filtering a fixed top-k underfills results; an IVF route
+    // additionally intersects the filter with its probed cells).
+    // Same 4dp-cosine + id tie-break contract as sim1
+    "sim10_filtered_knn" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.filter(col("label") % 2 === 0),
+        emb.filter(col("vec_id") < 20), k = 5)
+        .orderBy("query_id", "rank")
+    }),
     // MMR diversified re-ranking (sim9): greedy top-5 from each
     // query's 20-NN pool by lambda*rel - (1-lambda)*max-sim-to-
     // selected — the diversity pass between ANN candidates and the
@@ -177,6 +193,10 @@ object SimilarityQueries {
     },
     "sim1_knn_bruteforce" ->
       Similarity.bruteForceTopKSql(5, "vec_id < 20"),
+    // same pre-filtered candidate side
+    "sim10_filtered_knn" ->
+      Similarity.bruteForceTopKSql(5, "vec_id < 20",
+        corpusPred = "label % 2 = 0"),
     "sim9_mmr_rerank" ->
       Similarity.mmrRerankSql("vec_id < 20", k = 5),
     "ir1_retrieval_eval" -> {

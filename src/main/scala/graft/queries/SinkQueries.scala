@@ -155,6 +155,31 @@ object SinkQueries {
             .as("sum_value"),
           min(col("value")).as("min_v"), max(col("value")).as("max_v"))
     }),
+    // PARTITION RETENTION SWEEP (io13): the TTL / compliance job —
+    // day-partitioned layout, partitions before the cutoff dropped by
+    // DIRECTORY deletion (metadata-only; a row-level TTL would be a
+    // full rewrite, which is why retention policies live on partition
+    // columns). Readers see survivors via ordinary partition
+    // discovery; oracle = the equivalent row filter over the source,
+    // certifying the sweep deleted exactly the expired days
+    "io13_retention_sweep" -> ((s, d) => {
+      import graft.io.Retention
+      val root = tmp(s"events_ttl_${java.util.UUID.randomUUID()
+        .toString.take(8)}", d)
+      val ev = PipelineQueries.eventsTs(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          (year(col("ts")) * 10000 + month(col("ts")) * 100 +
+            dayofmonth(col("ts"))).as("d"))
+      ev.write.mode("overwrite").partitionBy("d").parquet(root)
+      val dropped = Retention.sweep(s, root, "d", 20240115L)
+      require(dropped.nonEmpty && dropped.forall(_ < 20240115L),
+        s"the sweep must drop only expired partitions: $dropped")
+      s.read.parquet(root).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+    }),
     // INCREMENTAL FILE-LEDGER INGESTION (io12): process only the
     // files that landed since the last run — a persisted ledger of
     // processed paths anti-joins each listing (the manual half of
@@ -442,6 +467,16 @@ object SinkQueries {
         |  count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events""".stripMargin.replace('\n', ' '),
+    // survivors ≡ the equivalent row filter (UTC session; ts is NTZ)
+    "io13_retention_sweep" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE year(CAST(ts AS TIMESTAMP)) * 10000 +
+        |  month(CAST(ts AS TIMESTAMP)) * 100 +
+        |  day(CAST(ts AS TIMESTAMP)) >= 20240115"""
+        .stripMargin.replace('\n', ' '),
     // the two incremental batches must reassemble the full feed
     "io12_incremental_ledger" ->
       """SELECT count(*) AS n_rows,

@@ -86,8 +86,10 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** DuckDB twin of [[bruteForceTopK]] for queries `WHERE <queryPred>`. */
-  def bruteForceTopKSql(k: Int, queryPred: String): String =
+  /** DuckDB twin of [[bruteForceTopK]] for queries `WHERE <queryPred>`;
+    * `corpusPred` restricts the candidate side (filtered search). */
+  def bruteForceTopKSql(k: Int, queryPred: String,
+      corpusPred: String = "TRUE"): String =
     s"""WITH q AS (SELECT vec_id AS query_id,
        |    CAST(embedding AS DOUBLE[]) AS qvec
        |  FROM embeddings WHERE $queryPred),
@@ -95,7 +97,8 @@ object Similarity {
        |  SELECT q.query_id, e.vec_id AS corpus_id,
        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 4)
        |      AS sim
-       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> q.query_id AND ($corpusPred))
        |SELECT query_id, rank, corpus_id, sim FROM (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY sim DESC, corpus_id) AS INT) AS rank
