@@ -18,13 +18,17 @@ import org.apache.spark.sql.functions._
   * partial-window estimate); the seasonal index is the mean
   * detrended value per hour-of-day; remainder = detrended − seasonal.
   *
-  * Determinism: hourly sums are exact DECIMAL(18,2); the trend
-  * divides the exact 25-row window sum once and rounds to 6 dp;
-  * detrended subtracts two identical doubles; seasonal means sum
-  * 6dp-rounded detrended values in DECIMAL(38,6) before ONE division
-  * (the t28 discipline); remainder subtracts two rounded doubles.
-  * Every division has exact operands and happens once — no compound
-  * float chains.
+  * Determinism — ALL-INTEGER micro-units (value × 10⁶), zero doubles,
+  * zero rounding convention anywhere: hourly sums are exact
+  * DECIMAL(18,2) = exact cents; the 25-row trend mean is EXACT in
+  * micro-units (cents·10⁶ / (25·100) = cents × 400, an integer
+  * multiply); detrended is an integer subtraction; the per-hour-of-day
+  * seasonal mean is ONE integer division truncated toward zero,
+  * spelled as a CASE whose div operands are always NON-NEGATIVE so
+  * truncating (Spark `div`) and flooring (some engines' `//`)
+  * conventions provably agree; remainder is an integer subtraction.
+  * Additivity y_micro = trend + seasonal + remainder is exact BY
+  * CONSTRUCTION (remainder is defined as the difference).
   *
   * Scale: the corpus contributes ONE partial-aggregatable
   * (hour → n, Σvalue) pass; everything after runs on the dense hour
@@ -34,8 +38,20 @@ import org.apache.spark.sql.functions._
   * back. */
 object Decompose {
 
-  /** @return (h, n, y, trend, seasonal, remainder) per dense hour
-    *         index h = µs div 3600000000, ordered by h */
+  /** Sign-safe truncating integer division a/b (b > 0) toward zero:
+    * both `div` operands are non-negative, so engines that truncate
+    * and engines that floor integral division agree by construction.
+    * `divOp` is the engine's integral-divide token (Spark `div`,
+    * DuckDB `//`). */
+  private[graft] def sdiv(a: String, b: String, divOp: String): String =
+    s"(CASE WHEN ($a) >= 0 THEN ($a) $divOp ($b) " +
+      s"ELSE -((-($a)) $divOp ($b)) END)"
+
+  /** @return (h, n, y, trend_micro, seasonal_micro, remainder_micro)
+    *         per dense hour index h = µs div 3600000000, ordered by
+    *         h; the *_micro columns are BIGINT micro-units
+    *         (value × 10⁶), NULL where the 25-h window is
+    *         incomplete */
   def hourlyAdditive(events: DataFrame, usCol: String = "us",
       valueCol: String = "value"): DataFrame = {
     val hourly = events
@@ -48,25 +64,27 @@ object Decompose {
     val series = dense.join(hourly, Seq("h"), "left")
       .select(col("h"), coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("ys"), lit(0).cast("decimal(18,2)")).as("y"))
+      .withColumn("yc", expr("CAST(y * 100 AS BIGINT)"))
     val w25 = Window.orderBy(col("h")).rowsBetween(-12, 12)
     val withTrend = series
       .withColumn("wcnt", count(lit(1)).over(w25))
-      .withColumn("wsum", sum(col("y")).over(w25))
-      .withColumn("trend", when(col("wcnt") === 25,
-        round(col("wsum").cast("double") / 25.0, 6)))
-      .withColumn("detr", when(col("trend").isNotNull,
-        round(col("y").cast("double") - col("trend"), 6)))
+      .withColumn("wsum", sum(col("yc")).over(w25))
+      // cents·10⁶/(25·100) = cents·400 — the mean is an EXACT integer
+      .withColumn("trend_micro",
+        when(col("wcnt") === 25, col("wsum") * 400L))
+      .withColumn("detr", when(col("trend_micro").isNotNull,
+        col("yc") * 10000L - col("trend_micro")))
     val seasonal = withTrend.filter(col("detr").isNotNull)
       .groupBy((col("h") % 24).as("hod"))
-      .agg(round(
-        sum(col("detr").cast("decimal(38,6)")).cast("double") /
-          count(col("detr")).cast("double"), 6).as("seasonal"))
+      .agg(expr(sdiv("sum(detr)", "count(detr)", "div"))
+        .cast("long").as("seasonal_micro"))
     withTrend
       .join(broadcast(seasonal), col("h") % 24 === col("hod"), "left")
-      .select(col("h"), col("n"), col("y"), col("trend"),
-        col("seasonal"),
+      .select(col("h"), col("n"), col("y"), col("trend_micro"),
+        when(col("detr").isNotNull, col("seasonal_micro"))
+          .as("seasonal_micro"),
         when(col("detr").isNotNull,
-          round(col("detr") - col("seasonal"), 6)).as("remainder"))
+          col("detr") - col("seasonal_micro")).as("remainder_micro"))
       .orderBy("h")
   }
 
@@ -83,25 +101,30 @@ object Decompose {
        |dense AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM b),
        |series AS (SELECT d.h,
        |    CAST(coalesce(t.n, 0) AS BIGINT) AS n,
-       |    coalesce(t.ys, CAST(0 AS DECIMAL(18,2))) AS y
+       |    coalesce(t.ys, CAST(0 AS DECIMAL(18,2))) AS y,
+       |    CAST(coalesce(t.ys, CAST(0 AS DECIMAL(18,2))) * 100
+       |      AS BIGINT) AS yc
        |  FROM dense d LEFT JOIN hourly t ON d.h = t.h),
-       |tr AS (SELECT h, n, y,
+       |tr AS (SELECT h, n, y, yc,
        |    CASE WHEN count(*) OVER w = 25
-       |      THEN round(CAST(sum(y) OVER w AS DOUBLE)
-       |        / CAST('25' AS DOUBLE), 6) END AS trend
+       |      THEN sum(yc) OVER w * 400 END AS trend_micro
        |  FROM series
        |  WINDOW w AS (ORDER BY h
        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-       |dt AS (SELECT *, CASE WHEN trend IS NOT NULL
-       |    THEN round(CAST(y AS DOUBLE) - trend, 6) END AS detr
+       |dt AS (SELECT *, CASE WHEN trend_micro IS NOT NULL
+       |    THEN yc * 10000 - trend_micro END AS detr
        |  FROM tr),
        |sea AS (SELECT h % 24 AS hod,
-       |    round(CAST(sum(CAST(detr AS DECIMAL(38,6))) AS DOUBLE)
-       |      / CAST(count(detr) AS DOUBLE), 6) AS seasonal
+       |    CAST(${sdiv("sum(detr)", "count(detr)", "//")} AS BIGINT)
+       |      AS seasonal_micro
        |  FROM dt WHERE detr IS NOT NULL GROUP BY 1)
-       |SELECT d.h, d.n, d.y, d.trend, s.seasonal,
-       |  CASE WHEN d.detr IS NOT NULL
-       |    THEN round(d.detr - s.seasonal, 6) END AS remainder
+       |SELECT d.h, d.n, d.y, CAST(d.trend_micro AS BIGINT)
+       |    AS trend_micro,
+       |  CASE WHEN d.detr IS NOT NULL THEN s.seasonal_micro END
+       |    AS seasonal_micro,
+       |  CAST(CASE WHEN d.detr IS NOT NULL
+       |    THEN d.detr - s.seasonal_micro END AS BIGINT)
+       |    AS remainder_micro
        |FROM dt d LEFT JOIN sea s ON d.h % 24 = s.hod
        |ORDER BY d.h""".stripMargin.replace('\n', ' ')
 }

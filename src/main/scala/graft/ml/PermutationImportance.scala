@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   * permuted values, so base + both permuted SSEs come from ONE
   * aggregate over the single rank join.
   *
-  * Model + determinism: the two-feature OLS is [[LinearShap]]'s
-  * closed-form fit from nine exact decimal sufficient statistics (the
-  * fragments are shared verbatim); residual-square terms round once
-  * to 6 dp and sum in DECIMAL(38,6), so partial-sum order is
-  * irrelevant. The hash-rank window is an entity-grain global sort —
+  * Model + determinism: the two-feature OLS is the [[LinearShap]]
+  * closed-form fit from nine exact decimal sufficient statistics;
+  * residual-square terms round once to 6 dp, convert EXACTLY to
+  * integer micro-units, and sum as wide integers, so partial-sum
+  * order is irrelevant and the output surface (SSEs and the
+  * importance ratio) is pure integer arithmetic — no data-dependent
+  * round(double) an engine's rounding mode could flip (round-8
+  * audit). The hash-rank window is an entity-grain global sort —
   * the accepted x78-class cost (entities, not events).
   *
   * Guard rails baked into the ratio: a singular design NULLs the
@@ -31,27 +34,57 @@ import org.apache.spark.sql.functions._
 object PermutationImportance {
 
   private def d(c: String) = s"CAST($c AS DOUBLE)"
+  // closed-form 2×2 OLS solve over the nine exact sums, evaluated as
+  // identical IEEE double trees in both engines (the pre-round-8
+  // LinearShap fragments, now local: ml15's OUTPUT surface moved to
+  // exact integers, but ml19's per-term-rounded-then-DECIMAL-summed
+  // SSE only needs engine-identical doubles INSIDE each term)
+  private val a11 = s"(${d("n")} * ${d("s11")} - ${d("s1")} * ${d("s1")})"
+  private val a22 = s"(${d("n")} * ${d("s22")} - ${d("s2")} * ${d("s2")})"
+  private val a12 = s"(${d("n")} * ${d("s12")} - ${d("s1")} * ${d("s2")})"
+  private val b1n = s"(${d("n")} * ${d("s1y")} - ${d("s1")} * ${d("sy")})"
+  private val b2n = s"(${d("n")} * ${d("s2y")} - ${d("s2")} * ${d("sy")})"
+  private val det = s"($a11 * $a22 - $a12 * $a12)"
+  private val beta1 = s"(($a22 * $b1n - $a12 * $b2n) / $det)"
+  private val beta2 = s"(($a11 * $b2n - $a12 * $b1n) / $det)"
+  private val beta0 =
+    s"((${d("sy")} - $beta1 * ${d("s1")} - $beta2 * ${d("s2")}) / ${d("n")})"
+  private val guard = s"$det <> 0"
   private val pred =
-    s"(${LinearShap.beta0} + ${LinearShap.beta1} * ${d("x1")}" +
-      s" + ${LinearShap.beta2} * ${d("x2")})"
+    s"($beta0 + $beta1 * ${d("x1")} + $beta2 * ${d("x2")})"
   private val predP1 =
-    s"(${LinearShap.beta0} + ${LinearShap.beta1} * ${d("x1p")}" +
-      s" + ${LinearShap.beta2} * ${d("x2")})"
+    s"($beta0 + $beta1 * ${d("x1p")} + $beta2 * ${d("x2")})"
   private val predP2 =
-    s"(${LinearShap.beta0} + ${LinearShap.beta1} * ${d("x1")}" +
-      s" + ${LinearShap.beta2} * ${d("x2p")})"
+    s"($beta0 + $beta1 * ${d("x1")} + $beta2 * ${d("x2p")})"
   // the singularity guard lives INSIDE the sum (per-term CASE): a
   // singular design NULLs every term and the whole SSE — the only
   // form both engines accept (an outer CASE would reference
-  // non-grouped stats columns from inside an aggregate query)
-  private def sse(p: String) =
-    s"sum(CAST(CASE WHEN ${LinearShap.guard} THEN " +
+  // non-grouped stats columns from inside an aggregate query).
+  // Each 6-dp-rounded term converts EXACTLY to integer micro-units
+  // (the DECIMAL(24,6) hop is lossless; ×10⁶ reads its unscaled
+  // value) so the sum — and everything derived from it — is pure
+  // integer arithmetic: no data-dependent round(double) survives to
+  // the output surface (round-8 rounding audit)
+  private def sseMicro(p: String, big: String => String) =
+    s"sum(${big(s"CAST(CASE WHEN $guard THEN " +
       s"round((${d("y")} - $p) * (${d("y")} - $p), 6) END" +
-      s" AS DECIMAL(38,6)))"
+      s" AS DECIMAL(24,6)) * 1000000")})"
+
+  private val sparkBig = (c: String) => s"CAST($c AS DECIMAL(38,0))"
+  private val duckBig = (c: String) => s"CAST($c AS HUGEINT)"
+
+  /** Sign-safe truncating division toward zero, non-negative div
+    * operands (the x88/ml15 convention-free form). */
+  private def sdiv(a: String, b: String, divOp: String): String =
+    s"(CASE WHEN ($a) >= 0 THEN ($a) $divOp ($b) " +
+      s"ELSE -((-($a)) $divOp ($b)) END)"
 
   /** @param data one row per unit: `idCol`, numeric `x1`/`x2` (exact
     *             integral), decimal-safe `yCol`
-    * @return (feature, sse_base, sse_permuted, importance) — 2 rows */
+    * @return (feature, sse_base_micro, sse_permuted_micro,
+    *         importance_micro) — 2 rows; SSEs in BIGINT micro-units,
+    *         importance = (permuted − base)/base ×10⁶ truncated
+    *         toward zero */
   def importance(data: DataFrame, idCol: String, x1Col: String,
       x2Col: String, yCol: String): DataFrame = {
     val prep = data.select(col(idCol).as("id"),
@@ -77,21 +110,21 @@ object PermutationImportance {
         col("x2").as("x2p")),
         col("rd") === col("r") % col("n") + 1)
     val agg = joined.agg(
-      expr(sse(pred)).as("sse_base"),
-      expr(sse(predP1)).as("sse_x1"),
-      expr(sse(predP2)).as("sse_x2"))
+      expr(sseMicro(pred, sparkBig)).as("sse_base"),
+      expr(sseMicro(predP1, sparkBig)).as("sse_x1"),
+      expr(sseMicro(predP2, sparkBig)).as("sse_x2"))
     agg.select(explode(array(
         struct(lit("x1").as("feature"), col("sse_base"),
           col("sse_x1").as("sse_permuted")),
         struct(lit("x2").as("feature"), col("sse_base"),
           col("sse_x2").as("sse_permuted")))).as("f"))
       .select(col("f.feature"),
-        col("f.sse_base").cast("double").as("sse_base"),
-        col("f.sse_permuted").cast("double").as("sse_permuted"),
-        when(col("f.sse_base") > 0, round(
-          (col("f.sse_permuted").cast("double") -
-            col("f.sse_base").cast("double")) /
-            col("f.sse_base").cast("double"), 6)).as("importance"))
+        col("f.sse_base").cast("long").as("sse_base_micro"),
+        col("f.sse_permuted").cast("long").as("sse_permuted_micro"),
+        when(col("f.sse_base") > 0, expr(sdiv(
+          "(CAST(f.sse_permuted AS DECIMAL(38,0)) - f.sse_base)" +
+            " * 1000000",
+          "f.sse_base", "div")).cast("long")).as("importance_micro"))
       .orderBy("feature")
   }
 
@@ -112,9 +145,9 @@ object PermutationImportance {
        |  FROM rk a CROSS JOIN st
        |  JOIN rk b ON b.r = a.r % st.n + 1),
        |ag AS (SELECT
-       |    ${sse(pred)} AS sse_base,
-       |    ${sse(predP1)} AS sse_x1,
-       |    ${sse(predP2)} AS sse_x2
+       |    ${sseMicro(pred, duckBig)} AS sse_base,
+       |    ${sseMicro(predP1, duckBig)} AS sse_x1,
+       |    ${sseMicro(predP2, duckBig)} AS sse_x2
        |  FROM j),
        |un AS (
        |  SELECT 'x1' AS feature, sse_base, sse_x1 AS sse_permuted
@@ -123,10 +156,10 @@ object PermutationImportance {
        |  SELECT 'x2' AS feature, sse_base, sse_x2 AS sse_permuted
        |  FROM ag)
        |SELECT feature,
-       |  CAST(sse_base AS DOUBLE) AS sse_base,
-       |  CAST(sse_permuted AS DOUBLE) AS sse_permuted,
-       |  CASE WHEN sse_base > 0 THEN round(
-       |    (CAST(sse_permuted AS DOUBLE) - CAST(sse_base AS DOUBLE))
-       |    / CAST(sse_base AS DOUBLE), 6) END AS importance
+       |  CAST(sse_base AS BIGINT) AS sse_base_micro,
+       |  CAST(sse_permuted AS BIGINT) AS sse_permuted_micro,
+       |  CAST(CASE WHEN sse_base > 0 THEN ${sdiv(
+             "(CAST(sse_permuted AS HUGEINT) - sse_base) * 1000000",
+             "sse_base", "//")} END AS BIGINT) AS importance_micro
        |FROM un ORDER BY feature""".stripMargin.replace('\n', ' ')
 }
