@@ -70,7 +70,8 @@ object Explain {
         "ml22_gbt_stumps", "x88_seasonal_outliers", "er8_identity_graph",
         "x89_did_uplift", "ml23_maximin_init", "x90_contribution_bridge",
         "io12_incremental_ledger", "w16_rolling_extrema",
-        "x91_hourly_profile", "sim10_filtered_knn")
+        "x91_hourly_profile", "sim10_filtered_knn",
+        "io13_retention_sweep")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

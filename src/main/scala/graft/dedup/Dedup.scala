@@ -308,11 +308,15 @@ object Dedup {
         .withColumnRenamed("sz", "sz_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("id", "id_b")
         .withColumnRenamed("sz", "sz_b"), Seq("id_b"))
-      .withColumn("jaccard", round(
-        col("shared").cast("double") /
-          (col("sz_a") + col("sz_b") - col("shared")).cast("double"), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      // EXACT half-away 4-dp quantized ratio in pure integers
+      // (round-8 q-discipline): (2*shared*1e4 + uni) div (2*uni) =
+      // round-half-up(shared/uni * 1e4); non-negative operands, so
+      // truncating and flooring integral division agree cross-engine
+      .withColumn("jaccard_e4", expr(
+        "(2 * shared * 10000 + (sz_a + sz_b - shared)) div " +
+          "(2 * (sz_a + sz_b - shared))"))
+      .filter(col("jaccard_e4") >= math.round(threshold * 10000))
+      .select(col("id_a"), col("id_b"), col("jaccard_e4"))
   }
 
   /** DuckDB twin of [[ngramJaccardPairs]] (including the df cutoff).
@@ -335,13 +339,13 @@ object Dedup {
        |  FROM kept a JOIN kept b ON a.tok = b.tok AND a.id < b.id
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b,
-       |  round(CAST(shared AS DOUBLE)
-       |    / CAST(sa.sz + sb.sz - shared AS DOUBLE), 4) AS jaccard
+       |  CAST((2 * shared * 10000 + (sa.sz + sb.sz - shared)) //
+       |    (2 * (sa.sz + sb.sz - shared)) AS BIGINT) AS jaccard_e4
        |FROM shared
        |JOIN sizes sa ON sa.id = id_a
        |JOIN sizes sb ON sb.id = id_b
-       |WHERE round(CAST(shared AS DOUBLE)
-       |  / CAST(sa.sz + sb.sz - shared AS DOUBLE), 4) >= $threshold"""
+       |WHERE (2 * shared * 10000 + (sa.sz + sb.sz - shared)) //
+       |  (2 * (sa.sz + sb.sz - shared)) >= ${math.round(threshold * 10000)}"""
       .stripMargin.replace('\n', ' ')
   }
 
@@ -455,10 +459,11 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .join(sizes.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sz", "sz_a"), Seq("id_a"))
-      .withColumn("containment", round(
-        col("shared").cast("double") / col("sz_a").cast("double"), 4))
-      .filter(col("containment") >= threshold)
-      .select(col("id_a"), col("id_b"), col("containment"))
+      // exact half-away 4-dp integer quantization (round-8 discipline)
+      .withColumn("containment_e4", expr(
+        "(2 * shared * 10000 + sz_a) div (2 * sz_a)"))
+      .filter(col("containment_e4") >= math.round(threshold * 10000))
+      .select(col("id_a"), col("id_b"), col("containment_e4"))
   }
 
   /** DuckDB twin of [[ngramContainmentPairs]]; `docsRel` yields
@@ -483,11 +488,11 @@ object Dedup {
        |  FROM kept a JOIN kept b ON a.gram = b.gram AND a.id <> b.id
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b,
-       |  round(CAST(shared AS DOUBLE) / CAST(sa.sz AS DOUBLE), 4)
-       |    AS containment
+       |  CAST((2 * shared * 10000 + sa.sz) // (2 * sa.sz) AS BIGINT)
+       |    AS containment_e4
        |FROM shared JOIN sizes sa ON sa.id = id_a
-       |WHERE round(CAST(shared AS DOUBLE) / CAST(sa.sz AS DOUBLE), 4)
-       |  >= $threshold""".stripMargin.replace('\n', ' ')
+       |WHERE (2 * shared * 10000 + sa.sz) // (2 * sa.sz)
+       |  >= ${math.round(threshold * 10000)}""".stripMargin.replace('\n', ' ')
   }
 
   /** Benchmark decontamination: drop every corpus document sharing at

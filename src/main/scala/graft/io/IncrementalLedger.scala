@@ -18,9 +18,15 @@ import org.apache.spark.sql.functions._
   * files is ~1e5 rows — broadcastable); the listing is one namenode /
   * object-store LIST; data reads touch only the new batch. Listing
   * runs driver-side (it is metadata, like ZoneMap's footer pass).
-  * Idempotence: a crash between read and commit re-processes the
-  * batch (at-least-once); pair with an idempotent sink (x16 / io9
-  * MERGE-style) for exactly-once. */
+  * Idempotence: [[processNew]] returns the batch UNCOMMITTED — the
+  * caller consumes it durably (sink write, downstream materialize)
+  * and THEN calls [[PendingBatch.commit]], so a crash anywhere before
+  * the commit re-processes the batch (at-least-once — the
+  * Auto-Loader/checkpoint ordering); pair with an idempotent sink
+  * (x16 / io9 MERGE-style) for exactly-once. Committing before the
+  * sink would silently drop the batch on a post-read failure
+  * (at-most-once) — the round-7 advisor finding this ordering
+  * fixes. */
 object IncrementalLedger {
 
   /** Data files (part-*.parquet) under `dir`, sorted for determinism. */
@@ -62,16 +68,24 @@ object IncrementalLedger {
     }
   }
 
-  /** One incremental run: read only the new files (empty-schema-safe),
-    * commit them, return the new-rows frame (None if nothing landed). */
+  /** An uncommitted incremental batch: `df` reads only the new files;
+    * call [[commit]] AFTER the batch is durably consumed. */
+  final case class PendingBatch(df: DataFrame, paths: Seq[String],
+      ledger: String, batchId: Long) {
+    def commit(): Unit =
+      IncrementalLedger.commit(df.sparkSession, ledger, paths, batchId)
+  }
+
+  /** One incremental run: read only the new files (empty-schema-safe)
+    * and return them as an UNCOMMITTED [[PendingBatch]] (None if
+    * nothing landed). The caller commits after its sink succeeds —
+    * commit-after-consume is what makes the crash window
+    * at-least-once instead of data-loss. */
   def processNew(spark: SparkSession, dir: String, ledger: String,
-      batchId: Long): Option[DataFrame] = {
+      batchId: Long): Option[PendingBatch] = {
     val batch = newFiles(spark, dir, ledger)
     if (batch.isEmpty) None
-    else {
-      val df = spark.read.parquet(batch: _*)
-      commit(spark, ledger, batch, batchId)
-      Some(df)
-    }
+    else Some(PendingBatch(spark.read.parquet(batch: _*), batch,
+      ledger, batchId))
   }
 }

@@ -15,10 +15,16 @@ import org.apache.spark.sql.SparkSession
   *
   * The sweep refuses non-conforming directory names rather than
   * guessing (a stray dir under a partitioned root is a layout bug
-  * worth failing loudly on). */
+  * worth failing loudly on) — and it validates the ENTIRE listing
+  * before deleting anything, so a stray directory aborts the sweep
+  * with the root untouched instead of half-swept (round-7 advisor
+  * fix: the validate-delete interleaving could delete some expired
+  * partitions before hitting the stray). */
 object Retention {
 
   /** Delete `col=<v>` partition directories with v < cutoff.
+    * Two-phase: parse + validate every directory name first; delete
+    * only after the whole listing conforms.
     * @return the deleted partition values, sorted */
   def sweep(spark: SparkSession, root: String, col: String,
       cutoff: Long): Seq[Long] = {
@@ -29,15 +35,22 @@ object Retention {
     val parts = fs.listStatus(p).toSeq
       .filter(s => s.isDirectory)
       .map(_.getPath)
-    parts.flatMap { dir =>
+    // phase 1: validate + parse the full listing, touching nothing
+    val parsed = parts.map { dir =>
       val name = dir.getName
       require(name.startsWith(prefix),
         s"non-partition directory under retention root: $name")
-      val v = name.stripPrefix(prefix).toLong
-      if (v < cutoff) {
-        fs.delete(dir, true)
-        Some(v)
-      } else None
+      val v = try name.stripPrefix(prefix).toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"unparseable partition value under retention root: $name")
+      }
+      (dir, v)
+    }
+    // phase 2: the listing conforms — delete the expired partitions
+    parsed.collect { case (dir, v) if v < cutoff =>
+      fs.delete(dir, true)
+      v
     }.sorted
   }
 }

@@ -128,7 +128,7 @@ object BoostedStumps {
        |    CAST(s_l // n_l AS BIGINT) AS mean_l,
        |    CAST((s_t - s_l) // (n_t - n_l) AS BIGINT) AS mean_r
        |  FROM b1),
-       |r2 AS (SELECT x2, t - CASE WHEN $feature1 <= thr
+       |r2 AS (SELECT $feature2, t - CASE WHEN $feature1 <= thr
        |    THEN mean_l ELSE mean_r END AS t2
        |  FROM t1 CROSS JOIN m1),
        |${stage("r2", feature2, "t2", "b2")}

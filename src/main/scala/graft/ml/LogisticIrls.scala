@@ -13,24 +13,25 @@ object LogisticIrls {
   /** Train intercept + single-feature logistic regression. Per
     * iteration with current (b0, b1):
     *
-    *   p  = σ(b0 + b1·x)        (rounded to 6 dp — see below)
+    *   p  = σ(b0 + b1·x)        (micro-quantized — see below)
     *   w  = p(1−p)
     *   H  = [[Σw, Σwx], [Σwx, Σwx²]]   g = [Σ(y−p), Σ(y−p)x]
     *   Δβ = H⁻¹g  via the closed-form 2×2 solve
     *
-    * Determinism contract (the ml2/x40 discipline, extended through an
-    * iteration): p is rounded to 6 dp right after the sigmoid so a
-    * cross-engine exp() ulp can never propagate; every per-row term is
-    * rounded to 6 dp and summed in DECIMAL (partial-sum order
-    * irrelevant). Scale 6 — not 12 — is load-bearing: it keeps the
-    * sum's unscaled integer far below 2^53, where BOTH engines'
-    * decimal→double conversions are single correctly-rounded
-    * divisions (at scale 12 the 16-digit sums made DuckDB's
-    * hugeint/10^12 path double-round, diverging from Java's
-    * BigDecimal in the last bit); the Newton update is then the
-    * identical double expression
-    * in both engines evaluated on those exact sums — so after any
-    * fixed iteration count both engines hold bit-identical betas.
+    * Determinism contract (the round-8 q6 discipline, extended
+    * through an iteration): the sigmoid and every per-row term
+    * quantize to INTEGER MICRO-UNITS via a 0-dp round of value·10⁶ —
+    * at 0 dp a double either sits EXACTLY on a half-integer (where
+    * every away-from-zero engine agrees) or strictly on one side, so
+    * no string-tie/binary-tie divergence exists (the `round(x, 6)`
+    * this replaces could string-tie on non-boundary doubles — the
+    * class the round-8 rounding audit flagged). Terms sum as exact
+    * integers whose magnitude stays below 2⁵³ (6-dp quantization is
+    * load-bearing exactly as before), so the sum→double conversion is
+    * exact and the per-statistic /10⁶ is ONE correctly-rounded
+    * division; the Newton update is then the identical double
+    * expression in both engines — after any fixed iteration count
+    * both engines hold bit-identical betas.
     * Scale: per-iteration cost is one scan + one 5-column partial
     * aggregate; driver state is a 2-vector. */
   def train(data: DataFrame, xCol: String, yCol: String,
@@ -43,26 +44,26 @@ object LogisticIrls {
     var b1 = 0.0
     val trajectory = Seq.newBuilder[(Int, Double, Double)]
     for (t <- 1 to iters) {
-      val p = round(lit(1.0) /
-        (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x")))), 6)
-      val w = col("p") * (lit(1.0) - col("p"))
+      val pMicro = round(lit(1.0) /
+        (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x")))) *
+        lit(1000000.0)).cast("long")
+      val p = col("pm").cast("double") / lit(1000000.0)
+      val w = p * (lit(1.0) - p)
       def term(c: org.apache.spark.sql.Column) =
-        round(c, 6).cast("decimal(38,6)")
-      val r = d.withColumn("p", p)
+        round(c * lit(1000000.0)).cast("long")
+      val r = d.withColumn("pm", pMicro)
         .select(
           term(w).as("w_t"),
           term(w * col("x")).as("wx_t"),
           term(w * col("x") * col("x")).as("wxx_t"),
-          term(col("y") - col("p")).as("r_t"),
-          term((col("y") - col("p")) * col("x")).as("rx_t"))
+          term(col("y") - p).as("r_t"),
+          term((col("y") - p) * col("x")).as("rx_t"))
         .agg(sum(col("w_t")), sum(col("wx_t")), sum(col("wxx_t")),
           sum(col("r_t")), sum(col("rx_t")))
         .first()
-      val sw = r.getDecimal(0).doubleValue
-      val swx = r.getDecimal(1).doubleValue
-      val swxx = r.getDecimal(2).doubleValue
-      val g0 = r.getDecimal(3).doubleValue
-      val g1 = r.getDecimal(4).doubleValue
+      def s(i: Int) = r.getLong(i).toDouble / 1e6
+      val sw = s(0); val swx = s(1); val swxx = s(2)
+      val g0 = s(3); val g1 = s(4)
       val det = sw * swxx - swx * swx
       b0 = b0 + (swxx * g0 - swx * g1) / det
       b1 = b1 + (sw * g1 - swx * g0) / det
@@ -72,27 +73,30 @@ object LogisticIrls {
   }
 
   private val one = "CAST('1' AS DOUBLE)"
+  private val mil = "CAST('1000000' AS DOUBLE)"
 
   /** The statically unrolled iteration CTEs `it0, s1, it1, …, itN`
     * shared by [[irlsSql]] and [[irlsScoredSql]]; callers prepend the
     * MATERIALIZED `d` CTE (must expose columns x, y) and append their
-    * own final SELECT. */
+    * own final SELECT. Mirrors [[train]]'s q6 micro-integer terms
+    * exactly (same multiplication order, same 0-dp rounds). */
   private def unrolledCtes(iters: Int): String = {
     val steps = (1 to iters).map { t =>
       s"""s$t AS (SELECT
-         |  CAST(sum(CAST(round(w, 6) AS DECIMAL(38,6))) AS DOUBLE)
-         |    AS sw,
-         |  CAST(sum(CAST(round(w * x, 6) AS DECIMAL(38,6))) AS DOUBLE)
-         |    AS swx,
-         |  CAST(sum(CAST(round(w * x * x, 6) AS DECIMAL(38,6)))
-         |    AS DOUBLE) AS swxx,
-         |  CAST(sum(CAST(round(y - p, 6) AS DECIMAL(38,6))) AS DOUBLE)
-         |    AS g0,
-         |  CAST(sum(CAST(round((y - p) * x, 6) AS DECIMAL(38,6)))
-         |    AS DOUBLE) AS g1
+         |  CAST(sum(CAST(round(w * $mil) AS BIGINT)) AS DOUBLE)
+         |    / $mil AS sw,
+         |  CAST(sum(CAST(round(w * x * $mil) AS BIGINT)) AS DOUBLE)
+         |    / $mil AS swx,
+         |  CAST(sum(CAST(round(w * x * x * $mil) AS BIGINT))
+         |    AS DOUBLE) / $mil AS swxx,
+         |  CAST(sum(CAST(round((y - p) * $mil) AS BIGINT)) AS DOUBLE)
+         |    / $mil AS g0,
+         |  CAST(sum(CAST(round((y - p) * x * $mil) AS BIGINT))
+         |    AS DOUBLE) / $mil AS g1
          |FROM (SELECT x, y, p, p * ($one - p) AS w
          |  FROM (SELECT x, y,
-         |      round($one / ($one + exp(-(b.b0 + b.b1 * x))), 6) AS p
+         |      CAST(CAST(round($one / ($one + exp(-(b.b0 + b.b1 * x)))
+         |        * $mil) AS BIGINT) AS DOUBLE) / $mil AS p
          |    FROM d CROSS JOIN it${t - 1} b))),
          |it$t AS (SELECT
          |  b.b0 + (s.swxx * s.g0 - s.swx * s.g1) /
@@ -122,16 +126,17 @@ object LogisticIrls {
 
   /** Per-row scored twin: identical unrolled training, but instead of
     * the beta trajectory it emits every input row with its calibrated
-    * probability under the FINAL betas — the oracle for operators that
-    * ship scores, not models (t27). `dataSql` must yield `keyCols` ++
-    * (x, y). */
+    * probability under the FINAL betas, micro-quantized
+    * (`p_micro` BIGINT) — the oracle for operators that ship scores,
+    * not models (t27). `dataSql` must yield `keyCols` ++ (x, y). */
   def irlsScoredSql(dataSql: String, keyCols: Seq[String],
       iters: Int = 3): String = {
     val keys = keyCols.mkString(", ")
     s"""WITH d AS MATERIALIZED (SELECT $keys, x, y FROM ($dataSql)),
        |${unrolledCtes(iters)}
        |SELECT $keys, x, y,
-       |  round($one / ($one + exp(-(b.b0 + b.b1 * x))), 6) AS p
+       |  CAST(round($one / ($one + exp(-(b.b0 + b.b1 * x))) * $mil)
+       |    AS BIGINT) AS p_micro
        |FROM d CROSS JOIN it$iters b""".stripMargin.replace('\n', ' ')
   }
 

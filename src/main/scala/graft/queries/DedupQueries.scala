@@ -80,11 +80,15 @@ object DedupQueries {
       cands
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .withColumn("jaccard", round(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
-        .filter(col("jaccard") >= 0.7)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("uni",
+          size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+        // exact half-away 4-dp integer ratio (round-8 q-discipline)
+        .withColumn("jaccard_e4",
+          expr("(2 * inter * 10000 + uni) div (2 * uni)"))
+        .filter(col("jaccard_e4") >= 7000L)
+        .select("id_a", "id_b", "jaccard_e4")
         .orderBy("id_a", "id_b")
     }),
     // ASYMMETRIC containment pairs (d14): |A∩B|/|A| over 3-gram sets

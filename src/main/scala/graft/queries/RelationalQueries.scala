@@ -165,13 +165,17 @@ object RelationalQueries {
     // exact decimal segment sums; the threshold test multiplies instead
     // of dividing so both engines compare identical IEEE operands
     val segAvg = perCust.groupBy(col("c_mktsegment").as("seg"))
-      .agg(sum(dec2(col("cust_total"))).cast("double").as("seg_sum"),
+      .agg(sum(dec2(col("cust_total"))).as("seg_sum_dec"),
         count(lit(1)).as("seg_n"))
+      .withColumn("seg_sum", col("seg_sum_dec").cast("double"))
     perCust.join(broadcast(segAvg), col("c_mktsegment") === col("seg"))
       .filter(col("cust_total") * col("seg_n") > lit(2.0) * col("seg_sum"))
       .select(col("c_custkey"), col("c_mktsegment"),
         col("cust_total"),
-        round(col("seg_sum") / col("seg_n"), 4).as("seg_avg"))
+        // exact half-away 4-dp average from exact cents (round-8
+        // q-discipline; wide decimals keep 100 TB sums in range)
+        expr("CAST((2 * CAST(seg_sum_dec * 100 AS DECIMAL(38,0)) * 100" +
+          " + seg_n) div (2 * seg_n) AS BIGINT)").as("seg_avg_e4"))
       .orderBy("c_custkey")
   }
 
@@ -875,12 +879,14 @@ object RelationalQueries {
         |  GROUP BY 1, 2),
         |seg AS (
         |  SELECT c_mktsegment AS seg,
+        |    sum(CAST(cust_total AS DECIMAL(18,2))) AS seg_sum_dec,
         |    CAST(sum(CAST(cust_total AS DECIMAL(18,2))) AS DOUBLE)
         |      AS seg_sum,
         |    count(*) AS seg_n
         |  FROM per_cust GROUP BY 1)
         |SELECT c_custkey, c_mktsegment, cust_total,
-        |  round(seg_sum / seg_n, 4) AS seg_avg
+        |  CAST((2 * CAST(seg_sum_dec * 100 AS HUGEINT) * 100 + seg_n)
+        |    // (2 * seg_n) AS BIGINT) AS seg_avg_e4
         |FROM per_cust JOIN seg ON c_mktsegment = seg
         |WHERE cust_total * seg_n > 2 * seg_sum
         |ORDER BY c_custkey""".stripMargin.replace('\n', ' '),

@@ -199,8 +199,12 @@ object SinkQueries {
           col("value"))
       ev.filter(col("user_id") % 3 =!= 0)
         .repartition(4).write.mode("overwrite").parquet(srcDir)
-      val b1 = IncrementalLedger.processNew(s, srcDir, ledger, 1L)
+      val p1 = IncrementalLedger.processNew(s, srcDir, ledger, 1L)
         .getOrElse(sys.error("batch 1 must process"))
+      // consume durably FIRST (materialize), commit AFTER — the
+      // at-least-once ordering (round-7 advisor fix: commit-first
+      // was at-most-once)
+      val b1 = p1.df.localCheckpoint(); p1.commit()
       val nFilesB1 = IncrementalLedger.listDataFiles(s, srcDir).size
       ev.filter(col("user_id") % 3 === 0)
         .repartition(2).write.mode("append").parquet(srcDir)
@@ -209,8 +213,13 @@ object SinkQueries {
         batch2.size == IncrementalLedger.listDataFiles(s, srcDir).size
           - nFilesB1,
         "run 2 must see exactly the appended files")
-      val b2 = IncrementalLedger.processNew(s, srcDir, ledger, 2L)
+      val p2 = IncrementalLedger.processNew(s, srcDir, ledger, 2L)
         .getOrElse(sys.error("batch 2 must process"))
+      // an uncommitted batch is re-presented on the next run (the
+      // crash-before-commit window re-processes, never drops)
+      require(IncrementalLedger.newFiles(s, srcDir, ledger)
+        == p2.paths, "uncommitted batch must be re-presented")
+      val b2 = p2.df.localCheckpoint(); p2.commit()
       require(IncrementalLedger.processNew(s, srcDir, ledger, 3L)
         .isEmpty, "a run with nothing new must be a no-op")
       b1.unionByName(b2).agg(

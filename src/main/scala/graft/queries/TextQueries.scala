@@ -292,7 +292,7 @@ object TextQueries {
         .unionAll(junk.withColumn("y", lit(0.0)))
       graft.text.QualityFilter.fitScore(labeled)
         .select(col("doc_id"), col("y").cast("bigint").as("label"),
-          col("x"), col("p"))
+          col("x_micro"), col("p_micro"))
         .orderBy("doc_id")
     }),
     // bigram-LM perplexity scoring (t28, graft.text.NgramLm) — the
@@ -506,18 +506,26 @@ object TextQueries {
            |  FROM bt GROUP BY 1),
            |tot AS (SELECT sum(pos_b) AS pos_tot, sum(neg_b) AS neg_tot
            |  FROM cls),
-           |mdl AS (SELECT idx, round(ln(
+           |mdl AS (SELECT idx, CAST(round(ln(
            |    CAST((pos_b + 1) * (neg_tot + 64) AS DOUBLE) /
-           |    CAST((neg_b + 1) * (pos_tot + 64) AS DOUBLE)), 6) AS w
-           |  FROM cls CROSS JOIN tot)
-           |SELECT doc_id, max(y) AS y,
-           |  round(CAST(sum(CAST(round(c * w, 6) AS DECIMAL(38,6)))
-           |    AS DOUBLE) / sum(c), 6) AS x
-           |FROM bt JOIN mdl USING (idx) GROUP BY doc_id"""
+           |    CAST((neg_b + 1) * (pos_tot + 64) AS DOUBLE))
+           |    * CAST('1000000' AS DOUBLE)) AS BIGINT) AS w_micro
+           |  FROM cls CROSS JOIN tot),
+           |ds AS (SELECT doc_id, max(y) AS y,
+           |    CAST(sum(c * w_micro) AS BIGINT) AS ts,
+           |    CAST(sum(c) AS BIGINT) AS n
+           |  FROM bt JOIN mdl USING (idx) GROUP BY doc_id),
+           |dx AS (SELECT doc_id, y,
+           |    CAST(CASE WHEN ts >= 0 THEN ts // n
+           |      ELSE -((-ts) // n) END AS BIGINT) AS x_micro
+           |  FROM ds)
+           |SELECT doc_id, y, x_micro,
+           |  CAST(x_micro AS DOUBLE) / CAST('1000000' AS DOUBLE) AS x
+           |FROM dx"""
           .stripMargin.replace('\n', ' ')
       val scored = graft.ml.LogisticIrls.irlsScoredSql(
-        dataSql, Seq("doc_id"), iters = 3)
-      s"""SELECT doc_id, CAST(y AS BIGINT) AS label, x, p
+        dataSql, Seq("doc_id", "x_micro"), iters = 3)
+      s"""SELECT doc_id, CAST(y AS BIGINT) AS label, x_micro, p_micro
          |FROM ($scored) ORDER BY doc_id"""
         .stripMargin.replace('\n', ' ')
     },
@@ -544,14 +552,17 @@ object TextQueries {
          |    unnest(range(1, len(t))) AS u(i)
          |  WHERE len(t) >= 2),
          |terms AS (SELECT doc_id,
-         |    round(-ln(CAST(coalesce(cb.cb, 0) + 1 AS DOUBLE) /
-         |      CAST(coalesce(cu.cu, 0) + v AS DOUBLE)), 6) AS nll
+         |    CAST(round(-ln(CAST(coalesce(cb.cb, 0) + 1 AS DOUBLE) /
+         |      CAST(coalesce(cu.cu, 0) + v AS DOUBLE)) * 1000000)
+         |      AS BIGINT) AS nll
          |  FROM db LEFT JOIN cb USING (w1, w2)
-         |  LEFT JOIN cu USING (w1) CROSS JOIN vv)
-         |SELECT doc_id, count(*) AS n_bigrams,
-         |  round(CAST(sum(CAST(nll AS DECIMAL(38,6))) AS DOUBLE)
-         |    / count(*), 6) AS avg_nll
-         |FROM terms GROUP BY doc_id ORDER BY doc_id"""
+         |  LEFT JOIN cu USING (w1) CROSS JOIN vv),
+         |ag AS (SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS s
+         |  FROM terms GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  CAST(CASE WHEN s >= 0 THEN s // n_bigrams
+         |    ELSE -((-s) // n_bigrams) END AS BIGINT) AS avg_nll_micro
+         |FROM ag ORDER BY doc_id"""
         .stripMargin.replace('\n', ' ')
     }
   )

@@ -27,11 +27,17 @@ import org.apache.spark.sql.functions._
   * expression), join the broadcast counts, and reduce with one
   * doc-keyed aggregate.
   *
-  * Determinism (the ml12/t27 discipline): counts are exact integers;
-  * (cb+1)/(cu+V) is ONE double division of exact operands; each −ln
-  * term rounds to 6 dp and sums in DECIMAL so partial-sum order is
-  * irrelevant; the final mean divides the exact sum by the exact
-  * bigram count. Fully oracle-checkable. */
+  * Determinism (the round-8 q6 discipline): counts are exact
+  * integers; (cb+1)/(cu+V) is ONE double division of exact operands;
+  * each −ln term quantizes to INTEGER MICRO-NATS via a 0-dp round
+  * (`round(x·10⁶)` — at 0 dp every double is either exactly on a
+  * half-integer, where all away-from-zero engines agree, or strictly
+  * on one side; the 6-dp `round(double, 6)` it replaces could
+  * string-tie on values whose binary expansion is NOT the boundary,
+  * the class the round-8 rounding audit flagged here) and sums as
+  * exact integers; the final mean is ONE sign-safe truncating integer
+  * division. Zero convention-exposed rounds; fully
+  * oracle-checkable. */
 object NgramLm {
 
   /** (w1, w2) struct rows from a MATERIALIZED token-array column. */
@@ -44,7 +50,8 @@ object NgramLm {
     TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
 
   /** Score `docs` under the bigram model of `ref`: one row per doc
-    * with ≥2 tokens — (idCol, n_bigrams, avg_nll). */
+    * with ≥2 tokens — (idCol, n_bigrams, avg_nll_micro) with the mean
+    * NLL in integer micro-nats. */
   def avgNll(ref: DataFrame, docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val refToks = ref.select(tokCol(textCol).as("toks"))
@@ -64,14 +71,14 @@ object NgramLm {
       .join(broadcast(cb), Seq("w1", "w2"), "left")
       .join(broadcast(cu), Seq("w1"), "left")
       .crossJoin(broadcast(v))
-      .withColumn("nll", round(-log(
-        (coalesce(col("cb"), lit(0L)) + 1).cast("double") /
-          (coalesce(col("cu"), lit(0L)) + col("v")).cast("double")), 6))
+      .withColumn("nll", expr("CAST(round(" +
+        "-ln(CAST(coalesce(cb, 0) + 1 AS DOUBLE) / " +
+        "CAST(coalesce(cu, 0) + v AS DOUBLE)) * 1000000) AS BIGINT)"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("nll").cast("decimal(38,6)")).as("s"))
+        sum(col("nll")).as("s"))
       .select(col(idCol), col("n_bigrams"),
-        round(col("s").cast("double") / col("n_bigrams"), 6)
-          .as("avg_nll"))
+        expr("CASE WHEN s >= 0 THEN s div n_bigrams " +
+          "ELSE -((-s) div n_bigrams) END").as("avg_nll_micro"))
   }
 }

@@ -22,16 +22,21 @@ import graft.ml.LogisticIrls
   *     w_b = ln((pos_b+1)(neg_tot+B) / ((neg_b+1)(pos_tot+B))) —
   *     one partial-aggregatable count pass over the labeled set;
   *     integer products stay < 2⁵³ so the ratio is ONE correctly-
-  *     rounded double division, then ln, rounded to 6 dp (the ml12/x40
-  *     discipline);
+  *     rounded double division, then ln, quantized to INTEGER
+  *     MICRO-UNITS via a 0-dp round (the round-8 q6 discipline: at
+  *     0 dp a double is either exactly on a half-integer, where all
+  *     away-from-zero engines agree, or strictly on one side — no
+  *     string-tie exposure, unlike the round(double, 6) the rounding
+  *     audit flagged here);
   *  3. SCORING joins the broadcast model and takes the per-doc mean
-  *     token log-odds x_d = Σ c_b·w_b / n_tokens — terms rounded to
-  *     6 dp and summed in DECIMAL so partial-sum order is irrelevant,
-  *     one doc-keyed shuffle with map-side partials;
-  *  4. CALIBRATION is IRLS on the single feature x (three Newton
+  *     token log-odds x_d = Σ c_b·w_b / n_tokens — EXACT integer
+  *     micro-unit products summed as integers, the mean ONE
+  *     sign-safe truncating integer division; one doc-keyed shuffle
+  *     with map-side partials;
+  *  4. CALIBRATION is IRLS on x = x_micro/10⁶ (three Newton
   *     iterations, each one aggregate pass; betas bit-identical across
-  *     engines by LogisticIrls's determinism contract), and the final
-  *     probability p = σ(b0 + b1·x) rounded to 6 dp.
+  *     engines by LogisticIrls's q6 determinism contract), and the
+  *     final probability micro-quantized the same way.
   *
   * The whole filter therefore scores at scan speed under a B-row
   * broadcast — no vocabulary join anywhere — and every arithmetic step
@@ -67,22 +72,24 @@ object QualityFilter {
       .select(col("idx"), round(log(
         ((col("pos_b") + 1) * (col("neg_tot") + buckets)).cast("double") /
           ((col("neg_b") + 1) * (col("pos_tot") + buckets))
-            .cast("double")), 6).as("w"))
+            .cast("double")) * lit(1000000.0)).cast("long")
+        .as("w_micro"))
   }
 
-  /** Raw quality feature per doc: x = mean token log-odds under the
-    * broadcast model. Scan-speed; no vocabulary join. */
+  /** Raw quality feature per doc: x_micro = mean token log-odds
+    * (micro-units, truncated toward zero) under the broadcast model.
+    * Scan-speed; no vocabulary join; pure integer arithmetic. */
   def score(docs: DataFrame, model: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", buckets: Int = 64): DataFrame =
     bucketCounts(docs.withColumn("__y", lit(0.0)), idCol, textCol,
       "__y", buckets)
       .join(broadcast(model), Seq("idx"))
-      .withColumn("t", round(col("c") * col("w"), 6)
-        .cast("decimal(38,6)"))
+      .withColumn("t", col("c") * col("w_micro"))
       .groupBy(col(idCol))
       .agg(sum(col("t")).as("ts"), sum(col("c")).as("n"))
       .select(col(idCol),
-        round(col("ts").cast("double") / col("n"), 6).as("x"))
+        expr("CASE WHEN ts >= 0 THEN ts div n " +
+          "ELSE -((-ts) div n) END").as("x_micro"))
 
   /** Fit on the labeled set and return every labeled doc with its raw
     * feature x and calibrated probability p — the table a curation
@@ -96,10 +103,13 @@ object QualityFilter {
     val scored = score(labeled.select(col(idCol), col(textCol)), model,
       idCol, textCol, buckets)
       .join(labeled.select(col(idCol), col(yCol)), Seq(idCol))
+      .withColumn("x",
+        col("x_micro").cast("double") / lit(1000000.0))
     val last = LogisticIrls.train(scored, "x", yCol, iters)
       .collect().maxBy(_.getInt(0))
     val (b0, b1) = (last.getDouble(1), last.getDouble(2))
-    scored.withColumn("p", round(lit(1.0) /
-      (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x")))), 6))
+    scored.withColumn("p_micro", round(lit(1.0) /
+      (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x")))) *
+      lit(1000000.0)).cast("long"))
   }
 }

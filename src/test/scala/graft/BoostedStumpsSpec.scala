@@ -55,4 +55,30 @@ class BoostedStumpsSpec extends AnyFunSuite {
       .collect().head
     assert(b1.getLong(2) === 1L, "the tie must resolve to threshold 1")
   }
+
+  test("non-default feature names flow through BOTH rounds and the " +
+    "SQL twin (round-7 advisor: r2 once hardcoded x2)") {
+    // same planted design, but the columns arrive swapped: the big
+    // step lives in column 'x2', the residual step in column 'x1'
+    val per = Seq(
+      (1L, 0L), (1L, 1L), (2L, 0L), (2L, 2L),
+      (5L, 1L), (5L, 3L), (6L, 0L), (6L, 2L))
+      .map { case (a, b) =>
+        (b, a, (if (a <= 2) 100L else 500L) +
+          (if (b <= 1) 40L else 0L)) }
+      .toDF("x1", "x2", "y")
+    val out = BoostedStumps.twoRounds(per, feature1 = "x2",
+      feature2 = "x1").orderBy("rnd").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out(0) === ((1, "x2", 2L)),
+      s"round 1 must split the swapped big-step column: ${out(0)}")
+    assert(out(1) === ((2, "x1", 1L)),
+      s"round 2 must split the swapped residual column: ${out(1)}")
+    // the twin parameterizes its residual CTE by feature2, never a
+    // hardcoded x2
+    val sql = BoostedStumps.twoRoundsSql("SELECT 1 AS x1, 2 AS x2, " +
+      "3 AS y", feature1 = "x2", feature2 = "x1")
+    assert(sql.contains("r2 AS (SELECT x1,"),
+      "r2 must project the parameterized feature2 column")
+  }
 }

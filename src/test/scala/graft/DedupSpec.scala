@@ -51,10 +51,10 @@ class DedupSpec extends AnyFunSuite {
 
   test("ngram jaccard verifies near-dups with exact similarity") {
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.8)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val m = pairs.map(p => ((p._1, p._2), p._3)).toMap
-    assert(m((1L, 3L)) === 1.0)
-    assert(m.contains((1L, 2L)) && m((1L, 2L)) > 0.9)
+    assert(m((1L, 3L)) === 10000L)
+    assert(m.contains((1L, 2L)) && m((1L, 2L)) > 9000L)
     assert(!m.contains((4L, 5L)))
   }
 
@@ -68,7 +68,7 @@ class DedupSpec extends AnyFunSuite {
     // default cap (10k) prunes nothing at fixture scale: identical result
     // to the unpruned jaccard of the other test
     val full = Dedup.ngramJaccardPairs(docs, threshold = 0.8)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(full.map(p => (p._1, p._2)).toSet === Set((1L, 3L), (1L, 2L),
       (2L, 3L)))
   }
@@ -242,8 +242,8 @@ class DedupSpec extends AnyFunSuite {
       (3L, "completely different words entirely here now")
     ).toDF("doc_id", "text")
     val out = Dedup.ngramContainmentPairs(docs, threshold = 0.9)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(out.toSeq === Seq((2L, 1L, 1.0)),
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((2L, 1L, 10000L)),
       s"expected only the directed excerpt pair, got ${out.toSeq}")
     // the symmetric token Jaccard at the same bar sees nothing: the
     // excerpt's 5 tokens over the union of 20 is 0.25

@@ -24,7 +24,12 @@ class LedgerSpec extends AnyFunSuite {
     assert(files1.size === 2)
 
     val b1 = IncrementalLedger.processNew(spark, src, ledger, 1L)
-    assert(b1.isDefined && b1.get.count() === 10)
+    assert(b1.isDefined && b1.get.df.count() === 10)
+    // crash-before-commit: the batch is re-presented, not lost
+    assert(IncrementalLedger.processNew(spark, src, ledger, 1L)
+      .get.paths === b1.get.paths,
+      "uncommitted batch must surface again (at-least-once)")
+    b1.get.commit()
 
     // second feed batch lands as appended files
     (11 to 15).map(i => (i.toLong, s"b$i")).toDF("id", "v")
@@ -34,9 +39,10 @@ class LedgerSpec extends AnyFunSuite {
     assert(!files1.exists(nf.contains), "batch-1 files are not re-read")
 
     val b2 = IncrementalLedger.processNew(spark, src, ledger, 2L)
-    assert(b2.get.count() === 5)
-    assert(b2.get.select("id").as[Long].collect().toSet ===
+    assert(b2.get.df.count() === 5)
+    assert(b2.get.df.select("id").as[Long].collect().toSet ===
       (11L to 15L).toSet, "run 2 content is exactly batch 2")
+    b2.get.commit()
 
     // no-op third run; ledger state is read back from disk each time
     assert(IncrementalLedger.processNew(spark, src, ledger, 3L).isEmpty)

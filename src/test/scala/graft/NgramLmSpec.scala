@@ -24,17 +24,19 @@ class NgramLmSpec extends AnyFunSuite {
     (3L, "zz yy xx")              // fully out-of-vocabulary
   ).toDF("doc_id", "text")
 
-  private def r6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def micro(x: Double): Long = math.round(x * 1000000)
 
   test("avg NLL: in-distribution < OOV junk < scrambled; bigram " +
     "counts and the hand-computed in-distribution score are exact") {
     val out = NgramLm.avgNll(ref, docs).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out(1L)._1 === 3L && out(2L)._1 === 3L && out(3L)._1 === 2L)
-    // doc 1: (the,quick) = 21/48, (quick,brown) = (brown,fox) = 21/28
-    val expected = r6((r6(-math.log(21.0 / 48)) +
-      r6(-math.log(21.0 / 28)) * 2) / 3)
+    // doc 1: (the,quick) = 21/48, (quick,brown) = (brown,fox) = 21/28;
+    // per-term micro-nat quantization, truncating mean — replayed
+    // exactly in integer arithmetic
+    val s = micro(-math.log(21.0 / 48)) +
+      micro(-math.log(21.0 / 28)) * 2
+    val expected = if (s >= 0) s / 3 else -((-s) / 3)
     assert(out(1L)._2 === expected)
     assert(out(1L)._2 < out(3L)._2,
       "reference-like text must beat OOV junk")

@@ -32,22 +32,22 @@ class QualityFilterSpec extends AnyFunSuite {
   test("fitScore ranks every planted junk doc strictly below every " +
     "clean doc, in both the raw feature and the calibrated probability") {
     val out = QualityFilter.fitScore(labeled).collect()
-      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("x"),
-        r.getAs[Double]("p")))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("x_micro"),
+        r.getAs[Long]("p_micro")))
     assert(out.length === 10)
     val (clean, junk) = out.partition(_._1 < 100)
     assert(junk.map(_._2).max < clean.map(_._2).min,
       "raw mean log-odds must separate the classes")
     assert(junk.map(_._3).max < clean.map(_._3).min,
       "calibrated probability must preserve the separation")
-    assert(out.forall(r => !r._3.isNaN && r._3 >= 0 && r._3 <= 1))
+    assert(out.forall(r => r._3 >= 0L && r._3 <= 1000000L))
   }
 
   test("the model is bucket-sized and bounded by the bucket count") {
     val model = QualityFilter.tokenLogOdds(labeled, buckets = 16)
     assert(model.count() <= 16)
     // clean-token buckets carry positive weight, junk-token negative
-    val ws = model.select("w").as[Double].collect()
+    val ws = model.select("w_micro").as[Long].collect()
     assert(ws.exists(_ > 0) && ws.exists(_ < 0))
   }
 
@@ -56,9 +56,9 @@ class QualityFilterSpec extends AnyFunSuite {
     val model = QualityFilter.tokenLogOdds(labeled)
     val fresh = Seq((7L, "the quick dog jumps over the garden wall"))
       .toDF("doc_id", "text")
-    val a = QualityFilter.score(fresh, model).collect().head.getDouble(1)
-    val b = QualityFilter.score(fresh, model).collect().head.getDouble(1)
+    val a = QualityFilter.score(fresh, model).collect().head.getLong(1)
+    val b = QualityFilter.score(fresh, model).collect().head.getLong(1)
     assert(a === b)
-    assert(a > 0, "an all-clean-vocabulary doc must score positive")
+    assert(a > 0L, "an all-clean-vocabulary doc must score positive")
   }
 }

@@ -27,14 +27,22 @@ class RetentionSpec extends AnyFunSuite {
   }
 
   test("a stray non-partition directory fails loudly instead of " +
-    "being guessed at") {
+    "being guessed at — and aborts BEFORE deleting anything, even " +
+    "expired partitions (validate-first, round-7 advisor fix)") {
     val root = Files.createTempDirectory("graft_ttl_bad").toString
-    Seq((1L, 10L)).toDF("id", "d")
+    // two expired partitions that sort BEFORE the stray dir in the
+    // listing — an interleaved sweep would have dropped them
+    Seq((1L, 10L), (2L, 11L), (3L, 30L)).toDF("id", "d")
       .write.mode("overwrite").partitionBy("d").parquet(root)
     Files.createDirectory(java.nio.file.Paths.get(root, "stray"))
     intercept[IllegalArgumentException] {
       Retention.sweep(spark, root, "d", cutoff = 20L)
     }
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "d=10")) &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "d=11")),
+      "an aborted sweep must leave every partition intact")
   }
 
   test("missing root yields an empty sweep") {
