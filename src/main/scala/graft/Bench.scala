@@ -13,6 +13,17 @@ import scala.collection.mutable
   * Iteration passes smooth environment contention (a shared driver
   * machine inflated single-shot round-1 numbers up to 37x); a wall-clock
   * budget stops extra passes so the driver never waits unboundedly.
+  *
+  * CONTAMINATION IS MEASURED, NOT PROSE (round-8, VERDICT ask #3):
+  * /proc/stat's cumulative steal/total jiffies are sampled around
+  * every pass; each pass carries its steal fraction in
+  * BENCH_FULL.json and the stdout line carries the per-pass list
+  * ("steal") plus the count of clean passes ("clean_n"). A pass whose
+  * steal fraction exceeds [[stealThreshold]] is CONTAMINATED: it is
+  * excluded from the reported medians when at least one clean pass
+  * exists, and the loop earns up to two extra passes (budget
+  * permitting) to replace it — so a steal-poisoned artifact carries
+  * its own invalidation and, when the host recovers, heals itself.
   */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
@@ -20,6 +31,28 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2)
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
+
+  /** Hypervisor steal fraction guard. The host floats at 5-10% steal
+    * even when "idle" (measured round-8), which inflates a pass only
+    * ~1.1x; the catastrophic passes the round-7 forensics found ran
+    * at far higher theft. 15% excludes the poisoned passes without
+    * permanently flagging the host's background hum — and the raw
+    * per-pass fractions are always in the artifacts for the reader
+    * to re-threshold. */
+  private val stealThreshold = 0.15
+
+  /** (steal, total) cumulative jiffies from /proc/stat's cpu line;
+    * None off-Linux (bench then reports steal -1 = unmeasured). */
+  private def procStat(): Option[(Long, Long)] =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu "))
+      cpu.map { l =>
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        // user nice system idle iowait irq softirq steal [guest...]
+        (if (f.length > 7) f(7) else 0L, f.take(8).sum)
+      }
+    } catch { case _: Throwable => None }
 
   /** Round to `dp` decimals, drop trailing zeros ("2.100" -> "2.1"). */
   private def fmt(v: Double, dp: Int): String = {
@@ -77,20 +110,44 @@ object Bench {
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     var passes = 0
     var lastPass = 0.0
-    while (passes < iters &&
-        (passes == 0 || elapsed + lastPass <= budgetSec)) {
+    // per-pass hypervisor steal fraction (-1 when /proc/stat absent)
+    val passSteal = mutable.ListBuffer[Double]()
+    def contaminated(i: Int): Boolean = passSteal(i) > stealThreshold
+    // contaminated passes earn up to 2 replacement passes in-budget
+    val maxPasses = iters + 2
+    def wantMore: Boolean = {
+      val clean = passSteal.indices.count(!contaminated(_))
+      passes < iters || (clean < iters && passes < maxPasses)
+    }
+    while (passes == 0 ||
+        (wantMore && elapsed + lastPass <= budgetSec)) {
       val p0 = System.nanoTime()
+      val s0 = procStat()
       selected.foreach { case (name, fn) =>
         val q0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         samples(name) = samples(name) :+ (System.nanoTime() - q0) / 1e9
       }
+      val steal = (s0, procStat()) match {
+        case (Some((st0, tt0)), Some((st1, tt1))) if tt1 > tt0 =>
+          (st1 - st0).toDouble / (tt1 - tt0)
+        case _ => -1.0
+      }
+      passSteal += steal
       lastPass = (System.nanoTime() - p0) / 1e9
       passes += 1
       System.err.println(
-        f"[bench] pass $passes%d done in $lastPass%.1f s (total $elapsed%.1f s)")
+        f"[bench] pass $passes%d done in $lastPass%.1f s " +
+          f"(total $elapsed%.1f s, steal ${steal * 100}%.1f%%)")
     }
-    val med = samples.map { case (k, v) => k -> median(v) }
+    // medians over CLEAN passes when any exist; contaminated-only
+    // runs fall back to all passes and say so via clean_n = 0
+    val cleanIdx = passSteal.indices.filter(!contaminated(_))
+    val useIdx =
+      if (cleanIdx.nonEmpty) cleanIdx else passSteal.indices.toSeq
+    def picked(v: List[Double]): Seq[Double] =
+      useIdx.map(i => v(i min (v.size - 1)))
+    val med = samples.map { case (k, v) => k -> median(picked(v)) }
     val total = med.values.sum
     // Full-precision detail for humans/the repo (not the parsed artifact).
     try {
@@ -101,9 +158,16 @@ object Bench {
       val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
         .map(Paths.get(_))
         .getOrElse(Paths.get(sys.props("user.dir"), "BENCH_FULL.json"))
+      val stealArr =
+        passSteal.map(s => f"$s%.4f").mkString("[", ",", "]")
       Files.writeString(outPath,
         s"""{"sf":"$sfDir","passes":$passes,"cpus":$cpus,""" +
           f""""total_median":$total%.3f,"wall":$elapsed%.1f,""" +
+          s""""steal_per_pass":$stealArr,""" +
+          s""""steal_threshold":$stealThreshold,""" +
+          s""""clean_passes":${cleanIdx.size},""" +
+          s""""median_over":"${
+            if (cleanIdx.nonEmpty) "clean" else "all-contaminated"}",""" +
           s""""queries":$detail}""")
     } catch { case _: Throwable => () }
     // Final line LAST on stdout, adaptively sized to survive a bounded
@@ -115,6 +179,12 @@ object Bench {
     val sfName = sfDir.split('/').last
     val mins = samples.map { case (k, v) => k -> v.min }
     val totalMin = mins.values.sum
+    // machine-readable contamination: per-pass steal fractions and
+    // how many passes were clean (the medians' provenance)
+    val stealJson = passSteal.map(s =>
+      if (s < 0) "-1" else f"$s%.3f").mkString("[", ",", "]")
+    val stealTail =
+      s""""steal":$stealJson,"clean_n":${cleanIdx.size},"""
     val line = Seq(3, 2, 1, 0).view.map { dp =>
       val qs = med.map { case (k, v) => s""""$k":${fmt(v, dp)}""" }
         .mkString("{", ",", "}")
@@ -129,6 +199,7 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},""" +
         s""""value_min":${fmt(totalMin, 2)},"unit":"sec",""" +
+        stealTail +
         s""""queries":$qs,"mins":$sus,"sf":"$sfName","n":$passes}"""
     }.find(_.length <= 1880).getOrElse {
       // Even dp=0 over the full surface no longer fits the driver's
@@ -136,7 +207,7 @@ object Bench {
       // grading cares about) instead of an empty map; the full detail is
       // always in BENCH_FULL.json.
       val prefix = s"""{"metric":"total","value":${fmt(total, 2)},""" +
-        s""""value_min":${fmt(totalMin, 2)},""" +
+        s""""value_min":${fmt(totalMin, 2)},""" + stealTail +
         s""""unit":"sec","sf":"$sfName","n":$passes,"queries":{"""
       val budget = 1880 - prefix.length - 2
       val entries = scala.collection.mutable.ListBuffer[String]()
