@@ -212,6 +212,54 @@ object DedupQueries {
           .withColumn("doc_id", col("doc_id") + 400000))
       Dedup.incrementalNearDedup(corpus, incoming).orderBy("doc_id")
     }),
+    // PERSISTED index LIFECYCLE (d15): the io12 ledger pattern applied
+    // to d11's LSH band index — init from a seed corpus, then two
+    // ingest runs where each batch probes the index READ FROM DISK and
+    // its survivors update the store the next batch probes. Batch 2
+    // plants mutated re-deliveries of batch 1's OWN survivors: those
+    // reject only if run 1 actually turned the index over (a per-call
+    // rebuild can't distinguish a stale index). Exact-verify compares
+    // 10000·|∩| ≥ 7000·|∪| in pure integers; oracle = ground-truth
+    // all-pairs Jaccard replayed sequentially over both stages, so
+    // green also certifies total band-probe recall per stage.
+    "d15_index_lifecycle" -> ((s, d) => {
+      import graft.dedup.NearDupIndexStore
+      val root = SinkQueries.tmp(s"neardup_store_${java.util.UUID
+        .randomUUID().toString.take(8)}", d)
+      val base = table(s, d, "documents")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") < 500)
+      val seed = base.filter(col("doc_id") < 200)
+      val fresh1 = base.filter(col("doc_id") >= 200 &&
+        col("doc_id") < 350)
+      def mut(df: DataFrame, shift: Long, tag: String) = df
+        .select((col("doc_id") + shift).as("doc_id"),
+          concat(col("text"), lit(s" $tag"),
+            col("doc_id").cast("string"), lit("x")).as("text"))
+      val batch1 = fresh1
+        .unionAll(mut(seed.filter(col("doc_id") % 10 === 0),
+          300000L, "zq"))
+        .unionAll(seed.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 400000).as("doc_id"), col("text")))
+      val batch2 = base.filter(col("doc_id") >= 350)
+        .unionAll(mut(fresh1.filter(col("doc_id") % 10 === 0),
+          500000L, "zr"))
+        .unionAll(mut(seed.filter(col("doc_id") % 15 === 0),
+          600000L, "zs"))
+      NearDupIndexStore.init(seed, root)
+      val s1 = NearDupIndexStore.ingest(s, root, batch1)
+      val s2 = NearDupIndexStore.ingest(s, root, batch2)
+      // the lifecycle proof: at least one mutated re-delivery of a
+      // batch-1 survivor was rejected by the UPDATED index
+      require(s2.filter(col("doc_id") >= 500000 &&
+        col("doc_id") < 600000).count() <
+        batch2.filter(col("doc_id") >= 500000 &&
+          col("doc_id") < 600000).count(),
+        "batch 2 must reject re-deliveries of batch 1 survivors")
+      s1.select(lit(1L).as("batch"), col("doc_id"), col("fingerprint"))
+        .unionAll(s2.select(lit(2L).as("batch"), col("doc_id"),
+          col("fingerprint")))
+        .orderBy("batch", "doc_id")
+    }),
     // signature-only cross-batch near-dedup (d13): the d11 scenario
     // verified by ESTIMATED Jaccard from the stored minhash signatures
     // — corpus text never re-read after index build. xxhash-derived
@@ -423,6 +471,70 @@ object DedupQueries {
          |SELECT min(doc_id) AS doc_id, fingerprint
          |FROM fresh GROUP BY fingerprint ORDER BY doc_id"""
         .stripMargin.replace('\n', ' ')
+    },
+    // ground-truth sequential replay of the two-stage lifecycle:
+    // stage-1 all-pairs Jaccard vs the seed, survivor collapse keeps
+    // the min-id row's TEXT, stage 2 verifies against seed ∪ stage-1
+    // survivors — integer 10000·|∩| ≥ 7000·|∪| compare throughout
+    "d15_index_lifecycle" -> {
+      val fp = TextAnalysis.fingerprintSql("text")
+      val norm = TextAnalysis.normalizedSql("text")
+      val sh = s"list_distinct([substr(n, i, 5) " +
+        "for i in range(1, greatest(len(n) - 4, 1) + 1)])"
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 500),
+         |seed AS (SELECT * FROM base WHERE doc_id < 200),
+         |fresh1 AS (SELECT * FROM base
+         |  WHERE doc_id >= 200 AND doc_id < 350),
+         |batch1 AS (
+         |  SELECT * FROM fresh1
+         |  UNION ALL SELECT doc_id + 300000,
+         |    text || ' zq' || CAST(doc_id AS VARCHAR) || 'x'
+         |  FROM seed WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 400000, text
+         |  FROM seed WHERE doc_id % 20 = 0),
+         |batch2 AS (
+         |  SELECT * FROM base WHERE doc_id >= 350
+         |  UNION ALL SELECT doc_id + 500000,
+         |    text || ' zr' || CAST(doc_id AS VARCHAR) || 'x'
+         |  FROM fresh1 WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 600000,
+         |    text || ' zs' || CAST(doc_id AS VARCHAR) || 'x'
+         |  FROM seed WHERE doc_id % 15 = 0),
+         |csh0 AS (SELECT doc_id, $sh AS s FROM
+         |  (SELECT doc_id, $norm AS n FROM seed)),
+         |ish1 AS (SELECT doc_id, $sh AS s FROM
+         |  (SELECT doc_id, $norm AS n FROM batch1)),
+         |rej1 AS (SELECT DISTINCT i.doc_id FROM ish1 i JOIN csh0 c
+         |  ON len(list_intersect(i.s, c.s)) * 10000
+         |     >= len(list_distinct(i.s || c.s)) * 7000),
+         |surv1 AS (SELECT doc_id, text, fingerprint FROM (
+         |    SELECT doc_id, text, $fp AS fingerprint,
+         |      row_number() OVER (PARTITION BY $fp ORDER BY doc_id)
+         |        AS rn
+         |    FROM batch1
+         |    WHERE doc_id NOT IN (SELECT doc_id FROM rej1))
+         |  WHERE rn = 1),
+         |csh1 AS (SELECT doc_id, s FROM csh0
+         |  UNION ALL SELECT doc_id, $sh AS s FROM
+         |  (SELECT doc_id, $norm AS n FROM surv1)),
+         |ish2 AS (SELECT doc_id, $sh AS s FROM
+         |  (SELECT doc_id, $norm AS n FROM batch2)),
+         |rej2 AS (SELECT DISTINCT i.doc_id FROM ish2 i JOIN csh1 c
+         |  ON len(list_intersect(i.s, c.s)) * 10000
+         |     >= len(list_distinct(i.s || c.s)) * 7000),
+         |surv2 AS (SELECT doc_id, text, fingerprint FROM (
+         |    SELECT doc_id, text, $fp AS fingerprint,
+         |      row_number() OVER (PARTITION BY $fp ORDER BY doc_id)
+         |        AS rn
+         |    FROM batch2
+         |    WHERE doc_id NOT IN (SELECT doc_id FROM rej2))
+         |  WHERE rn = 1)
+         |SELECT CAST(1 AS BIGINT) AS batch, doc_id, fingerprint
+         |FROM surv1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), doc_id, fingerprint FROM surv2
+         |ORDER BY batch, doc_id""".stripMargin.replace('\n', ' ')
     },
     // same clustering (x10's oracle shape), same within-cluster pair
     // predicate, d5's recursive-CTE components, and the least-centroid-

@@ -83,6 +83,50 @@ object StreamingQueries {
           EventsAdapter.tsTimestamp(df).as("ts"),
           col("user_id"), col("event_type"), col("value")))
 
+  /** Documents as two ORDERED stream files (mod-times force half_0 to
+    * be micro-batch 1): half_0 = docs < 250; half_1 = docs 250-500
+    * plus exact (+700000) and mutated (+800000, ' zt<id>x' footer)
+    * re-deliveries of half-0 docs — the s16 exactly-once fixtures.
+    * Built once per sf dir behind a `_done` marker. */
+  private def splitDocsFileStream(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val dir =
+      Paths.get(s"/tmp/graft_stream_${d.hashCode.toHexString}/docs_split")
+    val done = dir.resolve("_done")
+    if (!Files.exists(done)) {
+      Files.createDirectories(dir)
+      val base = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 500)
+      val half0 = base.filter(col("doc_id") < 250)
+      val half1 = base.filter(col("doc_id") >= 250)
+        .unionAll(half0.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 700000).as("doc_id"), col("text")))
+        .unionAll(half0.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 800000).as("doc_id"),
+            concat(col("text"), lit(" zt"),
+              col("doc_id").cast("string"), lit("x")).as("text")))
+      Seq(0 -> half0, 1 -> half1).foreach { case (i, df) =>
+        val tmp = dir.resolve(s"_build_$i")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = dir.resolve(s"half_$i.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        // file-stream batches order by modification time
+        Files.setLastModifiedTime(dst,
+          FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      Files.createFile(done)
+    }
+    val schema = s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text")).schema
+    s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+  }
+
   /** Events split into two DISJOINT halves (event-id parity — every user
     * bucket present in both) exposed as two files with
     * maxFilesPerTrigger=1: a genuine multi-batch replay in which every
@@ -145,6 +189,28 @@ object StreamingQueries {
         .select(col("event_type"), col("user_bucket"), col("n_events"),
           col("f.sum_value").as("sum_value"), col("f.last_ts").as("last_ts"))
         .orderBy("event_type", "user_bucket")
+    }),
+    // STREAMING near-dup dedup (s16): d15's persisted LSH index
+    // lifecycle driven by foreachBatch — micro-batch 2 plants EXACT
+    // (+700000) and MUTATED (+800000, footer) re-deliveries of
+    // micro-batch 1's docs; both reject against the index batch 1
+    // committed, so re-delivered and mutated-re-delivered events
+    // collapse exactly once across micro-batches (the near-dup
+    // strengthening of s14's key-dedup exactly-once). Published
+    // output = the store's accepted corpus. Oracle = ground-truth
+    // sequential all-pairs Jaccard over the same two stages.
+    "s16_stream_neardup" -> ((s, d) => {
+      val root = SinkQueries.tmp(s"docs_snd_${java.util.UUID
+        .randomUUID().toString.take(8)}", d)
+      graft.dedup.NearDupIndexStore.init(
+        PipelineQueries.table(s, d, "documents")
+          .select(col("doc_id"), col("text")).limit(0), root)
+      StreamPipeline.streamNearDupDedup(s,
+        splitDocsFileStream(s, d), root)
+        .withColumn("fingerprint",
+          graft.text.TextAnalysis.fingerprint(col("text")))
+        .select(col("doc_id"), col("fingerprint"))
+        .orderBy("doc_id")
     }),
     // STREAMING write-audit-publish (s14): the io9 commit protocol per
     // micro-batch — stage, audit, pointer-swap; redelivery-idempotent
@@ -527,6 +593,48 @@ object StreamingQueries {
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id"""
         .stripMargin.replace('\n', ' '),
+    // ground-truth sequential replay of the two micro-batches:
+    // batch 1 lands whole (fingerprint collapse only — empty store),
+    // batch 2 verifies against batch 1's survivors by all-pairs
+    // integer Jaccard (10000·|∩| ≥ 7000·|∪|); exact re-deliveries
+    // reject with |∩| = |∪|, mutated ones on the near-collision
+    "s16_stream_neardup" -> {
+      val fp = graft.text.TextAnalysis.fingerprintSql("text")
+      val norm = graft.text.TextAnalysis.normalizedSql("text")
+      val sh = s"list_distinct([substr(n, i, 5) " +
+        "for i in range(1, greatest(len(n) - 4, 1) + 1)])"
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 500),
+         |b1 AS (SELECT * FROM base WHERE doc_id < 250),
+         |b2 AS (
+         |  SELECT * FROM base WHERE doc_id >= 250
+         |  UNION ALL SELECT doc_id + 700000, text
+         |  FROM b1 WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 800000,
+         |    text || ' zt' || CAST(doc_id AS VARCHAR) || 'x'
+         |  FROM b1 WHERE doc_id % 10 = 5),
+         |surv1 AS (SELECT doc_id, text, fingerprint FROM (
+         |    SELECT doc_id, text, $fp AS fingerprint,
+         |      row_number() OVER (PARTITION BY $fp ORDER BY doc_id)
+         |        AS rn FROM b1)
+         |  WHERE rn = 1),
+         |csh AS (SELECT doc_id, $sh AS s FROM
+         |  (SELECT doc_id, $norm AS n FROM surv1)),
+         |ish AS (SELECT doc_id, $sh AS s FROM
+         |  (SELECT doc_id, $norm AS n FROM b2)),
+         |rej AS (SELECT DISTINCT i.doc_id FROM ish i JOIN csh c
+         |  ON len(list_intersect(i.s, c.s)) * 10000
+         |     >= len(list_distinct(i.s || c.s)) * 7000),
+         |surv2 AS (SELECT doc_id, text, fingerprint FROM (
+         |    SELECT doc_id, text, $fp AS fingerprint,
+         |      row_number() OVER (PARTITION BY $fp ORDER BY doc_id)
+         |        AS rn FROM b2
+         |    WHERE doc_id NOT IN (SELECT doc_id FROM rej))
+         |  WHERE rn = 1)
+         |SELECT doc_id, fingerprint FROM surv1
+         |UNION ALL SELECT doc_id, fingerprint FROM surv2
+         |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+    },
     // the stream's alert leg ≡ the identical batch computation
     // (stateless stream-static join commutes with replay); same
     // rank-pick p99 baseline

@@ -327,6 +327,55 @@ object StreamPipeline {
     }
   }
 
+  /** STREAMING near-dup dedup (s16, round-8 VERDICT ask #6): d15's
+    * persisted-index lifecycle composed into `foreachBatch` — every
+    * micro-batch probes the on-disk LSH band index, exact-verifies
+    * its candidates against the candidate slice of the stored corpus
+    * text, and its survivors update the store the NEXT micro-batch
+    * probes. The published output IS the store's accepted corpus.
+    *
+    * Exactly-once from at-least-once, structurally: an exact
+    * redelivery collides with its own stored copy on every band
+    * (Jaccard 1) and rejects; a MUTATED redelivery (footer edit —
+    * what slips past s14's key dedup) near-collides and rejects on
+    * the Jaccard verify. The same argument makes the
+    * crash-between-store-append-and-checkpoint-commit replay
+    * idempotent: the replayed batch's docs reject against themselves,
+    * so nothing re-appends (NearDupStoreSpec pins the store-level
+    * half; StreamNearDupSpec the composition).
+    *
+    * Scale: per micro-batch the moving parts are the batch's band
+    * rows, the (band,bucket)-joined candidates, and the candidate
+    * slice of stored text — never a corpus re-shingle; the store
+    * append is survivor-sized. Exactly d11's 100 TB shape, driven by
+    * the streaming engine's offsets instead of a manual ledger. */
+  def streamNearDupDedup(spark: SparkSession, docs: DataFrame,
+      storeRoot: String): DataFrame = {
+    import graft.dedup.NearDupIndexStore
+    val ckpt = scratchRoot().resolve(
+      s"graft_ckpt_snd_${java.util.UUID.randomUUID().toString.take(8)}")
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+    try {
+      val q = docs.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          NearDupIndexStore.ingest(batch.sparkSession, storeRoot,
+            batch.toDF())
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set(key, saved)
+      try deleteRecursively(ckpt) catch { case _: Throwable => () }
+    }
+    NearDupIndexStore.publishedTexts(spark, storeRoot)
+  }
+
   /** STREAMING write–audit–publish (s14): every micro-batch lands
     * through the io9 commit protocol — the accumulated snapshot
     * (previously published ∪ batch, deduped on `keyCols` so a
