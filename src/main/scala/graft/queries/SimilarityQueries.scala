@@ -45,6 +45,21 @@ object SimilarityQueries {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
         .orderBy("query_id", "rank")
     }),
+    // MEASURED ANN-quality report (sim11): per-query recall@5 and
+    // similarity-mass ratio of a deterministic label-centroid IVF
+    // (d12's clustering recipe as IVF cells, 2 probes) against the
+    // sim1 brute-force ground truth — the certification artifact
+    // sim2/sim7/sim8 can't hash-check (xxhash seeds); this leg is
+    // engine-replayable so the WHOLE report is oracle-checked.
+    // All outputs exact e4 integers. SimilaritySpec pins the
+    // hash-seeded variants' measured recall through the same report.
+    "sim11_ann_recall_report" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      Similarity.annRecallReport(
+        Similarity.bruteForceTopK(emb, q, k = 5),
+        Similarity.labelCentroidIvfTopK(emb, q, k = 5, probes = 2))
+    }),
     // FILTERED VECTOR SEARCH (sim10): top-k under a metadata predicate
     // — "nearest EVEN-LABEL neighbors" — the filtered-search mode every
     // vector store serves (tenant, language, date filters). This is
@@ -193,6 +208,25 @@ object SimilarityQueries {
     },
     "sim1_knn_bruteforce" ->
       Similarity.bruteForceTopKSql(5, "vec_id < 20"),
+    // sim1's brute-force CTE as ground truth, the deterministic
+    // label-centroid IVF as the ANN leg, and the exact-integer
+    // report CTEs — the full chain hash-checks
+    "sim11_ann_recall_report" ->
+      s"""WITH tq AS (SELECT vec_id AS query_id,
+         |    CAST(embedding AS DOUBLE[]) AS qvec
+         |  FROM embeddings WHERE vec_id < 20),
+         |t_scored AS (SELECT tq.query_id, e.vec_id AS corpus_id,
+         |    round(list_cosine_similarity(
+         |      CAST(e.embedding AS DOUBLE[]), tq.qvec), 4) AS sim
+         |  FROM embeddings e, tq WHERE e.vec_id <> tq.query_id),
+         |truth AS (SELECT query_id, rank, corpus_id, sim FROM (
+         |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, corpus_id) AS INT) AS rank
+         |    FROM t_scored) WHERE rank <= 5),
+         |${Similarity.labelCentroidIvfTopKSql(5, 2, "vec_id < 20")},
+         |${Similarity.annRecallReportSql("truth", "ann")}
+         |SELECT * FROM rep ORDER BY query_id"""
+        .stripMargin.replace('\n', ' '),
     // same pre-filtered candidate side
     "sim10_filtered_knn" ->
       Similarity.bruteForceTopKSql(5, "vec_id < 20",

@@ -573,6 +573,173 @@ object Similarity {
     * anti-join + a pool-sized aggregate + one per-query window over
     * ≤ poolK rows, localCheckpointed so round r never recomputes
     * rounds 1..r−1. */
+  /** Deterministic label-centroid IVF top-k — sim11's ANN leg: the
+    * d12 clustering recipe (per-label per-dim 6-dp mean centroids,
+    * 4-dp-cosine argmax assignment with label-asc tie-break) used as
+    * IVF cells; a query probes its top-`probes` centroids and
+    * searches ONLY those cells. Unlike sim2/sim7/sim8 (xxhash-seeded,
+    * rows-only), every step here is engine-replayable — which is what
+    * lets the RECALL REPORT over it be oracle-hash-checked end to
+    * end. Same scale shape as trained IVF: |labels|-row broadcast
+    * centroid table, corpus touched once for assignment, per-query
+    * fan-out |corpus|·probes/nlist. */
+  def labelCentroidIvfTopK(corpus: DataFrame, queries: DataFrame,
+      k: Int = 5, probes: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val cents = corpus
+      .select(col(labelCol).as("cl"), posexplode(col(vecCol)))
+      .groupBy(col("cl"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).as("dim_avg"))
+      .groupBy(col("cl"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("dim_avg")))),
+        x => x.getField("dim_avg")).as("centroid"))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      toDouble(col(vecCol)).as("cvec"))
+    val cells = c.join(broadcast(cents))
+      .withColumn("csim",
+        round(cosine(col("cvec"), col("centroid")), 4))
+      .groupBy(col("corpus_id"))
+      .agg(max_by(col("cl"),
+        struct(col("csim"), (-col("cl")).as("neg"))).as("cell"))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
+    val probed = q.join(broadcast(cents))
+      .withColumn("psim",
+        round(cosine(col("qvec"), col("centroid")), 4))
+      .withColumn("pr", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(desc("psim"), col("cl"))))
+      .filter(col("pr") <= probes)
+      .select(col("query_id"), col("qvec"), col("qnorm"),
+        col("cl").as("cell"))
+    val scored = cells.join(c, Seq("corpus_id"))
+      .withColumn("cnorm", norm(col("cvec")))
+      .join(probed, Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("sim", round(
+        dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")),
+        4))
+    topKPerQuery(scored, k)
+  }
+
+  /** DuckDB twin of [[labelCentroidIvfTopK]] (embeddings table). */
+  def labelCentroidIvfTopKSql(k: Int, probes: Int,
+      queryPred: String): String =
+    s"""ex AS (SELECT label AS cl,
+       |    generate_subscripts(embedding, 1) - 1 AS pos,
+       |    unnest(embedding) AS val
+       |  FROM embeddings),
+       |dims AS (SELECT cl, pos, round(avg(CAST(val AS DOUBLE)), 6)
+       |    AS dim_avg FROM ex GROUP BY 1, 2),
+       |cents AS (SELECT cl, list(dim_avg ORDER BY pos) AS centroid
+       |  FROM dims GROUP BY cl),
+       |cv AS (SELECT vec_id AS corpus_id,
+       |    CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings),
+       |cells AS (SELECT corpus_id, cl AS cell FROM (
+       |    SELECT c.corpus_id, ce.cl, row_number() OVER (
+       |      PARTITION BY c.corpus_id ORDER BY
+       |      round(list_cosine_similarity(c.cvec, ce.centroid), 4)
+       |        DESC, ce.cl) AS rn
+       |    FROM cv c, cents ce) WHERE rn = 1),
+       |qv AS (SELECT vec_id AS query_id,
+       |    CAST(embedding AS DOUBLE[]) AS qvec
+       |  FROM embeddings WHERE $queryPred),
+       |probed AS (SELECT query_id, qvec, cell FROM (
+       |    SELECT q.query_id, q.qvec, ce.cl AS cell, row_number()
+       |      OVER (PARTITION BY q.query_id ORDER BY
+       |      round(list_cosine_similarity(q.qvec, ce.centroid), 4)
+       |        DESC, ce.cl) AS rn
+       |    FROM qv q, cents ce) WHERE rn <= $probes),
+       |ann_scored AS (SELECT p.query_id, s.corpus_id,
+       |    round(list_cosine_similarity(c2.cvec, p.qvec), 4) AS sim
+       |  FROM probed p JOIN cells s ON s.cell = p.cell
+       |  JOIN cv c2 ON c2.corpus_id = s.corpus_id
+       |  WHERE s.corpus_id <> p.query_id),
+       |ann AS (SELECT query_id, rank, corpus_id, sim FROM (
+       |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, corpus_id) AS INT) AS rank
+       |    FROM ann_scored) WHERE rank <= $k)""".stripMargin
+      .replace('\n', ' ')
+
+  /** Measured ANN-quality report (sim11, round-8 VERDICT ask #7):
+    * per query, recall@k of `ann` against the brute-force `truth`
+    * plus the similarity-mass ratio — the artifact that certifies an
+    * ANN configuration before it serves. Both inputs are
+    * (query_id, rank, corpus_id, sim) top-k frames. All outputs are
+    * exact integers (e4 = value×10⁴, half-away division on
+    * non-negative div operands — the round-8 discipline), so with a
+    * deterministic ANN leg the whole report hash-checks against the
+    * oracle. */
+  def annRecallReport(truth: DataFrame, ann: DataFrame): DataFrame = {
+    val t = truth.groupBy(col("query_id")).agg(
+      count(lit(1)).as("truth_k"),
+      sum(col("sim").cast("decimal(18,4)")).as("ts"))
+    val a = ann.groupBy(col("query_id")).agg(
+      count(lit(1)).as("ann_k"),
+      sum(col("sim").cast("decimal(18,4)")).as("asum"))
+    val ov = truth.select(col("query_id"), col("corpus_id"))
+      .join(ann.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    t.join(a, Seq("query_id"), "left")
+      .join(ov, Seq("query_id"), "left")
+      .select(col("query_id"), col("truth_k"),
+        coalesce(col("ann_k"), lit(0L)).as("ann_k"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr("(2 * coalesce(n_overlap, 0) * 10000 + truth_k) div " +
+          "(2 * truth_k)").as("recall_e4"),
+        expr("CAST(ts * 10000 AS BIGINT)").as("truth_sim_e4"),
+        expr("CAST(coalesce(asum * 10000, 0) AS BIGINT)")
+          .as("ann_sim_e4"),
+        expr("""CASE WHEN CAST(ts * 10000 AS BIGINT) > 0 THEN
+          CASE WHEN coalesce(asum, 0) >= 0 THEN
+            (2 * CAST(coalesce(asum * 10000, 0) AS BIGINT) * 10000
+              + CAST(ts * 10000 AS BIGINT))
+            div (2 * CAST(ts * 10000 AS BIGINT))
+          ELSE -((2 * -CAST(coalesce(asum * 10000, 0) AS BIGINT) * 10000
+              + CAST(ts * 10000 AS BIGINT))
+            div (2 * CAST(ts * 10000 AS BIGINT)))
+          END END""").as("sim_ratio_e4"))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB twin of [[annRecallReport]]: `truthCte` and `annCte` must
+    * be CTE names yielding (query_id, rank, corpus_id, sim). */
+  def annRecallReportSql(truthCte: String, annCte: String): String =
+    s"""rt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS truth_k,
+       |    CAST(sum(CAST(sim AS DECIMAL(18,4))) * 10000 AS BIGINT)
+       |      AS ts
+       |  FROM $truthCte GROUP BY 1),
+       |ra AS (SELECT query_id, CAST(count(*) AS BIGINT) AS ann_k,
+       |    CAST(sum(CAST(sim AS DECIMAL(18,4))) * 10000 AS BIGINT)
+       |      AS asum
+       |  FROM $annCte GROUP BY 1),
+       |ro AS (SELECT t.query_id,
+       |    CAST(count(*) AS BIGINT) AS n_overlap
+       |  FROM $truthCte t JOIN $annCte a
+       |    ON a.query_id = t.query_id AND a.corpus_id = t.corpus_id
+       |  GROUP BY 1),
+       |rep AS (SELECT rt.query_id, rt.truth_k,
+       |    coalesce(ra.ann_k, 0) AS ann_k,
+       |    coalesce(ro.n_overlap, 0) AS n_overlap,
+       |    CAST((2 * coalesce(ro.n_overlap, 0) * 10000 + rt.truth_k)
+       |      // (2 * rt.truth_k) AS BIGINT) AS recall_e4,
+       |    rt.ts AS truth_sim_e4,
+       |    coalesce(ra.asum, 0) AS ann_sim_e4,
+       |    CAST(CASE WHEN rt.ts > 0 THEN
+       |      CASE WHEN coalesce(ra.asum, 0) >= 0 THEN
+       |        (2 * coalesce(ra.asum, 0) * 10000 + rt.ts)
+       |          // (2 * rt.ts)
+       |      ELSE -((2 * -coalesce(ra.asum, 0) * 10000 + rt.ts)
+       |          // (2 * rt.ts))
+       |      END END AS BIGINT) AS sim_ratio_e4
+       |  FROM rt LEFT JOIN ra ON ra.query_id = rt.query_id
+       |  LEFT JOIN ro ON ro.query_id = rt.query_id)""".stripMargin
+      .replace('\n', ' ')
+
   def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       poolK: Int = 20, lambda: Double = 0.5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

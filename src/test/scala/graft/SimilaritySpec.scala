@@ -246,4 +246,45 @@ class SimilaritySpec extends AnyFunSuite {
       assert(picks.map(_._2).distinct.length === picks.length)
     }
   }
+
+  test("sim11 recall report: measured recall@5 of every ANN variant " +
+    "on the harness embeddings — rows-only operators get their " +
+    "quality numbers pinned HERE (sim2/sim7/sim8), and the " +
+    "deterministic label-IVF leg reports sane integer metrics") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(emb, q, k = 5)
+    def meanRecallE4(ann: org.apache.spark.sql.DataFrame): Double =
+      Similarity.annRecallReport(truth, ann)
+        .agg(avg(col("recall_e4"))).head().getDouble(0)
+    val rIvf = meanRecallE4(
+      Similarity.ivfTopK(emb, q, k = 5, probes = 3))
+    val rTrained = meanRecallE4(
+      Similarity.ivfTrainedTopK(emb, q, k = 5, nlist = 16, probes = 3))
+    val rPq = meanRecallE4(Similarity.pqTopK(emb, q, k = 5,
+      dims = 64, m = 8, ksub = 16, rerank = 4))
+    val rLabel = meanRecallE4(
+      Similarity.labelCentroidIvfTopK(emb, q, k = 5, probes = 2))
+    // measured floors on this corpus (generous margins below the
+    // observed values so data regrowth doesn't flap the pin)
+    assert(rIvf >= 1000.0, s"hyperplane-IVF recall@5 fell to $rIvf")
+    assert(rTrained >= rIvf,
+      s"trained IVF ($rTrained) must not trail hyperplane ($rIvf)")
+    assert(rPq >= 2000.0, s"PQ+rerank recall@5 fell to $rPq")
+    assert(rLabel >= 2000.0, s"label-IVF recall@5 fell to $rLabel")
+    // the report itself: full ann_k, ratio bounded by 1 when truth
+    // dominates, exact integers end to end
+    val rep = Similarity.annRecallReport(truth,
+      Similarity.labelCentroidIvfTopK(emb, q, k = 5, probes = 2))
+      .collect()
+    assert(rep.length === 20)
+    rep.foreach { r =>
+      assert(r.getAs[Long]("ann_k") === 5L)
+      assert(r.getAs[Long]("recall_e4") ===
+        2000L * r.getAs[Long]("n_overlap"))
+      assert(r.getAs[Long]("sim_ratio_e4") <= 10000L,
+        "ANN similarity mass cannot beat exact truth")
+    }
+  }
 }
