@@ -35,4477 +35,18 @@ object ExtendedQueries {
         round(sum(col("value")).cast("double"), 4).as("session_value"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x1_sessionize" -> ((s, d) => {
-      val ev = eventsTs(s, d)
-      sessionize(ev)
-        .orderBy("user_id", "session_seq")
-    }),
-    // groupBy().pivot(): avg standard value per country × pollutant
-    "x2_pivot_param" -> ((s, d) => {
-      val piv = PipelineQueries.silver(s, d)
-        .groupBy(col("country"))
-        .pivot("parameter", Seq("pm25", "pm10", "o3", "so2"))
-        .agg(round(avg(col("value")), 4))
-        .orderBy("country")
-      piv
-    }),
-    // corpus vocabulary: top-20 tokens by document frequency
-    "x3_vocab_top20" -> ((s, d) =>
-      table(s, d, "documents")
-        .select(explode(array_distinct(TextAnalysis.tokens(
-          TextAnalysis.normalized(col("text"))))).as("tok"))
-        .groupBy(col("tok"))
-        .agg(count(lit(1)).as("doc_freq"))
-        .orderBy(desc("doc_freq"), col("tok"))
-        .limit(20)),
-    // per-label embedding centroids via posexplode → avg per dim →
-    // reassemble (the k-means building block, fully distributed)
-    "x4_label_centroids" -> ((s, d) => {
-      val emb = table(s, d, "embeddings")
-      emb
-        .select(col("label"), posexplode(col("embedding")))
-        .groupBy(col("label"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("dim_avg"))
-        .groupBy(col("label"))
-        .agg(
-          count(lit(1)).as("n_dims"),
-          array_join(
-            transform(
-              array_sort(collect_list(struct(col("pos"), col("dim_avg")))),
-              x => format_string("%.4f", x.getField("dim_avg")))
-            , ",").as("centroid"))
-        .orderBy("label")
-    }),
-    // SCD2 history build: each user's event_type change-log becomes
-    // validity intervals (valid_from, valid_to, is_current) — the
-    // change-data-capture → warehouse-dimension operator. One shuffle
-    // (window by user); consecutive same-type rows collapse first so
-    // intervals are maximal.
-    "x11_scd2_intervals" -> ((s, d) =>
-      graft.etl.Scd2.intervals(eventsTs(s, d),
-        "user_id", "event_type", "ts")
-        .orderBy("user_id", "valid_from")),
-    // k-means assignment step: every embedding → nearest label centroid
-    // (centroids from the x4 pipeline, 6-dp rounded for cross-engine
-    // stability; tiny centroid table broadcasts, corpus never shuffles).
-    // The argmax is max_by over the k scored rows: partial-aggregatable
-    // (map-side reduces each vec's k rows to 1 before the shuffle), so
-    // nothing ever sorts the corpus — the round-1 row_number window
-    // shuffled and sorted all |corpus|·k rows and was the worst query in
-    // the driver bench (37 s vs ~1 s-class). Tie-break matches the
-    // oracle's (sim DESC, label ASC) via the (sim, -label) ordering key.
-    "x10_centroid_assign" -> ((s, d) => {
-      import graft.sim.Similarity
-      val emb = table(s, d, "embeddings")
-      val centroids = emb
-        .select(col("label"), posexplode(col("embedding")))
-        .groupBy(col("label"), col("pos"))
-        .agg(round(avg(col("col").cast("double")), 6).as("dim_avg"))
-        .groupBy(col("label"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("dim_avg")))),
-          x => x.getField("dim_avg")).as("centroid"))
-      val scored = emb
-        .select(col("vec_id"), col("embedding").cast("array<double>")
-          .as("vec"))
-        .join(broadcast(centroids))
-        .withColumn("sim",
-          round(Similarity.cosine(col("vec"), col("centroid")), 4))
-      scored
-        .groupBy(col("vec_id"))
-        .agg(max_by(
-          struct(col("label"), col("sim")),
-          struct(col("sim"), (-col("label")).as("neg_label"))).as("best"))
-        .select(col("vec_id"), col("best.label").as("assigned_label"),
-          col("best.sim").as("sim"))
-        .orderBy("vec_id")
-    }),
-    // FULL spherical k-means (x65 — the Lloyd loop x4/x10 are the
-    // pieces of): 2 deterministic iterations from the per-label-mean
-    // warm start; per iteration one corpus scan under the k×dims
-    // broadcast (x10 argmax assignment) + one partial-aggregatable
-    // (cluster, dim) mean. Output = final long-form centroids + the
-    // producing assignment's cluster sizes
-    "x65_kmeans_lloyd" -> ((s, d) => {
-      val emb = table(s, d, "embeddings")
-      val vecs = emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("vec"))
-      val init = emb
-        .select(col("label"), posexplode(col("embedding")))
-        .groupBy(col("label"), col("pos"))
-        .agg(round(avg(col("col").cast("double")), 6).as("dim_avg"))
-        .groupBy(col("label"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("dim_avg")))),
-          x => x.getField("dim_avg")).as("centroid"))
-      graft.ml.KMeans.lloyd(vecs, init, iters = 2)
-        .orderBy("cluster", "pos")
-    }),
-    // clustering-quality eval (x66 — simplified silhouette on the
-    // centroid approximation): the exact silhouette is corpus²; this
-    // one costs an assignment step (one scan under the k×dims
-    // broadcast) + two partial-aggregatable reductions. Per-cluster
-    // mean of s = (b − a)/max(a, b) with cosine distances to own vs
-    // nearest-other centroid
-    "x66_silhouette" -> ((s, d) => {
-      val emb = table(s, d, "embeddings")
-      val vecs = emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("vec"))
-      val init = emb
-        .select(col("label"), posexplode(col("embedding")))
-        .groupBy(col("label"), col("pos"))
-        .agg(round(avg(col("col").cast("double")), 6).as("dim_avg"))
-        .groupBy(col("label"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("dim_avg")))),
-          x => x.getField("dim_avg")).as("centroid"))
-      graft.ml.KMeans.simplifiedSilhouette(vecs, init)
-        .orderBy("cluster")
-    }),
-    // multi-level aggregation: ROLLUP (country, parameter) totals
-    "x5_rollup" -> ((s, d) =>
-      PipelineQueries.silver(s, d)
-        .rollup(col("country"), col("parameter"))
-        .agg(count(lit(1)).as("n_records"),
-          round(avg(col("aqi")), 4).as("avg_aqi"))
-        .select(
-          coalesce(col("country"), lit("ALL")).as("country"),
-          coalesce(col("parameter"), lit("ALL")).as("parameter"),
-          col("n_records"), col("avg_aqi"))
-        .orderBy("country", "parameter")),
-    // CUBE (country, parameter): all 4 grouping combinations in one pass
-    "x12_cube" -> ((s, d) =>
-      PipelineQueries.silver(s, d)
-        .cube(col("country"), col("parameter"))
-        .agg(count(lit(1)).as("n_records"),
-          round(avg(col("aqi")), 4).as("avg_aqi"))
-        .select(
-          coalesce(col("country"), lit("ALL")).as("country"),
-          coalesce(col("parameter"), lit("ALL")).as("parameter"),
-          col("n_records"), col("avg_aqi"))
-        .orderBy("country", "parameter")),
-    // ranking functions: dense_rank + ntile of stations within country
-    "x6_rank_stations" -> ((s, d) => {
-      val perStation = PipelineQueries.silver(s, d)
-        .groupBy(col("country"), col("location_id"))
-        .agg(round(avg(col("aqi")), 4).as("avg_aqi"))
-      val w = Window.partitionBy(col("country"))
-        .orderBy(desc("avg_aqi"), col("location_id"))
-      perStation
-        .withColumn("rnk", dense_rank().over(w))
-        .withColumn("quartile", ntile(4).over(w))
-        .orderBy("country", "rnk", "location_id")
-    }),
-    // set operations: INTERSECT / EXCEPT over customer key sets
-    "x7_setops" -> ((s, d) => {
-      val building = table(s, d, "customer")
-        .filter(col("c_mktsegment") === "BUILDING")
-        .select(col("c_custkey").as("custkey"))
-      val withF = table(s, d, "orders")
-        .filter(col("o_orderstatus") === "F")
-        .select(col("o_custkey").as("custkey"))
-      building.intersect(withF).withColumn("tag", lit("both"))
-        .unionAll(
-          building.except(withF).withColumn("tag", lit("only_building")))
-        .orderBy("tag", "custkey")
-    }),
-    // exact percentiles (linear interpolation — same rule as DuckDB's
-    // quantile_cont); at 100 TB swap for approx_percentile
-    "x8_percentiles" -> ((s, d) =>
-      PipelineQueries.silver(s, d)
-        .groupBy(col("parameter"))
-        .agg(
-          round(expr("percentile(value, 0.5)"), 4).as("p50"),
-          round(expr("percentile(value, 0.9)"), 4).as("p90"),
-          round(expr("percentile(value, 0.99)"), 4).as("p99"))
-        .orderBy("parameter")),
-    // damped PageRank (exact integer fixed-point, 5 iterations) over the
-    // bipartite supplier↔customer graph induced by orders — the second
-    // iterative graph operator next to connected components
-    "g1_pagerank" -> ((s, d) => {
-      import graft.graph.PageRank
-      // numeric node ids (even = supplier·2, odd = customer·2+1): long
-      // shuffle keys, not concat'd strings. Dedup the HALF-size pair
-      // set; the two directions are disjoint (even→odd vs odd→even) so
-      // the union stays distinct — run() skips its dedup shuffle
-      val pairs = table(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(table(s, d, "orders")
-          .select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("l_suppkey") * 2).as("s_node"),
-          (col("o_custkey") * 2 + 1).as("c_node"))
-        .distinct()
-      val edges = pairs
-        .select(col("s_node").as("src"), col("c_node").as("dst"))
-        .unionAll(pairs
-          .select(col("c_node").as("src"), col("s_node").as("dst")))
-      // supplier+customer node set is dimension-sized → ranks broadcast;
-      // the cached edge table never re-shuffles across iterations. The
-      // doubled bipartite edge set is symmetric: node set = outdeg keys,
-      // no per-iteration join back to the node list
-      PageRank.run(edges, iters = 5, broadcastRanks = true,
-        assumeDistinct = true, symmetric = true)
-        .orderBy("node")
-    }),
-    // TWO-HOP NEIGHBOR FEATURE AGGREGATION (g20): the GraphSAGE-style
-    // message-passing feature prep — each node's mean neighbor
-    // account balance and mean neighbor-of-neighbor summary over the
-    // g1 bipartite supplier↔customer graph. Two edge joins + two
-    // partial aggregates on node-id shuffle keys; means are integer
-    // fixed-point micro-cent units (div truncation parity with the
-    // oracle's HUGEINT //), hop-2 sums DECIMAL-widened before summing
-    "g20_feature_prop" -> ((s, d) => {
-      val pairs = table(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(table(s, d, "orders")
-          .select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("l_suppkey") * 2).as("s_node"),
-          (col("o_custkey") * 2 + 1).as("c_node"))
-        .distinct()
-      val edges = pairs
-        .select(col("s_node").as("src"), col("c_node").as("dst"))
-        .unionAll(pairs
-          .select(col("c_node").as("src"), col("s_node").as("dst")))
-      val feats = table(s, d, "supplier")
-        .select((col("s_suppkey") * 2).as("node"),
-          expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("f"))
-        .unionAll(table(s, d, "customer")
-          .select((col("c_custkey") * 2 + 1).as("node"),
-            expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("f")))
-      graft.graph.FeatureProp.twoHopMeans(edges, feats)
-        .orderBy("node")
-    }),
-    // PERSONALIZED PageRank over the same bipartite graph: teleport
-    // restarts at the nation<5 supplier seeds, so rank = proximity to
-    // that seed set (the related-items / trust-propagation primitive),
-    // not global importance. Same integer fixed-point; rank-0 nodes
-    // skip the contribution join until mass reaches them
-    "g14_personalized_pagerank" -> ((s, d) => {
-      import graft.graph.PageRank
-      val pairs = table(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(table(s, d, "orders")
-          .select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("l_suppkey") * 2).as("s_node"),
-          (col("o_custkey") * 2 + 1).as("c_node"))
-        .distinct()
-      val edges = pairs
-        .select(col("s_node").as("src"), col("c_node").as("dst"))
-        .unionAll(pairs
-          .select(col("c_node").as("src"), col("s_node").as("dst")))
-      val seeds = table(s, d, "supplier")
-        .filter(col("s_nationkey") < 5)
-        .select((col("s_suppkey") * 2).as("node"))
-      PageRank.personalized(edges, seeds, iters = 5,
-        broadcastRanks = true, assumeDistinct = true, symmetric = true)
-        .orderBy("node")
-    }),
-    // semi-structured extraction: the raw JSON props column parsed with
-    // a declared schema (from_json — codegen'd, no UDF, malformed rows
-    // null out instead of failing) and aggregated. The schema'd parse
-    // is the 100 TB answer: schemaless get_json_object re-parses per
-    // field, from_json parses once per row
-    "x34_json_props" -> ((s, d) =>
-      table(s, d, "events")
-        .withColumn("k",
-          from_json(col("props"),
-            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
-            .getField("k"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          count(col("k")).as("n_with_k"),
-          sum(col("k")).as("sum_k"),
-          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-        .orderBy("event_type")),
-    // entity resolution: a deterministically perturbed 10% of customer
-    // names (swap/delete/replace in the last two id chars) re-matched
-    // to the clean table. THE scale lever is the blocking key: a 5-char
-    // stable key bounds candidates to ~|dirty|·10 pairs (a 3-char key
-    // left 1M+ pairs and 8 s at sf0.1 — real pipelines union several
-    // such keys for recall); the codegen'd graft_jaro_winkler scores
-    // candidates inside the join's WholeStageCodegen span, best match
-    // via min_by((-jw, key)) with no window over the candidates
-    // BLOCKING-QUALITY metrics (er5): pair completeness vs reduction
-    // ratio for three candidate blocking keys over er1's planted
-    // dirty records — the report that decides which blocking ships.
-    // Candidate counts come from (key -> count) products, never
-    // materialized pairs; the tail key overlaps the planted
-    // mutations, so its completeness measurably drops below 1
-    "er5_blocking_quality" -> ((s, d) => {
-      val cust = table(s, d, "customer")
-      val dirty = cust.filter(col("c_custkey") % 10 === 7)
-        .select(col("c_custkey").as("d_key"),
-          expr("""CASE CAST(c_custkey % 3 AS INT)
-            | WHEN 0 THEN concat(substring(c_name, 1, 16),
-            |   substring(c_name, 18, 1), substring(c_name, 17, 1))
-            | WHEN 1 THEN concat(substring(c_name, 1, 16),
-            |   substring(c_name, 18))
-            | ELSE concat(substring(c_name, 1, 17), 'X')
-            |END""".stripMargin).as("dirty_name"))
-      graft.er.BlockingMetrics.report(dirty, cust, Seq(
-        ("key_mid5", substring(col("dirty_name"), 12, 5),
-          substring(col("c_name"), 12, 5)),
-        ("key_mid3", substring(col("dirty_name"), 12, 3),
-          substring(col("c_name"), 12, 3)),
-        ("key_tail3", substring(col("dirty_name"), 16, 3),
-          substring(col("c_name"), 16, 3))))
-        .orderBy("scheme")
-    }),
-    // MATCH-THRESHOLD SWEEP (er7): the er-family's operating-point
-    // eval — at JW cutoffs 0.80..0.99, how many planted dirty records
-    // resolve to their true source, match WRONG, or drop (no
-    // candidate clears the bar). The key economy: the best candidate
-    // is threshold-INDEPENDENT (filter-then-argmax ≡ argmax-then-
-    // filter under jw-ordering), so the corpus contributes ONE
-    // blocked+scored argmax and the sweep is a 5-row explode over the
-    // per-dirty best table. JW quantizes to exact basis points
-    // (CAST(round(jw·10000)) — the 4dp round makes the product
-    // integer-valued) so threshold compares are integer-exact.
-    "er7_threshold_sweep" -> ((s, d) => {
-      import graft.expr.JaroWinkler
-      val cust = table(s, d, "customer")
-      val dirty = cust.filter(col("c_custkey") % 10 === 7)
-        .select(col("c_custkey").as("d_key"),
-          expr("""CASE CAST(c_custkey % 3 AS INT)
-            | WHEN 0 THEN concat(substring(c_name, 1, 16),
-            |   substring(c_name, 18, 1), substring(c_name, 17, 1))
-            | WHEN 1 THEN concat(substring(c_name, 1, 16),
-            |   substring(c_name, 18))
-            | ELSE concat(substring(c_name, 1, 17), 'X')
-            |END""".stripMargin).as("dirty_name"))
-      val best = dirty
-        .join(cust, substring(col("dirty_name"), 12, 5) ===
-          substring(col("c_name"), 12, 5))
-        .withColumn("jw_bp", expr(
-          "CAST(round(graft_jaro_winkler(dirty_name, c_name) * 10000)" +
-            " AS BIGINT)"))
-        .groupBy(col("d_key"))
-        .agg(min_by(struct(col("c_custkey"), col("jw_bp")),
-          struct((-col("jw_bp")).as("nj"), col("c_custkey"))).as("b"))
-        .select(col("d_key"), col("b.c_custkey").as("mk"),
-          col("b.jw_bp").as("bp"))
-      val nd = dirty.agg(count(lit(1)).as("n_dirty"))
-      best
-        .withColumn("threshold_bp", explode(array(
-          lit(8000L), lit(8500L), lit(9000L), lit(9500L), lit(9900L))))
-        .groupBy(col("threshold_bp"))
-        .agg(
-          sum(when(col("bp") >= col("threshold_bp") &&
-            col("mk") === col("d_key"), 1L).otherwise(0L))
-            .as("n_resolved"),
-          sum(when(col("bp") >= col("threshold_bp") &&
-            col("mk") =!= col("d_key"), 1L).otherwise(0L))
-            .as("n_wrong"),
-          sum(when(col("bp") < col("threshold_bp"), 1L).otherwise(0L))
-            .as("n_dropped"))
-        .crossJoin(broadcast(nd))
-        .select(col("threshold_bp"), col("n_resolved"), col("n_wrong"),
-          col("n_dropped"),
-          expr("n_resolved * 10000 div n_dirty").as("recall_bp"))
-        .orderBy("threshold_bp")
-    }),
-    // FELLEGI–SUNTER probabilistic record linkage (er6): the
-    // principled multi-field scorer above er1-er3's single-field
-    // matchers — per candidate pair, each field contributes ln(m/u) on
-    // agreement and ln((1−m)/(1−u)) on disagreement; the u
-    // probabilities (random-pair agreement odds) are ESTIMATED FROM
-    // THE DATA as Σ(count_v²)/N² over each field's value distribution
-    // (frequency-based u; fuzzy name field uses u = 1/N, m = 0.95
-    // fixed — documented priors). The total is a FIXED 4-term
-    // expression, so no aggregation-order discipline is needed; the
-    // decision bands (match > 10 > possible > 0 > non-match) come from
-    // the weight magnitudes. Same bounded blocking as er1; the u/
-    // weight table is ONE metadata row crossed onto candidates.
-    "er6_fellegi_sunter" -> ((s, d) => {
-      import graft.expr.JaroWinkler
-      val cust = table(s, d, "customer")
-      def s2(c: org.apache.spark.sql.Column, out: String) = cust
-        .groupBy(c.as("v")).agg(count(lit(1)).as("cc"))
-        .agg(sum(col("cc") * col("cc")).as(out))
-      def ua(s2c: org.apache.spark.sql.Column,
-          nn: org.apache.spark.sql.Column) =
-        s2c.cast("double") / (nn * nn)
-      val m = lit(0.95)
-      val md = lit(0.05)
-      val wts = cust.agg(count(lit(1)).as("nn"))
-        .crossJoin(s2(col("c_mktsegment"), "s_seg"))
-        .crossJoin(s2(col("c_nationkey"), "s_nat"))
-        .crossJoin(s2(expr("CAST(round(c_acctbal * 100) AS BIGINT) % 10000"),
-          "s_ph"))
-        .select(
-          log(m / (lit(1.0) / col("nn"))).as("w_name_a"),
-          log(md / (lit(1.0) - lit(1.0) / col("nn"))).as("w_name_d"),
-          log(m / ua(col("s_seg"), col("nn"))).as("w_seg_a"),
-          log(md / (lit(1.0) - ua(col("s_seg"), col("nn"))))
-            .as("w_seg_d"),
-          log(m / ua(col("s_nat"), col("nn"))).as("w_nat_a"),
-          log(md / (lit(1.0) - ua(col("s_nat"), col("nn"))))
-            .as("w_nat_d"),
-          log(m / ua(col("s_ph"), col("nn"))).as("w_ph_a"),
-          log(md / (lit(1.0) - ua(col("s_ph"), col("nn"))))
-            .as("w_ph_d"))
-      val dirty = cust.filter(col("c_custkey") % 10 === 7)
-        .select(col("c_custkey").as("d_key"),
-          expr("""CASE CAST(c_custkey % 3 AS INT)
-            | WHEN 0 THEN concat(substring(c_name, 1, 16),
-            |   substring(c_name, 18, 1), substring(c_name, 17, 1))
-            | WHEN 1 THEN concat(substring(c_name, 1, 16),
-            |   substring(c_name, 18))
-            | ELSE concat(substring(c_name, 1, 17), 'X')
-            |END""".stripMargin).as("d_name"),
-          when(col("c_custkey") % 4 === 0, lit("MISMATCHED"))
-            .otherwise(col("c_mktsegment")).as("d_seg"),
-          col("c_nationkey").as("d_nat"),
-          when(col("c_custkey") % 2 === 0, lit(-1L))
-            .otherwise(expr(
-              "CAST(round(c_acctbal * 100) AS BIGINT) % 10000"))
-            .as("d_ph4"))
-      val score =
-        when(col("jw") >= 0.9, col("w_name_a")).otherwise(col("w_name_d")) +
-        when(col("d_seg") === col("c_mktsegment"), col("w_seg_a"))
-          .otherwise(col("w_seg_d")) +
-        when(col("d_nat") === col("c_nationkey"), col("w_nat_a"))
-          .otherwise(col("w_nat_d")) +
-        when(col("d_ph4") === expr(
-            "CAST(round(c_acctbal * 100) AS BIGINT) % 10000"),
-          col("w_ph_a"))
-          .otherwise(col("w_ph_d"))
-      dirty
-        .join(cust, substring(col("d_name"), 12, 5) ===
-          substring(col("c_name"), 12, 5))
-        .crossJoin(broadcast(wts))
-        .withColumn("jw", round(JaroWinkler.jw(col("d_name"),
-          col("c_name")), 4))
-        .withColumn("score", round(score, 6))
-        .groupBy(col("d_key"))
-        .agg(min_by(struct(col("c_custkey"), col("score")),
-          struct((-col("score")).as("ns"), col("c_custkey"))).as("b"))
-        .select(col("d_key"), col("b.c_custkey").as("matched_key"),
-          col("b.score").as("score"),
-          when(col("b.score") > 10, "match")
-            .when(col("b.score") > 0, "possible")
-            .otherwise("non_match").as("decision"))
-        .orderBy("d_key")
-    }),
-    "er1_fuzzy_match" -> ((s, d) => {
-      import graft.expr.JaroWinkler
-      val cust = table(s, d, "customer")
-      val dirty = cust.filter(col("c_custkey") % 10 === 7)
-        .select(col("c_custkey").as("d_key"),
-          expr("""CASE CAST(c_custkey % 3 AS INT)
-            | WHEN 0 THEN concat(substring(c_name, 1, 16),
-            |   substring(c_name, 18, 1), substring(c_name, 17, 1))
-            | WHEN 1 THEN concat(substring(c_name, 1, 16),
-            |   substring(c_name, 18))
-            | ELSE concat(substring(c_name, 1, 17), 'X')
-            |END""".stripMargin).as("dirty_name"))
-      dirty
-        .join(cust,
-          substring(col("dirty_name"), 12, 5) ===
-            substring(col("c_name"), 12, 5))
-        .withColumn("jw",
-          round(JaroWinkler.jw(col("dirty_name"), col("c_name")), 4))
-        .filter(col("jw") >= 0.9)
-        .groupBy(col("d_key"), col("dirty_name"))
-        .agg(min_by(
-          struct(col("c_custkey"), col("c_name"), col("jw")),
-          struct((-col("jw")).as("nj"), col("c_custkey"))).as("m"))
-        .select(col("d_key"), col("dirty_name"),
-          col("m.c_custkey").as("matched_key"),
-          col("m.c_name").as("matched_name"), col("m.jw").as("jw"))
-        .orderBy("d_key")
-    }),
-    // IDENTITY-GRAPH CLUSTERING (er8): the end-to-end ER pipeline the
-    // er1–er7 family stops short of — blocking → per-record best
-    // match → TRANSITIVE CLOSURE into entity clusters. Two planted
-    // dirty variants per selected customer ('Kustomer#…' and
-    // 'Cust0mer#…' prefix typos) each best-match their source by
-    // levenshtein ≤ 1, and the two variants land in one cluster only
-    // via transitivity (they are never compared to each other) —
-    // exactly why production ER runs connected components over its
-    // match pairs. Best-match edges (not all-above-threshold pairs)
-    // keep near-identical serial names from chaining into giant
-    // components. CC = the g5 min-label machinery; bounded: ≤ 1 edge
-    // per dirty record
-    "er8_identity_graph" -> ((s, d) => {
-      val cust = table(s, d, "customer")
-      val sel = cust.filter(col("c_custkey") % 10 === 7)
-      // perturbations live in the ALPHABETIC prefix (serial-number
-      // names make digit-zone noise ambiguous: '…01X' is distance 1
-      // from EVERY '…01d'); prefix edits keep the true source the
-      // unique distance-1 neighbor while any other customer differs
-      // by ≥ 1 digit on top
-      def variant(expr0: org.apache.spark.sql.Column, slot: Int) =
-        sel.select((col("c_custkey") * 10 + slot).as("d_ent"),
-          expr0.as("dirty_name"))
-      val dirty = variant(expr(
-        "concat('K', substring(c_name, 2))"), 1) // Kustomer#…
-        .unionAll(variant(expr(
-          "concat('Cust0mer', substring(c_name, 9))"), 2)) // Cust0mer#…
-      val edges = dirty
-        .join(cust, substring(col("dirty_name"), 12, 5) ===
-          substring(col("c_name"), 12, 5))
-        .withColumn("dist", levenshtein(col("dirty_name"), col("c_name")))
-        .filter(col("dist") <= 1)
-        .groupBy(col("d_ent"))
-        .agg(min_by(col("c_custkey"),
-          struct(col("dist"), col("c_custkey"))).as("mk"))
-        .select(col("d_ent").as("id_a"), (col("mk") * 10).as("id_b"))
-      graft.graph.ConnectedComponents.run(edges)
-        .groupBy(col("component"))
-        .agg(count(lit(1)).as("cluster_size"),
-          collect_list(col("node")).as("ns"))
-        .select(explode(col("ns")).as("entity_id"),
-          col("component").as("cluster_id"), col("cluster_size"))
-        .orderBy("entity_id")
-    }),
-    // er1's blocked fuzzy join with an EDIT-DISTANCE scorer instead of
-    // Jaro-Winkler: integer levenshtein ≤ 2 over the same 5-char
-    // blocking key, best match = min (distance, custkey) — all-integer
-    // scoring, so not even a rounding convention to align
-    "er2_edit_distance_match" -> ((s, d) => {
-      val cust = table(s, d, "customer")
-      val dirty = cust.filter(col("c_custkey") % 10 === 7)
-        .select(col("c_custkey").as("d_key"),
-          expr("""CASE CAST(c_custkey % 3 AS INT)
-            | WHEN 0 THEN concat(substring(c_name, 1, 16),
-            |   substring(c_name, 18, 1), substring(c_name, 17, 1))
-            | WHEN 1 THEN concat(substring(c_name, 1, 16),
-            |   substring(c_name, 18))
-            | ELSE concat(substring(c_name, 1, 17), 'X')
-            |END""".stripMargin).as("dirty_name"))
-      dirty
-        .join(cust,
-          substring(col("dirty_name"), 12, 5) ===
-            substring(col("c_name"), 12, 5))
-        .withColumn("dist", levenshtein(col("dirty_name"), col("c_name")))
-        .filter(col("dist") <= 2)
-        .groupBy(col("d_key"), col("dirty_name"))
-        .agg(min_by(
-          struct(col("c_custkey"), col("c_name"), col("dist")),
-          struct(col("dist"), col("c_custkey"))).as("m"))
-        .select(col("d_key"), col("dirty_name"),
-          col("m.c_custkey").as("matched_key"),
-          col("m.c_name").as("matched_name"),
-          col("m.dist").cast("long").as("edit_distance"))
-        .orderBy("d_key")
-    }),
-    // er1/er2's third blocking strategy: a PHONETIC key. The consonant
-    // skeleton (first char + vowels-stripped uppercase remainder, cut
-    // to 8) is INVARIANT under vowel-level typos — exactly the errors
-    // that slip through er1's positional substring block — so the
-    // perturbed row always lands in its clean name's block. Same
-    // bounded-candidate shape as er1/er2: skeletons partition the name
-    // space, graft_jaro_winkler scores codegen'd inside the join, best
-    // match is one min_by (no window over candidates). Perturbations
-    // are all vowel edits (o→a, drop e, i→u) via plain replace() so
-    // both engines regenerate the identical dirty set.
-    "er3_phonetic_match" -> ((s, d) => {
-      import graft.expr.JaroWinkler
-      def phon(c: org.apache.spark.sql.Column) = {
-        val u = upper(c)
-        substring(concat(substring(u, 1, 1),
-          regexp_replace(u.substr(lit(2), length(u)), "[AEIOU]", "")),
-          1, 8)
-      }
-      val parts = table(s, d, "part")
-      val dirty = parts.filter(col("p_partkey") % 10 === 3)
-        .select(col("p_partkey").as("d_key"),
-          expr("""CASE CAST(p_partkey % 3 AS INT)
-            | WHEN 0 THEN replace(p_name, 'o', 'a')
-            | WHEN 1 THEN replace(p_name, 'e', '')
-            | ELSE replace(p_name, 'i', 'u')
-            |END""".stripMargin).as("dirty_name"))
-      dirty
-        .join(parts, phon(col("dirty_name")) === phon(col("p_name")))
-        .withColumn("jw",
-          round(JaroWinkler.jw(col("dirty_name"), col("p_name")), 4))
-        .filter(col("jw") >= 0.85)
-        .groupBy(col("d_key"), col("dirty_name"))
-        .agg(min_by(
-          struct(col("p_partkey"), col("p_name"), col("jw")),
-          struct((-col("jw")).as("nj"), col("p_partkey"))).as("m"))
-        .select(col("d_key"), col("dirty_name"),
-          col("m.p_partkey").as("matched_key"),
-          col("m.p_name").as("matched_name"), col("m.jw").as("jw"))
-        .orderBy("d_key")
-    }),
-    // GOLDEN-RECORD construction — what er1-er3's matching is FOR:
-    // three record variants per seed entity (clean; vowel-typo name +
-    // missing phone; dotted phone + missing segment) resolve to their
-    // entity via the er1 block + codegen'd-JW best match, then
-    // field-wise SURVIVORSHIP merges each cluster: most-frequent
-    // non-null value, (count desc, value asc) tie-break — mode by
-    // min_by, no window. Scale: matching is block-bounded like er1;
-    // survivorship is two hash aggregates over the (entity, field,
-    // value) long form, cluster-sized, never corpus²
-    "er4_golden_record" -> ((s, d) => {
-      import graft.expr.JaroWinkler
-      val cust = table(s, d, "customer")
-      val seeds = cust.filter(col("c_custkey") % 10 === 7)
-      // the testdata customer has no phone column; synthesize one from
-      // integer columns so both engines regenerate identical strings
-      val phone = concat(lit("P-"),
-        (col("c_custkey") % 1000).cast("string"), lit("-"),
-        col("c_nationkey").cast("string"))
-      def rec(off: Int, name: org.apache.spark.sql.Column,
-          ph: org.apache.spark.sql.Column,
-          seg: org.apache.spark.sql.Column) =
-        seeds.select((col("c_custkey") * 4 + off).as("rec_id"),
-          name.as("name"), ph.as("phone"), seg.as("segment"))
-      val records =
-        rec(0, col("c_name"), phone, col("c_mktsegment"))
-          .unionByName(rec(1, regexp_replace(col("c_name"), "o", "a"),
-            lit(null).cast("string"), col("c_mktsegment")))
-          .unionByName(rec(2, col("c_name"),
-            regexp_replace(phone, "-", "."),
-            lit(null).cast("string")))
-      val entity = records
-        .join(cust.select(col("c_custkey"), col("c_name")),
-          substring(col("name"), 12, 5) === substring(col("c_name"), 12, 5))
-        .withColumn("jw",
-          round(JaroWinkler.jw(col("name"), col("c_name")), 4))
-        .filter(col("jw") >= 0.85)
-        .groupBy(col("rec_id"))
-        .agg(min_by(col("c_custkey"),
-          struct((-col("jw")).as("nj"), col("c_custkey"))).as("entity"))
-      val recsE = records.join(entity, "rec_id")
-      graft.er.Survivorship.goldenRecords(recsE, "entity",
-        Seq("name", "phone", "segment"))
-        .select(col("entity"), col("golden_name"), col("golden_phone"),
-          col("golden_segment"), col("n_records"), col("n_conflicts"))
-        .orderBy("entity")
-    }),
-    // per-group z-score tail detection from decimal-exact moments: ONE
-    // aggregate per event_type computes n / Σv / Σv² in DECIMAL (bit-
-    // reproducible regardless of partial-sum order — the ml2 Gram
-    // pattern), doubles enter only in the identical mean/std/z
-    // expressions both engines evaluate on those exact sums
-    "x40_zscore_outliers" -> ((s, d) => {
-      val v = col("value").cast("decimal(18,6)")
-      val stats = table(s, d, "events")
-        .filter(col("value").isNotNull)
-        .groupBy(col("event_type").as("s_type"))
-        .agg(count(lit(1)).as("n"), sum(v).as("sum_d"),
-          sum(v * v).as("sumsq_d"))
-        .withColumn("mean", col("sum_d").cast("double") / col("n"))
-        .withColumn("std", sqrt(
-          (col("sumsq_d").cast("double") -
-            col("sum_d").cast("double") * col("sum_d").cast("double") /
-              col("n")) / (col("n") - 1)))
-        .select(col("s_type"), col("mean"), col("std"))
-      table(s, d, "events")
-        .filter(col("value").isNotNull)
-        .join(broadcast(stats), col("event_type") === col("s_type"))
-        .withColumn("z",
-          round((col("value") - col("mean")) / col("std"), 4))
-        .filter(abs(col("z")) >= 1.5)
-        .select(col("event_id"), col("event_type"), col("value"),
-          col("z"))
-        .orderBy("event_id")
-    }),
-    // deterministic per-group mode: count per (user, type) reuses the
-    // group shuffle, then min_by((-cnt, type)) — max count with an
-    // alphabetic tie-break, partial-aggregatable, no window. Spark's
-    // builtin mode() is tie-nondeterministic; this one hash-matches a
-    // SQL oracle
-    "x30_mode_per_group" -> ((s, d) =>
-      table(s, d, "events")
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("user_id"))
-        .agg(min_by(
-          struct(col("event_type"), col("cnt")),
-          struct((-col("cnt")).as("nc"), col("event_type"))).as("m"))
-        .select(col("user_id"), col("m.event_type").as("mode_type"),
-          col("m.cnt").as("n_occurrences"))
-        .orderBy("user_id")),
-    // incremental aggregate maintenance: per-key partials from two
-    // ingest batches MERGE (sum-of-counts, sum-of-sums, min-of-mins,
-    // max-of-maxes) instead of recomputing over all data — the
-    // materialized-view refresh algebra. The oracle recomputes from
-    // scratch; equality IS the correctness claim. Decimal sums so the
-    // merge is order-exact
-    "x31_incremental_agg" -> ((s, d) => {
-      val ev = eventsTs(s, d)
-      val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
-      def partial(df: DataFrame) = df.groupBy(col("user_id"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(18,2)")).as("sv"),
-          min(col("ts")).as("mn"), max(col("ts")).as("mx"))
-      partial(ev.filter(col("ts") < cutoff))
-        .unionByName(partial(ev.filter(col("ts") >= cutoff)))
-        .groupBy(col("user_id"))
-        .agg(sum(col("cnt")).as("n_events"),
-          sum(col("sv")).cast("double").as("sum_value"),
-          min(col("mn")).as("first_ts"), max(col("mx")).as("last_ts"))
-        .orderBy("user_id")
-    }),
-    // time-series gap fill: per-station hourly spine (sequence over the
-    // station's own [min, max] hours — a per-key bounds aggregate plus
-    // a row-local explode, no cross-key data motion) left-joined to the
-    // observed hours, then last-observation-carried-forward via one
-    // keyed window. The resample/LOCF primitive every sensor pipeline
-    // needs; at 100 TB bound the spine (dormant keys explode it) and
-    // partition the write by time
-    "x29_gap_fill" -> ((s, d) => {
-      val g = gold(s, d)
-        .select(col("location_id"), col("datetime"), col("aqi"))
-      val bounds = g.groupBy(col("location_id"))
-        .agg(min(col("datetime")).as("mn"), max(col("datetime")).as("mx"))
-      val spine = bounds.select(col("location_id"),
-        explode(expr("sequence(mn, mx, interval 1 hour)")).as("datetime"))
-      val w = Window.partitionBy(col("location_id"))
-        .orderBy(col("datetime"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      spine.join(g, Seq("location_id", "datetime"), "left")
-        .withColumn("aqi_filled",
-          last(col("aqi"), ignoreNulls = true).over(w))
-        .withColumn("was_gap", col("aqi").isNull)
-        .select(col("location_id"), col("datetime"), col("aqi_filled"),
-          col("was_gap"))
-        .orderBy("location_id", "datetime")
-    }),
-    // Deequ-style declarative quality report: every row-local rule
-    // folds into ONE shared aggregate pass (conditional sums) and
-    // unpivots driver-free; the uniqueness constraint is its own
-    // count-distinct; the report is metadata-sized
-    "dq1_quality_rules" -> ((s, d) => {
-      import graft.quality.Checks
-      val ev = table(s, d, "events")
-      Checks.report(ev,
-        rules = Seq(
-          "value_non_negative" -> (col("value") >= 0),
-          "value_below_cap" -> (col("value") <= 400),
-          "event_type_known" ->
-            col("event_type").isin("view", "click", "purchase", "signup"),
-          "user_id_not_null" -> col("user_id").isNotNull),
-        uniqueKeys = Seq("unique_event_id" -> Seq("event_id")))
-        .orderBy("rule")
-    }),
-    // pipeline volume-anomaly gate (dq1's statistical sibling): daily
-    // ingest counts vs a 3×MAD band around their median — the ops
-    // check that catches a dead producer or a double-delivery day
-    // BEFORE downstream aggregates drift. Day grain is calendar-
-    // bounded (a few thousand rows at ANY SF), so the global median/
-    // MAD rank-pick windows (the x42 machinery, one group) are safe;
-    // the event-sized work is one partial-aggregatable daily count.
-    // All integer: counts, lower-median rank-picks, and the 3·MAD
-    // comparison — no rounding convention anywhere.
-    "dq2_volume_anomaly" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = eventsUs(s, d)
-        .groupBy(expr("us div 86400000000").as("day_num"))
-        .agg(count(lit(1)).as("n_events"))
-      def lowerMedian(df: DataFrame, c: String, tie: String,
-          out: String) = {
-        val w = Window.orderBy(col(c), col(tie))
-        df.withColumn("rn", row_number().over(w))
-          .withColumn("nd", count(lit(1)).over(
-            Window.partitionBy(lit(1))))
-          .filter(col("rn") === expr("(nd + 1) div 2"))
-          .select(col(c).as(out))
-      }
-      val med = lowerMedian(daily, "n_events", "day_num", "med")
-      val dev = daily.crossJoin(broadcast(med))
-        .withColumn("dev", abs(col("n_events") - col("med")))
-      val mad = lowerMedian(dev, "dev", "day_num", "mad")
-      dev.crossJoin(broadcast(mad))
-        .select(col("day_num"), col("n_events"), col("med"), col("mad"),
-          (col("dev") > lit(3) * col("mad")).as("is_anomaly"))
-        .orderBy("day_num")
-    }),
-    // referential-integrity gate (the third dq check): orphan foreign
-    // keys across the star schema's four FK edges. The child side
-    // reduces to (fk, count) partials at scan speed before the
-    // key-only anti join — child rows never ship — and each report
-    // row is metadata-sized. The pipeline gate that catches a
-    // truncated dimension load before every downstream join silently
-    // drops facts.
-    "dq3_referential_integrity" -> ((s, d) => {
-      import graft.quality.Checks
-      val li = table(s, d, "lineitem")
-      Checks.referentialIntegrity(Seq(
-        ("lineitem_orderkey", li, "l_orderkey",
-          table(s, d, "orders").select(col("o_orderkey"))),
-        ("lineitem_partkey", li, "l_partkey",
-          table(s, d, "part").select(col("p_partkey"))),
-        ("lineitem_suppkey", li, "l_suppkey",
-          table(s, d, "supplier").select(col("s_suppkey"))),
-        ("orders_custkey", table(s, d, "orders"), "o_custkey",
-          table(s, d, "customer").select(col("c_custkey")))))
-        .orderBy("rule")
-    }),
-    // freshness gate per event type (dq4, the fourth quality check):
-    // lag of each type's LATEST event vs the 2024-02-01 logical run
-    // instant against a 24.5 h SLO — the dead-producer alarm whose
-    // historical volume still looks normal. One (key → max, count)
-    // partial-aggregatable pass; explicit as-of keeps it replayable
-    "dq4_freshness" -> ((s, d) => {
-      import graft.quality.Checks
-      val ev = eventsUs(s, d)
-      Checks.freshness(ev, "event_type", col("us"),
-        asOfMicros = 1706745600000000L, maxLagSeconds = 88200L)
-        .orderBy("event_type")
-    }),
-    // column PROFILE (dq6, the sixth quality check — the ingest-time
-    // profiler next to the rule report): per column, rows / nulls /
-    // exact distincts / typed min-max lanes, ALL from one shared
-    // aggregate pass unpivoted driver-free into |columns| report rows
-    "dq6_column_profile" -> ((s, d) => {
-      val ev = eventsUs(s, d)
-        .select(col("user_id"), col("event_type"), col("value"),
-          col("us"))
-      graft.quality.Checks.profile(ev,
-        numericCols = Seq("user_id", "value", "us"),
-        stringCols = Seq("event_type"))
-        .orderBy("column")
-    }),
-    // POISSON-bootstrap CI (x73): distribution-free interval for the
-    // A/B conversion diff — per-(unit, replicate) Poisson(1) weights
-    // from precomputed integer CDF thresholds on the md5 hash (no
-    // transcendental at query time, bit-identical draws in both
-    // engines), B=32 one-aggregate replicates, rank-picked ~94%
-    // percentile interval
-    "x73_bootstrap_ci" -> ((s, d) =>
-      graft.analytics.Bootstrap.conversionDiffCi(eventsUs(s, d))),
-    // MARKOV removal-effect attribution (x72): user journeys as a
-    // first-order channel chain with absorbing CONV/NULL; credit =
-    // conversion drop when a channel is removed (Anderl et al.) —
-    // the data-driven alternative to x45/x61's positional heuristics.
-    // Integer fixed-point (the g1 discipline) on the metadata-sized
-    // transition matrix; the oracle unrolls identical iterations
-    "x72_markov_attribution" -> ((s, d) =>
-      graft.analytics.MarkovAttribution.removalEffects(
-        eventsUs(s, d), channels = Seq("view", "click", "signup",
-          "error"))),
-    // MANN-KENDALL trend test (x71): is the hourly series actually
-    // trending — exact integer S over the span-bounded dense series'
-    // pairs, tie-corrected variance, continuity-corrected z; x70
-    // shows the components, x71 tests the drift
-    "x71_mann_kendall" -> ((s, d) =>
-      graft.analytics.TrendTest.mannKendallHourly(eventsUs(s, d))),
-    // AUTOCORRELATION function (x76): r_k at lags 1..24 of the
-    // gap-filled hourly count series — the seasonality detector that
-    // justifies w1's lag choices. Integer-exact via the n²-multiplied
-    // estimator (no floating mean); span-bounded series, metadata
-    // lag join
-    "x76_acf" -> ((s, d) =>
-      graft.analytics.Autocorrelation.hourlyAcf(eventsUs(s, d))),
-    // HOUR-OF-DAY TRAFFIC BANDS (x91): p10/p50/p90 of the hourly
-    // event count per hour-of-day — x54's seasonal profile WITH the
-    // uncertainty band a monitor actually alarms against (p50 says
-    // what's typical; p10/p90 say what's still normal). Span-bounded
-    // gap-filled spine (zero-traffic hours count — a dead hour is
-    // data, not absence), integer rank-picks per 24-row group
-    // (rn·100 ≥ p·n, the x79 discipline), exact integers end to end
-    "x91_hourly_profile" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val counts = eventsUs(s, d)
-        .select(expr("us div 3600000000").as("h"))
-        .groupBy(col("h")).agg(count(lit(1)).as("y"))
-      val series = counts
-        .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
-        .select(explode(sequence(col("mn"), col("mx"))).as("h"))
-        .join(counts, Seq("h"), "left")
-        .na.fill(0L, Seq("y"))
-        .withColumn("hod", (col("h") % 24).cast("int"))
-      series
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("hod")).orderBy(col("y"), col("h"))))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy(col("hod"))))
-        .select(col("hod"), col("y"), col("rn"), col("n"),
-          explode(array(lit(10), lit(50), lit(90))).as("p"))
-        .filter(col("rn") * 100 >= col("p") * col("n"))
-        .groupBy(col("hod"), col("p"))
-        .agg(min(col("y")).as("v"))
-        .groupBy(col("hod"))
-        .agg(max(when(col("p") === 10, col("v"))).as("p10"),
-          max(when(col("p") === 50, col("v"))).as("p50"),
-          max(when(col("p") === 90, col("v"))).as("p90"))
-        .orderBy("hod")
-    }),
-    // CONTRIBUTION WATERFALL (x90): which nations drove the
-    // year-over-year revenue change — the segment-contribution bridge
-    // next to x84's price/volume decomposition: per nation, the
-    // 1997→1998 delta and its basis-point share of the TOTAL delta
-    // (shares sum to ~100% up to truncation; signs preserved — a
-    // shrinking nation contributes negative bp). One orders scan,
-    // customer shuffle join + broadcast nation, exact integer cents
-    // and integer-div shares throughout — no doubles at all
-    "x90_contribution_bridge" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      def yearCents(y: Int) =
-        sum(when(year(col("o_orderdate")) === y,
-          expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
-          .otherwise(0L))
-      table(s, d, "orders")
-        .filter(year(col("o_orderdate")).isin(1997, 1998))
-        .join(table(s, d, "customer")
-          .select(col("c_custkey"), col("c_nationkey")),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(table(s, d, "nation")),
-          col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(yearCents(1997).as("pre_cents"),
-          yearCents(1998).as("post_cents"))
-        .withColumn("delta_cents", col("post_cents") - col("pre_cents"))
-        .withColumn("total_delta",
-          sum(col("delta_cents")).over(Window.partitionBy()))
-        .select(col("n_name"), col("pre_cents"), col("post_cents"),
-          col("delta_cents"),
-          when(col("total_delta") =!= 0,
-            expr("(delta_cents * 10000) div total_delta"))
-            .as("share_bp"))
-        .orderBy("n_name")
-    }),
-    // DIFFERENCE-IN-DIFFERENCES uplift (x89): the quasi-experimental
-    // estimator completing the causal family (x68 z-test, x69 CUPED,
-    // x73 bootstrap) for when assignment was NOT randomized — promo
-    // vs non-promo parts, before vs after a cutover date: DiD =
-    // (T_post − T_pre) − (C_post − C_pre) on per-line mean revenue,
-    // differencing out both the group gap and the common time trend.
-    // One lineitem scan to 4 cells (group × period) with a broadcast
-    // part join; cell means are integer fixed-point (s·10⁴ div n, the
-    // x86 discipline) so the DiD itself is an EXACT integer
-    "x89_did_uplift" -> ((s, d) => {
-      val cells = table(s, d, "lineitem")
-        .join(broadcast(table(s, d, "part")
-          .select(col("p_partkey"), col("p_type"))),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy((col("p_type") === "PROMO").as("treated"),
-          (col("l_shipdate") >= lit("1999-01-01")).as("post"))
-        .agg(count(lit(1)).as("n_lines"),
-          sum(expr(
-            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
-            .as("cents"))
-        .withColumn("mean_u", expr("(cents * 10000) div n_lines"))
-      def cell(t: Boolean, p: Boolean) =
-        max(when(col("treated") === t && col("post") === p,
-          col("mean_u"))).as(s"${if (t) "t" else "c"}_${
-          if (p) "post" else "pre"}_mean_u")
-      cells
-        .agg(sum(col("n_lines")).as("n_lines"),
-          cell(t = true, p = false), cell(t = true, p = true),
-          cell(t = false, p = false), cell(t = false, p = true))
-        .withColumn("did_units",
-          (col("t_post_mean_u") - col("t_pre_mean_u")) -
-            (col("c_post_mean_u") - col("c_pre_mean_u")))
-        .withColumn("did_cents",
-          col("did_units").cast("double") / 1e4)
-    }),
-    // SEASONALITY-ADJUSTED OUTLIER DAYS (x88): days whose revenue
-    // deviates more than 3 MADs from their WEEKDAY median — the
-    // anomaly monitor that x40's global z-score and x42's global MAD
-    // get wrong on weekly-seasonal series (every Sunday would alarm).
-    // All statistics are integer RANK-PICKS on the span-bounded day
-    // grain (lower median at position (n+1) div 2, the x79
-    // discipline), deviations and the 3·MAD gate are EXACT integers —
-    // zero doubles anywhere in this query
-    "x88_seasonal_outliers" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = table(s, d, "orders")
-        .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
-          .as("y"))
-        .withColumn("dow", weekday(col("day")))
-        .localCheckpoint() // span-bounded; three window passes follow
-      def groupMedian(df: DataFrame, valCol: String, as: String) = df
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("dow")).orderBy(col(valCol),
-            col("day"))))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy(col("dow"))))
-        .filter(col("rn") === expr("(n + 1) div 2"))
-        .select(col("dow"), col(valCol).as(as))
-      val med = groupMedian(daily, "y", "med_cents")
-      val dev = daily.join(broadcast(med), Seq("dow"))
-        .withColumn("dev", abs(col("y") - col("med_cents")))
-      val mad = groupMedian(dev, "dev", "mad_cents")
-      dev.join(broadcast(mad), Seq("dow"))
-        .filter(col("dev") > col("mad_cents") * 3)
-        .select(col("day"), col("dow"), col("y").as("revenue_cents"),
-          col("med_cents"), col("mad_cents"),
-          col("dev").as("deviation_cents"))
-        .orderBy("day")
-    }),
-    // CROSS-CORRELATION lead-lag (x87): clicks-vs-purchases hourly
-    // cross-correlation at lags −12..12 — x76's two-series sibling, the
-    // does-A-lead-B detector behind lag-feature and attribution-window
-    // choices. Same span-bounded spine, exact integer sufficient
-    // statistics per lag, two IEEE sqrts + one rounded division;
-    // constant windows yield NULL
-    "x87_cross_correlation" -> ((s, d) =>
-      graft.analytics.Autocorrelation.hourlyCrossCorr(eventsUs(s, d))),
-    // THEIL–SEN slope (x77): the robust trend magnitude next to x71's
-    // significance — median pairwise slope of the same span-bounded
-    // hourly series; one double division per pair of exact operands,
-    // integer rank-pick median (lower middle on even counts)
-    "x77_theil_sen" -> ((s, d) =>
-      graft.analytics.TrendTest.theilSenHourly(eventsUs(s, d))),
-    // CONVERSION-LATENCY percentiles (x79): p25/p50/p75/p90 of the
-    // first-click → first-subsequent-purchase delay — the "how long
-    // does conversion take" readout behind x62's window choices. The
-    // corpus reduces to ONE user-grain aggregate (two chained
-    // min-aggregates, the x62 shape), latencies quantize to whole
-    // minutes (div, exact in both engines), and the percentiles are
-    // integer RANK-PICKS (cum·100 ≥ p·n) on the span-bounded
-    // (minutes → count) histogram — no user-grain sort, the ml12
-    // discipline. NULL-free: non-converters simply drop out.
-    "x79_conversion_latency" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = eventsUs(s, d)
-      val firstClick = ev.filter(col("event_type") === "click")
-        .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
-      val lat = ev.filter(col("event_type") === "purchase")
-        .join(firstClick, Seq("user_id"))
-        .filter(col("us") >= col("c_us"))
-        .groupBy(col("user_id"), col("c_us"))
-        .agg(min(col("us")).as("p_us"))
-        .select(expr("(p_us - c_us) div 60000000").as("minutes"))
-      val hist = lat.groupBy(col("minutes"))
-        .agg(count(lit(1)).as("c"))
-      val n = hist.agg(sum(col("c")).as("n"))
-      hist
-        .withColumn("cum", sum(col("c")).over(
-          Window.orderBy(col("minutes"))))
-        .crossJoin(broadcast(n))
-        .select(col("minutes"), col("cum"), col("n"),
-          explode(array(lit(25), lit(50), lit(75), lit(90))).as("p"))
-        .filter(col("cum") * 100 >= col("p") * col("n"))
-        .groupBy(col("p"))
-        .agg(min(col("minutes")).as("latency_minutes"))
-        .orderBy("p")
-    }),
-    // GINI COEFFICIENT of revenue concentration (x78): how unequal is
-    // spend across customers — the whale-dependence metric next to
-    // x50's revenue-share ladder and ds3's top-decile cut. Exact
-    // integer form on cent-quantized per-customer revenue sorted
-    // ascending: G = (2·Σ i·yᵢ − (n+1)·Σy) / (n·Σy) — within-tie rank
-    // order provably cancels (Σ i·y over a tie group is y·Σi), so the
-    // one customer-grain window is deterministic; Σ(i·y) accumulates
-    // in DECIMAL(38,0) for headroom. One corpus aggregate to customer
-    // grain, one bounded window, one rounded division.
-    "x78_gini" -> ((s, d) =>
-      graft.analytics.Concentration.gini(
-        table(s, d, "orders")
-          .groupBy(col("o_custkey"))
-          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
-            .as("y")),
-        "o_custkey", "y")
-        .withColumnsRenamed(Map("n_entities" -> "n_customers",
-          "total" -> "total_cents"))),
-    // ABC / PARETO CLASSIFICATION (x81): the inventory-management cut
-    // of x50's share ladder — parts ranked by revenue, class A = the
-    // head whose cumulative share stays within 80%, B within 95%, C
-    // the tail. One corpus scan to the part grain (dimension-bounded),
-    // one window over that bounded grain, 3-row output. The class
-    // boundary is a pure INTEGER test (cum·5 ≤ total·4, cum·20 ≤
-    // total·19) — no share doubles ever decide a class; int64 holds to
-    // ~$3.7e15 total revenue (SCALE.md)
-    "x81_abc_class" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val rev = table(s, d, "lineitem")
-        .groupBy(col("l_partkey"))
-        .agg(sum(expr(
-          "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
-          .as("cents"))
-      val byRev = Window.orderBy(desc("cents"), col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      rev
-        .withColumn("cum", sum(col("cents")).over(byRev))
-        .withColumn("total", sum(col("cents")).over(Window.partitionBy()))
-        .withColumn("abc_class",
-          when(col("cum") * 5 <= col("total") * 4, "A")
-            .when(col("cum") * 20 <= col("total") * 19, "B")
-            .otherwise("C"))
-        .groupBy(col("abc_class"))
-        .agg(count(lit(1)).as("n_parts"),
-          sum(col("cents")).as("class_cents"),
-          max(col("total")).as("total"))
-        .select(col("abc_class"), col("n_parts"), col("class_cents"),
-          round(col("class_cents").cast("double") /
-            col("total").cast("double"), 6).as("share"))
-        .orderBy("abc_class")
-    }),
-    // ONE-WAY ANOVA across day-of-week (x86): does weekday explain
-    // daily-revenue variance — the significance test behind x54's
-    // seasonal profile, next to x71's trend test. Corpus reduces to
-    // the span-bounded day grain (exact integer cents), then 7 weekday
-    // groups, then 1 row. Determinism is EXACT FIXED-POINT throughout
-    // — the naive computational form would round(double,6) at 1e20
-    // magnitudes, the measured x84 cross-engine trap. Instead group
-    // and grand means quantize to 1e-4-cent units by integer div
-    // (truncation parity established in x84; s·10⁴ holds in int64 to
-    // $9e12 per group — SCALE.md), deviation squares ride
-    // DECIMAL(17/19,0)² widths that both engines accept, and both
-    // sums-of-squares are exact DECIMAL(38,0) unit² sums, so partial
-    // order is irrelevant. Doubles appear only in the final /1e8
-    // unit conversion and the F ratio (small, round-safe). Weekday =
-    // Mon 0 (Spark weekday == DuckDB isodow−1)
-    "x86_anova_dow" -> ((s, d) => {
-      val daily = table(s, d, "orders")
-        .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
-          .as("y"))
-      val grp = daily
-        .groupBy(weekday(col("day")).as("dow"))
-        .agg(count(lit(1)).as("n_g"), sum(col("y")).as("s_g"))
-        .withColumn("mean_u", expr("(s_g * 10000) div n_g"))
-      val grand = grp
-        .agg(sum(col("n_g")).as("n"), sum(col("s_g")).as("s"),
-          count(lit(1)).as("k"))
-        .withColumn("m_u", expr("(s * 10000) div n"))
-      // one day-grain pass computes BOTH sums: each day contributes
-      // (y − mean_g)² to SSW and (mean_g − m)² to SSB — summing the
-      // group term per member day IS the n_g· multiply, without the
-      // decimal-width gymnastics a (38,0)×n_g product would need
-      def sq(c: org.apache.spark.sql.Column) =
-        c.cast("decimal(19,0)") * c.cast("decimal(19,0)")
-      val sums = daily
-        .withColumn("dow", weekday(col("day")))
-        .join(broadcast(grp.select(col("dow"), col("mean_u"))),
-          Seq("dow"))
-        .crossJoin(broadcast(grand.select(col("m_u"))))
-        .agg(sum(sq(col("y") * 10000 - col("mean_u"))).as("ssw_u2"),
-          sum(sq(col("mean_u") - col("m_u"))).as("ssb_u2"))
-      sums.crossJoin(broadcast(grand))
-        .select(col("n").as("n_days"), col("k").as("k_groups"),
-          (col("ssb_u2").cast("double") / 1e8).as("ssb_cents2"),
-          (col("ssw_u2").cast("double") / 1e8).as("ssw_cents2"))
-        .select(col("n_days"), col("k_groups"), col("ssb_cents2"),
-          col("ssw_cents2"),
-          round((col("ssb_cents2") / (col("k_groups") - 1)
-            .cast("double")) /
-            (col("ssw_cents2") / (col("n_days") - col("k_groups"))
-              .cast("double")), 6).as("f_stat"))
-    }),
-    // ROW-LEVEL QUARANTINE (dq8): the transformation half of the
-    // quality stack — failing rows routed out with the comma-joined
-    // violated-rule tags (dead-letter payload); NULL rule results
-    // violate, per the dq1 contract; scan-speed CASE arms, no shuffle
-    "dq8_quarantine" -> ((s, d) =>
-      graft.quality.Checks.quarantine(
-        table(s, d, "events")
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            col("value")),
-        Seq(
-          "value_le_450" -> (col("value") <= 450),
-          "value_ge_1" -> (col("value") >= 1),
-          "type_known" -> col("event_type").isin(
-            "view", "click", "purchase", "signup")))
-        .orderBy("event_id")),
-    // BENFORD first-digit test (dq9): the fraud / data-fabrication
-    // screen — first digits of natural multi-magnitude positive
-    // quantities follow P(d)=log10(1+1/d); the χ² against that law is
-    // the audit readout. One scan to the 9-row digit histogram; first
-    // digit via the decimal STRING of the integer cents (no float
-    // log10 boundary risk); expected shares are precomputed 6dp
-    // literals shared with the oracle; χ² terms are fixed trees
-    // rounded 6dp and DECIMAL-summed
-    "dq9_benford" -> ((s, d) =>
-      graft.quality.Benford.firstDigitTest(
-        table(s, d, "orders")
-          .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)")
-            .as("cents")),
-        "cents")
-        .orderBy("digit")),
-    // SEASONAL-TREND decomposition (x70): y = trend + seasonal +
-    // remainder on the gap-filled hourly value series — centered
-    // 25-h rolling-mean trend (NULL at edges), hour-of-day seasonal
-    // index, remainder for the anomaly gates. One corpus pass; all
-    // windows run on the span-bounded dense hour series
-    "x70_stl_decompose" -> ((s, d) =>
-      graft.analytics.Decompose.hourlyAdditive(eventsUs(s, d))),
-    // MULTI-SOURCE closeness centrality (g17): how central is each
-    // seed — one BFS for ALL hash-picked sources over (source, node)
-    // composite state (k sources = one traversal with kx state, the
-    // sampled-closeness shape exact all-pairs can't afford); exact
-    // integer counts, one rounded division
-    // HOP-DISTANCE DISTRIBUTION + effective diameter (g18): the same
-    // sampled-source BFS as g17, summarized per hop — n_pairs / cum /
-    // fraction, with the integer cum·10 ≥ 9·total test whose smallest
-    // true hop is the effective diameter. Hop-grained output (≤ cap
-    // rows) at any SF.
-    "g18_effective_diameter" -> ((s, d) => {
-      val pairs = table(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(table(s, d, "orders")
-          .select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("l_suppkey") * 2).as("src"),
-          (col("o_custkey") * 2 + 1).as("dst"))
-      val sources = table(s, d, "supplier")
-        .filter(col("s_suppkey") % 25 === 3)
-        .select((col("s_suppkey") * 2).as("node"))
-      graft.graph.Closeness.hopDistribution(pairs, sources)
-    }),
-    // DEGREE DISTRIBUTION summary + Hill tail exponent (g19): the
-    // graph-shape statistic that decides every downstream algorithm
-    // choice (skew-aware joins, degree-ordered triangle counting,
-    // hub sampling) — node/edge counts, degree extremes, and the MLE
-    // power-law alpha = 1 + n'/Σ ln(dᵢ/dmin) over the tail dᵢ ≥ dmin
-    // (Clauset-Shalizi-Newman form, dmin = 2 fixed). One edge-list
-    // aggregate to the degree grain; ln terms are 6dp-rounded
-    // decimal-summed doubles of exact integer ratios; alpha NULL when
-    // the tail is empty or all at dmin (no ε).
-    "g19_degree_stats" -> ((s, d) => {
-      val pairs = table(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(table(s, d, "orders")
-          .select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("l_suppkey") * 2).as("src"),
-          (col("o_custkey") * 2 + 1).as("dst"))
-      val sym = pairs.select(col("src"), col("dst"))
-        .unionAll(pairs.select(col("dst").as("src"),
-          col("src").as("dst")))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
-      deg.agg(
-          count(lit(1)).as("n_nodes"),
-          sum(col("dg")).as("sum_deg"),
-          min(col("dg")).as("min_deg"),
-          max(col("dg")).as("max_deg"),
-          sum(when(col("dg") >= 2, 1L).otherwise(0L)).as("n_tail"),
-          sum(when(col("dg") >= 2,
-            round(log(col("dg").cast("double") / lit(2.0)), 6)
-              .cast("decimal(38,6)"))).as("lnsum"))
-        .select(col("n_nodes"), expr("sum_deg div 2").as("n_edges"),
-          col("min_deg"), col("max_deg"), col("n_tail"),
-          when(col("lnsum") > 0, round(lit(1.0) +
-            col("n_tail").cast("double") /
-              col("lnsum").cast("double"), 6)).as("alpha"))
-    }),
-    "g17_closeness" -> ((s, d) => {
-      val pairs = table(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(table(s, d, "orders")
-          .select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("l_suppkey") * 2).as("src"),
-          (col("o_custkey") * 2 + 1).as("dst"))
-      val sources = table(s, d, "supplier")
-        .filter(col("s_suppkey") % 25 === 3)
-        .select((col("s_suppkey") * 2).as("node"))
-      graft.graph.Closeness.multiSource(pairs, sources)
-    }),
-    // MAXIMAL INDEPENDENT SET (g16): Luby-style with FIXED md5
-    // priorities — node joins when it is the priority local minimum
-    // among undecided neighbors, neighbors drop out, fixpoint. The
-    // symmetry-breaking primitive (conflict-free scheduling, exemplar
-    // picking); fixed priorities = the canonical greedy MIS, so the
-    // oracle unrolls the identical rounds
-    "g16_mis" -> ((s, d) => {
-      val pairs = table(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(table(s, d, "orders")
-          .select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("l_suppkey") * 2).as("src"),
-          (col("o_custkey") * 2 + 1).as("dst"))
-      graft.graph.Mis.run(pairs)
-    }),
-    // DETERMINISTIC random walks (g15): the node2vec/DeepWalk corpus
-    // generator at p=q=1 over the g1 bipartite graph — one 4-step
-    // walk per supplier node, each step a hash-picked neighbor
-    // (md5_48(walk|step|node) mod outdeg over the dst-ranked
-    // adjacency). RNG-free; the oracle replays identical choices
-    "g15_random_walks" -> ((s, d) => {
-      val pairs = table(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(table(s, d, "orders")
-          .select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("l_suppkey") * 2).as("s_node"),
-          (col("o_custkey") * 2 + 1).as("c_node"))
-        .distinct()
-      val edges = pairs
-        .select(col("s_node").as("src"), col("c_node").as("dst"))
-        .unionAll(pairs
-          .select(col("c_node").as("src"), col("s_node").as("dst")))
-      val starts = table(s, d, "supplier")
-        .select((col("s_suppkey") * 2).as("node"))
-      graft.graph.RandomWalks.run(edges, starts, steps = 4)
-    }),
-    // KAPLAN-MEIER churn survival (x67): per-user lifetime = days
-    // between first and last event, EVENT observed iff the user went
-    // quiet >= 7 days before the as-of instant (else right-censored —
-    // still active when observation ended). Corpus collapses to the
-    // day-granularity (duration -> events, censored) histogram in one
-    // pass; the KM windows run on that metadata-sized table
-    "x67_survival_km" -> ((s, d) => {
-      val asOf = 1706745600000000L // 2024-02-01 00:00:00 UTC µs
-      val gap = 604800000000L      // 7 days
-      val per = eventsUs(s, d).groupBy(col("user_id"))
-        .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
-        .select(expr("(last_us - first_us) div 86400000000").as("t"),
-          when(col("last_us") <= asOf - gap, 1).otherwise(0)
-            .as("observed"))
-      graft.analytics.Survival.kaplanMeier(per)
-    }),
-    // A/B TEST readout (x68): hash-assigned arms (48-bit md5 of the
-    // unit id — RNG-free, outcome-blind), per-arm conversion to
-    // 'purchase', pooled two-proportion z. ONE user-grain aggregate;
-    // the z formula is the same SQL fragment in both engines over the
-    // exact counts
-    "x68_ab_test" -> ((s, d) =>
-      graft.analytics.Experiment.abTest(eventsUs(s, d))),
-    // CUPED variance reduction (x69): pre/post-period per-user value
-    // sums as exact decimals, pooled theta = cov/var, per-arm raw vs
-    // adjusted post means + achieved variance-reduction ratio. ONE
-    // user-grain aggregate; scalar tail shared verbatim with the twin
-    "x69_cuped" -> ((s, d) =>
-      graft.analytics.Experiment.cuped(eventsUs(s, d),
-        cutoffMicros = 1705363200000000L)), // 2024-01-16 00:00 UTC
-    // FUNCTIONAL-DEPENDENCY / candidate-key profiler (dq7, the
-    // seventh quality check): does every LHS group determine one RHS
-    // value? One (lhs → distinct-rhs, count) aggregate per asserted
-    // dependency, metadata-sized report; event_id→user_id and
-    // doc_id→lang assert real keys, user_id→event_type and
-    // source→lang are the expected-fail discovery probes
-    "dq7_fd_check" -> ((s, d) => {
-      val ev = eventsUs(s, d)
-      val docs = table(s, d, "documents")
-      graft.quality.Checks.functionalDependencies(Seq(
-        ("doc_id_determines_lang", docs, Seq("doc_id"), "lang"),
-        ("event_id_determines_user", ev, Seq("event_id"), "user_id"),
-        ("source_determines_lang", docs, Seq("source"), "lang"),
-        ("user_determines_type", ev, Seq("user_id"), "event_type")))
-        .orderBy("rule")
-    }),
-    // RFM SEGMENTATION (the marketing-analytics classic, built the
-    // 100 TB way): each user's recency (days since last event),
-    // frequency (event count), monetary (Σvalue floored to whole
-    // units — documented quantization) quartile-coded, users counted
-    // per (r,f,m) cell. NO user-sized sort/ntile anywhere: quartile
-    // edges come from DOMAIN-BOUNDED (dim → count) histograms via the
-    // ml12 integer rank-pick (cum·4 ≥ i·N), and binning is the
-    // count-of-edges-below trick against three 3-row broadcasts —
-    // the corpus contributes one user-grain aggregate
-    "x64_rfm_segmentation" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val asOf = 1706745600000000L // 2024-02-01 00:00:00 UTC µs
-      val per = eventsUs(s, d)
-        .groupBy(col("user_id"))
-        .agg(max(col("us")).as("last_us"),
-          count(lit(1)).as("f"),
-          coalesce(sum(col("value").cast("decimal(18,2)")),
-            lit(0).cast("decimal(18,2)")).as("m_exact"))
-        .select(col("user_id"),
-          expr(s"($asOf - last_us) div 86400000000").as("r"),
-          col("f"), col("m_exact"),
-          floor(col("m_exact")).cast("long").as("m"))
-      def edges(dim: String) = {
-        val h = per.groupBy(col(dim).as("v"))
-          .agg(count(lit(1)).as("c"))
-        h.withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
-          .crossJoin(broadcast(h.agg(sum(col("c")).as("n"))))
-          .select(col("v"), col("cum"), col("n"),
-            explode(sequence(lit(1), lit(3))).as("i"))
-          .filter(col("cum") * 4 >= col("i") * col("n"))
-          .groupBy(col("i")).agg(min(col("v")).as("edge"))
-          .select(col("i").as(s"${dim}_i"), col("edge").as(s"${dim}_e"))
-      }
-      def bin(df: DataFrame, dim: String) = df
-        .join(broadcast(edges(dim)), col(dim) > col(s"${dim}_e"), "left")
-        .groupBy(df.columns.map(col): _*)
-        .agg((count(col(s"${dim}_i")) + 1).as(s"${dim}_bin"))
-      bin(bin(bin(per.drop("m_exact"), "r"), "f"), "m")
-        .groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
-        .agg(count(lit(1)).as("n_users"),
-          sum(col("m")).as("sum_m_units"))
-        .orderBy("r_bin", "f_bin", "m_bin")
-    }),
-    // CATEGORICAL drift gate (dq5 — ml12's categorical sibling, the
-    // fifth quality check): ref-vs-current event-type distribution
-    // compared by chi-square contribution per category. Both sides
-    // reduce to |categories|-row count tables at scan speed; expected
-    // counts and chi² terms are the same double expressions of exact
-    // integer operands in both engines, 6dp-rounded; a category
-    // absent from ref (expected 0) yields a NULL term, not an ε fudge
-    "dq5_categorical_drift" -> ((s, d) => {
-      import graft.quality.Checks
-      val ev = eventsUs(s, d)
-      val cutoff = 1705795200000000L // 2024-01-21 00:00:00 UTC µs
-      Checks.categoricalDrift(
-        ev.filter(col("us") < cutoff),
-        ev.filter(col("us") >= cutoff), "event_type")
-        .orderBy("event_type")
-    }),
-    // explicit GROUPING SETS with grouping_id — the third grouping
-    // construct next to rollup (x5) and cube (x12): only the requested
-    // combinations compute, one expand + one aggregate
-    "x28_grouping_sets" -> ((s, d) => {
-      PipelineQueries.silver(s, d)
-        .createOrReplaceTempView("graft_silver_gs")
-      // gid spelled as explicit grouping() arithmetic — the same
-      // expression the DuckDB twin uses (grouping_id() encodings are
-      // engine-specific)
-      s.sql(
-        """SELECT country, parameter,
-          |  CAST(grouping(country) * 2 + grouping(parameter) AS BIGINT)
-          |    AS gid,
-          |  count(*) AS n_records, round(avg(aqi), 4) AS avg_aqi
-          |FROM graft_silver_gs
-          |GROUP BY GROUPING SETS ((country), (parameter), ())
-          |ORDER BY gid, country, parameter""".stripMargin)
-    }),
-    // exact triangle count over the co-supplier graph (suppliers that
-    // share an order) via degree-ordered orientation — wedges generated
-    // only at each triangle's minimum-order vertex, O(|E|^1.5) total
-    "g2_triangle_count" -> ((s, d) => {
-      // high-quantity lines only: the unfiltered co-supplier graph is
-      // near-complete (every supplier pair shares SOME order), which
-      // says nothing and costs |V|³ — the interesting clustering lives
-      // in the sparse co-occurrence graph
-      val sl = table(s, d, "lineitem")
-        .filter(col("l_quantity") >= 45)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val edges = sl.alias("x")
-        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
-      graft.graph.Triangles.count(edges)
-    }),
-    // k-core of the sparse co-supplier graph (g2's edges): iterative
-    // degree peel with per-round lineage truncation; the dense
-    // collaboration core that survives every peel round
-    "g3_kcore" -> ((s, d) => {
-      val sl = table(s, d, "lineitem")
-        .filter(col("l_quantity") >= 45)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val edges = sl.alias("x")
-        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
-      graft.graph.KCore.run(edges, k = 2).orderBy("node")
-    }),
-    // market-basket association rules over co-ordered parts: support /
-    // confidence / lift from three integer-exact aggregates (order-item
-    // distinct pairs, item supports, order total); lift's double-cast
-    // operands multiply in the same order in both engines and the
-    // top-25 cut is TakeOrderedAndProject under (lift DESC, p1, p2)
-    "x41_association_rules" -> ((s, d) => {
-      val lp = table(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val n = lp.select(col("l_orderkey")).distinct()
-        .agg(count(lit(1)).as("n_orders"))
-      val item = lp.groupBy(col("l_partkey"))
-        .agg(count(lit(1)).as("n_item"))
-      val pairs = lp.alias("a")
-        .join(lp.alias("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .agg(count(lit(1)).as("n_both"))
-        .filter(col("n_both") >= 2)
-      pairs
-        .join(item.select(col("l_partkey").as("p1"),
-          col("n_item").as("n_p1")), "p1")
-        .join(item.select(col("l_partkey").as("p2"),
-          col("n_item").as("n_p2")), "p2")
-        .crossJoin(broadcast(n))
-        .withColumn("confidence",
-          col("n_both").cast("double") / col("n_p1").cast("double"))
-        .withColumn("lift",
-          col("n_both").cast("double") * col("n_orders").cast("double") /
-            (col("n_p1").cast("double") * col("n_p2").cast("double")))
-        .select(col("p1"), col("p2"), col("n_both"), col("n_p1"),
-          col("n_p2"), col("confidence"), col("lift"))
-        .orderBy(desc("lift"), col("p1"), col("p2")).limit(25)
-    }),
-    // robust per-group outlier detection via exact medians: lower
-    // median (rank (n+1) div 2 picks a stored double — no
-    // interpolation, the w8/w10 convention) of value, then of the
-    // absolute deviations (MAD); a row is an outlier when dev > 3·MAD.
-    // All comparisons are exact ops on identical stored doubles, so no
-    // rounding convention is needed anywhere. Each median is one
-    // per-group sort window; group count is small (event types)
-    "x42_mad_outliers" -> ((s, d) => {
-      val ev = table(s, d, "events")
-        .filter(col("value").isNotNull)
-        .select(col("event_id"), col("event_type"), col("value"))
-      def lowerMedian(df: DataFrame, c: String, out: String) = df
-        .withColumn("rn", row_number().over(Window
-          .partitionBy(col("event_type"))
-          .orderBy(col(c), col("event_id"))))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy(col("event_type"))))
-        .filter(col("rn") === expr("(n + 1) div 2"))
-        .select(col("event_type").as("m_type"), col(c).as(out))
-      val med = lowerMedian(ev, "value", "med")
-      val withDev = ev
-        .join(broadcast(med), col("event_type") === col("m_type"))
-        .drop("m_type")
-        .withColumn("dev", abs(col("value") - col("med")))
-      val mad = lowerMedian(withDev, "dev", "mad")
-      withDev
-        .join(broadcast(mad), col("event_type") === col("m_type"))
-        .filter(col("dev") > lit(3.0) * col("mad"))
-        .select(col("event_id"), col("event_type"), col("value"),
-          col("med"), col("mad"))
-        .orderBy("event_id")
-    }),
-    // 2-D Pareto frontier (skyline): cheapest-price / largest-size
-    // non-dominated part points. Scale shape: reduce to the distinct
-    // (price, size) grain, keep only each price's max size (anything
-    // else is dominated at the same price), THEN one global running-max
-    // window over ≤|distinct prices| rows — never a window over the
-    // data. The oracle is the independent NOT EXISTS dominance
-    // formulation, so the window rewrite itself is what's checked
-    "x44_skyline" -> ((s, d) => {
-      val pts = table(s, d, "part")
-        .groupBy(col("p_retailprice").as("price"),
-          col("p_size").as("size"))
-        .agg(count(lit(1)).as("n_parts"))
-      val perPrice = pts.groupBy(col("price"))
-        .agg(max_by(struct(col("size"), col("n_parts")),
-          col("size")).as("m"))
-        .select(col("price"), col("m.size").as("size"),
-          col("m.n_parts").as("n_parts"))
-      val w = Window.orderBy(col("price"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      perPrice
-        .withColumn("run_max", max(col("size")).over(w))
-        .filter(col("run_max").isNull || col("run_max") < col("size"))
-        .select(col("price"), col("size"), col("n_parts"))
-        .orderBy("price")
-    }),
-    // running distinct-user curve per event type: first-seen day from a
-    // (type, user) min-aggregate — NOT a first-occurrence window over
-    // every event — joined onto the daily event counts, cumulative sum
-    // over the per-type day series (≤ |days| rows per type). The
-    // classic "DAU vs cumulative uniques" growth query, windowless on
-    // the big table
-    "w11_running_distinct" -> ((s, d) => {
-      val ev = eventsTs(s, d)
-      val daily = ev
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("n_events"))
-      val firstSeen = ev
-        .groupBy(col("event_type"), col("user_id"))
-        .agg(min(col("ts")).as("first_ts"))
-        .groupBy(col("event_type"),
-          date_trunc("day", col("first_ts")).as("day"))
-        .agg(count(lit(1)).as("new_users"))
-      daily
-        .join(firstSeen, Seq("event_type", "day"), "left")
-        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
-        .withColumn("cum_distinct_users",
-          sum(col("new_users")).over(Window
-            .partitionBy(col("event_type")).orderBy(col("day"))
-            .rowsBetween(Window.unboundedPreceding, 0)))
-        .select(col("event_type"), col("day"), col("n_events"),
-          col("new_users"), col("cum_distinct_users"))
-        .orderBy(col("event_type"), col("day"))
-    }),
-    // single-source BFS hop distances (capped): frontier-expansion
-    // rounds touch only the frontier's edge boundary; source = the
-    // graph's minimum node id (one metadata-sized aggregate)
-    "g6_bfs_hops" -> ((s, d) => {
-      val sl = table(s, d, "lineitem")
-        .filter(col("l_quantity") >= 45)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val edges = sl.alias("x")
-        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
-        .localCheckpoint()
-      val source = edges.agg(min(least(col("src"), col("dst"))))
-        .first().getLong(0)
-      graft.graph.Bfs.bfsHops(edges, source, maxHops = 6).orderBy("node")
-    }),
-    // single-source weighted shortest paths: Bellman–Ford frontier
-    // relaxation over the co-supplier graph, edge weight 4−min(shared
-    // orders, 3) ∈ {1,2,3} (stronger ties are shorter); 6 rounds ≡ the
-    // oracle's hop-capped recursive min — a deterministic contract,
-    // not a convergence gamble (integer weights, exact both engines)
-    "g7_sssp" -> ((s, d) => {
-      val sl = table(s, d, "lineitem")
-        .filter(col("l_quantity") >= 45)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val edges = sl.alias("x")
-        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-        .groupBy(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
-        .agg(count(lit(1)).as("n_shared"))
-        .select(col("src"), col("dst"),
-          (lit(4L) - least(col("n_shared"), lit(3L))).as("w"))
-        .localCheckpoint()
-      val source = edges.agg(min(least(col("src"), col("dst"))))
-        .first().getLong(0)
-      graft.graph.ShortestPaths.sssp(edges, source, maxRounds = 6)
-        .orderBy("node")
-    }),
-    // link prediction by Adamic–Adar over the co-ordered-parts graph
-    // (the co-supplier graph is pure order-cliques at the smallest SF —
-    // zero non-adjacent 2-hop pairs): which parts never yet co-ordered
-    // are most likely to be? Hub centers above deg 50 are excluded
-    // (the wedge-fanout cap, part of the operator contract)
-    "g8_link_prediction" -> ((s, d) => {
-      val lp = table(s, d, "lineitem")
-        .filter(col("l_quantity") >= 45)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = lp.alias("x")
-        .join(lp.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-      graft.graph.LinkPrediction.adamicAdar(edges, topN = 25,
-        maxDegree = 50)
-    }),
-    // weighted median: first row where 2·cumweight ≥ total along a
-    // tie-free (price, orderkey, linenumber) total order — integer
-    // cumulative weights (TPC-H quantities are integral doubles, cast
-    // exact), so the pick is pure integer comparison in both engines;
-    // the w8 rank-pick convention generalized to weights
-    "x58_weighted_median" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val ord = Seq(col("l_extendedprice"), col("l_orderkey"),
-        col("l_linenumber"))
-      val cw = Window.partitionBy(col("l_returnflag"))
-        .orderBy(ord: _*)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val tw = Window.partitionBy(col("l_returnflag"))
-      table(s, d, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity").cast("long").as("qty"))
-        .withColumn("cumw", sum(col("qty")).over(cw))
-        .withColumn("tot", sum(col("qty")).over(tw))
-        .filter(lit(2L) * col("cumw") >= col("tot"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)))
-        .filter(col("rn") === 1)
-        .select(col("l_returnflag"), col("tot").as("total_weight"),
-          col("l_extendedprice").as("weighted_median_price"))
-        .orderBy("l_returnflag")
-    }),
-    // equi-DEPTH histogram (the quantile twin of x39's equi-width):
-    // ntile(8) over a tie-free total order IS the depth binning; per
-    // bin the depth, value span, and DECIMAL-exact mean. One window
-    // pass + one hash aggregate
-    "x53_equi_depth_histogram" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      table(s, d, "orders")
-        .withColumn("bin", ntile(8).over(
-          Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
-        .groupBy(col("bin"))
-        .agg(count(lit(1)).as("depth"),
-          min(col("o_totalprice")).as("lo"),
-          max(col("o_totalprice")).as("hi"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_d"))
-        .select(col("bin"), col("depth"), col("lo"), col("hi"),
-          (col("sum_d").cast("double") / col("depth")).as("mean_price"))
-        .orderBy("bin")
-    }),
-    // seasonal profile decomposition: the hour-of-day seasonal mean per
-    // station (DECIMAL-exact), then residual diagnostics per station —
-    // how much of the series the daily cycle explains. Two aggregates
-    // + one broadcastable profile join; residual math is identical
-    // double expressions over exact sums
-    "x54_seasonal_profile" -> ((s, d) => {
-      def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(24,6)")
-      val g = gold(s, d).filter(col("aqi").isNotNull)
-        .select(col("location_id"), col("datetime"), col("aqi"))
-        .withColumn("hod", hour(col("datetime")))
-      val profile = g.groupBy(col("location_id").as("p_loc"),
-          col("hod").as("p_hod"))
-        .agg(count(lit(1)).as("p_n"), sum(d6(col("aqi"))).as("p_sum"))
-        .withColumn("seasonal",
-          col("p_sum").cast("double") / col("p_n"))
-        .select(col("p_loc"), col("p_hod"), col("seasonal"))
-      g.join(profile, col("location_id") === col("p_loc") &&
-          col("hod") === col("p_hod"))
-        .withColumn("resid", col("aqi") - col("seasonal"))
-        .groupBy(col("location_id"))
-        .agg(count(lit(1)).as("n"),
-          sum(d6(col("resid") * col("resid"))).as("rss_d"),
-          sum(d6(col("aqi") * col("aqi"))).as("tss_raw_d"),
-          sum(d6(col("aqi"))).as("sum_d"))
-        .select(col("location_id"), col("n"),
-          sqrt(col("rss_d").cast("double") / col("n"))
-            .as("residual_rmse"),
-          // variance explained: 1 - RSS/TSS with TSS about the mean
-          (lit(1.0) - col("rss_d").cast("double") /
-            (col("tss_raw_d").cast("double") -
-              col("sum_d").cast("double") * col("sum_d").cast("double") /
-                col("n"))).as("seasonal_r2"))
-        .orderBy("location_id")
-    }),
-    // CUSUM changepoint detection: per-station cumulative sum of
-    // 6dp-rounded deviations from the station mean — the running sum
-    // is a DECIMAL window aggregate over a unique (datetime) order, so
-    // it is exact and order-stable; the changepoint is the row with
-    // the largest |cusum| (earliest timestamp on ties)
-    "x55_cusum_changepoint" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(24,6)")
-      val g = gold(s, d).filter(col("aqi").isNotNull)
-        .select(col("location_id"), col("datetime"), col("aqi"))
-      val stats = g.groupBy(col("location_id").as("s_loc"))
-        .agg(count(lit(1)).as("s_n"), sum(d6(col("aqi"))).as("s_sum"))
-        .withColumn("mean", col("s_sum").cast("double") / col("s_n"))
-        .select(col("s_loc"), col("mean"))
-      val cw = Window.partitionBy(col("location_id"))
-        .orderBy(col("datetime"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val rw = Window.partitionBy(col("location_id"))
-        .orderBy(abs(col("cusum")).desc, col("datetime"))
-      g.join(broadcast(stats), col("location_id") === col("s_loc"))
-        .withColumn("dev", d6(round(col("aqi") - col("mean"), 6)))
-        .withColumn("cusum", sum(col("dev")).over(cw))
-        .withColumn("rn", row_number().over(rw))
-        .filter(col("rn") === 1)
-        .select(col("location_id"),
-          col("datetime").as("changepoint_ts"),
-          col("cusum").cast("double").as("peak_cusum"))
-        .orderBy("location_id")
-    }),
-    // Pearson correlation from decimal-exact moments: builtin corr()
-    // is float-sum nondeterministic in BOTH engines, so the five
-    // sufficient statistics aggregate in DECIMAL (the x40/ml2 rule)
-    // and r = (nΣxy−ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) evaluates
-    // the identical double expression on those exact sums. Operand
-    // magnitudes (quantity ≤ 50, discount ≤ 0.1) keep every unscaled
-    // decimal far below 2^53 — the exact-conversion budget that sets
-    // which column pairs this form is valid for (see ml7's scale note)
-    "x51_pearson" -> ((s, d) => {
-      def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(24,6)")
-      val x = col("l_quantity")
-      val y = col("l_discount")
-      table(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          sum(d6(x)).as("sx"), sum(d6(y)).as("sy"),
-          sum(d6(x * x)).as("sxx"), sum(d6(y * y)).as("syy"),
-          sum(d6(x * y)).as("sxy"))
-        .select(col("l_returnflag"), col("n"),
-          ((col("n").cast("double") * col("sxy").cast("double") -
-            col("sx").cast("double") * col("sy").cast("double")) /
-            (sqrt(col("n").cast("double") * col("sxx").cast("double") -
-              col("sx").cast("double") * col("sx").cast("double")) *
-             sqrt(col("n").cast("double") * col("syy").cast("double") -
-              col("sy").cast("double") * col("sy").cast("double"))))
-            .as("pearson_r"))
-        .orderBy("l_returnflag")
-    }),
-    // degree assortativity of the co-supplier graph: Pearson over the
-    // (deg(u), deg(v)) pairs of every directed edge (both orientations
-    // — the standard undirected convention). Same decimal-moment
-    // correlation as x51; degrees are small integers so every sum
-    // stays in the exact-conversion budget
-    "g11_assortativity" -> ((s, d) => {
-      def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(24,6)")
-      val sl = table(s, d, "lineitem")
-        .filter(col("l_quantity") >= 45)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val pairs = sl.alias("x")
-        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
-        .distinct()
-      val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-      val deg = sym.groupBy(col("src").as("nd"))
-        .agg(count(lit(1)).as("deg"))
-      val x = col("du").cast("double")
-      val y = col("dv").cast("double")
-      val vx = col("n").cast("double") * col("sxx").cast("double") -
-        col("sx").cast("double") * col("sx").cast("double")
-      val vy = col("n").cast("double") * col("syy").cast("double") -
-        col("sy").cast("double") * col("sy").cast("double")
-      sym
-        .join(deg.select(col("nd").as("src"), col("deg").as("du")), "src")
-        .join(deg.select(col("nd").as("dst"), col("deg").as("dv")), "dst")
-        .agg(count(lit(1)).as("n"),
-          sum(d6(x)).as("sx"), sum(d6(y)).as("sy"),
-          sum(d6(x * x)).as("sxx"), sum(d6(y * y)).as("syy"),
-          sum(d6(x * y)).as("sxy"))
-        .select(col("n"),
-          // a degree-regular graph (sf0.001 is one 10-clique) has zero
-          // degree variance: assortativity is undefined → NULL, not 0/0
-          when(vx > 0 && vy > 0,
-            (col("n").cast("double") * col("sxy").cast("double") -
-              col("sx").cast("double") * col("sy").cast("double")) /
-              (sqrt(vx) * sqrt(vy)))
-            .as("assortativity"))
-    }),
-    // share-of-parent ratios (the ratio_to_report OLAP op): nation
-    // revenue as a share of its region and of the grand total — the
-    // two windows run over the 25-row nation aggregate, never the
-    // facts; every share divides the same exact DECIMAL-cast sums
-    "x50_revenue_share" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val rev = table(s, d, "orders")
-        .join(table(s, d, "customer"),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(table(s, d, "nation")),
-          col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(table(s, d, "region")),
-          col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_d"))
-      rev
-        .withColumn("region_d",
-          sum(col("rev_d")).over(Window.partitionBy(col("r_name"))))
-        .withColumn("total_d",
-          sum(col("rev_d")).over(Window.partitionBy()))
-        .select(col("r_name"), col("n_name"), col("n_orders"),
-          col("rev_d").cast("double").as("revenue"),
-          (col("rev_d").cast("double") / col("region_d").cast("double"))
-            .as("share_of_region"),
-          (col("rev_d").cast("double") / col("total_d").cast("double"))
-            .as("share_of_total"))
-        .orderBy("r_name", "n_name")
-    }),
-    // per-user maximum drawdown over the event-value series: running
-    // peak via a cumulative-max window, drawdown (peak−v)/peak per row
-    // — every quotient is a deterministic double of identical stored
-    // operands, so the per-user max needs no rounding convention
-    "w13_max_drawdown" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("us"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      eventsUs(s, d)
-        .filter(col("value").isNotNull)
-        .withColumn("peak", max(col("value")).over(w))
-        .withColumn("dd", (col("peak") - col("value")) / col("peak"))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          max(col("peak")).as("peak_value"),
-          max(col("dd")).as("max_drawdown"))
-        .orderBy("user_id")
-    }),
-    // per-node local clustering coefficient over the co-supplier
-    // graph: the same degree-ordered O(|E|^1.5) triangle enumeration
-    // as g2, each closed triangle crediting its three corners, then
-    // cc = 2T/(d(d−1)) as a ratio of identical integer operands
-    "g10_clustering_coeff" -> ((s, d) => {
-      val sl = table(s, d, "lineitem")
-        .filter(col("l_quantity") >= 45)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val edges = sl.alias("x")
-        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
-      graft.graph.Triangles.perNodeClustering(edges).orderBy("node")
-    }),
-    // time-weighted average value per user (TWAP): segment durations
-    // from consecutive event gaps (µs-integer lead, floored to whole
-    // seconds — sub-second segments carry no weight by contract),
-    // value·duration terms rounded then DECIMAL-summed, one division
-    // of the two exact aggregates at the end
-    "x49_twap" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("us"), col("event_id"))
-      eventsUs(s, d)
-        .filter(col("value").isNotNull)
-        .select(col("user_id"), col("us"), col("event_id"), col("value"))
-        .withColumn("next_us", lead(col("us"), 1).over(w))
-        .filter(col("next_us").isNotNull)
-        .withColumn("dur_s", expr("(next_us - us) div 1000000"))
-        .filter(col("dur_s") >= 1)
-        .withColumn("term",
-          round(col("value") * col("dur_s").cast("double"), 6)
-            .cast("decimal(28,6)"))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_segments"),
-          sum(col("dur_s")).as("total_s"),
-          sum(col("term")).as("num_d"))
-        .select(col("user_id"), col("n_segments"), col("total_s"),
-          (col("num_d").cast("double") / col("total_s").cast("double"))
-            .as("twap"))
-        .orderBy("user_id")
-    }),
-    // k-truss backbone (k=4: every edge in ≥2 triangles) of the
-    // co-supplier graph — the edge-grained cousin of g3's k-core;
-    // per-round support comes from the same degree-ordered triangle
-    // enumeration as g2/g10 (each triangle credits its three edges),
-    // peel runs to the fixpoint, oracle unrolls 4 rounds (extras no-op)
-    "g12_ktruss" -> ((s, d) => {
-      val sl = table(s, d, "lineitem")
-        .filter(col("l_quantity") >= 45)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val edges = sl.alias("x")
-        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
-      graft.graph.KTruss.run(edges, k = 4).orderBy("a", "b")
-    }),
-    // modularity of the g4 label-propagation communities — the quality
-    // score that says whether a partition is BETTER than random, per
-    // community and graph-wide (the ROLLUP total row carries Q). All
-    // integer algebra (q_num = 4m·in_c − deg_c²) on top of the same
-    // 5-round deterministic LPA both engines unroll; see
-    // graph/Modularity.scala for the scale shape
-    "g13_modularity" -> ((s, d) => {
-      val sl = table(s, d, "lineitem")
-        .filter(col("l_quantity") >= 50)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val edges = sl.alias("x")
-        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
-      val labels = graft.graph.LabelPropagation.run(edges, rounds = 5)
-      graft.graph.Modularity.run(edges, labels).orderBy("community")
-    }),
-    // HITS hubs & authorities over the directed customer→supplier
-    // purchase graph: 3 synchronous rounds, max-normalized (not L2 —
-    // the per-round reduction stays a plain max, no sqrt of a float
-    // sum), scores 6dp-rounded then DECIMAL-summed so rounds reproduce
-    // bit-identically; oracle unrolls the same rounds as CTEs
-    "g9_hits" -> ((s, d) => {
-      val e = table(s, d, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(table(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
-      graft.graph.Hits.run(e, rounds = 3).orderBy("role", "node")
-    }),
-    // multi-touch linear attribution: each purchase's value splits
-    // equally across the user's clicks in the preceding 7 days, credit
-    // aggregated per user. The touch match is a user-keyed equi-join
-    // with a µs-integer range predicate (the as-of join shape, exact
-    // in both engines); v/n is a double/bigint division of identical
-    // operands, rounded then DECIMAL-summed
-    "x45_linear_attribution" -> ((s, d) => {
-      val ev = eventsUs(s, d)
-      val purch = ev.filter(col("event_type") === "purchase" &&
-          col("value").isNotNull)
-        .select(col("user_id"), col("event_id").as("p_id"),
-          col("us").as("p_us"), col("value"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("us").as("c_us"))
-      val win = 7L * 86400L * 1000000L
-      val credited = purch.join(clicks, Seq("user_id"))
-        .filter(col("c_us") <= col("p_us") &&
-          col("p_us") - col("c_us") <= win)
-        .groupBy(col("user_id"), col("p_id"), col("value"))
-        .agg(count(lit(1)).as("n_touches"))
-        .withColumn("credit",
-          round(col("value") / col("n_touches"), 6)
-            .cast("decimal(18,6)"))
-      credited.groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_attributed_purchases"),
-          sum(col("n_touches")).as("n_touches"),
-          sum(col("credit")).cast("double").as("attributed_value"))
-        .orderBy("user_id")
-    }),
-    // TIME-DECAY attribution (x45's second model): each qualifying
-    // click earns weight 2^(6 − age_days) — a pure integer shift
-    // (64 >> age), the w12 power-of-two trick, so shares are int/int
-    // quotients of exact sums. Output is the decay curve itself:
-    // credited purchase value by click age, the report that shows
-    // whether conversions ride fresh or stale touches. Same bounded
-    // join as x45 (user-keyed, 7-day window caps fan-out); the
-    // per-purchase normalizer is a whole-partition window over each
-    // purchase's own touches, never the corpus
-    "x61_time_decay_attribution" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = eventsUs(s, d)
-      val purch = ev.filter(col("event_type") === "purchase" &&
-          col("value").isNotNull)
-        .select(col("user_id"), col("event_id").as("p_id"),
-          col("us").as("p_us"), col("value"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("us").as("c_us"))
-      val win = 7L * 86400L * 1000000L
-      val touches = purch.join(clicks, Seq("user_id"))
-        .filter(col("c_us") <= col("p_us") &&
-          col("p_us") - col("c_us") <= win)
-        .withColumn("age_d", expr("(p_us - c_us) div 86400000000"))
-        .withColumn("w",
-          expr("shiftright(CAST(64 AS BIGINT), CAST(age_d AS INT))"))
-      val credited = touches
-        .withColumn("sum_w",
-          sum(col("w")).over(Window.partitionBy(col("p_id"))))
-        .withColumn("credit",
-          round(col("value") * col("w") / col("sum_w"), 6)
-            .cast("decimal(18,6)"))
-      credited.groupBy(col("age_d"))
-        .agg(count(lit(1)).as("n_touches"),
-          sum(col("credit")).cast("double").as("credited_value"))
-        .orderBy("age_d")
-    }),
-    // web-scale connected components: alternating large-star/small-star
-    // contraction (O(log n) rounds vs label propagation's diameter
-    // rounds) — same (node, min-reachable) contract as d5, checked
-    // against the same recursive-CTE oracle
-    "g5_cc_stars" -> ((s, d) => {
-      val sl = table(s, d, "lineitem")
-        .filter(col("l_quantity") >= 45)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val edges = sl.alias("x")
-        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("id_a"), col("y.l_suppkey").as("id_b"))
-      graft.graph.ConnectedComponents.runStars(edges).orderBy("node")
-    }),
-    // community detection by synchronous label propagation (self-vote +
-    // min tie-break = a pure deterministic function of the previous
-    // round, so exactly 5 rounds reproduce identically in both engines)
-    // COMMUNITY CONDUCTANCE (g21): cut/vol per g4 community — the
-    // per-community quality score next to g13's whole-partition
-    // modularity (what an application actually prunes on); exact
-    // integers, vol = 2·internal + cut so no degree table
-    "g21_conductance" -> ((s, d) => {
-      val sl = table(s, d, "lineitem")
-        .filter(col("l_quantity") >= 49)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val edges = sl.alias("x")
-        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
-      graft.graph.LabelPropagation.conductance(edges, rounds = 5)
-    }),
-    "g4_label_propagation" -> ((s, d) => {
-      val sl = table(s, d, "lineitem")
-        .filter(col("l_quantity") >= 45)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val edges = sl.alias("x")
-        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
-      graft.graph.LabelPropagation.run(edges, rounds = 5).orderBy("node")
-    }),
-    // distributed contiguous id assignment: range-partition + parallel
-    // per-partition ranks + broadcast offsets — never a single-partition
-    // row_number over the data (graft.etl.Ids)
-    "x18_global_ids" -> ((s, d) =>
-      graft.etl.Ids.withOrderedIds(
-        table(s, d, "documents"), orderCol = "doc_id")
-        .select(col("doc_id"), col("assigned_id"), col("lang"),
-          col("source"))
-        .orderBy("doc_id")),
-    // CDC upsert (MERGE): base window collapses to a per-user snapshot,
-    // then the post-cutoff changelog upserts into it — both steps are the
-    // same max_by collapse (graft.etl.Cdc), no window over the data
-    "x15_cdc_upsert" -> ((s, d) => {
-      import graft.etl.Cdc
-      val ev = eventsTs(s, d)
-      val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
-      val cols = (Seq("user_id"), Seq("event_type", "value"),
-        Seq("ts", "event_id"))
-      val snapshot = Cdc.compactLatest(ev.filter(col("ts") < cutoff),
-        cols._1, cols._2, cols._3)
-      Cdc.upsertLatest(snapshot, ev.filter(col("ts") >= cutoff),
-        cols._1, cols._2, cols._3)
-        .select(col("user_id"), col("event_type").as("last_type"),
-          col("value").as("last_value"), col("ts").as("last_ts"),
-          col("event_id").as("last_event_id"),
-          (col("ts") >= cutoff).as("was_updated"))
-        .orderBy("user_id")
-    }),
-    // MERGE with DELETE semantics: 'error' events are tombstones — the
-    // snapshot is the live pre-cutoff state, the changelog both upserts
-    // and deletes; a key whose latest op is a tombstone disappears, a
-    // later upsert re-inserts it. Same single max_by collapse as x15,
-    // the tombstone applies as a |keys|-sized post-filter
-    "x27_merge_tombstones" -> ((s, d) => {
-      import graft.etl.Cdc
-      val ev = eventsTs(s, d)
-      val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
-      val cols = (Seq("user_id"), Seq("event_type", "value"),
-        Seq("ts", "event_id"))
-      val isDelete = col("event_type") === "error"
-      // live pre-cutoff state: tombstoned keys already removed
-      val snapshot = Cdc.mergeWithTombstones(
-        ev.limit(0), ev.filter(col("ts") < cutoff),
-        cols._1, cols._2, cols._3, isDelete)
-      Cdc.mergeWithTombstones(snapshot, ev.filter(col("ts") >= cutoff),
-        cols._1, cols._2, cols._3, isDelete)
-        .select(col("user_id"), col("event_type").as("last_type"),
-          col("value").as("last_value"), col("ts").as("last_ts"),
-          col("event_id").as("last_event_id"))
-        .orderBy("user_id")
-    }),
-    // per-user event-sequence bigrams (Markov transition counts — the
-    // sequence-model / user-journey prep): one window lag ordered by
-    // (ts, event_id) inside each user partition, then a metadata-sized
-    // aggregate; transition probabilities are integer basis points over
-    // the aggregated (|types|² row) table, never over the data
-    "x26_event_transitions" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val counts = table(s, d, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type"))
-        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-        .filter(col("prev_type").isNotNull)
-        .groupBy(col("prev_type"), col("event_type").as("next_type"))
-        .agg(count(lit(1)).as("n_transitions"))
-      counts
-        .withColumn("prob_bps",
-          expr("(n_transitions * 10000) div " +
-            "nullif(sum(n_transitions) over " +
-            "(partition by prev_type), 0)"))
-        .orderBy("prev_type", "next_type")
-    }),
-    // first-touch funnel (view → click → purchase) through the shared
-    // ONE-PASS path (analytics.Funnel.firstTouchFlags): a single events
-    // scan, one conditional min per stage in one user-keyed aggregate,
-    // stage flags row-local; conversion ratios are exact integer basis
-    // points (a 4-dp float pct can land on a rounding tie). The plan
-    // shape (1 scan, 2 exchanges) is pinned in PlanShapeSpec
-    "x23_funnel" -> ((s, d) => {
-      val perUser = graft.analytics.Funnel.firstTouchFlags(
-        eventsTs(s, d), "event_type", "user_id", "ts",
-        Seq("view", "click", "purchase"))
-      perUser.agg(
-        count(lit(1)).as("n_users"),
-        sum(when(col("s_1"), 1L).otherwise(0L)).as("n_view"),
-        sum(when(col("s_2"), 1L).otherwise(0L)).as("n_click_after_view"),
-        sum(when(col("s_3"), 1L).otherwise(0L))
-          .as("n_purchase_after_click"))
-        .select(col("n_users"), col("n_view"), col("n_click_after_view"),
-          col("n_purchase_after_click"),
-          expr("(n_view * 10000) div nullif(n_users, 0)").as("view_bps"),
-          expr("(n_click_after_view * 10000) div nullif(n_users, 0)")
-            .as("click_bps"),
-          expr("(n_purchase_after_click * 10000) div nullif(n_users, 0)")
-            .as("purchase_bps"))
-    }),
-    // TIME-BOUNDED funnel (x23's realistic sibling — real conversion
-    // windows expire): first view, then first click within 7 days OF
-    // THAT VIEW, then first purchase within 7 days OF THAT CLICK. The
-    // stage dependency is inherently sequential, so it runs as three
-    // user-keyed min-aggregates chained by equi-joins (each stage's
-    // table is ≤|users| rows) — µs-integer window predicates, exact in
-    // both engines, and basis-point conversion ratios per stage
-    "x62_windowed_funnel" -> ((s, d) => {
-      import graft.analytics.Funnel
-      val ev = eventsUs(s, d)
-        .select(col("user_id"), col("event_type"), col("us"))
-      val st = Funnel.windowedStageTimes(ev, "event_type", "user_id",
-        "us", Seq("view", "click", "purchase"), 7L * 86400L * 1000000L)
-      ev.agg(countDistinct(col("user_id")).as("n_users"))
-        .crossJoin(broadcast(st.agg(
-          count(col("t_1")).as("n_view"),
-          count(col("t_2")).as("n_click_7d"),
-          count(col("t_3")).as("n_purchase_7d"))))
-        .select(col("n_users"), col("n_view"), col("n_click_7d"),
-          col("n_purchase_7d"),
-          expr("(n_view * 10000) div nullif(n_users, 0)").as("view_bps"),
-          expr("(n_click_7d * 10000) div nullif(n_view, 0)")
-            .as("click_bps"),
-          expr("(n_purchase_7d * 10000) div nullif(n_click_7d, 0)")
-            .as("purchase_bps"))
-    }),
-    // weekly cohort retention: cohort = signup week, activity = any
-    // event's week; one distinct + one join keyed by user + one
-    // metadata-sized aggregate — the standard growth-analytics matrix
-    "x24_cohort_retention" -> ((s, d) => {
-      val ev = eventsTs(s, d)
-      val signup = ev.filter(col("event_type") === "signup")
-        .groupBy(col("user_id"))
-        .agg(date_trunc("week", min(col("ts"))).cast("date")
-          .as("cohort_week"))
-      val activity = ev
-        .select(col("user_id"),
-          date_trunc("week", col("ts")).cast("date").as("act_week"))
-        .distinct()
-      signup.join(activity, "user_id")
-        .filter(col("act_week") >= col("cohort_week"))
-        .select(col("user_id"), col("cohort_week"),
-          expr("datediff(act_week, cohort_week) div 7").cast("int")
-            .as("week_offset"))
-        .groupBy(col("cohort_week"), col("week_offset"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
-        .orderBy("cohort_week", "week_offset")
-    }),
-    // exact top-3 events per user via the typed TopK Aggregator —
-    // bounded per-group state with map-side partials (only |groups|·k
-    // rows shuffle), vs a window that sorts every row of every group
-    // count-min sketch heavy hitters: the FIXED-state frequency sketch
-    // next to a3's HLL (distinct) — estimates are deterministic integer
-    // sums (partition-order-free), always >= the exact count, and
-    // rows-only here (DuckDB has no CMS; error bound + merge identity
-    // are asserted in CountMinSpec). The sketch build is the distributed
-    // cost; the two driver-side reads are metadata-sized by construction
-    // (the 4x256 sketch row, the |event_types| exact-count table).
-    "cms1_heavy_hitters" -> ((s, d) => {
-      import s.implicits._
-      import graft.agg.CountMin
-      val (dRows, wCols) = (4, 256)
-      val hashed = table(s, d, "events")
-        .select(xxhash64(col("event_type")).as("h")).as[Long]
-      val sketch = hashed
-        .select(new CountMin(dRows, wCols).toColumn.name("sk")).head()
-      val exact = table(s, d, "events")
-        .groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
-        .withColumn("h", xxhash64(col("event_type")))
-        .collect()
-      exact
-        .map { r =>
-          (r.getString(0), r.getAs[Long]("exact_n"),
-            CountMin.estimate(sketch, r.getAs[Long]("h"), dRows, wCols))
-        }
-        .sortBy(_._1).toSeq
-        .toDF("event_type", "exact_n", "cms_estimate")
-    }),
-    // library-level Bloom semi-join pruning: ONE partial-agg pass
-    // builds a 16 Kbit filter over the urgent orders' keys (state
-    // merges by OR on any partitioning), then every lineitem row is
-    // probed INSIDE the scan's codegen span by the native
-    // BloomMightContain expression — the filter rides along as an
-    // array<bigint> literal, the broadcast shape. Scored against the
-    // exact match flag: bloom_pass ≥ exact always (no false
-    // negatives), the gap is the measured fp cost. Rows-only like
-    // cms1 (xxhash64 state is irreproducible in DuckDB); the
-    // no-false-negative and fp-bound claims are BloomSpec's
-    "bf1_bloom_prune" -> ((s, d) => {
-      import s.implicits._
-      import graft.agg.BloomFilter
-      val numHashes = 5
-      val urgent = table(s, d, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT")
-      val bloom = urgent
-        .select(xxhash64(col("o_orderkey")).as("h")).as[Long]
-        .select(new BloomFilter(1 << 14, numHashes).toColumn.name("bf"))
-        .head()
-      table(s, d, "lineitem")
-        .withColumn("bloom_pass",
-          graft.expr.BloomExprs.bloomMightContain(
-            xxhash64(col("l_orderkey")), typedLit(bloom),
-            lit(numHashes)))
-        .join(urgent.select(col("o_orderkey"), lit(1L).as("is_urgent")),
-          col("l_orderkey") === col("o_orderkey"), "left")
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("bloom_pass").cast("long")).as("n_bloom_pass"),
-          sum(coalesce(col("is_urgent"), lit(0L))).as("n_exact"))
-        .orderBy("l_returnflag")
-    }),
-    "x22_topk_per_group" -> ((s, d) => {
-      import s.implicits._
-      import graft.agg.{TopItem, TopK}
-      val items = table(s, d, "events")
-        .filter(col("value").isNotNull)
-        .select(col("user_id"), col("value"), col("event_id"))
-        .as[(Long, Double, Long)]
-      items.groupByKey(_._1)
-        .mapValues { case (_, v, id) => TopItem(v, id) }
-        .agg(new TopK(3).toColumn.name("top"))
-        .toDF("user_id", "top")
-        .select(col("user_id"), posexplode(col("top")))
-        .select(col("user_id"), (col("pos") + 1).cast("int").as("rnk"),
-          col("col.value").as("value"), col("col.id").as("event_id"))
-        .orderBy("user_id", "rnk")
-    }),
-    // hash-bottom-k QUANTILE SKETCH (KMV sampling), completing the
-    // sketch family next to bf1 (membership) and cms1 (frequency):
-    // keep each group's 64 rows with the smallest 48-bit md5(event_id)
-    // prefix. Min-of-hashes is commutative/associative, so unlike
-    // GK/t-digest state the sample — and therefore the estimate — is
-    // merge-order independent: reproducible across partitionings AND
-    // rebuildable by a SQL oracle. The kept set rides the x22 TopK
-    // aggregator (bounded 64-item state per group, map-side combine —
-    // only |groups|·64 ids move), values come back via a sample-sized
-    // broadcast join, and each quantile is a rank-pick of a stored
-    // double inside the sample (no interpolation — the w8/w10
-    // convention). Accuracy is the KMV bound (~1/√k quantile units),
-    // pinned in SketchQuantileSpec; exactness of the sample is pinned
-    // by the oracle.
-    "qs1_quantile_sketch" -> ((s, d) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      import graft.agg.{TopItem, TopK}
-      val ev = table(s, d, "events").filter(col("value").isNotNull)
-      val hashed = ev.select(col("event_type"),
-          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), " +
-            "1, 12), 16, 10) AS BIGINT)").as("h"),
-          col("event_id"))
-        .as[(String, Long, Long)]
-      val sample = hashed.groupByKey(_._1)
-        .mapValues { case (_, h, id) => TopItem(-h.toDouble, id) }
-        .agg(new TopK(64).toColumn.name("keep"))
-        .toDF("s_type", "keep")
-        .select(col("s_type"), explode(col("keep")).as("item"))
-        .select(col("item.id").as("s_id"))
-      val samp = ev
-        .select(col("event_type"), col("event_id"), col("value"))
-        .join(broadcast(sample), col("event_id") === col("s_id"))
-      val byType = Window.partitionBy(col("event_type"))
-      val ranked = samp
-        .withColumn("rn",
-          row_number().over(byType.orderBy(col("value"), col("event_id"))))
-        .withColumn("ns", count(lit(1)).over(byType))
-      def pick(bp: Int) = max(when(
-        col("rn") === expr(s"greatest(1, (ns * $bp + 9999) div 10000)"),
-        col("value")))
-      ranked.groupBy(col("event_type"))
-        .agg(max(col("ns")).as("n_sample"),
-          pick(2500).as("q25"), pick(5000).as("q50"),
-          pick(7500).as("q75"), pick(9000).as("q90"))
-        .orderBy("event_type")
-    }),
-    // snapshot diff → changelog: the INVERSE of the x15 CDC apply —
-    // derive insert/update/delete/unchanged rows from two immutable
-    // per-key snapshots (how a plain-parquet lake emits a CDC feed).
-    // One full-outer hash join on the key; payload compare is row-local
-    // and null-safe (<=>); each snapshot is the x15 max_by collapse
-    "x21_snapshot_diff" -> ((s, d) => {
-      import graft.etl.Cdc
-      val ev = eventsTs(s, d)
-      def snap(lo: String, hi: String) = Cdc.compactLatest(
-        ev.filter(col("ts") >= lit(lo).cast("timestamp") &&
-          col("ts") < lit(hi).cast("timestamp")),
-        Seq("user_id"), Seq("event_type", "value"), Seq("ts", "event_id"))
-      val a = snap("2024-01-01 00:00:00", "2024-01-12 00:00:00")
-        .select(col("user_id"), col("event_type").as("old_type"),
-          col("value").as("old_value"))
-      val b = snap("2024-01-08 00:00:00", "2024-01-20 00:00:00")
-        .select(col("user_id").as("uid_b"),
-          col("event_type").as("new_type"), col("value").as("new_value"))
-      a.join(b, col("user_id") === col("uid_b"), "full_outer")
-        .select(
-          coalesce(col("user_id"), col("uid_b")).as("user_id"),
-          when(col("user_id").isNull, "insert")
-            .when(col("uid_b").isNull, "delete")
-            .when(col("old_type") <=> col("new_type") &&
-              col("old_value") <=> col("new_value"), "unchanged")
-            .otherwise("update").as("change_type"),
-          col("old_type"), col("old_value"), col("new_type"),
-          col("new_value"))
-        .orderBy("user_id")
-    }),
-    // the remaining ANSI window-function suite (ntile / percent_rank /
-    // cume_dist / first_value / running max) over per-customer order
-    // histories — one shuffle shared by all five functions (same window
-    // spec), partitions are customer-sized so parallelism scales with
-    // key count, not data size. Ratios stay unrounded: identical integer
-    // operands divide to identical doubles on both engines
-    "x20_window_suite" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      val wAll = w.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)
-      table(s, d, "orders")
-        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          col("o_totalprice"),
-          ntile(4).over(w).as("quartile"),
-          percent_rank().over(w).as("p_rank"),
-          cume_dist().over(w).as("c_dist"),
-          first_value(col("o_totalprice")).over(wAll).as("first_price"),
-          max(col("o_totalprice")).over(wAll).as("running_max"))
-        .orderBy("o_custkey", "o_orderkey")
-    }),
-    // gapped 2-sequence support (the PrefixSpan / sequential-pattern
-    // support notion): how many users emit event type a strictly
-    // BEFORE some event of type b — any gap, not just adjacency (x26
-    // counts adjacent transitions). ∃ a-before-b pair ⟺ min_ts(a) <
-    // max_ts(b), so the detector runs entirely on the (user, type)
-    // SPAN aggregate — ≤ |type vocabulary| rows per user — and the
-    // per-user self-join is vocabulary², never events². Support in
-    // exact integer basis points over the distinct-user total.
-    // 3-STEP sequential-pattern support (x74): x59's PrefixSpan-style
-    // big sibling — users with a t1 < t2 < t3 subsequence (distinct
-    // types), by the greedy-witness argument (earliest t1, earliest
-    // t2 after it, any t3 after that). Stage 2 joins events to the
-    // user's ≤|types| first-occurrence rows (bounded fan-out, partial
-    // agg to the (user, t1, t2) grain); stages 1/3 ride the span
-    // table. Support in exact integer basis points
-    "x74_seq3_support" -> ((s, d) => {
-      val ev = eventsUs(s, d)
-      val spans = ev.groupBy(col("user_id"), col("event_type"))
-        .agg(min(col("us")).as("tmin"), max(col("us")).as("tmax"))
-        .localCheckpoint()
-      val total = ev.agg(countDistinct(col("user_id")).as("nu"))
-      val s1 = spans.select(col("user_id").as("u1"),
-        col("event_type").as("t1"), col("tmin").as("tmin1"))
-      val s2 = ev.select(col("user_id").as("u2"),
-        col("event_type").as("t2"), col("us"))
-        .join(s1, col("u2") === col("u1") && col("t2") =!= col("t1") &&
-          col("us") > col("tmin1"))
-        .groupBy(col("u1"), col("t1"), col("t2"))
-        .agg(min(col("us")).as("t2e"))
-      val s3 = s2.join(spans,
-        col("user_id") === col("u1") &&
-          col("event_type") =!= col("t1") &&
-          col("event_type") =!= col("t2") &&
-          col("tmax") > col("t2e"))
-      s3.groupBy(col("t1"), col("t2"),
-        col("event_type").as("t3"))
-        .agg(count(lit(1)).as("n_users"))
-        .crossJoin(broadcast(total))
-        .select(col("t1"), col("t2"), col("t3"), col("n_users"),
-          expr("(n_users * 10000) div nu").as("support_bp"))
-        .orderBy("t1", "t2", "t3")
-    }),
-    // GROWTH ACCOUNTING (the Social-Capital DAU decomposition): each
-    // day's actives split into new (first-ever day), retained (active
-    // yesterday too), resurrected (returning after a gap); churned(d) =
-    // active(d-1) − retained(d) — the identity form, so churn needs no
-    // per-user look-ahead. One distinct (user, day) reduction of the
-    // corpus, one per-user lag window over ≤|active days| rows per
-    // user, then everything is day-grain (metadata-sized at any SF).
-    // Quick ratio = (new + resurrected) / churned, NULL-guarded; all
-    // else exact integers.
-    "x75_growth_accounting" -> ((s, d) =>
-      graft.analytics.Growth.dailyAccounting(
-        eventsTs(s, d).select(col("user_id"),
-          col("ts").cast("date").as("day")))),
-    // PRICE-VOLUME-MIX revenue bridge (x84): the finance-analytics
-    // decomposition of Δrevenue between two periods into volume,
-    // price, new-product, and discontinued effects — per part:
-    // Δ = p₀·(q₁−q₀) + q₁·(p₁−p₀) (exact algebraic identity; the
-    // documented two-term convention — mix folds into price). One
-    // scan to the (part, period) grain.
-    //
-    // Determinism lesson learned HERE: the first cut rounded per-part
-    // DOUBLE effects to 6dp — and at sf0.1 ONE part of 2000 landed on
-    // a rounding boundary where Spark (decimal-string HALF_UP) and
-    // DuckDB (binary std::round) disagree by 1 ulp; round(x, 6) is
-    // only cross-engine-safe for SMALL magnitudes (ratios, rates),
-    // not 1e8-scale cents. So the bridge is now PURE INTEGER: cents ×
-    // quantities with an explicit floor-division (spelled as a CASE
-    // in Spark so truncating `div` matches DuckDB's flooring `//` on
-    // negative numerators), each per-part floor losing < 1 cent —
-    // deterministic by construction at any magnitude. Headroom:
-    // (q1−q0)·r0_cents ≤ ~1e13 here; at larger SFs route the product
-    // through DECIMAL(38,0).
-    "x84_pvm_bridge" -> ((s, d) => {
-      val cutoff = "1998-06-01"
-      val per = table(s, d, "lineitem")
-        .groupBy(col("l_partkey"),
-          (col("l_shipdate") < lit(cutoff)).as("p0"))
-        .agg(sum(col("l_quantity").cast("long")).as("q"),
-          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
-            .as("rc"))
-      val a = per.filter(col("p0"))
-        .select(col("l_partkey"), col("q").as("q0"), col("rc").as("r0c"))
-      val b = per.filter(!col("p0"))
-        .select(col("l_partkey"), col("q").as("q1"), col("rc").as("r1c"))
-      a.join(b, Seq("l_partkey"), "full_outer")
-        .agg(
-          sum(when(col("q0").isNotNull && col("q1").isNotNull, 1L)
-            .otherwise(0L)).as("n_parts_both"),
-          sum(when(col("q0").isNull, 1L).otherwise(0L)).as("n_new"),
-          sum(when(col("q1").isNull, 1L).otherwise(0L))
-            .as("n_discontinued"),
-          sum(coalesce(col("r1c"), lit(0L)) -
-            coalesce(col("r0c"), lit(0L))).as("delta_revenue_cents"),
-          sum(when(col("q0").isNotNull && col("q1").isNotNull,
-            expr("((q1 - q0) * r0c) div q0")))
-            .as("volume_effect_cents"),
-          sum(when(col("q0").isNotNull && col("q1").isNotNull,
-            col("r1c") - expr("(q1 * r0c) div q0")))
-            .as("price_effect_cents"),
-          coalesce(sum(when(col("q0").isNull, col("r1c"))), lit(0L))
-            .as("new_effect_cents"),
-          coalesce(sum(when(col("q1").isNull, -col("r0c"))), lit(0L))
-            .as("discontinued_effect_cents"))
-    }),
-    // HOLT LINEAR-TREND FORECAST (x85): level+trend double
-    // exponential smoothing over the gap-filled daily revenue series —
-    // the forecaster between w12's EWMA and x70's STL. One aggregate
-    // to the span-bounded day grain; the sequential recursion runs on
-    // the driver over the collected series (x72-class span-bounded
-    // collect) in exact milli-cent integer units (α=1/5, β=1/10,
-    // truncating div parity), so the oracle's WITH RECURSIVE walks
-    // bit-identical states
-    "x85_holt_forecast" -> ((s, d) =>
-      graft.analytics.Holt.forecast(
-        table(s, d, "orders")
-          .groupBy(to_date(col("o_orderdate")).as("day"))
-          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
-            .as("y")))),
-    // DAY-N RETENTION CURVE (x83): share of users active EXACTLY N
-    // days after their first active day, N ∈ {1,7,14,30} — the classic
-    // curve next to x24's cohort-week matrix and x75's daily
-    // decomposition (exact-day definition, documented; bounded-window
-    // variants are a predicate swap). One (user, day) reduction, one
-    // first-day aggregate, an equi-join per N via a 4-row explode;
-    // exact basis points.
-    "x83_retention_curve" -> ((s, d) => {
-      val ua = eventsTs(s, d)
-        .select(col("user_id"), col("ts").cast("date").as("day"))
-        .distinct()
-        .localCheckpoint() // referenced by first-day agg and the probe
-      val first = ua.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
-      val tot = first.agg(count(lit(1)).as("n_users"))
-      first
-        .withColumn("day_n", explode(array(lit(1), lit(7), lit(14),
-          lit(30))))
-        .join(ua.select(col("user_id"), col("day").as("ad")),
-          Seq("user_id"))
-        .filter(col("ad") === date_add(col("d0"), col("day_n")))
-        .groupBy(col("day_n"))
-        .agg(count(lit(1)).as("n_retained"))
-        .crossJoin(broadcast(tot))
-        .select(col("day_n"), col("n_users"), col("n_retained"),
-          expr("n_retained * 10000 div n_users").as("retention_bp"))
-        .orderBy("day_n")
-    }),
-    // JOURNEY-PREFIX path analysis (x82): the distribution of each
-    // user's FIRST-THREE-event path ("signup>view>click") — the
-    // onboarding-flow readout behind x26's pairwise transitions and
-    // x72's full-chain attribution. Per-user window bounded at 3 rows
-    // kept, path space bounded by |types|³; exact integer share in
-    // basis points. Deterministic ordering: (us, event_id) total
-    // order, sort_array on the (rn, type) structs before joining (a
-    // bare collect_list order would be partition-dependent).
-    "x82_top_paths" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("us"), col("event_id"))
-      val paths = eventsUs(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .groupBy(col("user_id"))
-        .agg(array_join(transform(
-          sort_array(collect_list(struct(col("rn"), col("event_type")))),
-          x => x.getField("event_type")), ">").as("path"))
-      val tot = paths.agg(count(lit(1)).as("nu"))
-      paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
-        .crossJoin(broadcast(tot))
-        .select(col("path"), col("n_users"),
-          expr("n_users * 10000 div nu").as("share_bp"))
-        .orderBy("path")
-    }),
-    // DAU/MAU STICKINESS (x80): the engagement-depth headline next to
-    // x75's growth decomposition — per day, actives today vs actives
-    // in the trailing 30 days. The (user, day) grain joins a ≤30-day
-    // band of the day spine (bounded fan-out, partial-aggregatable
-    // distinct), so nothing event-sized moves; one rounded division.
-    "x80_stickiness" -> ((s, d) => {
-      val ua = eventsTs(s, d)
-        .select(col("user_id"), col("ts").cast("date").as("day"))
-        .distinct()
-        .localCheckpoint() // referenced by days, dau, and the band join
-      val days = ua.select(col("day")).distinct()
-      val dau = ua.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-      // the band join is non-equi → nested-loop: pin the broadcast to
-      // the CALENDAR side (≤ span days) so the user-day grain never
-      // becomes the build side at scale
-      val mau = broadcast(days)
-        .join(ua.select(col("user_id"), col("day").as("ad")),
-          col("ad") >= date_sub(col("day"), 29) &&
-            col("ad") <= col("day"))
-        .select(col("day"), col("user_id")).distinct()
-        .groupBy(col("day")).agg(count(lit(1)).as("mau"))
-      dau.join(mau, Seq("day"))
-        .select(col("day"), col("dau"), col("mau"),
-          round(col("dau").cast("double") / col("mau").cast("double"),
-            6).as("stickiness"))
-        .orderBy("day")
-    }),
-    "x59_seq2_support" -> ((s, d) => {
-      val spans = table(s, d, "events")
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(min(col("ts")).as("tmin"), max(col("ts")).as("tmax"))
-      val total = table(s, d, "events")
-        .agg(countDistinct(col("user_id")).as("nu"))
-      spans.alias("a")
-        .join(spans.alias("b"),
-          col("a.user_id") === col("b.user_id") &&
-            col("a.event_type") =!= col("b.event_type") &&
-            col("a.tmin") < col("b.tmax"))
-        .groupBy(col("a.event_type").as("first_type"),
-          col("b.event_type").as("then_type"))
-        .agg(count(lit(1)).as("n_users"))
-        .crossJoin(broadcast(total))
-        .select(col("first_type"), col("then_type"), col("n_users"),
-          expr("(n_users * 10000) div nu").as("support_bp"))
-        .orderBy("first_type", "then_type")
-    }),
-    // market-basket association at USER grain: support / confidence /
-    // lift between event types, all in exact integer basis points. The
-    // pair generator self-joins the DISTINCT (user, type) basket set —
-    // per-user cost is (types-per-user choose 2) against a bounded
-    // vocabulary, never events². Type marginals and the user total
-    // ride broadcasts that are safe at ANY SF (the vocabulary is
-    // domain-bounded and the total is one row — not the
-    // SF-proportional hint trap VERDICT r4 flagged). The bp integer
-    // math assumes counts fit 2^63/10^4 — reorder the multiplies
-    // before the divides if basket counts ever approach 2^40.
-    "x60_pair_lift" -> ((s, d) => {
-      val baskets = table(s, d, "events")
-        .select(col("user_id"), col("event_type")).distinct()
-      val nU = baskets.agg(countDistinct(col("user_id")).as("nu"))
-      val marg = baskets.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_t"))
-      baskets.alias("a")
-        .join(baskets.alias("b"),
-          col("a.user_id") === col("b.user_id") &&
-            col("a.event_type") < col("b.event_type"))
-        .groupBy(col("a.event_type").as("type_a"),
-          col("b.event_type").as("type_b"))
-        .agg(count(lit(1)).as("n_ab"))
-        .join(broadcast(marg.select(col("event_type").as("type_a"),
-          col("n_t").as("n_a"))), "type_a")
-        .join(broadcast(marg.select(col("event_type").as("type_b"),
-          col("n_t").as("n_b"))), "type_b")
-        .crossJoin(broadcast(nU))
-        .select(col("type_a"), col("type_b"), col("n_ab"),
-          expr("(n_ab * 10000) div nu").as("support_bp"),
-          expr("(n_ab * 10000) div n_a").as("conf_a_to_b_bp"),
-          expr("(n_ab * nu * 10000) div (n_a * n_b)").as("lift_bp"))
-        .orderBy("type_a", "type_b")
-    })
-  )
+  /** Aggregated registry: the x/g/er/dq families live in their own
+    * files since round 8 (XAnalyticsCoreQueries, XAnalyticsSeriesQueries,
+    * GraphExtQueries, EntityResolutionQueries, DataQualityQueries);
+    * this object keeps the shared sessionize batch twin and the
+    * driver-facing aggregate maps — keys unchanged. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    XAnalyticsCoreQueries.queries ++ XAnalyticsSeriesQueries.queries ++
+      GraphExtQueries.queries ++ EntityResolutionQueries.queries ++
+      DataQualityQueries.queries
 
-  val oracle: Map[String, String] = Map(
-    "x1_sessionize" ->
-      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
-        |  FROM events),
-        |flagged AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) IS NULL
-        |      OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
-        |      THEN 1 ELSE 0 END AS is_new
-        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |sessions AS (
-        |  SELECT user_id, ts, value,
-        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS BIGINT) AS session_seq
-        |  FROM flagged)
-        |SELECT user_id, session_seq, count(*) AS n_events,
-        |  min(ts) AS session_start, max(ts) AS session_end,
-        |  round(CAST(sum(value) AS DOUBLE), 4) AS session_value
-        |FROM sessions GROUP BY 1, 2
-        |ORDER BY user_id, session_seq""".stripMargin.replace('\n', ' '),
-    "x2_pivot_param" -> withPipeline(
-      """SELECT country,
-        |  round(avg(value) FILTER (WHERE parameter = 'pm25'), 4) AS pm25,
-        |  round(avg(value) FILTER (WHERE parameter = 'pm10'), 4) AS pm10,
-        |  round(avg(value) FILTER (WHERE parameter = 'o3'), 4) AS o3,
-        |  round(avg(value) FILTER (WHERE parameter = 'so2'), 4) AS so2
-        |FROM silver GROUP BY country
-        |ORDER BY country""".stripMargin.replace('\n', ' ')),
-    "x3_vocab_top20" -> {
-      val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-      s"""SELECT tok, count(*) AS doc_freq FROM (
-         |  SELECT unnest(list_distinct(
-         |    regexp_split_to_array($norm, '\\s+'))) AS tok
-         |  FROM documents)
-         |GROUP BY tok ORDER BY doc_freq DESC, tok
-         |LIMIT 20""".stripMargin.replace('\n', ' ')
-    },
-    "x4_label_centroids" ->
-      """WITH exploded AS (
-        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
-        |    unnest(embedding) AS val
-        |  FROM embeddings),
-        |dims AS (
-        |  SELECT label, pos, avg(CAST(val AS DOUBLE)) AS dim_avg
-        |  FROM exploded GROUP BY 1, 2)
-        |SELECT label, count(*) AS n_dims,
-        |  array_to_string(list(printf('%.4f', dim_avg) ORDER BY pos), ',')
-        |    AS centroid
-        |FROM dims GROUP BY label
-        |ORDER BY label""".stripMargin.replace('\n', ' '),
-    "x11_scd2_intervals" ->
-      """WITH ev AS (SELECT user_id, event_type,
-        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |changes AS (
-        |  SELECT user_id, event_type, ts,
-        |    lag(event_type, 1) OVER w AS prev_type
-        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts))
-        |SELECT user_id, event_type, ts AS valid_from,
-        |  lead(ts, 1) OVER w2 AS valid_to,
-        |  lead(ts, 1) OVER w2 IS NULL AS is_current
-        |FROM changes
-        |WHERE prev_type IS NULL OR prev_type <> event_type
-        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
-        |ORDER BY user_id, valid_from""".stripMargin.replace('\n', ' '),
-    "x10_centroid_assign" ->
-      """WITH exploded AS (
-        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
-        |    unnest(embedding) AS val
-        |  FROM embeddings),
-        |dims AS (
-        |  SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 6) AS dim_avg
-        |  FROM exploded GROUP BY 1, 2),
-        |cents AS (
-        |  SELECT label, list(dim_avg ORDER BY pos) AS centroid
-        |  FROM dims GROUP BY label),
-        |scored AS (
-        |  SELECT e.vec_id, c.label,
-        |    round(list_cosine_similarity(
-        |      CAST(e.embedding AS DOUBLE[]), c.centroid), 4) AS sim
-        |  FROM embeddings e, cents c)
-        |SELECT vec_id, label AS assigned_label, sim FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY sim DESC, label) AS rnk FROM scored)
-        |WHERE rnk = 1 ORDER BY vec_id""".stripMargin.replace('\n', ' '),
-    // same unrolled Lloyd iterations (graft.ml.KMeans.lloydSql)
-    "x65_kmeans_lloyd" -> graft.ml.KMeans.lloydSql(iters = 2),
-    "x66_silhouette" -> graft.ml.KMeans.silhouetteSql,
-    "x5_rollup" -> withPipeline(
-      """SELECT coalesce(country, 'ALL') AS country,
-        |  coalesce(parameter, 'ALL') AS parameter,
-        |  count(*) AS n_records, round(avg(aqi), 4) AS avg_aqi
-        |FROM silver GROUP BY ROLLUP (country, parameter)
-        |ORDER BY country, parameter""".stripMargin.replace('\n', ' ')),
-    "x12_cube" -> withPipeline(
-      """SELECT coalesce(country, 'ALL') AS country,
-        |  coalesce(parameter, 'ALL') AS parameter,
-        |  count(*) AS n_records, round(avg(aqi), 4) AS avg_aqi
-        |FROM silver GROUP BY CUBE (country, parameter)
-        |ORDER BY country, parameter""".stripMargin.replace('\n', ' ')),
-    "x6_rank_stations" -> withPipeline(
-      """SELECT country, location_id, avg_aqi,
-        |  CAST(dense_rank() OVER w AS INT) AS rnk,
-        |  CAST(ntile(4) OVER w AS INT) AS quartile
-        |FROM (SELECT country, location_id, round(avg(aqi), 4) AS avg_aqi
-        |  FROM silver GROUP BY 1, 2)
-        |WINDOW w AS (PARTITION BY country
-        |  ORDER BY avg_aqi DESC, location_id)
-        |ORDER BY country, rnk, location_id""".stripMargin.replace('\n', ' ')),
-    "x7_setops" ->
-      """SELECT custkey, 'both' AS tag FROM (
-        |  SELECT c_custkey AS custkey FROM customer
-        |    WHERE c_mktsegment = 'BUILDING'
-        |  INTERSECT
-        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
-        |UNION ALL
-        |SELECT custkey, 'only_building' AS tag FROM (
-        |  SELECT c_custkey AS custkey FROM customer
-        |    WHERE c_mktsegment = 'BUILDING'
-        |  EXCEPT
-        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
-        |ORDER BY tag, custkey""".stripMargin.replace('\n', ' '),
-    "x8_percentiles" -> withPipeline(
-      """SELECT parameter,
-        |  round(quantile_cont(value, 0.5), 4) AS p50,
-        |  round(quantile_cont(value, 0.9), 4) AS p90,
-        |  round(quantile_cont(value, 0.99), 4) AS p99
-        |FROM silver GROUP BY parameter
-        |ORDER BY parameter""".stripMargin.replace('\n', ' ')),
-    "g1_pagerank" -> (graft.graph.PageRank.sql(
-      """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  UNION ALL
-        |  SELECT o_custkey * 2 + 1, l_suppkey * 2
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
-        .stripMargin.replace('\n', ' '), iters = 5) + " ORDER BY node"),
-    "g14_personalized_pagerank" -> (graft.graph.PageRank.personalizedSql(
-      """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  UNION ALL
-        |  SELECT o_custkey * 2 + 1, l_suppkey * 2
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
-        .stripMargin.replace('\n', ' '),
-      "SELECT s_suppkey * 2 AS node FROM supplier WHERE s_nationkey < 5",
-      iters = 5) + " ORDER BY node"),
-    "x18_global_ids" ->
-      """SELECT doc_id,
-        |  row_number() OVER (ORDER BY doc_id) AS assigned_id,
-        |  lang, source
-        |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' '),
-    // snapshot ∪ changelog → latest per key ≡ latest overall; row_number
-    // is the oracle's formulation, max_by the engine's
-    "x15_cdc_upsert" ->
-      """WITH ev AS (SELECT user_id, event_type, value,
-        |    CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
-        |latest AS (
-        |  SELECT user_id, event_type AS last_type, value AS last_value,
-        |    ts AS last_ts, event_id AS last_event_id,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM ev)
-        |SELECT user_id, last_type, last_value, last_ts, last_event_id,
-        |  last_ts >= TIMESTAMP '2024-01-21 00:00:00' AS was_updated
-        |FROM latest WHERE rn = 1
-        |ORDER BY user_id""".stripMargin.replace('\n', ' '),
-    // json_valid + TRY_CAST mirror Spark's null-out-on-malformed
-    // from_json semantics: bare json_extract RAISES on malformed JSON,
-    // so a single dirty props value would error the oracle while the
-    // engine succeeds
-    "x34_json_props" ->
-      """SELECT event_type, count(*) AS n_events,
-        |  count(k) AS n_with_k,
-        |  CAST(sum(k) AS BIGINT) AS sum_k,
-        |  min(k) AS min_k, max(k) AS max_k
-        |FROM (SELECT event_type,
-        |    CASE WHEN json_valid(props)
-        |      THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT)
-        |    END AS k
-        |  FROM events)
-        |GROUP BY 1 ORDER BY event_type""".stripMargin.replace('\n', ' '),
-    // survivorship mode spelled as row_number over (cnt DESC, value);
-    // entity assignment re-derived through the same block+JW best match
-    // so a misassigned cluster in the engine would hash-mismatch here
-    "er4_golden_record" ->
-      """WITH seeds AS (SELECT * FROM customer WHERE c_custkey % 10 = 7),
-        |records AS (
-        |  SELECT c_custkey * 4 AS rec_id, c_name AS name,
-        |    'P-' || CAST(c_custkey % 1000 AS VARCHAR) || '-' ||
-        |      CAST(c_nationkey AS VARCHAR) AS phone,
-        |    c_mktsegment AS segment FROM seeds
-        |  UNION ALL SELECT c_custkey * 4 + 1, replace(c_name, 'o', 'a'),
-        |    NULL, c_mktsegment FROM seeds
-        |  UNION ALL SELECT c_custkey * 4 + 2, c_name,
-        |    replace('P-' || CAST(c_custkey % 1000 AS VARCHAR) || '-' ||
-        |      CAST(c_nationkey AS VARCHAR), '-', '.'), NULL FROM seeds),
-        |ent AS (SELECT rec_id, entity FROM (
-        |    SELECT r.rec_id, c.c_custkey AS entity,
-        |      row_number() OVER (PARTITION BY r.rec_id ORDER BY
-        |        round(jaro_winkler_similarity(r.name, c.c_name), 4) DESC,
-        |        c.c_custkey) AS rn
-        |    FROM records r JOIN customer c
-        |      ON substr(r.name, 12, 5) = substr(c.c_name, 12, 5)
-        |    WHERE round(jaro_winkler_similarity(r.name, c.c_name), 4)
-        |      >= 0.85)
-        |  WHERE rn = 1),
-        |lng AS (
-        |  SELECT e.entity, 'name' AS field, r.name AS value
-        |  FROM records r JOIN ent e USING (rec_id) WHERE r.name IS NOT NULL
-        |  UNION ALL SELECT e.entity, 'phone', r.phone
-        |  FROM records r JOIN ent e USING (rec_id) WHERE r.phone IS NOT NULL
-        |  UNION ALL SELECT e.entity, 'segment', r.segment
-        |  FROM records r JOIN ent e USING (rec_id)
-        |  WHERE r.segment IS NOT NULL),
-        |modes AS (SELECT entity, field, value, n_values FROM (
-        |    SELECT entity, field, value, cnt,
-        |      row_number() OVER (PARTITION BY entity, field
-        |        ORDER BY cnt DESC, value) AS rn,
-        |      count(*) OVER (PARTITION BY entity, field) AS n_values
-        |    FROM (SELECT entity, field, value, count(*) AS cnt
-        |      FROM lng GROUP BY 1, 2, 3))
-        |  WHERE rn = 1),
-        |nr AS (SELECT e.entity, count(*) AS n_records
-        |  FROM records r JOIN ent e USING (rec_id) GROUP BY 1)
-        |SELECT nr.entity,
-        |  max(CASE WHEN field = 'name' THEN value END) AS golden_name,
-        |  max(CASE WHEN field = 'phone' THEN value END) AS golden_phone,
-        |  max(CASE WHEN field = 'segment' THEN value END)
-        |    AS golden_segment,
-        |  max(nr.n_records) AS n_records,
-        |  CAST(coalesce(
-        |    sum(CASE WHEN n_values > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
-        |    AS n_conflicts
-        |FROM nr LEFT JOIN modes m ON m.entity = nr.entity
-        |GROUP BY nr.entity ORDER BY nr.entity"""
-        .stripMargin.replace('\n', ' '),
-    // DuckDB's jaro_winkler_similarity implements the same classic
-    // algorithm (0.7 boost threshold, 0.1 prefix scale, cap 4 —
-    // verified on the textbook pairs); 4-dp rounding absorbs last-bit
-    // formula-grouping differences
-    "er5_blocking_quality" -> (graft.er.BlockingMetrics.reportSql(
-      """(SELECT c_custkey AS d_key,
-        |  CASE c_custkey % 3
-        |    WHEN 0 THEN concat(substr(c_name, 1, 16),
-        |      substr(c_name, 18, 1), substr(c_name, 17, 1))
-        |    WHEN 1 THEN concat(substr(c_name, 1, 16),
-        |      substr(c_name, 18))
-        |    ELSE concat(substr(c_name, 1, 17), 'X') END AS dirty_name
-        |  FROM customer WHERE c_custkey % 10 = 7)"""
-        .stripMargin.replace('\n', ' '),
-      "customer",
-      Seq(
-        ("key_mid5", "substr(dirty_name, 12, 5)",
-          "substr(c_name, 12, 5)"),
-        ("key_mid3", "substr(dirty_name, 12, 3)",
-          "substr(c_name, 12, 3)"),
-        ("key_tail3", "substr(dirty_name, 16, 3)",
-          "substr(c_name, 16, 3)"))) + " ORDER BY scheme"),
-    // same blocked argmax on bp-quantized JW, same 5-threshold explode
-    "er7_threshold_sweep" ->
-      """WITH dirty AS (
-        |  SELECT c_custkey AS d_key,
-        |    CASE c_custkey % 3
-        |      WHEN 0 THEN concat(substr(c_name, 1, 16),
-        |        substr(c_name, 18, 1), substr(c_name, 17, 1))
-        |      WHEN 1 THEN concat(substr(c_name, 1, 16),
-        |        substr(c_name, 18))
-        |      ELSE concat(substr(c_name, 1, 17), 'X') END AS dirty_name
-        |  FROM customer WHERE c_custkey % 10 = 7),
-        |cand AS (
-        |  SELECT d_key, c_custkey,
-        |    CAST(round(jaro_winkler_similarity(dirty_name, c_name)
-        |      * 10000) AS BIGINT) AS bp
-        |  FROM dirty JOIN customer
-        |    ON substr(dirty_name, 12, 5) = substr(c_name, 12, 5)),
-        |best AS (SELECT d_key, c_custkey AS mk, bp,
-        |    row_number() OVER (PARTITION BY d_key
-        |      ORDER BY bp DESC, c_custkey) AS rn
-        |  FROM cand),
-        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_dirty FROM dirty),
-        |sw AS (SELECT t.threshold_bp,
-        |    CAST(sum(CASE WHEN bp >= t.threshold_bp AND mk = d_key
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resolved,
-        |    CAST(sum(CASE WHEN bp >= t.threshold_bp AND mk <> d_key
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong,
-        |    CAST(sum(CASE WHEN bp < t.threshold_bp
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-        |  FROM (SELECT * FROM best WHERE rn = 1) b
-        |  CROSS JOIN (SELECT unnest([8000, 8500, 9000, 9500, 9900])
-        |    AS threshold_bp) t
-        |  GROUP BY 1)
-        |SELECT CAST(threshold_bp AS BIGINT) AS threshold_bp,
-        |  n_resolved, n_wrong, n_dropped,
-        |  CAST(n_resolved * 10000 // n_dirty AS BIGINT) AS recall_bp
-        |FROM sw CROSS JOIN nd ORDER BY threshold_bp"""
-        .stripMargin.replace('\n', ' '),
-    // same frequency-based u estimation, identical 4-term score
-    // expression, same decision bands and (score desc, key) pick
-    "er6_fellegi_sunter" ->
-      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS nn
-        |  FROM customer),
-        |sseg AS (SELECT CAST(sum(cc * cc) AS BIGINT) AS s_seg FROM
-        |  (SELECT count(*) AS cc FROM customer GROUP BY c_mktsegment)),
-        |snat AS (SELECT CAST(sum(cc * cc) AS BIGINT) AS s_nat FROM
-        |  (SELECT count(*) AS cc FROM customer GROUP BY c_nationkey)),
-        |sph AS (SELECT CAST(sum(cc * cc) AS BIGINT) AS s_ph FROM
-        |  (SELECT count(*) AS cc FROM customer
-        |   GROUP BY CAST(round(c_acctbal * 100) AS BIGINT) % 10000)),
-        |w AS (SELECT
-        |    ln(CAST('0.95' AS DOUBLE) / (CAST('1' AS DOUBLE) / nn))
-        |      AS w_name_a,
-        |    ln(CAST('0.05' AS DOUBLE)
-        |      / (CAST('1' AS DOUBLE) - CAST('1' AS DOUBLE) / nn))
-        |      AS w_name_d,
-        |    ln(CAST('0.95' AS DOUBLE)
-        |      / (CAST(s_seg AS DOUBLE) / (nn * nn))) AS w_seg_a,
-        |    ln(CAST('0.05' AS DOUBLE) / (CAST('1' AS DOUBLE)
-        |      - CAST(s_seg AS DOUBLE) / (nn * nn))) AS w_seg_d,
-        |    ln(CAST('0.95' AS DOUBLE)
-        |      / (CAST(s_nat AS DOUBLE) / (nn * nn))) AS w_nat_a,
-        |    ln(CAST('0.05' AS DOUBLE) / (CAST('1' AS DOUBLE)
-        |      - CAST(s_nat AS DOUBLE) / (nn * nn))) AS w_nat_d,
-        |    ln(CAST('0.95' AS DOUBLE)
-        |      / (CAST(s_ph AS DOUBLE) / (nn * nn))) AS w_ph_a,
-        |    ln(CAST('0.05' AS DOUBLE) / (CAST('1' AS DOUBLE)
-        |      - CAST(s_ph AS DOUBLE) / (nn * nn))) AS w_ph_d
-        |  FROM nn CROSS JOIN sseg CROSS JOIN snat CROSS JOIN sph),
-        |dirty AS (
-        |  SELECT c_custkey AS d_key,
-        |    CASE CAST(c_custkey % 3 AS INT)
-        |      WHEN 0 THEN concat(substr(c_name, 1, 16),
-        |        substr(c_name, 18, 1), substr(c_name, 17, 1))
-        |      WHEN 1 THEN concat(substr(c_name, 1, 16),
-        |        substr(c_name, 18))
-        |      ELSE concat(substr(c_name, 1, 17), 'X') END AS d_name,
-        |    CASE WHEN c_custkey % 4 = 0 THEN 'MISMATCHED'
-        |      ELSE c_mktsegment END AS d_seg,
-        |    c_nationkey AS d_nat,
-        |    CASE WHEN c_custkey % 2 = 0 THEN CAST(-1 AS BIGINT)
-        |      ELSE CAST(round(c_acctbal * 100) AS BIGINT) % 10000
-        |      END AS d_ph4
-        |  FROM customer WHERE c_custkey % 10 = 7),
-        |cand AS (
-        |  SELECT d_key, c_custkey, round(
-        |    (CASE WHEN round(jaro_winkler_similarity(d_name, c_name), 4)
-        |        >= CAST('0.9' AS DOUBLE)
-        |      THEN w_name_a ELSE w_name_d END) +
-        |    (CASE WHEN d_seg = c_mktsegment
-        |      THEN w_seg_a ELSE w_seg_d END) +
-        |    (CASE WHEN d_nat = c_nationkey
-        |      THEN w_nat_a ELSE w_nat_d END) +
-        |    (CASE WHEN d_ph4 =
-        |        CAST(round(c_acctbal * 100) AS BIGINT) % 10000
-        |      THEN w_ph_a ELSE w_ph_d END), 6) AS score
-        |  FROM dirty JOIN customer
-        |    ON substr(d_name, 12, 5) = substr(c_name, 12, 5)
-        |  CROSS JOIN w),
-        |best AS (SELECT d_key, c_custkey AS matched_key, score,
-        |    row_number() OVER (PARTITION BY d_key
-        |      ORDER BY score DESC, c_custkey) AS rn
-        |  FROM cand)
-        |SELECT d_key, matched_key, score,
-        |  CASE WHEN score > 10 THEN 'match'
-        |    WHEN score > 0 THEN 'possible'
-        |    ELSE 'non_match' END AS decision
-        |FROM best WHERE rn = 1 ORDER BY d_key"""
-        .stripMargin.replace('\n', ' '),
-    "er1_fuzzy_match" ->
-      """WITH dirty AS (
-        |  SELECT c_custkey AS d_key,
-        |    CASE c_custkey % 3
-        |      WHEN 0 THEN concat(substr(c_name, 1, 16),
-        |        substr(c_name, 18, 1), substr(c_name, 17, 1))
-        |      WHEN 1 THEN concat(substr(c_name, 1, 16),
-        |        substr(c_name, 18))
-        |      ELSE concat(substr(c_name, 1, 17), 'X') END AS dirty_name
-        |  FROM customer WHERE c_custkey % 10 = 7),
-        |cand AS (
-        |  SELECT d_key, dirty_name, c_custkey, c_name,
-        |    round(jaro_winkler_similarity(dirty_name, c_name), 4) AS jw
-        |  FROM dirty JOIN customer
-        |    ON substr(dirty_name, 12, 5) = substr(c_name, 12, 5)),
-        |best AS (
-        |  SELECT d_key, dirty_name, c_custkey AS matched_key,
-        |    c_name AS matched_name, jw,
-        |    row_number() OVER (PARTITION BY d_key
-        |      ORDER BY jw DESC, c_custkey) AS rn
-        |  FROM cand WHERE jw >= CAST('0.9' AS DOUBLE))
-        |SELECT d_key, dirty_name, matched_key, matched_name, jw
-        |FROM best WHERE rn = 1 ORDER BY d_key"""
-        .stripMargin.replace('\n', ' '),
-    // same dirty variants, best-match edges, g5-style recursive
-    // min-root closure
-    "er8_identity_graph" ->
-      """WITH RECURSIVE dirty AS (
-        |  SELECT c_custkey * 10 + 1 AS d_ent,
-        |    concat('K', substr(c_name, 2)) AS dirty_name
-        |  FROM customer WHERE c_custkey % 10 = 7
-        |  UNION ALL
-        |  SELECT c_custkey * 10 + 2,
-        |    concat('Cust0mer', substr(c_name, 9))
-        |  FROM customer WHERE c_custkey % 10 = 7),
-        |cand AS (SELECT d_ent, c_custkey,
-        |    levenshtein(dirty_name, c_name) AS dist
-        |  FROM dirty JOIN customer
-        |    ON substr(dirty_name, 12, 5) = substr(c_name, 12, 5)),
-        |best AS (SELECT d_ent, c_custkey AS mk FROM (
-        |    SELECT d_ent, c_custkey,
-        |      row_number() OVER (PARTITION BY d_ent
-        |        ORDER BY dist, c_custkey) AS rn
-        |    FROM cand WHERE dist <= 1) WHERE rn = 1),
-        |e0 AS (SELECT d_ent AS id_a, mk * 10 AS id_b FROM best),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
-        |  UNION ALL SELECT id_b, id_a FROM e0),
-        |reach(node, root) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.root FROM reach r JOIN edges e
-        |    ON e.src = r.node),
-        |comp AS (SELECT node, min(root) AS cluster_id FROM reach
-        |  GROUP BY 1),
-        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
-        |    AS cluster_size FROM comp GROUP BY 1)
-        |SELECT comp.node AS entity_id, comp.cluster_id,
-        |  sz.cluster_size
-        |FROM comp JOIN sz USING (cluster_id)
-        |ORDER BY entity_id""".stripMargin.replace('\n', ' '),
-    // phonetic key: RE2 has no lookbehind/backrefs, so the skeleton is
-    // built positionally (first char + vowel-stripped tail) — the same
-    // construction the Spark side uses; 'g' flag = replace-all
-    "er3_phonetic_match" ->
-      """WITH dirty AS (
-        |  SELECT p_partkey AS d_key,
-        |    CASE CAST(p_partkey % 3 AS INT)
-        |      WHEN 0 THEN replace(p_name, 'o', 'a')
-        |      WHEN 1 THEN replace(p_name, 'e', '')
-        |      ELSE replace(p_name, 'i', 'u') END AS dirty_name
-        |  FROM part WHERE p_partkey % 10 = 3),
-        |cand AS (
-        |  SELECT d_key, dirty_name, p_partkey, p_name,
-        |    round(jaro_winkler_similarity(dirty_name, p_name), 4) AS jw
-        |  FROM dirty JOIN part ON
-        |    substr(concat(substr(upper(dirty_name), 1, 1),
-        |      regexp_replace(substr(upper(dirty_name), 2),
-        |        '[AEIOU]', '', 'g')), 1, 8)
-        |    = substr(concat(substr(upper(p_name), 1, 1),
-        |      regexp_replace(substr(upper(p_name), 2),
-        |        '[AEIOU]', '', 'g')), 1, 8)),
-        |best AS (
-        |  SELECT d_key, dirty_name, p_partkey AS matched_key,
-        |    p_name AS matched_name, jw,
-        |    row_number() OVER (PARTITION BY d_key
-        |      ORDER BY jw DESC, p_partkey) AS rn
-        |  FROM cand WHERE jw >= CAST('0.85' AS DOUBLE))
-        |SELECT d_key, dirty_name, matched_key, matched_name, jw
-        |FROM best WHERE rn = 1 ORDER BY d_key"""
-        .stripMargin.replace('\n', ' '),
-    "x74_seq3_support" ->
-      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
-        |  FROM events),
-        |spans AS (SELECT user_id, event_type, min(us) AS tmin,
-        |    max(us) AS tmax
-        |  FROM ev GROUP BY 1, 2),
-        |u AS (SELECT count(DISTINCT user_id) AS nu FROM ev),
-        |s2 AS (SELECT s1.user_id, s1.event_type AS t1,
-        |    e.event_type AS t2, min(e.us) AS t2e
-        |  FROM spans s1 JOIN ev e ON e.user_id = s1.user_id
-        |    AND e.event_type <> s1.event_type AND e.us > s1.tmin
-        |  GROUP BY 1, 2, 3),
-        |s3 AS (SELECT s2.t1, s2.t2, sp.event_type AS t3,
-        |    count(*) AS n_users
-        |  FROM s2 JOIN spans sp ON sp.user_id = s2.user_id
-        |    AND sp.event_type <> s2.t1 AND sp.event_type <> s2.t2
-        |    AND sp.tmax > s2.t2e
-        |  GROUP BY 1, 2, 3)
-        |SELECT t1, t2, t3, n_users,
-        |  CAST(n_users * 10000 // nu AS BIGINT) AS support_bp
-        |FROM s3 CROSS JOIN u
-        |ORDER BY t1, t2, t3""".stripMargin.replace('\n', ' '),
-    // same (user, day) reduction + per-user lag + day-grain identity
-    // churn; quick ratio guarded on churned > 0 exactly like the engine
-    // same (part, period) cent grain; DuckDB's flooring // IS the
-    // floor-division the Spark CASE spells out
-    "x84_pvm_bridge" ->
-      """WITH per AS (SELECT l_partkey,
-        |    l_shipdate < TIMESTAMP '1998-06-01' AS p0,
-        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
-        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-        |      AS BIGINT) AS rc
-        |  FROM lineitem GROUP BY 1, 2),
-        |a AS (SELECT l_partkey, q AS q0, rc AS r0c FROM per WHERE p0),
-        |b AS (SELECT l_partkey, q AS q1, rc AS r1c FROM per
-        |  WHERE NOT p0),
-        |j AS (SELECT * FROM a FULL OUTER JOIN b USING (l_partkey))
-        |SELECT
-        |  CAST(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_parts_both,
-        |  CAST(sum(CASE WHEN q0 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_new,
-        |  CAST(sum(CASE WHEN q1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_discontinued,
-        |  CAST(sum(coalesce(r1c, 0) - coalesce(r0c, 0)) AS BIGINT)
-        |    AS delta_revenue_cents,
-        |  CAST(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
-        |    THEN ((q1 - q0) * r0c) // q0 END) AS BIGINT)
-        |    AS volume_effect_cents,
-        |  CAST(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
-        |    THEN r1c - (q1 * r0c) // q0 END) AS BIGINT)
-        |    AS price_effect_cents,
-        |  CAST(coalesce(sum(CASE WHEN q0 IS NULL THEN r1c END), 0)
-        |    AS BIGINT) AS new_effect_cents,
-        |  CAST(coalesce(sum(CASE WHEN q1 IS NULL THEN -r0c END), 0)
-        |    AS BIGINT) AS discontinued_effect_cents
-        |FROM j""".stripMargin.replace('\n', ' '),
-    "x85_holt_forecast" -> graft.analytics.Holt.forecastSql(),
-    // same (user, day) reduction, first-day equi-probe per N
-    "x83_retention_curve" ->
-      """WITH ua AS (SELECT DISTINCT user_id,
-        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
-        |f AS (SELECT user_id, min(day) AS d0 FROM ua GROUP BY 1),
-        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM f),
-        |r AS (SELECT n.day_n, CAST(count(*) AS BIGINT) AS n_retained
-        |  FROM f
-        |  CROSS JOIN (SELECT unnest([1, 7, 14, 30]) AS day_n) n
-        |  JOIN ua ON ua.user_id = f.user_id
-        |    AND ua.day = f.d0 + n.day_n
-        |  GROUP BY 1)
-        |SELECT CAST(day_n AS INT) AS day_n, n_users, n_retained,
-        |  CAST(n_retained * 10000 // n_users AS BIGINT)
-        |    AS retention_bp
-        |FROM r CROSS JOIN t ORDER BY day_n"""
-        .stripMargin.replace('\n', ' '),
-    // same (us, event_id) total order; DuckDB's ordered list aggregate
-    // replays the sort_array construction
-    "x82_top_paths" ->
-      """WITH ev AS (SELECT user_id, event_type,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts), event_id) AS rn
-        |  FROM events),
-        |p AS (SELECT user_id,
-        |    array_to_string(list(event_type ORDER BY rn), '>') AS path
-        |  FROM ev WHERE rn <= 3 GROUP BY 1),
-        |t AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM p)
-        |SELECT path, CAST(count(*) AS BIGINT) AS n_users,
-        |  CAST(count(*) * 10000 // nu AS BIGINT) AS share_bp
-        |FROM p CROSS JOIN t GROUP BY path, nu ORDER BY path"""
-        .stripMargin.replace('\n', ' '),
-    // same (user, day) grain, 30-day band join, distinct-then-count
-    "x80_stickiness" ->
-      """WITH ua AS (SELECT DISTINCT user_id,
-        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
-        |days AS (SELECT DISTINCT day FROM ua),
-        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
-        |  FROM ua GROUP BY 1),
-        |mau AS (SELECT d.day,
-        |    CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
-        |  FROM days d JOIN ua u
-        |    ON u.day >= d.day - 29 AND u.day <= d.day
-        |  GROUP BY 1)
-        |SELECT dau.day, dau.dau, mau.mau,
-        |  round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 6)
-        |    AS stickiness
-        |FROM dau JOIN mau USING (day) ORDER BY day"""
-        .stripMargin.replace('\n', ' '),
-    "x75_growth_accounting" ->
-      """WITH ua AS (SELECT DISTINCT user_id,
-        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
-        |fl AS (SELECT user_id, day,
-        |    lag(day) OVER (PARTITION BY user_id ORDER BY day)
-        |      AS prev_day FROM ua),
-        |pd AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active,
-        |    CAST(sum(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_new,
-        |    CAST(sum(CASE WHEN date_diff('day', prev_day, day) = 1
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
-        |  FROM fl GROUP BY 1)
-        |SELECT d.day, d.n_active, d.n_new, d.n_retained,
-        |  CAST(d.n_active - d.n_new - d.n_retained AS BIGINT)
-        |    AS n_resurrected,
-        |  CAST(p.n_active - d.n_retained AS BIGINT) AS n_churned,
-        |  CASE WHEN p.n_active - d.n_retained > 0 THEN round(
-        |    CAST(d.n_new + d.n_active - d.n_new - d.n_retained
-        |      AS DOUBLE) / (p.n_active - d.n_retained), 6)
-        |  END AS quick_ratio
-        |FROM pd d LEFT JOIN pd p ON p.day = d.day - 1
-        |ORDER BY d.day""".stripMargin.replace('\n', ' '),
-    "x59_seq2_support" ->
-      """WITH spans AS (
-        |  SELECT user_id, event_type, min(ts) AS tmin, max(ts) AS tmax
-        |  FROM events GROUP BY 1, 2),
-        |u AS (SELECT count(DISTINCT user_id) AS nu FROM events),
-        |p AS (
-        |  SELECT a.event_type AS first_type, b.event_type AS then_type,
-        |    count(*) AS n_users
-        |  FROM spans a JOIN spans b ON a.user_id = b.user_id
-        |    AND a.event_type <> b.event_type AND a.tmin < b.tmax
-        |  GROUP BY 1, 2)
-        |SELECT first_type, then_type, n_users,
-        |  CAST((n_users * 10000) // u.nu AS BIGINT) AS support_bp
-        |FROM p CROSS JOIN u ORDER BY first_type, then_type"""
-        .stripMargin.replace('\n', ' '),
-    "x60_pair_lift" ->
-      """WITH baskets AS (
-        |  SELECT DISTINCT user_id, event_type FROM events),
-        |u AS (SELECT count(DISTINCT user_id) AS nu FROM baskets),
-        |m AS (SELECT event_type, count(*) AS n_t FROM baskets
-        |  GROUP BY 1),
-        |p AS (
-        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
-        |    count(*) AS n_ab
-        |  FROM baskets a JOIN baskets b ON a.user_id = b.user_id
-        |    AND a.event_type < b.event_type
-        |  GROUP BY 1, 2)
-        |SELECT type_a, type_b, n_ab,
-        |  CAST((n_ab * 10000) // u.nu AS BIGINT) AS support_bp,
-        |  CAST((n_ab * 10000) // ma.n_t AS BIGINT) AS conf_a_to_b_bp,
-        |  CAST((n_ab * u.nu * 10000) // (ma.n_t * mb.n_t) AS BIGINT)
-        |    AS lift_bp
-        |FROM p CROSS JOIN u
-        |  JOIN m ma ON p.type_a = ma.event_type
-        |  JOIN m mb ON p.type_b = mb.event_type
-        |ORDER BY type_a, type_b"""
-        .stripMargin.replace('\n', ' '),
-    // the oracle rebuilds the identical KMV sample (bottom-64 by md5
-    // prefix) with a window — correct but sort-heavy; the engine side
-    // uses the bounded-state aggregator instead
-    "qs1_quantile_sketch" ->
-      """WITH ev AS (
-        |  SELECT event_type, event_id, value,
-        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
-        |      ::BIGINT AS h
-        |  FROM events WHERE value IS NOT NULL),
-        |s AS (SELECT event_type, event_id, value,
-        |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY h, event_id) AS hr
-        |  FROM ev),
-        |samp AS (SELECT event_type, event_id, value FROM s
-        |  WHERE hr <= 64),
-        |r AS (SELECT event_type, value,
-        |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY value, event_id) AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS ns
-        |  FROM samp)
-        |SELECT event_type, CAST(max(ns) AS BIGINT) AS n_sample,
-        |  max(CASE WHEN rn = greatest(1, (ns * 2500 + 9999) // 10000)
-        |    THEN value END) AS q25,
-        |  max(CASE WHEN rn = greatest(1, (ns * 5000 + 9999) // 10000)
-        |    THEN value END) AS q50,
-        |  max(CASE WHEN rn = greatest(1, (ns * 7500 + 9999) // 10000)
-        |    THEN value END) AS q75,
-        |  max(CASE WHEN rn = greatest(1, (ns * 9000 + 9999) // 10000)
-        |    THEN value END) AS q90
-        |FROM r GROUP BY 1 ORDER BY event_type"""
-        .stripMargin.replace('\n', ' '),
-    "x42_mad_outliers" ->
-      """WITH ev AS (SELECT event_id, event_type, value FROM events
-        |  WHERE value IS NOT NULL),
-        |m AS (SELECT event_type, value AS med FROM (
-        |    SELECT event_type, value,
-        |      row_number() OVER (PARTITION BY event_type
-        |        ORDER BY value, event_id) AS rn,
-        |      count(*) OVER (PARTITION BY event_type) AS n
-        |    FROM ev) WHERE rn = (n + 1) // 2),
-        |dv AS (SELECT ev.event_id, ev.event_type, ev.value, m.med,
-        |    abs(ev.value - m.med) AS dev
-        |  FROM ev JOIN m USING (event_type)),
-        |md AS (SELECT event_type, dev AS mad FROM (
-        |    SELECT event_type, dev,
-        |      row_number() OVER (PARTITION BY event_type
-        |        ORDER BY dev, event_id) AS rn,
-        |      count(*) OVER (PARTITION BY event_type) AS n
-        |    FROM dv) WHERE rn = (n + 1) // 2)
-        |SELECT d.event_id, d.event_type, d.value, d.med, md.mad
-        |FROM dv d JOIN md USING (event_type)
-        |WHERE d.dev > CAST('3' AS DOUBLE) * md.mad
-        |ORDER BY event_id""".stripMargin.replace('\n', ' '),
-    "x44_skyline" ->
-      """WITH pts AS (SELECT p_retailprice AS price, p_size AS size,
-        |    count(*) AS n_parts
-        |  FROM part GROUP BY 1, 2)
-        |SELECT price, size, n_parts FROM pts a
-        |WHERE NOT EXISTS (SELECT 1 FROM pts b
-        |  WHERE b.price <= a.price AND b.size >= a.size
-        |    AND (b.price < a.price OR b.size > a.size))
-        |ORDER BY price""".stripMargin.replace('\n', ' '),
-    "w11_running_distinct" ->
-      """WITH de AS (SELECT event_type, date_trunc('day', ts) AS day,
-        |    count(*) AS n_events
-        |  FROM events GROUP BY 1, 2),
-        |fs AS (SELECT event_type, user_id, min(ts) AS first_ts
-        |  FROM events GROUP BY 1, 2),
-        |nd AS (SELECT event_type, date_trunc('day', first_ts) AS day,
-        |    count(*) AS new_users
-        |  FROM fs GROUP BY 1, 2)
-        |SELECT de.event_type, de.day, de.n_events,
-        |  CAST(coalesce(nd.new_users, 0) AS BIGINT) AS new_users,
-        |  CAST(sum(coalesce(nd.new_users, 0)) OVER (
-        |    PARTITION BY de.event_type ORDER BY de.day) AS BIGINT)
-        |    AS cum_distinct_users
-        |FROM de LEFT JOIN nd ON de.event_type = nd.event_type
-        |  AND de.day = nd.day
-        |ORDER BY 1, 2""".stripMargin.replace('\n', ' '),
-    "g6_bfs_hops" -> graft.graph.Bfs.bfsHopsSql(
-      """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
-        |  FROM lineitem WHERE l_quantity >= 45)
-        |SELECT x.l_suppkey AS src, y.l_suppkey AS dst
-        |FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
-        |  AND x.l_suppkey < y.l_suppkey)""".stripMargin.replace('\n', ' '),
-      sourceSql = "SELECT min(least(src, dst)) FROM e",
-      maxHops = 6),
-    "x58_weighted_median" ->
-      """WITH r AS (SELECT l_returnflag, l_extendedprice,
-        |    l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
-        |  FROM lineitem),
-        |c AS (SELECT l_returnflag, l_extendedprice, l_orderkey,
-        |    l_linenumber,
-        |    sum(qty) OVER (PARTITION BY l_returnflag
-        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
-        |      ROWS UNBOUNDED PRECEDING) AS cumw,
-        |    sum(qty) OVER (PARTITION BY l_returnflag) AS tot
-        |  FROM r),
-        |p AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
-        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
-        |  FROM c WHERE 2 * cumw >= tot)
-        |SELECT l_returnflag, CAST(tot AS BIGINT) AS total_weight,
-        |  l_extendedprice AS weighted_median_price
-        |FROM p WHERE rn = 1 ORDER BY l_returnflag"""
-        .stripMargin.replace('\n', ' '),
-    "x53_equi_depth_histogram" ->
-      """WITH binned AS (SELECT o_totalprice,
-        |    CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey)
-        |      AS INT) AS bin
-        |  FROM orders)
-        |SELECT bin, count(*) AS depth, min(o_totalprice) AS lo,
-        |  max(o_totalprice) AS hi,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |    / count(*) AS mean_price
-        |FROM binned GROUP BY 1 ORDER BY bin"""
-        .stripMargin.replace('\n', ' '),
-    "x54_seasonal_profile" -> withPipeline(
-      """SELECT location_id, count(*) AS n,
-        |  sqrt(CAST(sum(CAST(resid * resid AS DECIMAL(24,6)))
-        |    AS DOUBLE) / count(*)) AS residual_rmse,
-        |  CAST('1' AS DOUBLE) -
-        |    CAST(sum(CAST(resid * resid AS DECIMAL(24,6))) AS DOUBLE) /
-        |    (CAST(sum(CAST(aqi * aqi AS DECIMAL(24,6))) AS DOUBLE) -
-        |      CAST(sum(CAST(aqi AS DECIMAL(24,6))) AS DOUBLE) *
-        |      CAST(sum(CAST(aqi AS DECIMAL(24,6))) AS DOUBLE) /
-        |      count(*)) AS seasonal_r2
-        |FROM (SELECT g.location_id, g.aqi, g.aqi - p.seasonal AS resid
-        |  FROM (SELECT location_id, datetime, aqi,
-        |      CAST(hour(datetime) AS INT) AS hod
-        |    FROM gold WHERE aqi IS NOT NULL) g
-        |  JOIN (SELECT location_id, CAST(hour(datetime) AS INT) AS hod,
-        |      CAST(sum(CAST(aqi AS DECIMAL(24,6))) AS DOUBLE)
-        |        / count(*) AS seasonal
-        |    FROM gold WHERE aqi IS NOT NULL GROUP BY 1, 2) p
-        |  ON g.location_id = p.location_id AND g.hod = p.hod)
-        |GROUP BY 1 ORDER BY location_id""".stripMargin
-        .replace('\n', ' ')),
-    "x55_cusum_changepoint" -> withPipeline(
-      """, g AS (SELECT location_id, datetime, aqi FROM gold
-        |  WHERE aqi IS NOT NULL),
-        |stats AS (SELECT location_id,
-        |    CAST(sum(CAST(aqi AS DECIMAL(24,6))) AS DOUBLE) / count(*)
-        |      AS mean
-        |  FROM g GROUP BY 1),
-        |curve AS (SELECT g.location_id, g.datetime,
-        |    sum(CAST(round(g.aqi - s.mean, 6) AS DECIMAL(24,6)))
-        |      OVER (PARTITION BY g.location_id ORDER BY g.datetime
-        |        ROWS UNBOUNDED PRECEDING) AS cusum
-        |  FROM g JOIN stats s ON s.location_id = g.location_id),
-        |ranked AS (SELECT location_id, datetime, cusum,
-        |    row_number() OVER (PARTITION BY location_id
-        |      ORDER BY abs(cusum) DESC, datetime) AS rn
-        |  FROM curve)
-        |SELECT location_id, datetime AS changepoint_ts,
-        |  CAST(cusum AS DOUBLE) AS peak_cusum
-        |FROM ranked WHERE rn = 1 ORDER BY location_id"""
-        .stripMargin.replace('\n', ' ')),
-    "x51_pearson" ->
-      """WITH m AS (SELECT l_returnflag, count(*) AS n,
-        |    sum(CAST(l_quantity AS DECIMAL(24,6))) AS sx,
-        |    sum(CAST(l_discount AS DECIMAL(24,6))) AS sy,
-        |    sum(CAST(l_quantity * l_quantity AS DECIMAL(24,6))) AS sxx,
-        |    sum(CAST(l_discount * l_discount AS DECIMAL(24,6))) AS syy,
-        |    sum(CAST(l_quantity * l_discount AS DECIMAL(24,6))) AS sxy
-        |  FROM lineitem GROUP BY 1)
-        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
-        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-        |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-        |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
-        |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
-        |FROM m ORDER BY l_returnflag""".stripMargin.replace('\n', ' '),
-    "g11_assortativity" ->
-      """WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
-        |  FROM lineitem WHERE l_quantity >= 45),
-        |pairs AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
-        |  FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
-        |    AND x.l_suppkey < y.l_suppkey),
-        |sym AS (SELECT a AS src, b AS dst FROM pairs
-        |  UNION ALL SELECT b, a FROM pairs),
-        |deg AS (SELECT src AS nd, count(*) AS deg FROM sym GROUP BY 1),
-        |ed AS (SELECT CAST(d1.deg AS DOUBLE) AS x,
-        |    CAST(d2.deg AS DOUBLE) AS y
-        |  FROM sym JOIN deg d1 ON d1.nd = sym.src
-        |  JOIN deg d2 ON d2.nd = sym.dst),
-        |m AS (SELECT count(*) AS n,
-        |    sum(CAST(x AS DECIMAL(24,6))) AS sx,
-        |    sum(CAST(y AS DECIMAL(24,6))) AS sy,
-        |    sum(CAST(x * x AS DECIMAL(24,6))) AS sxx,
-        |    sum(CAST(y * y AS DECIMAL(24,6))) AS syy,
-        |    sum(CAST(x * y AS DECIMAL(24,6))) AS sxy
-        |  FROM ed)
-        |SELECT CAST(n AS BIGINT) AS n,
-        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
-        |    AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
-        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
-        |  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
-        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-        |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-        |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
-        |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-        |  END AS assortativity
-        |FROM m""".stripMargin.replace('\n', ' '),
-    "x50_revenue_share" ->
-      """WITH rev AS (SELECT r_name, n_name, count(*) AS n_orders,
-        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
-        |  FROM orders
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |  JOIN region ON n_regionkey = r_regionkey
-        |  GROUP BY 1, 2)
-        |SELECT r_name, n_name, n_orders,
-        |  CAST(rev_d AS DOUBLE) AS revenue,
-        |  CAST(rev_d AS DOUBLE) /
-        |    CAST(sum(rev_d) OVER (PARTITION BY r_name) AS DOUBLE)
-        |    AS share_of_region,
-        |  CAST(rev_d AS DOUBLE) / CAST(sum(rev_d) OVER () AS DOUBLE)
-        |    AS share_of_total
-        |FROM rev ORDER BY r_name, n_name"""
-        .stripMargin.replace('\n', ' '),
-    "w13_max_drawdown" ->
-      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
-        |  FROM events WHERE value IS NOT NULL),
-        |curve AS (SELECT user_id, value,
-        |    max(value) OVER (PARTITION BY user_id
-        |      ORDER BY us, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS peak
-        |  FROM ev)
-        |SELECT user_id, count(*) AS n_events,
-        |  max(peak) AS peak_value,
-        |  max((peak - value) / peak) AS max_drawdown
-        |FROM curve GROUP BY 1 ORDER BY user_id"""
-        .stripMargin.replace('\n', ' '),
-    "g10_clustering_coeff" -> graft.graph.Triangles.perNodeClusteringSql(
-      """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
-        |  FROM lineitem WHERE l_quantity >= 45)
-        |SELECT x.l_suppkey AS src, y.l_suppkey AS dst
-        |FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
-        |  AND x.l_suppkey < y.l_suppkey)""".stripMargin
-        .replace('\n', ' ')),
-    "x49_twap" ->
-      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
-        |  FROM events WHERE value IS NOT NULL),
-        |seg AS (SELECT user_id, us, value,
-        |    lead(us) OVER (PARTITION BY user_id
-        |      ORDER BY us, event_id) AS next_us
-        |  FROM ev),
-        |f AS (SELECT user_id, (next_us - us) // 1000000 AS dur_s, value
-        |  FROM seg WHERE next_us IS NOT NULL)
-        |SELECT user_id, count(*) AS n_segments,
-        |  CAST(sum(dur_s) AS BIGINT) AS total_s,
-        |  CAST(sum(CAST(round(value * CAST(dur_s AS DOUBLE), 6)
-        |      AS DECIMAL(28,6))) AS DOUBLE)
-        |    / CAST(sum(dur_s) AS DOUBLE) AS twap
-        |FROM f WHERE dur_s >= 1 GROUP BY 1 ORDER BY user_id"""
-        .stripMargin.replace('\n', ' '),
-    "g13_modularity" -> graft.graph.Modularity.modularitySql(
-      """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
-        |  FROM lineitem WHERE l_quantity >= 50)
-        |SELECT x.l_suppkey AS src, y.l_suppkey AS dst
-        |FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
-        |  AND x.l_suppkey < y.l_suppkey)""".stripMargin
-        .replace('\n', ' '),
-      rounds = 5),
-    "g12_ktruss" -> graft.graph.KTruss.kTrussSql(
-      """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
-        |  FROM lineitem WHERE l_quantity >= 45)
-        |SELECT x.l_suppkey AS src, y.l_suppkey AS dst
-        |FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
-        |  AND x.l_suppkey < y.l_suppkey)""".stripMargin
-        .replace('\n', ' '),
-      // 14 ≥ the empirical convergence round count at every tested SF
-      // (sf0.01 converges in ≤4 rounds, sf0.1 in 12; extra unrolled
-      // rounds peel a fixpoint = no-ops) — rounds=4 was enough for the
-      // sf0.01 gate but silently short of sf0.1's fixpoint
-      k = 4, rounds = 14),
-    "g9_hits" -> graft.graph.Hits.hitsSql(
-      """(SELECT o_custkey AS src, l_suppkey AS dst
-        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"""
-        .stripMargin.replace('\n', ' '),
-      rounds = 3),
-    "x45_linear_attribution" ->
-      """WITH purch AS (SELECT user_id, event_id AS p_id,
-        |    epoch_us(ts) AS p_us, value
-        |  FROM events WHERE event_type = 'purchase'
-        |    AND value IS NOT NULL),
-        |clicks AS (SELECT user_id, epoch_us(ts) AS c_us
-        |  FROM events WHERE event_type = 'click'),
-        |credited AS (SELECT p.user_id, p.p_id, p.value,
-        |    count(*) AS n_touches
-        |  FROM purch p JOIN clicks c ON c.user_id = p.user_id
-        |    AND c.c_us <= p.p_us
-        |    AND p.p_us - c.c_us <= 604800000000
-        |  GROUP BY 1, 2, 3)
-        |SELECT user_id, count(*) AS n_attributed_purchases,
-        |  CAST(sum(n_touches) AS BIGINT) AS n_touches,
-        |  CAST(sum(CAST(round(value / n_touches, 6) AS DECIMAL(18,6)))
-        |    AS DOUBLE) AS attributed_value
-        |FROM credited GROUP BY 1 ORDER BY user_id"""
-        .stripMargin.replace('\n', ' '),
-    // weight = 64 >> age (integer shift both engines); value·w/sum_w
-    // promotes left-to-right double identically in both
-    "x61_time_decay_attribution" ->
-      """WITH purch AS (SELECT user_id, event_id AS p_id,
-        |    epoch_us(ts) AS p_us, value
-        |  FROM events WHERE event_type = 'purchase'
-        |    AND value IS NOT NULL),
-        |clicks AS (SELECT user_id, epoch_us(ts) AS c_us
-        |  FROM events WHERE event_type = 'click'),
-        |t AS (SELECT p.user_id, p.p_id, p.value,
-        |    (p.p_us - c.c_us) // 86400000000 AS age_d
-        |  FROM purch p JOIN clicks c ON c.user_id = p.user_id
-        |    AND c.c_us <= p.p_us
-        |    AND p.p_us - c.c_us <= 604800000000),
-        |w AS (SELECT *, CAST(64 AS BIGINT) >> age_d AS w FROM t),
-        |s AS (SELECT age_d, value, w,
-        |    sum(w) OVER (PARTITION BY p_id) AS sum_w FROM w)
-        |SELECT age_d, count(*) AS n_touches,
-        |  CAST(sum(CAST(round(value * w / sum_w, 6) AS DECIMAL(18,6)))
-        |    AS DOUBLE) AS credited_value
-        |FROM s GROUP BY 1 ORDER BY age_d"""
-        .stripMargin.replace('\n', ' '),
-    "g7_sssp" -> graft.graph.ShortestPaths.ssspSql(
-      """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
-        |  FROM lineitem WHERE l_quantity >= 45)
-        |SELECT x.l_suppkey AS src, y.l_suppkey AS dst,
-        |  4 - least(count(*), 3) AS w
-        |FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
-        |  AND x.l_suppkey < y.l_suppkey
-        |GROUP BY 1, 2)""".stripMargin.replace('\n', ' '),
-      sourceSql = "SELECT min(least(src, dst)) FROM e",
-      maxRounds = 6),
-    "g8_link_prediction" -> graft.graph.LinkPrediction.adamicAdarSql(
-      """(WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey
-        |  FROM lineitem WHERE l_quantity >= 45)
-        |SELECT x.l_partkey AS src, y.l_partkey AS dst
-        |FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey
-        |  AND x.l_partkey < y.l_partkey)""".stripMargin.replace('\n', ' '),
-      topN = 25, maxDegree = 50),
-    "g5_cc_stars" ->
-      """WITH RECURSIVE sl AS (SELECT DISTINCT l_orderkey, l_suppkey
-        |  FROM lineitem WHERE l_quantity >= 45),
-        |pairs AS (SELECT DISTINCT x.l_suppkey AS id_a,
-        |    y.l_suppkey AS id_b
-        |  FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
-        |    AND x.l_suppkey < y.l_suppkey),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach(node, root) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
-        |SELECT node, min(root) AS component FROM reach
-        |GROUP BY 1 ORDER BY node""".stripMargin.replace('\n', ' '),
-    "x41_association_rules" ->
-      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lp),
-        |item AS (SELECT l_partkey, count(*) AS n_item FROM lp
-        |  GROUP BY 1),
-        |pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
-        |    count(*) AS n_both
-        |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
-        |    AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2)
-        |SELECT p1, p2, CAST(n_both AS BIGINT) AS n_both,
-        |  CAST(i1.n_item AS BIGINT) AS n_p1,
-        |  CAST(i2.n_item AS BIGINT) AS n_p2,
-        |  CAST(n_both AS DOUBLE) / CAST(i1.n_item AS DOUBLE)
-        |    AS confidence,
-        |  CAST(n_both AS DOUBLE) * CAST(n_orders AS DOUBLE)
-        |    / (CAST(i1.n_item AS DOUBLE) * CAST(i2.n_item AS DOUBLE))
-        |    AS lift
-        |FROM pairs
-        |JOIN item i1 ON p1 = i1.l_partkey
-        |JOIN item i2 ON p2 = i2.l_partkey
-        |CROSS JOIN n
-        |ORDER BY lift DESC, p1, p2 LIMIT 25"""
-        .stripMargin.replace('\n', ' '),
-    "g21_conductance" -> graft.graph.LabelPropagation.conductanceSql(
-      """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
-        |  FROM lineitem WHERE l_quantity >= 49)
-        |SELECT x.l_suppkey AS src, y.l_suppkey AS dst
-        |FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
-        |  AND x.l_suppkey < y.l_suppkey)""".stripMargin.replace('\n', ' '),
-      rounds = 5),
-    "g4_label_propagation" -> graft.graph.LabelPropagation.lpaSql(
-      """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
-        |  FROM lineitem WHERE l_quantity >= 45)
-        |SELECT x.l_suppkey AS src, y.l_suppkey AS dst
-        |FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
-        |  AND x.l_suppkey < y.l_suppkey)""".stripMargin.replace('\n', ' '),
-      rounds = 5),
-    "g3_kcore" -> graft.graph.KCore.kcoreSql(
-      """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
-        |  FROM lineitem WHERE l_quantity >= 45)
-        |SELECT x.l_suppkey AS src, y.l_suppkey AS dst
-        |FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
-        |  AND x.l_suppkey < y.l_suppkey)""".stripMargin.replace('\n', ' '),
-      k = 2),
-    "er2_edit_distance_match" ->
-      """WITH dirty AS (
-        |  SELECT c_custkey AS d_key,
-        |    CASE c_custkey % 3
-        |      WHEN 0 THEN concat(substr(c_name, 1, 16),
-        |        substr(c_name, 18, 1), substr(c_name, 17, 1))
-        |      WHEN 1 THEN concat(substr(c_name, 1, 16),
-        |        substr(c_name, 18))
-        |      ELSE concat(substr(c_name, 1, 17), 'X') END AS dirty_name
-        |  FROM customer WHERE c_custkey % 10 = 7),
-        |cand AS (
-        |  SELECT d_key, dirty_name, c_custkey, c_name,
-        |    levenshtein(dirty_name, c_name) AS dist
-        |  FROM dirty JOIN customer
-        |    ON substr(dirty_name, 12, 5) = substr(c_name, 12, 5)),
-        |best AS (
-        |  SELECT d_key, dirty_name, c_custkey AS matched_key,
-        |    c_name AS matched_name, CAST(dist AS BIGINT)
-        |      AS edit_distance,
-        |    row_number() OVER (PARTITION BY d_key
-        |      ORDER BY dist, c_custkey) AS rn
-        |  FROM cand WHERE dist <= 2)
-        |SELECT d_key, dirty_name, matched_key, matched_name,
-        |  edit_distance
-        |FROM best WHERE rn = 1 ORDER BY d_key"""
-        .stripMargin.replace('\n', ' '),
-    "x40_zscore_outliers" ->
-      """WITH stats AS (
-        |  SELECT event_type AS s_type, count(*) AS n,
-        |    sum(CAST(value AS DECIMAL(18,6))) AS sum_d,
-        |    sum(CAST(value AS DECIMAL(18,6))
-        |      * CAST(value AS DECIMAL(18,6))) AS sumsq_d
-        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
-        |ms AS (SELECT s_type,
-        |    CAST(sum_d AS DOUBLE) / n AS mean,
-        |    sqrt((CAST(sumsq_d AS DOUBLE)
-        |      - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE) / n)
-        |      / (n - 1)) AS std
-        |  FROM stats)
-        |SELECT event_id, event_type, value,
-        |  round((value - mean) / std, 4) AS z
-        |FROM events JOIN ms ON event_type = s_type
-        |WHERE value IS NOT NULL
-        |  AND abs(round((value - mean) / std, 4)) >= CAST('1.5' AS DOUBLE)
-        |ORDER BY event_id""".stripMargin.replace('\n', ' '),
-    "x30_mode_per_group" ->
-      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |r AS (SELECT user_id, event_type AS mode_type,
-        |    cnt AS n_occurrences,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY cnt DESC, event_type) AS rn
-        |  FROM c)
-        |SELECT user_id, mode_type, n_occurrences
-        |FROM r WHERE rn = 1 ORDER BY user_id"""
-        .stripMargin.replace('\n', ' '),
-    "x31_incremental_agg" ->
-      """SELECT user_id, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-        |  min(CAST(ts AS TIMESTAMP)) AS first_ts,
-        |  max(CAST(ts AS TIMESTAMP)) AS last_ts
-        |FROM events GROUP BY 1 ORDER BY user_id"""
-        .stripMargin.replace('\n', ' '),
-    "x29_gap_fill" -> withPipeline(
-      """SELECT location_id, datetime, aqi_filled, was_gap FROM (
-        |  WITH g AS (SELECT location_id,
-        |      date_trunc('hour', datetime) AS datetime, max(aqi) AS aqi
-        |    FROM silver GROUP BY 1, 2),
-        |  b AS (SELECT location_id, min(datetime) AS mn,
-        |      max(datetime) AS mx FROM g GROUP BY 1),
-        |  spine AS (SELECT location_id,
-        |      unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
-        |        AS datetime FROM b),
-        |  j AS (SELECT s.location_id, s.datetime, g.aqi
-        |    FROM spine s LEFT JOIN g
-        |      ON s.location_id = g.location_id
-        |      AND s.datetime = g.datetime)
-        |  SELECT location_id, datetime,
-        |    last_value(aqi IGNORE NULLS) OVER (PARTITION BY location_id
-        |      ORDER BY datetime
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS aqi_filled,
-        |    aqi IS NULL AS was_gap
-        |  FROM j)
-        |ORDER BY location_id, datetime""".stripMargin.replace('\n', ' ')),
-    // one scalar CTE mirrors the single shared aggregate; CASE WHEN p
-    // THEN 0 ELSE 1 reproduces the null-is-violation rule
-    "dq1_quality_rules" ->
-      """WITH t AS (SELECT count(*) AS n_rows,
-        |  CAST(sum(CASE WHEN value >= 0 THEN 0 ELSE 1 END) AS BIGINT)
-        |    AS v_nonneg,
-        |  CAST(sum(CASE WHEN value <= 400 THEN 0 ELSE 1 END) AS BIGINT)
-        |    AS v_cap,
-        |  CAST(sum(CASE WHEN event_type IN
-        |    ('view', 'click', 'purchase', 'signup') THEN 0 ELSE 1 END)
-        |    AS BIGINT) AS v_type,
-        |  CAST(sum(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END)
-        |    AS BIGINT) AS v_user,
-        |  count(*) - count(DISTINCT event_id) AS v_uniq
-        |  FROM events),
-        |r AS (
-        |  SELECT 'value_non_negative' AS rule, v_nonneg AS n_violations,
-        |    n_rows FROM t
-        |  UNION ALL SELECT 'value_below_cap', v_cap, n_rows FROM t
-        |  UNION ALL SELECT 'event_type_known', v_type, n_rows FROM t
-        |  UNION ALL SELECT 'user_id_not_null', v_user, n_rows FROM t
-        |  UNION ALL SELECT 'unique_event_id', v_uniq, n_rows FROM t)
-        |SELECT rule, n_violations, n_rows, n_violations = 0 AS pass
-        |FROM r ORDER BY rule""".stripMargin.replace('\n', ' '),
-    // same lower-median rank-picks at the day grain; epoch_us // µs-per-
-    // day matches Spark's canonical-µs `us div 86400000000`
-    "dq2_volume_anomaly" ->
-      """WITH daily AS (
-        |  SELECT epoch_us(ts) // 86400000000 AS day_num,
-        |    count(*) AS n_events
-        |  FROM events GROUP BY 1),
-        |md AS (SELECT n_events AS med FROM (
-        |    SELECT n_events,
-        |      row_number() OVER (ORDER BY n_events, day_num) AS rn,
-        |      count(*) OVER () AS nd
-        |    FROM daily) WHERE rn = (nd + 1) // 2),
-        |dv AS (SELECT day_num, n_events, med,
-        |    abs(n_events - med) AS dev
-        |  FROM daily CROSS JOIN md),
-        |mad AS (SELECT dev AS mad FROM (
-        |    SELECT dev,
-        |      row_number() OVER (ORDER BY dev, day_num) AS rn,
-        |      count(*) OVER () AS nd
-        |    FROM dv) WHERE rn = (nd + 1) // 2)
-        |SELECT day_num, CAST(n_events AS BIGINT) AS n_events,
-        |  CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
-        |  dev > 3 * mad AS is_anomaly
-        |FROM dv CROSS JOIN mad ORDER BY day_num"""
-        .stripMargin.replace('\n', ' '),
-    // same child-side (fk, count) reduction; LEFT JOIN ... IS NULL is
-    // the null-safe anti join (NOT IN would vanish on a NULL key)
-    "dq3_referential_integrity" ->
-      """WITH c AS (
-        |  SELECT 'lineitem_orderkey' AS rule, l_orderkey AS fk,
-        |    count(*) AS n FROM lineitem GROUP BY 1, 2
-        |  UNION ALL SELECT 'lineitem_partkey', l_partkey, count(*)
-        |    FROM lineitem GROUP BY 1, 2
-        |  UNION ALL SELECT 'lineitem_suppkey', l_suppkey, count(*)
-        |    FROM lineitem GROUP BY 1, 2
-        |  UNION ALL SELECT 'orders_custkey', o_custkey, count(*)
-        |    FROM orders GROUP BY 1, 2),
-        |p AS (
-        |  SELECT 'lineitem_orderkey' AS rule, o_orderkey AS pk
-        |    FROM orders
-        |  UNION ALL SELECT 'lineitem_partkey', p_partkey FROM part
-        |  UNION ALL SELECT 'lineitem_suppkey', s_suppkey FROM supplier
-        |  UNION ALL SELECT 'orders_custkey', c_custkey FROM customer),
-        |o AS (SELECT c.rule,
-        |    count(*) FILTER (WHERE p.pk IS NULL) AS n_orphan_keys,
-        |    coalesce(sum(c.n) FILTER (WHERE p.pk IS NULL), 0)
-        |      AS n_orphan_rows
-        |  FROM c LEFT JOIN p ON c.rule = p.rule AND c.fk = p.pk
-        |  GROUP BY 1),
-        |t AS (
-        |  SELECT 'lineitem_orderkey' AS rule, count(*) AS n_child_rows
-        |    FROM lineitem
-        |  UNION ALL SELECT 'lineitem_partkey', count(*) FROM lineitem
-        |  UNION ALL SELECT 'lineitem_suppkey', count(*) FROM lineitem
-        |  UNION ALL SELECT 'orders_custkey', count(*) FROM orders)
-        |SELECT t.rule AS rule,
-        |  CAST(coalesce(n_orphan_keys, 0) AS BIGINT) AS n_orphan_keys,
-        |  CAST(coalesce(n_orphan_rows, 0) AS BIGINT) AS n_orphan_rows,
-        |  CAST(n_child_rows AS BIGINT) AS n_child_rows,
-        |  coalesce(n_orphan_rows, 0) = 0 AS pass
-        |FROM t LEFT JOIN o ON o.rule = t.rule ORDER BY t.rule"""
-        .stripMargin.replace('\n', ' '),
-    // same histogram rank-pick edges + count-of-edges-below binning;
-    // user-unique keys make the per-user bin a GROUP BY user_id
-    "x64_rfm_segmentation" ->
-      """WITH ev AS (SELECT user_id, value, epoch_us(ts) AS us
-        |  FROM events),
-        |per AS (SELECT user_id,
-        |    (1706745600000000 - max(us)) // 86400000000 AS r,
-        |    count(*) AS f,
-        |    CAST(floor(coalesce(sum(CAST(value AS DECIMAL(18,2))),
-        |      CAST(0 AS DECIMAL(18,2)))) AS BIGINT) AS m
-        |  FROM ev GROUP BY 1),
-        |nn AS (SELECT count(*) AS n FROM per),
-        |rh AS (SELECT r AS v, count(*) AS c FROM per GROUP BY 1),
-        |rc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM rh),
-        |re AS (SELECT i, min(v) AS e FROM rc CROSS JOIN nn
-        |  CROSS JOIN unnest(range(1, 4)) AS t(i)
-        |  WHERE cum * 4 >= i * n GROUP BY 1),
-        |fh AS (SELECT f AS v, count(*) AS c FROM per GROUP BY 1),
-        |fc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM fh),
-        |fe AS (SELECT i, min(v) AS e FROM fc CROSS JOIN nn
-        |  CROSS JOIN unnest(range(1, 4)) AS t(i)
-        |  WHERE cum * 4 >= i * n GROUP BY 1),
-        |mh AS (SELECT m AS v, count(*) AS c FROM per GROUP BY 1),
-        |mc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM mh),
-        |me AS (SELECT i, min(v) AS e FROM mc CROSS JOIN nn
-        |  CROSS JOIN unnest(range(1, 4)) AS t(i)
-        |  WHERE cum * 4 >= i * n GROUP BY 1),
-        |rb AS (SELECT user_id, 1 + count(e.i) AS r_bin
-        |  FROM per LEFT JOIN re e ON per.r > e.e GROUP BY 1),
-        |fb AS (SELECT user_id, 1 + count(e.i) AS f_bin
-        |  FROM per LEFT JOIN fe e ON per.f > e.e GROUP BY 1),
-        |mb AS (SELECT user_id, 1 + count(e.i) AS m_bin
-        |  FROM per LEFT JOIN me e ON per.m > e.e GROUP BY 1)
-        |SELECT r_bin, f_bin, m_bin, count(*) AS n_users,
-        |  CAST(sum(p.m) AS BIGINT) AS sum_m_units
-        |FROM per p JOIN rb USING (user_id) JOIN fb USING (user_id)
-        |  JOIN mb USING (user_id)
-        |GROUP BY 1, 2, 3 ORDER BY r_bin, f_bin, m_bin"""
-        .stripMargin.replace('\n', ' '),
-    // same |categories|-row reduction; chi² terms as the identical
-    // double expression, NULL when the category is absent from ref
-    "dq5_categorical_drift" ->
-      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
-        |r AS (SELECT event_type, count(*) AS n_ref FROM ev
-        |  WHERE us < 1705795200000000 GROUP BY 1),
-        |c AS (SELECT event_type, count(*) AS n_cur FROM ev
-        |  WHERE us >= 1705795200000000 GROUP BY 1),
-        |j AS (SELECT coalesce(r.event_type, c.event_type) AS event_type,
-        |    CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
-        |    CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
-        |  FROM r FULL OUTER JOIN c ON r.event_type = c.event_type),
-        |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
-        |SELECT event_type, n_ref, n_cur,
-        |  CASE WHEN tr > 0
-        |    THEN round(CAST(n_ref AS DOUBLE) / tr * tc, 6) END
-        |    AS expected_cur,
-        |  CASE WHEN n_ref > 0 THEN round(
-        |    (CAST(n_cur AS DOUBLE) - CAST(n_ref AS DOUBLE) / tr * tc) *
-        |    (CAST(n_cur AS DOUBLE) - CAST(n_ref AS DOUBLE) / tr * tc) /
-        |    (CAST(n_ref AS DOUBLE) / tr * tc), 6) END AS chi2_term
-        |FROM j CROSS JOIN t ORDER BY event_type"""
-        .stripMargin.replace('\n', ' '),
-    "x70_stl_decompose" ->
-      graft.analytics.Decompose.hourlyAdditiveSql(),
-    "x71_mann_kendall" ->
-      graft.analytics.TrendTest.mannKendallHourlySql(),
-    "x76_acf" -> graft.analytics.Autocorrelation.hourlyAcfSql(),
-    "x87_cross_correlation" ->
-      graft.analytics.Autocorrelation.hourlyCrossCorrSql(),
-    // same gap-filled spine, per-hod rank-picks
-    "x91_hourly_profile" ->
-      """WITH ev AS (SELECT epoch_us(ts) // 3600000000 AS h FROM events),
-        |c AS (SELECT h, CAST(count(*) AS BIGINT) AS y FROM ev
-        |  GROUP BY 1),
-        |bd AS (SELECT min(h) AS mn, max(h) AS mx FROM c),
-        |sr AS (SELECT sp.h, coalesce(c.y, 0) AS y,
-        |    CAST(sp.h % 24 AS INT) AS hod
-        |  FROM (SELECT unnest(range(mn, mx + 1)) AS h FROM bd) sp
-        |  LEFT JOIN c USING (h)),
-        |rk AS (SELECT hod, y,
-        |    CAST(row_number() OVER (PARTITION BY hod ORDER BY y, h)
-        |      AS BIGINT) AS rn,
-        |    CAST(count(*) OVER (PARTITION BY hod) AS BIGINT) AS n
-        |  FROM sr),
-        |pk AS (SELECT hod, p, CAST(min(y) AS BIGINT) AS v
-        |  FROM rk CROSS JOIN (SELECT unnest([10, 50, 90]) AS p)
-        |  WHERE rn * 100 >= p * n GROUP BY 1, 2)
-        |SELECT hod,
-        |  CAST(max(CASE WHEN p = 10 THEN v END) AS BIGINT) AS p10,
-        |  CAST(max(CASE WHEN p = 50 THEN v END) AS BIGINT) AS p50,
-        |  CAST(max(CASE WHEN p = 90 THEN v END) AS BIGINT) AS p90
-        |FROM pk GROUP BY 1 ORDER BY hod""".stripMargin
-        .replace('\n', ' '),
-    // same nation grain, exact cents, truncating bp shares
-    "x90_contribution_bridge" ->
-      """WITH rev AS (SELECT n_name,
-        |    CAST(sum(CASE WHEN year(o_orderdate) = 1997
-        |      THEN CAST(round(o_totalprice * 100) AS BIGINT)
-        |      ELSE 0 END) AS BIGINT) AS pre_cents,
-        |    CAST(sum(CASE WHEN year(o_orderdate) = 1998
-        |      THEN CAST(round(o_totalprice * 100) AS BIGINT)
-        |      ELSE 0 END) AS BIGINT) AS post_cents
-        |  FROM orders
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |  WHERE year(o_orderdate) IN (1997, 1998)
-        |  GROUP BY 1),
-        |w AS (SELECT n_name, pre_cents, post_cents,
-        |    post_cents - pre_cents AS delta_cents,
-        |    CAST(sum(post_cents - pre_cents) OVER () AS BIGINT)
-        |      AS total_delta
-        |  FROM rev)
-        |SELECT n_name, pre_cents, post_cents, delta_cents,
-        |  CAST(CASE WHEN total_delta <> 0
-        |    THEN (delta_cents * 10000) // total_delta END AS BIGINT)
-        |    AS share_bp
-        |FROM w ORDER BY n_name""".stripMargin.replace('\n', ' '),
-    // same 4-cell reduction, fixed-point means, exact integer DiD
-    "x89_did_uplift" ->
-      """WITH cells AS (SELECT (p_type = 'PROMO') AS treated,
-        |    (l_shipdate >= TIMESTAMP '1999-01-01') AS post,
-        |    CAST(count(*) AS BIGINT) AS n_lines,
-        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
-        |      * 100) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey
-        |  GROUP BY 1, 2),
-        |m AS (SELECT treated, post, n_lines,
-        |    (cents * 10000) // n_lines AS mean_u FROM cells),
-        |ag AS (SELECT CAST(sum(n_lines) AS BIGINT) AS n_lines,
-        |    CAST(max(CASE WHEN treated AND NOT post THEN mean_u END)
-        |      AS BIGINT) AS t_pre_mean_u,
-        |    CAST(max(CASE WHEN treated AND post THEN mean_u END)
-        |      AS BIGINT) AS t_post_mean_u,
-        |    CAST(max(CASE WHEN NOT treated AND NOT post THEN mean_u END)
-        |      AS BIGINT) AS c_pre_mean_u,
-        |    CAST(max(CASE WHEN NOT treated AND post THEN mean_u END)
-        |      AS BIGINT) AS c_post_mean_u
-        |  FROM m)
-        |SELECT n_lines, t_pre_mean_u, t_post_mean_u, c_pre_mean_u,
-        |  c_post_mean_u,
-        |  (t_post_mean_u - t_pre_mean_u) - (c_post_mean_u - c_pre_mean_u)
-        |    AS did_units,
-        |  CAST((t_post_mean_u - t_pre_mean_u) -
-        |    (c_post_mean_u - c_pre_mean_u) AS DOUBLE) / 1e4
-        |    AS did_cents
-        |FROM ag""".stripMargin.replace('\n', ' '),
-    // same rank-pick medians/MADs, exact integer 3·MAD gate
-    "x88_seasonal_outliers" ->
-      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dd,
-        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-        |      AS BIGINT) AS y
-        |  FROM orders GROUP BY 1),
-        |d2 AS (SELECT dd, y, CAST(isodow(dd) - 1 AS INT) AS dow
-        |  FROM daily),
-        |med AS (SELECT dow, y AS med_cents FROM (
-        |    SELECT dow, y, dd,
-        |      row_number() OVER (PARTITION BY dow ORDER BY y, dd) AS rn,
-        |      count(*) OVER (PARTITION BY dow) AS n
-        |    FROM d2) WHERE rn = (n + 1) // 2),
-        |dv AS (SELECT d2.dd, d2.dow, d2.y, med.med_cents,
-        |    abs(d2.y - med.med_cents) AS dev
-        |  FROM d2 JOIN med USING (dow)),
-        |mad AS (SELECT dow, dev AS mad_cents FROM (
-        |    SELECT dow, dev, dd,
-        |      row_number() OVER (PARTITION BY dow ORDER BY dev, dd)
-        |        AS rn,
-        |      count(*) OVER (PARTITION BY dow) AS n
-        |    FROM dv) WHERE rn = (n + 1) // 2)
-        |SELECT dv.dd AS day, dv.dow, dv.y AS revenue_cents,
-        |  dv.med_cents, mad.mad_cents, dv.dev AS deviation_cents
-        |FROM dv JOIN mad USING (dow)
-        |WHERE dv.dev > mad.mad_cents * 3
-        |ORDER BY day""".stripMargin.replace('\n', ' '),
-    "x77_theil_sen" -> graft.analytics.TrendTest.theilSenHourlySql(),
-    // same chained min-aggregates, minute div, integer rank-picks
-    "x79_conversion_latency" ->
-      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
-        |  FROM events),
-        |fc AS (SELECT user_id, min(us) AS c_us FROM ev
-        |  WHERE event_type = 'click' GROUP BY 1),
-        |lat AS (SELECT (min(e.us) - fc.c_us) // 60000000 AS minutes
-        |  FROM ev e JOIN fc ON fc.user_id = e.user_id
-        |  WHERE e.event_type = 'purchase' AND e.us >= fc.c_us
-        |  GROUP BY e.user_id, fc.c_us),
-        |hist AS (SELECT minutes, CAST(count(*) AS BIGINT) AS c
-        |  FROM lat GROUP BY 1),
-        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
-        |cm AS (SELECT minutes,
-        |    CAST(sum(c) OVER (ORDER BY minutes) AS BIGINT) AS cum
-        |  FROM hist)
-        |SELECT CAST(p AS INT) AS p,
-        |  CAST(min(minutes) AS BIGINT) AS latency_minutes
-        |FROM cm CROSS JOIN nn
-        |CROSS JOIN (SELECT unnest([25, 50, 75, 90]) AS p)
-        |WHERE cum * 100 >= p * n
-        |GROUP BY 1 ORDER BY p""".stripMargin.replace('\n', ' '),
-    // same cent quantization, tie-cancelling rank, decimal headroom
-    "x78_gini" ->
-      """WITH per AS (SELECT o_custkey,
-        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-        |      AS BIGINT) AS y
-        |  FROM orders GROUP BY 1),
-        |rk AS (SELECT y, CAST(row_number() OVER (ORDER BY y, o_custkey)
-        |    AS BIGINT) AS i FROM per),
-        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_customers,
-        |    CAST(sum(y) AS BIGINT) AS total_cents,
-        |    CAST(sum(CAST(i * y AS DECIMAL(38,0))) AS DECIMAL(38,0))
-        |      AS iy
-        |  FROM rk)
-        |SELECT n_customers, total_cents,
-        |  round(CAST(iy + iy -
-        |      CAST((n_customers + 1) * total_cents AS DECIMAL(38,0))
-        |    AS DOUBLE) /
-        |    CAST(n_customers * total_cents AS DOUBLE), 6) AS gini
-        |FROM ag""".stripMargin.replace('\n', ' '),
-    // same cent quantization, integer class-boundary tests, tie order
-    "x81_abc_class" ->
-      """WITH rev AS (SELECT l_partkey,
-        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-        |      AS BIGINT)) AS BIGINT) AS cents
-        |  FROM lineitem GROUP BY 1),
-        |w AS (SELECT l_partkey, cents,
-        |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS BIGINT) AS cum,
-        |    CAST(sum(cents) OVER () AS BIGINT) AS total
-        |  FROM rev),
-        |c AS (SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
-        |    WHEN cum * 20 <= total * 19 THEN 'B' ELSE 'C' END
-        |    AS abc_class, cents, total FROM w)
-        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
-        |  CAST(sum(cents) AS BIGINT) AS class_cents,
-        |  round(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) /
-        |    CAST(max(total) AS DOUBLE), 6) AS share
-        |FROM c GROUP BY 1 ORDER BY abc_class""".stripMargin
-        .replace('\n', ' '),
-    // same 1e-4-cent mean quantization, decimal unit² sums, fixed
-    // final trees; isodow−1 == Spark weekday
-    "x86_anova_dow" ->
-      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dd,
-        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-        |      AS BIGINT) AS y
-        |  FROM orders GROUP BY 1),
-        |grp AS (SELECT isodow(dd) - 1 AS dow,
-        |    CAST(count(*) AS BIGINT) AS n_g,
-        |    CAST(sum(y) AS BIGINT) AS s_g
-        |  FROM daily GROUP BY 1),
-        |grp2 AS (SELECT dow, n_g, s_g, (s_g * 10000) // n_g AS mean_u
-        |  FROM grp),
-        |grand AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
-        |    CAST(sum(s_g) AS BIGINT) AS s,
-        |    CAST(count(*) AS BIGINT) AS k
-        |  FROM grp2),
-        |grand2 AS (SELECT n, s, k, (s * 10000) // n AS m_u FROM grand),
-        |sums AS (SELECT
-        |    CAST(sum(CAST(y * 10000 - mean_u AS DECIMAL(19,0)) *
-        |      CAST(y * 10000 - mean_u AS DECIMAL(19,0)))
-        |      AS DECIMAL(38,0)) AS ssw_u2,
-        |    CAST(sum(CAST(mean_u - m_u AS DECIMAL(19,0)) *
-        |      CAST(mean_u - m_u AS DECIMAL(19,0)))
-        |      AS DECIMAL(38,0)) AS ssb_u2
-        |  FROM daily JOIN grp2 ON isodow(dd) - 1 = grp2.dow
-        |  CROSS JOIN grand2),
-        |fin AS (SELECT n AS n_days, k AS k_groups,
-        |    CAST(ssb_u2 AS DOUBLE) / 1e8 AS ssb_cents2,
-        |    CAST(ssw_u2 AS DOUBLE) / 1e8 AS ssw_cents2
-        |  FROM sums CROSS JOIN grand2)
-        |SELECT n_days, k_groups, ssb_cents2, ssw_cents2,
-        |  round((ssb_cents2 / CAST(k_groups - 1 AS DOUBLE)) /
-        |    (ssw_cents2 / CAST(n_days - k_groups AS DOUBLE)), 6)
-        |    AS f_stat
-        |FROM fin""".stripMargin.replace('\n', ' '),
-    // same IS-DISTINCT-FROM-TRUE violation semantics and rule order
-    "dq8_quarantine" ->
-      """SELECT event_id, user_id, event_type, value,
-        |  concat_ws(',',
-        |    CASE WHEN (value <= 450) IS DISTINCT FROM TRUE
-        |      THEN 'value_le_450' END,
-        |    CASE WHEN (value >= 1) IS DISTINCT FROM TRUE
-        |      THEN 'value_ge_1' END,
-        |    CASE WHEN (event_type IN ('view', 'click', 'purchase',
-        |      'signup')) IS DISTINCT FROM TRUE
-        |      THEN 'type_known' END) AS violated
-        |FROM events
-        |WHERE NOT (coalesce(value <= 450, FALSE)
-        |    AND coalesce(value >= 1, FALSE)
-        |    AND coalesce(event_type IN ('view', 'click', 'purchase',
-        |      'signup'), FALSE))
-        |ORDER BY event_id""".stripMargin.replace('\n', ' '),
-    // same digit-string extraction, 6dp literal shares, fixed χ² tree,
-    // decimal total
-    "dq9_benford" ->
-      """WITH law AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
-        |    unnest([CAST('0.301030' AS DOUBLE), CAST('0.176091' AS DOUBLE),
-        |      CAST('0.124939' AS DOUBLE), CAST('0.096910' AS DOUBLE),
-        |      CAST('0.079181' AS DOUBLE), CAST('0.066947' AS DOUBLE),
-        |      CAST('0.057992' AS DOUBLE), CAST('0.051153' AS DOUBLE),
-        |      CAST('0.045757' AS DOUBLE)]) AS exp_share),
-        |src AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-        |  FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
-        |cnt AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
-        |    AS digit, CAST(count(*) AS BIGINT) AS n_obs
-        |  FROM src GROUP BY 1),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM src),
-        |terms AS (SELECT law.digit,
-        |    coalesce(n_obs, CAST(0 AS BIGINT)) AS n_obs, exp_share, n
-        |  FROM law LEFT JOIN cnt ON law.digit = cnt.digit CROSS JOIN nn),
-        |t2 AS (SELECT digit, n_obs,
-        |    round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6)
-        |      AS obs_share, exp_share,
-        |    round((CAST(n_obs AS DOUBLE) - exp_share * CAST(n AS DOUBLE)) *
-        |      (CAST(n_obs AS DOUBLE) - exp_share * CAST(n AS DOUBLE)) /
-        |      (exp_share * CAST(n AS DOUBLE)), 6) AS chi2_term
-        |  FROM terms)
-        |SELECT digit, n_obs, obs_share, exp_share, chi2_term,
-        |  CAST(sum(CAST(chi2_term AS DECIMAL(38,6))) OVER () AS DOUBLE)
-        |    AS chi2_total
-        |FROM t2 ORDER BY digit""".stripMargin.replace('\n', ' '),
-    "x72_markov_attribution" ->
-      graft.analytics.MarkovAttribution.removalEffectsSql(
-        channels = Seq("view", "click", "signup", "error")),
-    "x73_bootstrap_ci" ->
-      graft.analytics.Bootstrap.conversionDiffCiSql(),
-    // same bipartite edges, HUGEINT fixed-point means (// truncation
-    // parity with Spark div), /1e6 fixed-tree output doubles
-    "g20_feature_prop" ->
-      """WITH pairs AS (SELECT DISTINCT l_suppkey * 2 AS s_node,
-        |    o_custkey * 2 + 1 AS c_node
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |e AS (SELECT s_node AS src, c_node AS dst FROM pairs
-        |  UNION ALL SELECT c_node, s_node FROM pairs),
-        |feats AS (SELECT s_suppkey * 2 AS node,
-        |    CAST(round(s_acctbal * 100) AS BIGINT) AS f FROM supplier
-        |  UNION ALL SELECT c_custkey * 2 + 1,
-        |    CAST(round(c_acctbal * 100) AS BIGINT) FROM customer),
-        |hop1 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg,
-        |    CAST(sum(f) AS HUGEINT) AS sf
-        |  FROM e JOIN feats ON e.dst = feats.node GROUP BY 1),
-        |h1 AS (SELECT src, deg,
-        |    CAST((sf * 1000000) // deg AS BIGINT) AS h1_units
-        |  FROM hop1),
-        |hop2 AS (SELECT e.src,
-        |    CAST(sum(CAST(h1.h1_units AS HUGEINT)) AS HUGEINT) AS s2
-        |  FROM e JOIN h1 ON e.dst = h1.src GROUP BY 1),
-        |j AS (SELECT h1.src AS node, feats.f, h1.deg, h1.h1_units,
-        |    CAST(hop2.s2 // h1.deg AS BIGINT) AS h2_units
-        |  FROM h1 JOIN hop2 ON h1.src = hop2.src
-        |  JOIN feats ON h1.src = feats.node)
-        |SELECT node, f, deg, CAST(h1_units AS DOUBLE) / 1e6 AS h1,
-        |  CAST(h2_units AS DOUBLE) / 1e6 AS h2
-        |FROM j ORDER BY node""".stripMargin.replace('\n', ' '),
-    // same degree grain, 6dp ln terms, decimal sum, NULL-guarded alpha
-    "g19_degree_stats" ->
-      """WITH e AS (SELECT DISTINCT src, dst FROM (
-        |    SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
-        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |    UNION ALL
-        |    SELECT o_custkey * 2 + 1 AS src, l_suppkey * 2 AS dst
-        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-        |  WHERE src <> dst),
-        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg
-        |  FROM e GROUP BY 1),
-        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-        |    CAST(sum(dg) AS BIGINT) AS sum_deg,
-        |    min(dg) AS min_deg, max(dg) AS max_deg,
-        |    CAST(sum(CASE WHEN dg >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_tail,
-        |    sum(CASE WHEN dg >= 2 THEN
-        |      CAST(round(ln(CAST(dg AS DOUBLE) / CAST('2' AS DOUBLE)), 6)
-        |        AS DECIMAL(38,6)) END) AS lnsum
-        |  FROM deg)
-        |SELECT n_nodes, sum_deg // 2 AS n_edges, min_deg, max_deg,
-        |  n_tail,
-        |  CASE WHEN lnsum > 0 THEN round(CAST('1' AS DOUBLE) +
-        |    CAST(n_tail AS DOUBLE) / CAST(lnsum AS DOUBLE), 6)
-        |  END AS alpha
-        |FROM ag""".stripMargin.replace('\n', ' '),
-    "g18_effective_diameter" -> graft.graph.Closeness.hopDistributionSql(
-      """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
-        .stripMargin.replace('\n', ' '),
-      "(SELECT s_suppkey * 2 AS node FROM supplier " +
-        "WHERE s_suppkey % 25 = 3)"),
-    "g17_closeness" -> graft.graph.Closeness.multiSourceSql(
-      """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
-        .stripMargin.replace('\n', ' '),
-      "(SELECT s_suppkey * 2 AS node FROM supplier " +
-        "WHERE s_suppkey % 25 = 3)"),
-    "g16_mis" -> graft.graph.Mis.sql(
-      """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
-        .stripMargin.replace('\n', ' ')),
-    "g15_random_walks" -> graft.graph.RandomWalks.sql(
-      """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  UNION ALL
-        |  SELECT o_custkey * 2 + 1, l_suppkey * 2
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
-        .stripMargin.replace('\n', ' '),
-      "(SELECT s_suppkey * 2 AS node FROM supplier)"),
-    "x67_survival_km" -> graft.analytics.Survival.kaplanMeierSql(
-      """(SELECT (max(epoch_us(ts)) - min(epoch_us(ts)))
-        |    // 86400000000 AS t,
-        |  CASE WHEN max(epoch_us(ts)) <= 1706745600000000 - 604800000000
-        |    THEN 1 ELSE 0 END AS observed
-        |  FROM events GROUP BY user_id)"""
-        .stripMargin.replace('\n', ' ')),
-    "x68_ab_test" -> graft.analytics.Experiment.abTestSql(),
-    "x69_cuped" -> graft.analytics.Experiment.cupedSql(
-      1705363200000000L,
-      eventsRel = "(SELECT user_id, value, epoch_us(ts) AS us FROM events)",
-      usExpr = "us"),
-    // one aggregate per dependency, NULL RHS abstains (count DISTINCT
-    // ignores NULLs in both engines)
-    "dq7_fd_check" -> {
-      def fd(name: String, tbl: String, lhs: String, rhs: String) =
-        s"""SELECT '$name' AS rule, count(*) AS n_groups,
-           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
-           |    AS n_violating_groups,
-           |  coalesce(CAST(sum(CASE WHEN nd > 1 THEN c ELSE 0 END)
-           |    AS BIGINT), 0) AS n_violating_rows,
-           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
-           |    = 0 AS pass
-           |FROM (SELECT $lhs, count(DISTINCT $rhs) AS nd,
-           |  count(*) AS c FROM $tbl GROUP BY $lhs)""".stripMargin
-      s"""${Seq(
-          fd("doc_id_determines_lang", "documents", "doc_id", "lang"),
-          fd("event_id_determines_user", "events", "event_id",
-            "user_id"),
-          fd("source_determines_lang", "documents", "source", "lang"),
-          fd("user_determines_type", "events", "user_id",
-            "event_type")).mkString(" UNION ALL ")}
-         |ORDER BY rule""".stripMargin.replace('\n', ' ')
-    },
-    // one SELECT per column unioned (oracle runs at test scale; the
-    // engine side is the single shared aggregate)
-    "dq6_column_profile" -> {
-      def num(c: String) =
-        s"""SELECT '$c' AS "column", count(*) AS n_rows,
-           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS n_null,
-           |  count(DISTINCT $c) AS n_distinct,
-           |  CAST(min($c) AS DOUBLE) AS min_num,
-           |  CAST(max($c) AS DOUBLE) AS max_num,
-           |  CAST(NULL AS VARCHAR) AS min_str,
-           |  CAST(NULL AS VARCHAR) AS max_str FROM ev""".stripMargin
-      def str(c: String) =
-        s"""SELECT '$c', count(*),
-           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
-           |    AS BIGINT),
-           |  count(DISTINCT $c),
-           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-           |  min($c), max($c) FROM ev""".stripMargin
-      s"""WITH ev AS (SELECT user_id, event_type, value,
-         |    epoch_us(ts) AS us FROM events)
-         |${Seq(num("user_id"), num("value"), num("us"),
-              str("event_type")).mkString(" UNION ALL ")}
-         |ORDER BY "column"""".stripMargin.replace('\n', ' ')
-    },
-    // lag floored at 0 in BOTH engines (so DuckDB's flooring // and
-    // Spark's truncating div never see a negative operand); a
-    // future-dated partition fails via the max(ts) <= as-of conjunct
-    "dq4_freshness" ->
-      """SELECT event_type, max(ts) AS latest_ts,
-        |  count(*) AS n_rows,
-        |  greatest(0, (1706745600000000 - epoch_us(max(ts))) // 1000000)
-        |    AS lag_s,
-        |  (greatest(0,
-        |     (1706745600000000 - epoch_us(max(ts))) // 1000000) <= 88200
-        |   AND epoch_us(max(ts)) <= 1706745600000000) AS pass
-        |FROM events GROUP BY 1 ORDER BY event_type"""
-        .stripMargin.replace('\n', ' '),
-    "x28_grouping_sets" -> withPipeline(
-      """SELECT country, parameter,
-        |  CAST(grouping(country) * 2 + grouping(parameter) AS BIGINT)
-        |    AS gid,
-        |  count(*) AS n_records, round(avg(aqi), 4) AS avg_aqi
-        |FROM silver
-        |GROUP BY GROUPING SETS ((country), (parameter), ())
-        |ORDER BY gid, country, parameter""".stripMargin.replace('\n', ' ')),
-    // triangles (a<b<c) counted once each via three canonical-edge joins
-    "g2_triangle_count" ->
-      """WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
-        |  FROM lineitem WHERE l_quantity >= 45),
-        |e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
-        |  FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
-        |    AND x.l_suppkey < y.l_suppkey),
-        |nodes AS (SELECT count(DISTINCT n) AS n_nodes FROM
-        |  (SELECT a AS n FROM e UNION ALL SELECT b FROM e)),
-        |edges AS (SELECT count(*) AS n_edges FROM e),
-        |tri AS (SELECT count(*) AS n_triangles
-        |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
-        |    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
-        |SELECT n_nodes, n_edges, n_triangles
-        |FROM nodes CROSS JOIN edges CROSS JOIN tri"""
-        .stripMargin.replace('\n', ' '),
-    // tombstone merge ≡ latest op per key, keys whose latest op is a
-    // tombstone removed (compaction of pre-cutoff deletes commutes with
-    // the global latest-op rule — a tombstoned key either stays gone or
-    // is re-inserted by a later op, in both derivations)
-    "x27_merge_tombstones" ->
-      """WITH ev AS (SELECT user_id, event_type, value,
-        |    CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
-        |latest AS (
-        |  SELECT user_id, event_type AS last_type, value AS last_value,
-        |    ts AS last_ts, event_id AS last_event_id,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM ev)
-        |SELECT user_id, last_type, last_value, last_ts, last_event_id
-        |FROM latest WHERE rn = 1 AND last_type <> 'error'
-        |ORDER BY user_id""".stripMargin.replace('\n', ' '),
-    "x26_event_transitions" ->
-      """WITH seq AS (
-        |  SELECT user_id, event_type,
-        |    lag(event_type, 1) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS prev_type
-        |  FROM events),
-        |counts AS (
-        |  SELECT prev_type, event_type AS next_type,
-        |    count(*) AS n_transitions
-        |  FROM seq WHERE prev_type IS NOT NULL
-        |  GROUP BY 1, 2)
-        |SELECT prev_type, next_type, n_transitions,
-        |  CAST((n_transitions * 10000) // nullif(sum(n_transitions)
-        |    OVER (PARTITION BY prev_type), 0) AS BIGINT) AS prob_bps
-        |FROM counts ORDER BY prev_type, next_type"""
-        .stripMargin.replace('\n', ' '),
-    "x23_funnel" ->
-      """WITH per_user AS (
-        |  SELECT user_id,
-        |    min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP)
-        |      END) AS t_view,
-        |    min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP)
-        |      END) AS t_click,
-        |    min(CASE WHEN event_type = 'purchase'
-        |      THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
-        |  FROM events GROUP BY 1),
-        |stages AS (
-        |  SELECT user_id,
-        |    t_view IS NOT NULL AS s1,
-        |    (t_view IS NOT NULL AND t_click > t_view) AS s2,
-        |    (t_view IS NOT NULL AND t_click > t_view
-        |      AND t_purchase > t_click) AS s3
-        |  FROM per_user),
-        |agg AS (
-        |  SELECT count(*) AS n_users,
-        |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-        |    CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_click_after_view,
-        |    CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_purchase_after_click
-        |  FROM stages)
-        |SELECT n_users, n_view, n_click_after_view,
-        |  n_purchase_after_click,
-        |  (n_view * 10000) // nullif(n_users, 0) AS view_bps,
-        |  (n_click_after_view * 10000) // nullif(n_users, 0) AS click_bps,
-        |  (n_purchase_after_click * 10000) // nullif(n_users, 0) AS purchase_bps
-        |FROM agg""".stripMargin.replace('\n', ' '),
-    // same chained user-keyed min-aggregates; window arithmetic on
-    // non-negative µs integers (// and div agree)
-    "x62_windowed_funnel" ->
-      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
-        |  FROM events),
-        |v AS (SELECT user_id, min(us) AS v_us FROM ev
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |c AS (SELECT e.user_id, min(us) AS c_us
-        |  FROM ev e JOIN v USING (user_id)
-        |  WHERE event_type = 'click' AND us > v_us
-        |    AND us <= v_us + 604800000000 GROUP BY 1),
-        |p AS (SELECT e.user_id, min(us) AS p_us
-        |  FROM ev e JOIN c USING (user_id)
-        |  WHERE event_type = 'purchase' AND us > c_us
-        |    AND us <= c_us + 604800000000 GROUP BY 1),
-        |cnt AS (SELECT
-        |  (SELECT count(DISTINCT user_id) FROM ev) AS n_users,
-        |  (SELECT count(*) FROM v) AS n_view,
-        |  (SELECT count(*) FROM c) AS n_click_7d,
-        |  (SELECT count(*) FROM p) AS n_purchase_7d)
-        |SELECT n_users, CAST(n_view AS BIGINT) AS n_view,
-        |  CAST(n_click_7d AS BIGINT) AS n_click_7d,
-        |  CAST(n_purchase_7d AS BIGINT) AS n_purchase_7d,
-        |  CAST(n_view * 10000 // nullif(n_users, 0) AS BIGINT)
-        |    AS view_bps,
-        |  CAST(n_click_7d * 10000 // nullif(n_view, 0) AS BIGINT)
-        |    AS click_bps,
-        |  CAST(n_purchase_7d * 10000 // nullif(n_click_7d, 0) AS BIGINT)
-        |    AS purchase_bps
-        |FROM cnt""".stripMargin.replace('\n', ' '),
-    "x24_cohort_retention" ->
-      """WITH ev AS (SELECT user_id, event_type,
-        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |su AS (SELECT user_id,
-        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
-        |  FROM ev WHERE event_type = 'signup' GROUP BY 1),
-        |act AS (SELECT DISTINCT user_id,
-        |    CAST(date_trunc('week', ts) AS DATE) AS act_week FROM ev)
-        |SELECT cohort_week,
-        |  CAST(date_diff('day', cohort_week, act_week) // 7 AS INT)
-        |    AS week_offset,
-        |  count(DISTINCT user_id) AS n_users
-        |FROM su JOIN act USING (user_id)
-        |WHERE act_week >= cohort_week
-        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
-        .stripMargin.replace('\n', ' '),
-    "x22_topk_per_group" ->
-      """SELECT user_id, rnk, value, event_id FROM (
-        |  SELECT user_id, value, event_id,
-        |    CAST(row_number() OVER (PARTITION BY user_id
-        |      ORDER BY value DESC, event_id) AS INT) AS rnk
-        |  FROM events WHERE value IS NOT NULL)
-        |WHERE rnk <= 3 ORDER BY user_id, rnk"""
-        .stripMargin.replace('\n', ' '),
-    "x21_snapshot_diff" ->
-      """WITH ev AS (SELECT user_id, event_type, value,
-        |    CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
-        |a AS (SELECT user_id, event_type AS old_type, value AS old_value
-        |  FROM (SELECT user_id, event_type, value,
-        |      row_number() OVER (PARTITION BY user_id
-        |        ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM ev WHERE ts >= TIMESTAMP '2024-01-01'
-        |      AND ts < TIMESTAMP '2024-01-12')
-        |  WHERE rn = 1),
-        |b AS (SELECT user_id AS uid_b, event_type AS new_type,
-        |    value AS new_value
-        |  FROM (SELECT user_id, event_type, value,
-        |      row_number() OVER (PARTITION BY user_id
-        |        ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM ev WHERE ts >= TIMESTAMP '2024-01-08'
-        |      AND ts < TIMESTAMP '2024-01-20')
-        |  WHERE rn = 1)
-        |SELECT COALESCE(a.user_id, b.uid_b) AS user_id,
-        |  CASE WHEN a.user_id IS NULL THEN 'insert'
-        |       WHEN b.uid_b IS NULL THEN 'delete'
-        |       WHEN old_type IS NOT DISTINCT FROM new_type
-        |         AND old_value IS NOT DISTINCT FROM new_value
-        |         THEN 'unchanged'
-        |       ELSE 'update' END AS change_type,
-        |  old_type, old_value, new_type, new_value
-        |FROM a FULL JOIN b ON a.user_id = b.uid_b
-        |ORDER BY user_id""".stripMargin.replace('\n', ' '),
-    "x20_window_suite" ->
-      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
-        |  CAST(ntile(4) OVER w AS INT) AS quartile,
-        |  percent_rank() OVER w AS p_rank,
-        |  cume_dist() OVER w AS c_dist,
-        |  first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED
-        |    PRECEDING AND CURRENT ROW) AS first_price,
-        |  max(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
-        |    AND CURRENT ROW) AS running_max
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey
-        |  ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin.replace('\n', ' ')
-  )
+  val oracle: Map[String, String] =
+    XAnalyticsCoreQueries.oracle ++ XAnalyticsSeriesQueries.oracle ++
+      GraphExtQueries.oracle ++ EntityResolutionQueries.oracle ++
+      DataQualityQueries.oracle
 }
