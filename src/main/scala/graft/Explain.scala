@@ -71,7 +71,10 @@ object Explain {
         "x89_did_uplift", "ml23_maximin_init", "x90_contribution_bridge",
         "io12_incremental_ledger", "w16_rolling_extrema",
         "x91_hourly_profile", "sim10_filtered_knn",
-        "io13_retention_sweep")
+        "io13_retention_sweep",
+        // round-8 additions
+        "d15_index_lifecycle", "s16_stream_neardup",
+        "sim11_ann_recall_report")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -163,7 +163,6 @@ object RoundingAudit {
     // twins with identical trees are audited directly
     "s2_stream_silver" -> "streaming job; p5 batch twin audited",
     "s5_stream_gold" -> "streaming job; a1 batch twin audited",
-    "x9_stream_sessions" -> "streaming job; x1 twin audited",
     "x13_stream_enrich" -> "streaming job; batch join twin audited",
     "s15_stream_baseline_alert" ->
       ("streaming job; oracle IS the identical batch computation " +

@@ -353,6 +353,23 @@ object FeatureQueries {
       graft.ml.LinearShap.attribute(per, "user_id", "x1", "x2", "y",
         explainFilter = col("id") % 50 === 3)
     }),
+    // EXACT leave-one-out influence (ml24): refit spend ~ clicks
+    // WITHOUT each explained user via closed-form sufficient-stat
+    // subtraction (no per-unit retrain pass) and report how the
+    // model's prediction at the user's own x moves — the
+    // data-valuation primitive behind influence-based curation.
+    // One stats pass + broadcast; all-integer micro outputs
+    "ml24_loo_influence" -> ((s, d) => {
+      val per = PipelineQueries.table(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"),
+          coalesce(sum(col("value").cast("decimal(18,2)")),
+            lit(0).cast("decimal(18,2)")).as("y"))
+      graft.ml.LooInfluence.influence(per, "user_id", "x", "y",
+        explainFilter = col("id") % 40 === 7)
+    }),
     // exact tied-rank ROC-AUC + fixed-threshold confusion metrics over
     // the embeddings table (label >= 5 plays the positive class, one
     // embedding coordinate plays the model score)
@@ -1142,6 +1159,14 @@ object FeatureQueries {
         "FROM gold ORDER BY location_id, datetime"),
     "ml2_normal_equations" ->
       withPipeline(graft.ml.NormalEquations.gramSql),
+    "ml24_loo_influence" -> graft.ml.LooInfluence.sql(
+      """(SELECT user_id AS id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS x,
+        |  CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))),
+        |    CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |  FROM events GROUP BY 1)""".stripMargin.replace('\n', ' '),
+      "id % 40 = 7"),
     "ml15_linear_shap" -> graft.ml.LinearShap.sql(
       """(SELECT user_id AS id,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)

@@ -52,11 +52,13 @@ object JoinQueries {
         ((col("id") + 1) * 25).cast("double").as("hi"))
       Joins.rangeJoinBroadcast(events(s, d), bands, "value", "lo", "hi")
         .groupBy(col("band_id"), col("lo"), col("hi"))
-        // avg over an exact DECIMAL sum: float summation order would
-        // otherwise perturb the 4th decimal vs the oracle
+        // exact half-away 4-dp average in pure integers (round-8
+        // audit: the round(double,4) form hit a genuine inexact tie
+        // at sf0.01 — 337.95375 — that any engine could flip)
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value").cast("decimal(18,2)")).cast("double") /
-            count(lit(1)), 4).as("avg_value"))
+          expr("(2 * CAST(sum(CAST(value AS DECIMAL(18,2))) * 100" +
+            " AS DECIMAL(38,0)) * 100 + count(1))" +
+            " div (2 * count(1))").as("avg_value_e4"))
         .orderBy("band_id")
     }),
     // salted skew join ≡ plain equi-join (events.user_id → customer)
@@ -98,8 +100,9 @@ object JoinQueries {
       """WITH bands AS (SELECT i AS band_id, CAST(i * 25 AS DOUBLE) AS lo,
         |    CAST((i + 1) * 25 AS DOUBLE) AS hi FROM range(0, 20) t(i))
         |SELECT band_id, lo, hi, count(*) AS n_events,
-        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-        |    / count(*), 4) AS avg_value
+        |  CAST((2 * CAST(sum(CAST(value AS DECIMAL(18,2))) * 100
+        |      AS HUGEINT) * 100 + count(*))
+        |    // (2 * count(*)) AS BIGINT) AS avg_value_e4
         |FROM events JOIN bands ON value >= lo AND value < hi
         |GROUP BY 1, 2, 3 ORDER BY band_id""".stripMargin.replace('\n', ' '),
     "xj3_salted_join" ->

@@ -162,6 +162,43 @@ object SinkQueries {
     // columns). Readers see survivors via ordinary partition
     // discovery; oracle = the equivalent row filter over the source,
     // certifying the sweep deleted exactly the expired days
+    // SMALL-FILE COMPACTION (io14): day partitions land fragmented;
+    // the plan bins adjacent days by FOOTER row counts (metadata-only
+    // — the ZoneMap discipline) at bin = rows-before div 3000, and
+    // each bin rewrites as ONE file. Binning is start-offset
+    // arithmetic on the ordered day list, so the oracle replays it
+    // exactly from the row grain; one-file-per-bin and total-row
+    // preservation are require()d inline
+    "io14_compaction" -> ((s, d) => {
+      import graft.io.Compaction
+      val root = tmp(s"events_compact_${java.util.UUID.randomUUID()
+        .toString.take(8)}", d)
+      val ev = PipelineQueries.eventsTs(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          (year(col("ts")) * 10000 + month(col("ts")) * 100 +
+            dayofmonth(col("ts"))).as("d"))
+      ev.write.mode("overwrite").partitionBy("d").parquet(s"$root/src")
+      val out = Compaction.compact(s, s"$root/src", s"$root/dst",
+        "d", targetRows = 3000L)
+      // compaction proof: every bin is exactly one data file
+      val fs = new org.apache.hadoop.fs.Path(s"$root/dst")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/dst"))
+        .filter(_.isDirectory).foreach { b =>
+          val n = fs.listStatus(b.getPath)
+            .count(f => f.getPath.getName.endsWith(".parquet") &&
+              !f.getPath.getName.startsWith("_"))
+          require(n == 1, s"bin ${b.getPath.getName} has $n files")
+        }
+      require(out.count() == ev.count(),
+        "compaction must preserve every row")
+      out.groupBy(col("bin").cast("long").as("bin"))
+        .agg(countDistinct(col("d")).as("n_days"),
+          count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("bin")
+    }),
     "io13_retention_sweep" -> ((s, d) => {
       import graft.io.Retention
       val root = tmp(s"events_ttl_${java.util.UUID.randomUUID()
@@ -477,6 +514,28 @@ object SinkQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events""".stripMargin.replace('\n', ' '),
     // survivors ≡ the equivalent row filter (UTC session; ts is NTZ)
+    // day-grain replay of the start-offset binning, then the same
+    // per-bin aggregate from the row grain
+    "io14_compaction" ->
+      """WITH ev AS (SELECT user_id, value,
+        |    year(CAST(ts AS TIMESTAMP)) * 10000 +
+        |    month(CAST(ts AS TIMESTAMP)) * 100 +
+        |    day(CAST(ts AS TIMESTAMP)) AS d
+        |  FROM events),
+        |days AS (SELECT d, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1),
+        |binned AS (SELECT d,
+        |    coalesce(sum(c) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 3000 AS bin
+        |  FROM days)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  count(DISTINCT e.d) AS n_days,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_value
+        |FROM ev e JOIN binned b ON e.d = b.d
+        |GROUP BY 1 ORDER BY bin""".stripMargin.replace('\n', ' '),
     "io13_retention_sweep" ->
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT user_id) AS n_users,

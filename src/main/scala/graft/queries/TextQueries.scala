@@ -302,6 +302,14 @@ object TextQueries {
     // clean slice plus 'q'-prefixed junk twins (every 5th doc, id +
     // 600000) whose tokens are all OOV — their every bigram degrades
     // to the 1/V floor
+    // TEMPERATURE source mixing (t36): p_i ∝ n_i^0.7 sampling weights
+    // + per-source budgets for a 100k-doc mix — the XLM-R/mT5
+    // low-resource up-weighting table; one (source → count) pass,
+    // n^α quantized to micro ints BEFORE any cross-source sum so
+    // double summation order never arises (round-8 q6 discipline)
+    "t36_temperature_mix" -> ((s, d) =>
+      graft.text.SourceMix.temperatureMix(
+        table(s, d, "documents"))),
     "t28_lm_perplexity" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val clean = docs.select(col("doc_id"), col("text"))
@@ -529,6 +537,8 @@ object TextQueries {
          |FROM ($scored) ORDER BY doc_id"""
         .stripMargin.replace('\n', ' ')
     },
+    "t36_temperature_mix" ->
+      graft.text.SourceMix.temperatureMixSql(),
     // same add-one bigram model: vocabulary-bounded count tables from
     // the full reference, per-bigram -ln terms as one double division
     // of exact integers rounded to 6dp, DECIMAL-summed per doc
