@@ -74,7 +74,10 @@ object Explain {
         "io13_retention_sweep",
         // round-8 additions
         "d15_index_lifecycle", "s16_stream_neardup",
-        "sim11_ann_recall_report")
+        "sim11_ann_recall_report", "ml24_loo_influence",
+        "t36_temperature_mix", "io14_compaction",
+        "mm7_media_exact_dedup", "ml25_conformal_intervals",
+        "sim12_hard_negatives", "g22_rich_club", "dq10_profile_drift")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -207,4 +207,27 @@ object Multimodal {
       : DataFrame =
     graft.dedup.Dedup.simhashNearPairs(perceptualHashes(withMedia),
       maxDist = maxDist)
+
+  /** Exact media dedup by CONTENT digest (mm7): sha-256 over the raw
+    * bytes — the first pass of every media-dedup stack (CSAM/copyright
+    * filters, LAION-style corpus dedup) and the only multimodal
+    * operator with a full DuckDB twin (a cryptographic digest of the
+    * bytes needs no decode, so nothing is stubbed). Metadata is
+    * deliberately IGNORED: re-encoded uploads carry fresh width/height
+    * rows but identical payload bytes, and byte-identity is what the
+    * digest certifies. Per duplicate set: copy count, min-id
+    * canonical, distinct metadata variants. Scale: one scan to
+    * (digest → aggregates); the digest is 32 bytes per doc — the
+    * shuffle carries digests, never media bytes. */
+  def exactMediaDedup(withMedia: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit,
+      min, sha2}
+    withMedia
+      .withColumn("digest", sha2(col("media"), 256))
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("canonical_id"),
+        countDistinct(col("metadata.width")).as("n_meta_variants"))
+      .filter(col("n_copies") > 1)
+  }
 }

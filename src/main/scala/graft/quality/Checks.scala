@@ -123,6 +123,102 @@ object Checks {
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Batch-over-batch PROFILE drift (dq10): [[profile]] run on a
+    * reference and a current batch, joined per column — the schema- and
+    * distribution-monitoring pass a production feed runs on every
+    * ingest (Deequ's metrics-repository diff; the profile-level
+    * complement of dq5's per-category chi-square and ml12's PSI, which
+    * watch ONE column deeply — this watches EVERY column cheaply).
+    * Two one-pass aggregates → two |columns|-row tables → a tiny join:
+    * corpus-sized work is exactly two scans regardless of column
+    * count. Null rates and the distinct-count ratio are exact e6
+    * integers by truncating division on non-negative counts;
+    * range_expanded compares STORED extrema (no arithmetic, numeric
+    * columns only — string collation is engine-dependent); the drifted
+    * flag ORs coalesced(…, false) terms so a NULL metric (empty ref,
+    * string column) never poisons the verdict: |Δnull| > 1pp or
+    * distinct count halved/doubled. */
+  def profileDrift(ref: DataFrame, cur: DataFrame,
+      numericCols: Seq[String], stringCols: Seq[String]): DataFrame = {
+    def leg(df: DataFrame, tag: String) =
+      profile(df, numericCols, stringCols).select(
+        col("column"), col("n_rows").as(s"n_rows_$tag"),
+        col("n_null").as(s"n_null_$tag"),
+        col("n_distinct").as(s"nd_$tag"),
+        col("min_num").as(s"min_$tag"), col("max_num").as(s"max_$tag"))
+    leg(ref, "ref").join(leg(cur, "cur"), Seq("column"))
+      .withColumn("null_rate_ref_e6", expr(
+        "CASE WHEN n_rows_ref > 0 " +
+          "THEN (n_null_ref * 1000000) div n_rows_ref END"))
+      .withColumn("null_rate_cur_e6", expr(
+        "CASE WHEN n_rows_cur > 0 " +
+          "THEN (n_null_cur * 1000000) div n_rows_cur END"))
+      .withColumn("null_drift_e6",
+        col("null_rate_cur_e6") - col("null_rate_ref_e6"))
+      .withColumn("distinct_ratio_e6", expr(
+        "CASE WHEN nd_ref > 0 THEN (nd_cur * 1000000) div nd_ref END"))
+      .withColumn("range_expanded",
+        col("min_cur") < col("min_ref") || col("max_cur") > col("max_ref"))
+      .withColumn("drifted",
+        coalesce(abs(col("null_drift_e6")) > 10000, lit(false)) ||
+          coalesce(col("distinct_ratio_e6") < 500000, lit(false)) ||
+          coalesce(col("distinct_ratio_e6") > 2000000, lit(false)))
+      .select(col("column"), col("n_rows_ref"), col("n_rows_cur"),
+        col("null_rate_ref_e6"), col("null_rate_cur_e6"),
+        col("null_drift_e6"), col("nd_ref"), col("nd_cur"),
+        col("distinct_ratio_e6"), col("range_expanded"), col("drifted"))
+      .orderBy("column")
+  }
+
+  /** DuckDB twin of [[profileDrift]]; `refRel`/`curRel` are
+    * parenthesized relations with the profiled columns. */
+  def profileDriftSql(refRel: String, curRel: String,
+      numericCols: Seq[String], stringCols: Seq[String]): String = {
+    def prof(rel: String) = {
+      def num(c: String) =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_num,
+           |  CAST(max($c) AS DOUBLE) AS max_num FROM $rel t""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c', CAST(count(*) AS BIGINT),
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT),
+           |  CAST(count(DISTINCT $c) AS BIGINT),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+           |  FROM $rel t""".stripMargin
+      (numericCols.map(num) ++ stringCols.map(str))
+        .mkString(" UNION ALL ")
+    }
+    s"""WITH pref AS (${prof(refRel)}), pcur AS (${prof(curRel)}),
+       |j AS (SELECT pref."column" AS "column",
+       |    pref.n_rows AS n_rows_ref, pcur.n_rows AS n_rows_cur,
+       |    CASE WHEN pref.n_rows > 0
+       |      THEN (pref.n_null * 1000000) // pref.n_rows
+       |      END AS null_rate_ref_e6,
+       |    CASE WHEN pcur.n_rows > 0
+       |      THEN (pcur.n_null * 1000000) // pcur.n_rows
+       |      END AS null_rate_cur_e6,
+       |    pref.n_distinct AS nd_ref, pcur.n_distinct AS nd_cur,
+       |    CASE WHEN pref.n_distinct > 0
+       |      THEN (pcur.n_distinct * 1000000) // pref.n_distinct
+       |      END AS distinct_ratio_e6,
+       |    (pcur.min_num < pref.min_num OR pcur.max_num > pref.max_num)
+       |      AS range_expanded
+       |  FROM pref JOIN pcur ON pref."column" = pcur."column")
+       |SELECT "column", n_rows_ref, n_rows_cur, null_rate_ref_e6,
+       |  null_rate_cur_e6,
+       |  null_rate_cur_e6 - null_rate_ref_e6 AS null_drift_e6,
+       |  nd_ref, nd_cur, distinct_ratio_e6, range_expanded,
+       |  (coalesce(abs(null_rate_cur_e6 - null_rate_ref_e6) > 10000,
+       |     FALSE)
+       |   OR coalesce(distinct_ratio_e6 < 500000, FALSE)
+       |   OR coalesce(distinct_ratio_e6 > 2000000, FALSE)) AS drifted
+       |FROM j ORDER BY "column"""".stripMargin.replace('\n', ' ')
+  }
+
   /** Categorical drift gate — [[report]]'s fifth sibling and the
     * categorical counterpart of the numeric PSI: reference-vs-current
     * distribution of a category column compared by per-category

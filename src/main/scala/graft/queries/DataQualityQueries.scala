@@ -103,6 +103,31 @@ object DataQualityQueries {
     // profiler next to the rule report): per column, rows / nulls /
     // exact distincts / typed min-max lanes, ALL from one shared
     // aggregate pass unpivoted driver-free into |columns| report rows
+    // BATCH-OVER-BATCH PROFILE DRIFT (dq10): dq6's one-pass profile
+    // run on a reference and a current ingest batch, diffed per
+    // column — the every-ingest monitoring gate (Deequ metrics-diff).
+    // The harness plants realistic drift into the current batch: a
+    // collector regression NULLs value for user_id % 19 == 0 (+5.3pp
+    // null rate → drifted) and renames click → tap for
+    // user_id % 7 == 0 (a 5th event_type; distinct ratio 1.25× —
+    // within the halved/doubled gate, NOT flagged — the operator
+    // distinguishes noisy from broken). user_id stays clean
+    "dq10_profile_drift" -> ((s, d) => {
+      import graft.quality.Checks
+      val ev = table(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val ref = ev.filter(col("event_id") % 2 === 0)
+      val cur = ev.filter(col("event_id") % 2 === 1)
+        .withColumn("value",
+          when(col("user_id") % 19 === 0, lit(null)).otherwise(col("value")))
+        .withColumn("event_type",
+          when(col("user_id") % 7 === 0 && col("event_type") === "click",
+            lit("tap")).otherwise(col("event_type")))
+      Checks.profileDrift(ref, cur,
+        numericCols = Seq("user_id", "value"),
+        stringCols = Seq("event_type"))
+    }),
     "dq6_column_profile" -> ((s, d) => {
       val ev = eventsUs(s, d)
         .select(col("user_id"), col("event_type"), col("value"),
@@ -356,6 +381,17 @@ object DataQualityQueries {
     },
     // one SELECT per column unioned (oracle runs at test scale; the
     // engine side is the single shared aggregate)
+    "dq10_profile_drift" -> graft.quality.Checks.profileDriftSql(
+      refRel = "(SELECT user_id, event_type, value FROM events " +
+        "WHERE event_id % 2 = 0)",
+      curRel = """(SELECT user_id,
+        |  CASE WHEN user_id % 7 = 0 AND event_type = 'click'
+        |    THEN 'tap' ELSE event_type END AS event_type,
+        |  CASE WHEN user_id % 19 = 0 THEN NULL ELSE value END AS value
+        |  FROM events WHERE event_id % 2 = 1)"""
+        .stripMargin.replace('\n', ' '),
+      numericCols = Seq("user_id", "value"),
+      stringCols = Seq("event_type")),
     "dq6_column_profile" -> {
       def num(c: String) =
         s"""SELECT '$c' AS "column", count(*) AS n_rows,

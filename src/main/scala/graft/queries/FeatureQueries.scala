@@ -335,6 +335,21 @@ object FeatureQueries {
     "ml2_normal_equations" -> ((s, d) =>
       graft.ml.NormalEquations.gram(
         graft.ml.NormalEquations.designMatrix(gold(s, d)))),
+    // SPLIT-CONFORMAL intervals (ml25): distribution-free 90%
+    // prediction intervals around the spend~clicks OLS — content-hash
+    // train/cal/test split, integer rank-pick q-hat at
+    // ceil((ncal+1)*0.9), all-integer micro outputs; the uncertainty
+    // half of the eval stack next to ml16's calibration
+    "ml25_conformal_intervals" -> ((s, d) => {
+      val per = PipelineQueries.table(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"),
+          coalesce(sum(col("value").cast("decimal(18,2)")),
+            lit(0).cast("decimal(18,2)")).as("y"))
+      graft.ml.Conformal.intervals(per, "user_id", "x", "y")
+    }),
     // EXACT linear-model Shapley (ml15): spend regressed on clicks
     // and views (closed-form 2-feature OLS from nine exact sums in
     // one pass), then per-row attributions phi_j = beta_j(x_j - mean)
@@ -1159,6 +1174,13 @@ object FeatureQueries {
         "FROM gold ORDER BY location_id, datetime"),
     "ml2_normal_equations" ->
       withPipeline(graft.ml.NormalEquations.gramSql),
+    "ml25_conformal_intervals" -> graft.ml.Conformal.sql(
+      """(SELECT user_id AS id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS x,
+        |  CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))),
+        |    CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |  FROM events GROUP BY 1)""".stripMargin.replace('\n', ' ')),
     "ml24_loo_influence" -> graft.ml.LooInfluence.sql(
       """(SELECT user_id AS id,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)

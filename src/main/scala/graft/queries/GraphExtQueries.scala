@@ -134,6 +134,50 @@ object GraphExtQueries {
     // aggregate to the degree grain; ln terms are 6dp-rounded
     // decimal-summed doubles of exact integer ratios; alpha NULL when
     // the tail is empty or all at dmin (no ε).
+    // RICH-CLUB COEFFICIENT (g22): phi(k) = 2·E_k / (N_k·(N_k−1))
+    // over the nodes of degree > k — do the hubs of the
+    // supplier↔customer graph preferentially trade with each other?
+    // (Colizza et al. 2006; the structural complement of g11's
+    // assortativity scalar.) ONE edge-degree join computes every
+    // threshold at once: an undirected edge survives at k iff
+    // min(deg_u, deg_v) > k, so the per-k numerators are sums over a
+    // degree-bounded histogram — the t34 per-term-min-level trick.
+    // The k-spine × histogram joins are literal-row × tiny-table;
+    // the corpus-sized work is the degree aggregate and two
+    // node-keyed joins. phi in exact e6 via truncating div on
+    // non-negative DECIMAL(38,0)/HUGEINT operands (2·E_k·10⁶
+    // overflows BIGINT at web-graph scale); NULL when N_k < 2
+    "g22_rich_club" -> ((s, d) => {
+      val pairs = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("u"),
+          (col("o_custkey") * 2 + 1).as("v"))
+        .distinct()
+      val sym = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val edgeHist = pairs
+        .join(deg.select(col("src").as("u"), col("dg").as("du")), Seq("u"))
+        .join(deg.select(col("src").as("v"), col("dg").as("dv")), Seq("v"))
+        .select(least(col("du"), col("dv")).as("min_deg"))
+        .groupBy(col("min_deg")).agg(count(lit(1)).as("ecnt"))
+      val nodeHist = deg.groupBy(col("dg")).agg(count(lit(1)).as("ncnt"))
+      val ks = s.range(1, 13).select(col("id").cast("int").as("k"))
+      val nk = ks.join(broadcast(nodeHist), col("dg") > col("k"), "left")
+        .groupBy(col("k")).agg(coalesce(sum(col("ncnt")), lit(0L)).as("n_k"))
+      val ek = ks.join(broadcast(edgeHist), col("min_deg") > col("k"), "left")
+        .groupBy(col("k")).agg(coalesce(sum(col("ecnt")), lit(0L)).as("e_k"))
+      nk.join(ek, Seq("k"))
+        .select(col("k"), col("n_k"), col("e_k"),
+          expr("CASE WHEN n_k >= 2 THEN CAST(" +
+            "(2 * CAST(e_k AS DECIMAL(38,0)) * 1000000) div " +
+            "(CAST(n_k AS DECIMAL(38,0)) * (n_k - 1)) AS BIGINT) END")
+            .as("phi_e6"))
+        .orderBy("k")
+    }),
     "g19_degree_stats" -> ((s, d) => {
       val pairs = table(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
@@ -613,6 +657,32 @@ object GraphExtQueries {
         |SELECT node, f, deg, CAST(h1_units AS DOUBLE) / 1e6 AS h1,
         |  CAST(h2_units AS DOUBLE) / 1e6 AS h2
         |FROM j ORDER BY node""".stripMargin.replace('\n', ' '),
+    // same undirected pair set; HUGEINT numerator, truncating //
+    "g22_rich_club" ->
+      """WITH p AS (SELECT DISTINCT l_suppkey * 2 AS u,
+        |    o_custkey * 2 + 1 AS v
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT u AS src, v AS dst FROM p
+        |  UNION ALL SELECT v, u FROM p),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg
+        |  FROM e GROUP BY 1),
+        |em AS (SELECT least(du.dg, dv.dg) AS min_deg,
+        |    CAST(count(*) AS BIGINT) AS ecnt
+        |  FROM p JOIN deg du ON p.u = du.src
+        |  JOIN deg dv ON p.v = dv.src GROUP BY 1),
+        |nh AS (SELECT dg, CAST(count(*) AS BIGINT) AS ncnt
+        |  FROM deg GROUP BY 1),
+        |ks AS (SELECT CAST(range AS INT) AS k FROM range(1, 13)),
+        |nk AS (SELECT k, CAST(coalesce(sum(ncnt), 0) AS BIGINT) AS n_k
+        |  FROM ks LEFT JOIN nh ON nh.dg > ks.k GROUP BY 1),
+        |ek AS (SELECT k, CAST(coalesce(sum(ecnt), 0) AS BIGINT) AS e_k
+        |  FROM ks LEFT JOIN em ON em.min_deg > ks.k GROUP BY 1)
+        |SELECT nk.k, n_k, e_k,
+        |  CASE WHEN n_k >= 2 THEN CAST(
+        |    (2 * CAST(e_k AS HUGEINT) * 1000000) //
+        |    (CAST(n_k AS HUGEINT) * (n_k - 1)) AS BIGINT) END AS phi_e6
+        |FROM nk JOIN ek ON nk.k = ek.k
+        |ORDER BY nk.k""".stripMargin.replace('\n', ' '),
     // same degree grain, 6dp ln terms, decimal sum, NULL-guarded alpha
     "g19_degree_stats" ->
       """WITH e AS (SELECT DISTINCT src, dst FROM (

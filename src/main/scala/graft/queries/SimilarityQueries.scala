@@ -45,6 +45,18 @@ object SimilarityQueries {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
         .orderBy("query_id", "rank")
     }),
+    // HARD-NEGATIVE MINING (sim12): per anchor, the top-k most-similar
+    // vectors of a DIFFERENT label — the contrastive-training data op
+    // (InfoNCE/triplet batches need negatives that are hard, not
+    // random). The exclusion is anchor-dependent (c.label ≠ anchor's),
+    // so it's a join condition, not sim10's static pre-filter; the
+    // anchor row itself is excluded by its own label. sim1 plan shape:
+    // corpus never shuffles, anchors broadcast, salted two-phase top-k
+    "sim12_hard_negatives" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 20), k = 5)
+        .orderBy("query_id", "rank")
+    }),
     // MEASURED ANN-quality report (sim11): per-query recall@5 and
     // similarity-mass ratio of a deterministic label-centroid IVF
     // (d12's clustering recipe as IVF cells, 2 probes) against the
@@ -208,6 +220,8 @@ object SimilarityQueries {
     },
     "sim1_knn_bruteforce" ->
       Similarity.bruteForceTopKSql(5, "vec_id < 20"),
+    "sim12_hard_negatives" ->
+      Similarity.hardNegativesSql(5, "vec_id < 20"),
     // sim1's brute-force CTE as ground truth, the deterministic
     // label-centroid IVF as the ANN leg, and the exact-integer
     // report CTEs — the full chain hash-checks

@@ -454,6 +454,20 @@ object SinkQueries {
       Multimodal.mediaNearDupPairs(base.unionAll(perturbed))
         .orderBy("id_a", "id_b")
     }),
+    // EXACT media dedup by content digest (mm7): sha-256 of the raw
+    // payload bytes — the first pass of every media-dedup stack, and
+    // the one multimodal operator with a full DuckDB twin (no decode
+    // ⇒ nothing stubbed). Planted re-uploads (+100000) carry the SAME
+    // bytes under DIFFERENT metadata (width and even media_type
+    // change with doc_id) — byte-identity must still collapse them
+    "mm7_media_exact_dedup" -> ((s, d) => {
+      val base = table(s, d, "documents")
+        .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+      val reup = base.withColumn("doc_id", col("doc_id") + 100000)
+      Multimodal.exactMediaDedup(
+        Multimodal.withBinaryPayload(base.unionAll(reup)))
+        .orderBy("canonical_id")
+    }),
     // bucketed layout → co-located join: zero Exchange on either join
     // side (PlanShapeSpec pins the plan; the oracle checks the result
     // equals the plain join)
@@ -593,6 +607,23 @@ object SinkQueries {
         |  (CASE WHEN doc_id % 3 = 2
         |    THEN CAST(doc_id % 300 + 1 AS INT) END) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+    // sha256(text) hashes the same UTF-8 bytes as Spark's
+    // sha2(encode(text,'UTF-8'), 256); metadata is recomputed from the
+    // SHIFTED ids, so re-uploads collapse despite differing metadata
+    "mm7_media_exact_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 200),
+        |allm AS (SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 100000, text FROM base),
+        |h AS (SELECT doc_id, sha256(text) AS digest,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN CAST(doc_id % 1024 + 64 AS INT) END AS width
+        |  FROM allm)
+        |SELECT digest, count(*) AS n_copies,
+        |  min(doc_id) AS canonical_id,
+        |  count(DISTINCT width) AS n_meta_variants
+        |FROM h GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY canonical_id""".stripMargin.replace('\n', ' '),
     "mm3_frame_sample" ->
       """SELECT doc_id, n_frames,
         |  array_to_string(list_transform(range(0, k),

@@ -51,7 +51,7 @@ object Similarity {
     * global top-k, and the (sim DESC, corpus_id) ordering is total, so
     * the result is identical to the single-window form. */
   private def topKPerQuery(scored: DataFrame, k: Int,
-      salts: Int = 64): DataFrame = {
+      salts: Int = 64, extraCols: Seq[String] = Nil): DataFrame = {
     val salted = scored.withColumn("salt",
       pmod(xxhash64(col("corpus_id")), lit(salts)))
     val w1 = Window.partitionBy(col("query_id"), col("salt"))
@@ -64,7 +64,8 @@ object Similarity {
     partial
       .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), col("sim"))
+      .select(col("query_id") +: col("rank") +: col("corpus_id") +:
+        col("sim") +: extraCols.map(col): _*)
   }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
@@ -100,6 +101,55 @@ object Similarity {
        |  FROM embeddings e, q
        |  WHERE e.vec_id <> q.query_id AND ($corpusPred))
        |SELECT query_id, rank, corpus_id, sim FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, corpus_id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin.replace('\n', ' ')
+
+  /** Hard-negative mining for contrastive training (sim12): for each
+    * anchor, the k most-similar corpus vectors whose LABEL DIFFERS —
+    * "looks like the anchor, isn't the anchor's class", the negatives
+    * that actually move an InfoNCE/triplet loss (random negatives are
+    * trivially separable at scale). Unlike sim10's static pre-filter,
+    * the exclusion here is ANCHOR-DEPENDENT (c.label ≠ q.label), so it
+    * lives in the join condition, evaluated before any window. Same
+    * plan as sim1: corpus never shuffles, anchors broadcast, two-phase
+    * salted top-k; same 4dp-cosine + id tie-break contract. Output
+    * carries both labels so the pair is self-describing for a
+    * downstream triplet builder. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(labelCol).as("neg_label"), toDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
+    val q = anchors.select(col(idCol).as("query_id"),
+      col(labelCol).as("anchor_label"),
+      toDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
+    val scored = c.join(broadcast(q),
+      col("neg_label") =!= col("anchor_label"))
+      .withColumn("sim", round(
+        dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")), 4))
+    topKPerQuery(scored, k,
+      extraCols = Seq("anchor_label", "neg_label"))
+  }
+
+  /** DuckDB twin of [[hardNegatives]] for anchors `WHERE anchorPred`. */
+  def hardNegativesSql(k: Int, anchorPred: String): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, label AS anchor_label,
+       |    CAST(embedding AS DOUBLE[]) AS qvec
+       |  FROM embeddings WHERE $anchorPred),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS corpus_id,
+       |    round(list_cosine_similarity(
+       |      CAST(e.embedding AS DOUBLE[]), q.qvec), 4) AS sim,
+       |    q.anchor_label, e.label AS neg_label
+       |  FROM embeddings e, q
+       |  WHERE e.label <> q.anchor_label)
+       |SELECT query_id, rank, corpus_id, sim, anchor_label, neg_label
+       |FROM (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY sim DESC, corpus_id) AS INT) AS rank
        |  FROM scored)

@@ -39,13 +39,23 @@ class DeterminismSpec extends AnyFunSuite {
     "ml22_gbt_stumps",       // double argmax + integer residual update
     "g20_feature_prop",      // micro-unit div means over two hops
     "x85_holt_forecast",     // driver recursion over collected series
-    "dq9_benford")           // precomputed-literal χ² decimal total
+    "dq9_benford",           // precomputed-literal χ² decimal total
+    // round-8 q6/e4 integer disciplines
+    "ml15_linear_shap",      // DECIMAL(38,0) Cramer ints, sdiv outputs
+    "x70_stl_decompose",     // cents×400 trend, truncating seasonal div
+    "t27_quality_filter",    // micro log-odds + IRLS micro terms
+    "t28_lm_perplexity",     // micro-nat terms, integer mean
+    "sim11_ann_recall_report", // e4 recall/ratio over two top-k legs
+    "ml24_loo_influence",    // held-out integer Cramer per row
+    "t36_temperature_mix",   // q6-quantized n^alpha, integer normalizer
+    "mm7_media_exact_dedup", // sha-256 digest grain
+    "ml25_conformal_intervals") // rank-pick q-hat + sdiv micro preds
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)
       .collect().map(_.toString).sorted.toSeq
 
-  test("twenty discipline-representative queries are bit-identical " +
+  test("the discipline-representative queries are bit-identical " +
     "under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)

@@ -62,4 +62,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!pairs.keys.exists(k => k._1 == 4L || k._2 == 4L),
       s"unrelated payload must not pair: $pairs")
   }
+
+  test("mm7 exact media dedup: byte-identical payloads collapse on " +
+    "the digest despite divergent metadata; unique payloads drop") {
+    // ids 0 and 3 are both images (doc_id % 3 == 0) with DIFFERENT
+    // widths (doc_id % 1024 + 64) but the same bytes; id 1 shares
+    // bytes with 6 under different media types; id 2 is unique
+    val docs = Seq(
+      (0L, "same payload"), (3L, "same payload"),
+      (1L, "other bytes"), (6L, "other bytes"),
+      (2L, "loner")).toDF("doc_id", "text")
+    val out = Multimodal.exactMediaDedup(
+      Multimodal.withBinaryPayload(docs))
+      .orderBy("canonical_id").collect()
+    assert(out.length === 2, "exactly two duplicate sets")
+    val first = out(0)
+    assert(first.getAs[Long]("canonical_id") === 0L)
+    assert(first.getAs[Long]("n_copies") === 2L)
+    assert(first.getAs[Long]("n_meta_variants") === 2L,
+      "widths 64 and 67 are distinct metadata on identical bytes")
+    val second = out(1)
+    assert(second.getAs[Long]("canonical_id") === 1L)
+    assert(second.getAs[Long]("n_copies") === 2L)
+    // id 1 is audio (width null), id 6 is image (width 70): one
+    // non-null distinct width
+    assert(second.getAs[Long]("n_meta_variants") === 1L)
+  }
 }
