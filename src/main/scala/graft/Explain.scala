@@ -77,7 +77,8 @@ object Explain {
         "sim11_ann_recall_report", "ml24_loo_influence",
         "t36_temperature_mix", "io14_compaction",
         "mm7_media_exact_dedup", "ml25_conformal_intervals",
-        "sim12_hard_negatives", "g22_rich_club", "dq10_profile_drift")
+        "sim12_hard_negatives", "g22_rich_club", "dq10_profile_drift",
+        "ml26_grouped_ols", "dq11_ks_test", "t37_ngram_novelty")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -88,4 +88,125 @@ object Holt {
        |FROM fin CROSS JOIN (SELECT unnest([$hs]) AS h)
        |ORDER BY h""".stripMargin.replace('\n', ' ')
   }
+
+  // ------------------------------------------ Holt-Winters additive (x92)
+
+  /** Holt-Winters additive seasonal forecast (x92) — [[forecast]]'s
+    * level+trend recursion completed with a weekly (period-7) seasonal
+    * state, the classic triple-exponential smoother: a trend line
+    * alone lags every weekend dip by construction; the seasonal terms
+    * absorb the weekly shape so the trend tracks the true drift.
+    *
+    *   L_t = α(y_t − S_{t−7}) + (1−α)(L+B),   α = 1/5
+    *   B_t = β(L_t − L_{t−1}) + (1−β)B,        β = 1/10
+    *   S_t = γ(y_t − L_t) + (1−γ)S_{t−7},      γ = 1/10
+    *   ŷ_{T+h} = L_T + h·B_T + S_{T+h−7·⌈…⌉}
+    *
+    * Same scale/determinism contract as [[forecast]]: the corpus
+    * reduces to the span-bounded daily grain in one aggregate; the
+    * inherently-sequential recursion runs on the driver over the
+    * collected series (metadata-sized); ALL state is exact MILLI-CENT
+    * int64, the smoothing constants are integer rationals, and every
+    * step is one truncating division (toward-zero parity with
+    * DuckDB's `//` established in x84 — negative trend/seasonal terms
+    * occur). Deterministic init convention (fixed here AND in the
+    * oracle): L₀ = week-1 mean, B₀ = (week-2 mean − week-1 mean)/7,
+    * S_i = y_i·1000 − L₀ for the first week; recursion starts day 8.
+    * int64 headroom: 9·S bounds daily revenue at ~$1e14. */
+  def holtWinters(daily: DataFrame, horizon: Int = 7): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val rows = daily.select(col("day"), col("y"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    require(rows.length >= 15, "Holt-Winters needs two init weeks + 1")
+    val first = rows.head._1
+    val last = rows.last._1
+    val byDay = rows.toMap
+    val series = Iterator.iterate(first)(_.plusDays(1))
+      .takeWhile(!_.isAfter(last))
+      .map(d => byDay.getOrElse(d, 0L)).toArray
+    var l = series.take(7).map(_ * 1000L).sum / 7L
+    var b = {
+      val w1 = series.take(7).sum
+      val w2 = series.slice(7, 14).sum
+      val d = (w2 - w1) * 1000L
+      if (d >= 0) d / 49L else -((-d) / 49L)
+    }
+    val s = Array.tabulate(7)(i => series(i) * 1000L - l)
+    var t = 7
+    while (t < series.length) {
+      val si = t % 7
+      val lNew = (series(t) * 1000L - s(si) + 4L * (l + b)) / 5L
+      b = ((lNew - l) + 9L * b) / 10L
+      s(si) = ((series(t) * 1000L - lNew) + 9L * s(si)) / 10L
+      l = lNew
+      t += 1
+    }
+    val n = series.length
+    (1 to horizon).map { h =>
+      val u = l + h.toLong * b + s((n - 1 + h) % 7)
+      (h, u, u.toDouble / 1000.0)
+    }.toDF("h", "forecast_units", "forecast_cents")
+  }
+
+  /** DuckDB twin of [[holtWinters]] over `orders`: the seasonal state
+    * rides the recursion as seven columns, one updated per step via a
+    * CASE on the day index mod 7. Scala's `/` truncates toward zero,
+    * so negative operands route through the explicit -((-x)//d) form
+    * DuckDB-side where x can be negative ONLY in b0 (both engines'
+    * integer `/`//`//` truncate toward zero — x84 — so the plain ops
+    * match everywhere else). */
+  def holtWintersSql(horizon: Int = 7): String = {
+    val hs = (1 to horizon).mkString(", ")
+    def upd(i: Int) =
+      s"CASE WHEN (s.i - 1) % 7 = $i THEN " +
+        s"((s.y * 1000 - x.lnew) + 9 * x.s$i) // 10 ELSE x.s$i END"
+    val sCols = (0 until 7).map(i => s"s$i").mkString(", ")
+    val sInit = (0 until 7).map(i =>
+      s"(SELECT y * 1000 FROM serie WHERE i = ${i + 1}) - ini.l0")
+      .mkString(", ")
+    val sPick = s"CASE ${(0 until 7).map(i =>
+      s"WHEN (s.i - 1) % 7 = $i THEN st.s$i").mkString(" ")} END"
+    val sFcst = s"CASE ${(0 until 7).map(i =>
+      s"WHEN (nn.n - 1 + h) % 7 = $i THEN fin.s$i").mkString(" ")} END"
+    s"""WITH RECURSIVE
+       |days AS (SELECT CAST(o_orderdate AS DATE) AS dd,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       |      AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |bounds AS (SELECT min(dd) AS d0, max(dd) AS d1 FROM days),
+       |spine AS (SELECT CAST(unnest(generate_series(d0, d1,
+       |    INTERVAL 1 DAY)) AS DATE) AS dd FROM bounds),
+       |serie AS (SELECT CAST(row_number() OVER (ORDER BY s.dd)
+       |      AS BIGINT) AS i,
+       |    coalesce(y, CAST(0 AS BIGINT)) AS y
+       |  FROM spine s LEFT JOIN days ON s.dd = days.dd),
+       |nn AS (SELECT max(i) AS n FROM serie),
+       |ini AS (SELECT
+       |    (SELECT sum(y * 1000) FROM serie WHERE i <= 7) // 7 AS l0,
+       |    (SELECT CASE WHEN d >= 0 THEN d // 49 ELSE -((-d) // 49) END
+       |     FROM (SELECT ((SELECT sum(y) FROM serie
+       |         WHERE i BETWEEN 8 AND 14) -
+       |       (SELECT sum(y) FROM serie WHERE i <= 7)) * 1000 AS d))
+       |      AS b0),
+       |st(i, l, b, $sCols) AS (
+       |  SELECT CAST(7 AS BIGINT), ini.l0, ini.b0, $sInit FROM ini
+       |  UNION ALL
+       |  SELECT x.i + 1, x.lnew,
+       |    ((x.lnew - x.l) + 9 * x.b) // 10,
+       |    ${(0 until 7).map(upd).mkString(", ")}
+       |  FROM (SELECT st.i, st.l, st.b,
+       |      ${(0 until 7).map(i => s"st.s$i").mkString(", ")},
+       |      (s.y * 1000 - ($sPick) + 4 * (st.l + st.b)) // 5 AS lnew
+       |    FROM st JOIN serie s ON s.i = st.i + 1) x
+       |    JOIN serie s ON s.i = x.i + 1),
+       |fin AS (SELECT * FROM st ORDER BY i DESC LIMIT 1)
+       |SELECT CAST(h AS INT) AS h,
+       |  CAST(fin.l + h * fin.b + ($sFcst) AS BIGINT) AS forecast_units,
+       |  CAST(fin.l + h * fin.b + ($sFcst) AS DOUBLE) / 1000.0
+       |    AS forecast_cents
+       |FROM fin CROSS JOIN nn CROSS JOIN (SELECT unnest([$hs]) AS h)
+       |ORDER BY h""".stripMargin.replace('\n', ' ')
+  }
 }

@@ -495,6 +495,57 @@ object Dedup {
        |  >= ${math.round(threshold * 10000)}""".stripMargin.replace('\n', ' ')
   }
 
+  /** Per-document n-gram novelty (t37) — the memorization/diversity
+    * metric curation pipelines rank by: what fraction of a document's
+    * distinct word n-grams appear in NO other document (corpus df = 1)?
+    * Low novelty = boilerplate/template mass the near-dup family may
+    * still miss (shared fragments below any pairwise threshold); high
+    * novelty = unique long-tail content worth upweighting. The
+    * complement of d8's duplicate-span view: d8 finds the shared
+    * spans, this scores every document by how little of it is shared.
+    *
+    * Scale shape: one token pass to DISTINCT (id, gram) postings, one
+    * gram-grain df aggregate (partial-agg friendly — df caps at
+    * |docs|), one postings⋈df join back, one id-grain aggregate. No
+    * pairs anywhere — novelty replaces the quadratic pair question
+    * with a linear df question, which is why it runs where all-pairs
+    * cannot. Pure integer outputs: novelty_e6 is one truncating
+    * division of non-negative counts. Docs with < n tokens have no
+    * grams and are excluded (no 0/0 convention). */
+  def ngramNovelty(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val g = gramRows(docs, idCol, textCol, n)
+      .select(col(idCol).as("id"), col("gram"))
+    val df = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    g.join(df, Seq("gram"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id"), col("n_grams"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_grams").as("novelty_e6"))
+      .orderBy("id")
+  }
+
+  /** DuckDB twin of [[ngramNovelty]]; `docsRel` yields (id, text). */
+  def ngramNoveltySql(docsRel: String, n: Int = 3): String = {
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val toks = s"regexp_split_to_array($norm, '\\s+')"
+    val grams = s"[array_to_string(toks[i:i+${n - 1}], ' ') " +
+      s"for i in range(1, len(toks)-$n+2)]"
+    s"""WITH g AS (
+       |  SELECT id, unnest(list_distinct($grams)) AS gram
+       |  FROM (SELECT id, $toks AS toks FROM $docsRel)
+       |  WHERE len(toks) >= $n),
+       |df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+       |SELECT id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_novel,
+       |  CAST((sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1000000) //
+       |    count(*) AS BIGINT) AS novelty_e6
+       |FROM g JOIN df USING (gram)
+       |GROUP BY id ORDER BY id""".stripMargin.replace('\n', ' ')
+  }
+
   /** Benchmark decontamination: drop every corpus document sharing at
     * least one word n-gram with the benchmark (eval-set) documents — the
     * standard guard against test-set leakage into training corpora

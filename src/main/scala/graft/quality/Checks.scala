@@ -348,4 +348,108 @@ object Checks {
     df.withColumn("violated", concat_ws(",", tags: _*))
       .filter(col("violated") =!= "")
   }
+
+  // ------------------------------------------------ two-sample KS (dq11)
+
+  /** Two-sample Kolmogorov–Smirnov drift test (dq11) — the
+    * distribution-SHAPE gate dq10's summary profile cannot see (a
+    * mean-preserving variance change moves no null rate, no distinct
+    * count, no extremum — KS catches it): D = max over x of
+    * |F_ref(x) − F_cur(x)|, with the α=0.05 rejection rule
+    * D > 1.358·√((n₁+n₂)/(n₁·n₂)).
+    *
+    * Scale design: each metric maps rows to an integral BIN (a
+    * quantization grid — the grain is bounded by value-range ×
+    * resolution, never by corpus size); all metrics ride ONE pass per
+    * input via a row-local explode, then one (metric, bin) aggregate.
+    * The CDF cumsum windows partition by metric over the bin grain —
+    * bounded like the repo's day-grain rank-picks. Corpus-sized work:
+    * exactly two scans, however many metrics.
+    *
+    * Determinism: counts are exact integers; D's numerator
+    * d_num = max|cum₁·n₂ − cum₂·n₁| is an exact integer over the
+    * common denominator n₁·n₂ (no per-step division); `d_e6` is one
+    * truncating division of non-negative operands; the `drifted` gate
+    * is the PURE-INTEGER squared form d_num²·10⁶ > 1844164·n₁n₂(n₁+n₂)
+    * (1.358² = 1.844164 exactly) — the verdict never touches a double.
+    * `crit_e6` (reporting only) is the x87-discipline double tree:
+    * one IEEE sqrt/divide chain, identical in both engines, floored.
+    * Products sit in DECIMAL(38,0)/HUGEINT; d_num² ≤ (n₁·n₂)² caps
+    * n₁·n₂ near 10¹⁶ before the gate needs pre-scaled counts
+    * (documented, the g22 bound family). */
+  def ksTest(ref: DataFrame, cur: DataFrame,
+      metrics: Seq[(String, Column)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def leg(df: DataFrame, src: Int) =
+      df.select(explode(array(metrics.map { case (name, bin) =>
+          struct(lit(name).as("metric"), bin.cast("long").as("bin"))
+        }: _*)).as("mb"), lit(src).as("src"))
+        .select(col("mb.metric").as("metric"), col("mb.bin").as("bin"),
+          col("src"))
+        .filter(col("bin").isNotNull)
+    val binned = leg(ref, 0).unionAll(leg(cur, 1))
+      .groupBy(col("metric"), col("bin"))
+      .agg(sum(when(col("src") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("src") === 1, 1L).otherwise(0L)).as("c2"))
+    val w = Window.partitionBy("metric").orderBy("bin")
+    val wAll = Window.partitionBy("metric")
+    binned
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .groupBy(col("metric"), col("n1"), col("n2"))
+      .agg(max(abs(expr(
+        "CAST(cum1 AS DECIMAL(38,0)) * n2 - CAST(cum2 AS DECIMAL(38,0)) * n1")))
+        .as("dnum"))
+      .select(col("metric"), col("n1").cast("long").as("n_ref"),
+        col("n2").cast("long").as("n_cur"),
+        expr("CAST((dnum * 1000000) div " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)").as("d_e6"),
+        expr("CAST(floor(1.358D * sqrt((CAST(n1 AS DOUBLE) + " +
+          "CAST(n2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) * " +
+          "CAST(n2 AS DOUBLE))) * 1000000D) AS BIGINT)").as("crit_e6"),
+        expr("dnum * dnum * 1000000 > CAST(1844164 AS DECIMAL(38,0)) * " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2) * (CAST(n1 AS DECIMAL(38,0)) + n2)")
+          .as("drifted"))
+      .orderBy("metric")
+  }
+
+  /** DuckDB twin of [[ksTest]]; `metrics`: (name, binSqlExpr) where
+    * the expression reads the relation's columns and yields the
+    * integral bin. */
+  def ksTestSql(refRel: String, curRel: String,
+      metrics: Seq[(String, String)]): String = {
+    def leg(rel: String, src: Int) = metrics.map { case (name, bin) =>
+      s"SELECT '$name' AS metric, CAST($bin AS BIGINT) AS bin, " +
+        s"$src AS src FROM $rel WHERE ($bin) IS NOT NULL"
+    }.mkString(" UNION ALL ")
+    s"""WITH rows_ AS (${leg(refRel, 0)} UNION ALL ${leg(curRel, 1)}),
+       |b AS (SELECT metric, bin,
+       |    sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS c1,
+       |    sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS c2
+       |  FROM rows_ GROUP BY 1, 2),
+       |cum AS (SELECT metric,
+       |    sum(c1) OVER (PARTITION BY metric ORDER BY bin) AS cum1,
+       |    sum(c2) OVER (PARTITION BY metric ORDER BY bin) AS cum2,
+       |    sum(c1) OVER (PARTITION BY metric) AS n1,
+       |    sum(c2) OVER (PARTITION BY metric) AS n2
+       |  FROM b),
+       |d AS (SELECT metric, n1, n2,
+       |    max(abs(CAST(cum1 AS HUGEINT) * n2 -
+       |      CAST(cum2 AS HUGEINT) * n1)) AS dnum
+       |  FROM cum GROUP BY 1, 2, 3)
+       |SELECT metric, CAST(n1 AS BIGINT) AS n_ref,
+       |  CAST(n2 AS BIGINT) AS n_cur,
+       |  CAST((dnum * 1000000) // (CAST(n1 AS HUGEINT) * n2)
+       |    AS BIGINT) AS d_e6,
+       |  CAST(floor(CAST('1.358' AS DOUBLE) *
+       |    sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) /
+       |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) *
+       |    CAST('1000000' AS DOUBLE)) AS BIGINT) AS crit_e6,
+       |  dnum * dnum * 1000000 > CAST(1844164 AS HUGEINT) *
+       |    (CAST(n1 AS HUGEINT) * n2) * (CAST(n1 AS HUGEINT) + n2)
+       |    AS drifted
+       |FROM d ORDER BY metric""".stripMargin.replace('\n', ' ')
+  }
 }

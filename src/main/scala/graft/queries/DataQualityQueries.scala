@@ -128,6 +128,25 @@ object DataQualityQueries {
         numericCols = Seq("user_id", "value"),
         stringCols = Seq("event_type"))
     }),
+    // two-sample KS drift test (dq11): the distribution-SHAPE gate
+    // dq10's profile can't see — the harness plants a scale shift
+    // (half of cur's users get value ×1.5: same null rate, same
+    // distinct ratio, but D=0.092 ≫ crit 0.027 → drifted) while
+    // user_id splits evenly (D ≈ 0 → quiet). Verdict is the
+    // pure-integer squared-form gate; see Checks.ksTest
+    "dq11_ks_test" -> ((s, d) => {
+      import graft.quality.Checks
+      val ev = table(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val ref = ev.filter(col("event_id") % 2 === 0)
+      val cur = ev.filter(col("event_id") % 2 === 1)
+        .withColumn("value",
+          when(col("user_id") % 2 === 0, col("value") * lit(1.5d))
+            .otherwise(col("value")))
+      Checks.ksTest(ref, cur, Seq(
+        "value" -> expr("CAST(floor(value * 10000D) AS BIGINT)"),
+        "user_id" -> col("user_id")))
+    }),
     "dq6_column_profile" -> ((s, d) => {
       val ev = eventsUs(s, d)
         .select(col("user_id"), col("event_type"), col("value"),
@@ -392,6 +411,17 @@ object DataQualityQueries {
         .stripMargin.replace('\n', ' '),
       numericCols = Seq("user_id", "value"),
       stringCols = Seq("event_type")),
+    "dq11_ks_test" -> graft.quality.Checks.ksTestSql(
+      refRel = "(SELECT user_id, value FROM events WHERE event_id % 2 = 0)",
+      curRel = """(SELECT user_id,
+        |  CASE WHEN user_id % 2 = 0
+        |    THEN value * CAST('1.5' AS DOUBLE) ELSE value END AS value
+        |  FROM events WHERE event_id % 2 = 1)"""
+        .stripMargin.replace('\n', ' '),
+      metrics = Seq(
+        "value" ->
+          "CAST(floor(value * CAST('10000' AS DOUBLE)) AS BIGINT)",
+        "user_id" -> "user_id")),
     "dq6_column_profile" -> {
       def num(c: String) =
         s"""SELECT '$c' AS "column", count(*) AS n_rows,

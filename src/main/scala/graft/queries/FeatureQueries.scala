@@ -385,6 +385,14 @@ object FeatureQueries {
       graft.ml.LooInfluence.influence(per, "user_id", "x", "y",
         explainFilter = col("id") % 40 === 7)
     }),
+    // per-segment OLS from additive sufficient statistics (ml26) —
+    // one price-vs-quantity line per brand, the "million models"
+    // pattern: the fact table partial-aggregates to the FK grain
+    // BEFORE the dimension join (fact rows never ship through it),
+    // then re-aggregates to the segment; slope/intercept are exact
+    // integer micro-units via sign-safe truncating division
+    "ml26_grouped_ols" -> ((s, d) =>
+      graft.ml.GroupedOls.brandLines(s, d)),
     // exact tied-rank ROC-AUC + fixed-threshold confusion metrics over
     // the embeddings table (label >= 5 plays the positive class, one
     // embedding coordinate plays the model score)
@@ -1189,6 +1197,7 @@ object FeatureQueries {
         |    CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
         |  FROM events GROUP BY 1)""".stripMargin.replace('\n', ' '),
       "id % 40 = 7"),
+    "ml26_grouped_ols" -> graft.ml.GroupedOls.brandLinesSql(),
     "ml15_linear_shap" -> graft.ml.LinearShap.sql(
       """(SELECT user_id AS id,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)

@@ -45,6 +45,25 @@ object SimilarityQueries {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
         .orderBy("query_id", "rank")
     }),
+    // EMBEDDING CENTROID DRIFT (sim13): per-label cosine between the
+    // reference batch's centroid and the current batch's — the
+    // embedding-space monitor after a model/upstream change. Cosine on
+    // per-coordinate SUM vectors (scale-invariant ⇒ no mean division);
+    // dot/norms² exact DECIMAL(38,0) integers, one x87 double tree.
+    // Harness plants a +5.0 shift on coordinate 0 of even labels'
+    // current batch (post-quantization: +5e6 q-units) — those labels
+    // must flag, odd labels stay ≈ 1.0 and quiet
+    "sim13_centroid_drift" -> ((s, d) => {
+      val rows = table(s, d, "embeddings")
+        .select(col("label"), (col("vec_id") % 2).cast("int").as("src"),
+          posexplode(col("embedding")).as(Seq("pos", "c")))
+        .withColumn("q",
+          expr("CAST(floor(CAST(c AS DOUBLE) * 1000000D) AS BIGINT) + " +
+            "CASE WHEN src = 1 AND label % 2 = 0 AND pos = 0 " +
+            "THEN 5000000 ELSE 0 END"))
+        .select(col("label"), col("src"), col("pos"), col("q"))
+      Similarity.centroidDrift(rows)
+    }),
     // HARD-NEGATIVE MINING (sim12): per anchor, the top-k most-similar
     // vectors of a DIFFERENT label — the contrastive-training data op
     // (InfoNCE/triplet batches need negatives that are hard, not
@@ -220,6 +239,16 @@ object SimilarityQueries {
     },
     "sim1_knn_bruteforce" ->
       Similarity.bruteForceTopKSql(5, "vec_id < 20"),
+    "sim13_centroid_drift" -> Similarity.centroidDriftSql(
+      """(SELECT label, CAST(vec_id % 2 AS INT) AS src,
+        |  CAST(u.i - 1 AS INT) AS pos,
+        |  CAST(floor(CAST(embedding[u.i] AS DOUBLE) *
+        |      CAST('1000000' AS DOUBLE)) AS BIGINT) +
+        |    CASE WHEN vec_id % 2 = 1 AND label % 2 = 0 AND u.i = 1
+        |      THEN 5000000 ELSE 0 END AS q
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS u(i))"""
+        .stripMargin.replace('\n', ' ')),
     "sim12_hard_negatives" ->
       Similarity.hardNegativesSql(5, "vec_id < 20"),
     // sim1's brute-force CTE as ground truth, the deterministic

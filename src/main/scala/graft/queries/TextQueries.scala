@@ -310,6 +310,14 @@ object TextQueries {
     "t36_temperature_mix" -> ((s, d) =>
       graft.text.SourceMix.temperatureMix(
         table(s, d, "documents"))),
+    // per-document n-gram NOVELTY (t37): the memorization/diversity
+    // score — share of each doc's distinct trigrams with corpus
+    // df = 1; low = boilerplate mass below any pairwise near-dup
+    // threshold, high = long-tail content to upweight. Linear df
+    // question in place of the quadratic pair question; integer e6
+    "t37_ngram_novelty" -> ((s, d) =>
+      graft.dedup.Dedup.ngramNovelty(
+        table(s, d, "documents").select(col("doc_id"), col("text")))),
     "t28_lm_perplexity" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val clean = docs.select(col("doc_id"), col("text"))
@@ -539,6 +547,8 @@ object TextQueries {
     },
     "t36_temperature_mix" ->
       graft.text.SourceMix.temperatureMixSql(),
+    "t37_ngram_novelty" -> graft.dedup.Dedup.ngramNoveltySql(
+      "(SELECT doc_id AS id, text FROM documents)"),
     // same add-one bigram model: vocabulary-bounded count tables from
     // the full reference, per-bigram -ln terms as one double division
     // of exact integers rounded to 6dp, DECIMAL-summed per doc

@@ -778,6 +778,18 @@ object XAnalyticsSeriesQueries {
           .groupBy(to_date(col("o_orderdate")).as("day"))
           .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
             .as("y")))),
+    // HOLT-WINTERS additive seasonal forecast (x92): x85's level+trend
+    // recursion completed with a weekly seasonal state — all state in
+    // exact milli-cent int64, α=1/5 β=1/10 γ=1/10 integer rationals,
+    // fixed two-week init convention; the oracle's WITH RECURSIVE
+    // carries the seven seasonal slots as columns and walks
+    // bit-identical states
+    "x92_holt_winters" -> ((s, d) =>
+      graft.analytics.Holt.holtWinters(
+        table(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("y")))),
     // DAY-N RETENTION CURVE (x83): share of users active EXACTLY N
     // days after their first active day, N ∈ {1,7,14,30} — the classic
     // curve next to x24's cohort-week matrix and x75's daily
@@ -975,6 +987,7 @@ object XAnalyticsSeriesQueries {
         |    AS BIGINT) AS discontinued_effect_cents
         |FROM j""".stripMargin.replace('\n', ' '),
     "x85_holt_forecast" -> graft.analytics.Holt.forecastSql(),
+    "x92_holt_winters" -> graft.analytics.Holt.holtWintersSql(),
     // same (user, day) reduction, first-day equi-probe per N
     "x83_retention_curve" ->
       """WITH ua AS (SELECT DISTINCT user_id,

@@ -900,4 +900,81 @@ object Similarity {
     s"WITH $pre, $rounds SELECT query_id, rank, corpus_id, score " +
       s"FROM p$k ORDER BY query_id, rank"
   }
+
+  // ---------------------------------------- embedding centroid drift (sim13)
+
+  /** Per-label embedding-centroid drift (sim13) — the embedding-space
+    * monitor every production vector pipeline runs after a model or
+    * upstream-data change: for each label (class / source / tenant),
+    * the cosine between the reference batch's centroid and the current
+    * batch's. A re-embedding that rotates one class's region moves its
+    * centroid cosine off 1.0 long before any scalar profile (dq10) or
+    * distribution test on a single coordinate (dq11) reacts.
+    *
+    * Input grain: quantized coordinate rows (label, src 0|1, pos, q)
+    * — one posexplode per batch, coordinates quantized to e6 integers
+    * via floor on the SAME IEEE double tree in both engines (floor of
+    * identical doubles is identical — the round(double,n) trap does
+    * not apply). Centroid cosine is computed on the per-coordinate SUM
+    * vectors (cosine is scale-invariant: cos(s/n₁, s'/n₂) =
+    * cos(s, s')), so no mean division ever happens: dot and norms²
+    * are EXACT integers in DECIMAL(38,0)/HUGEINT. The one double
+    * expression is the x87 discipline — two correctly-rounded IEEE
+    * sqrts + one division + one floor, identical tree both engines.
+    *
+    * Scale: one pass per batch to (label, pos, partial sums) — fully
+    * map-side-combinable, dim·|labels| result rows; nothing pairwise,
+    * nothing collected. Headroom: s ≈ n·10⁶ per coordinate keeps
+    * Σ s·s' inside 38 digits to n ≈ 10¹² rows per (label, batch). */
+  def centroidDrift(rows: DataFrame,
+      thresholdE6: Long = 999000L): DataFrame = {
+    val s = rows.groupBy(col("label"), col("pos")).agg(
+      sum(when(col("src") === 0, col("q")).otherwise(0L))
+        .cast("decimal(38,0)").as("s0"),
+      sum(when(col("src") === 1, col("q")).otherwise(0L))
+        .cast("decimal(38,0)").as("s1"),
+      sum(when(col("src") === 0 && col("pos") === 0, 1L).otherwise(0L))
+        .as("nr"),
+      sum(when(col("src") === 1 && col("pos") === 0, 1L).otherwise(0L))
+        .as("nc"))
+    s.groupBy(col("label")).agg(
+      sum(col("nr")).as("n_ref"), sum(col("nc")).as("n_cur"),
+      sum(col("s0") * col("s1")).as("dot"),
+      sum(col("s0") * col("s0")).as("q1"),
+      sum(col("s1") * col("s1")).as("q2"))
+      .select(col("label"), col("n_ref").cast("long").as("n_ref"),
+        col("n_cur").cast("long").as("n_cur"),
+        expr("CASE WHEN q1 > 0 AND q2 > 0 THEN " +
+          "CAST(floor(CAST(dot AS DOUBLE) / (sqrt(CAST(q1 AS DOUBLE)) * " +
+          "sqrt(CAST(q2 AS DOUBLE))) * 1000000D) AS BIGINT) END")
+          .as("cos_e6"))
+      .withColumn("drifted",
+        coalesce(col("cos_e6") < thresholdE6, lit(true)))
+      .orderBy("label")
+  }
+
+  /** DuckDB twin of [[centroidDrift]]; `rowsRel` yields
+    * (label, src, pos, q). */
+  def centroidDriftSql(rowsRel: String,
+      thresholdE6: Long = 999000L): String = {
+    val cosE6 = "CASE WHEN q1 > 0 AND q2 > 0 THEN " +
+      "CAST(floor(CAST(dot AS DOUBLE) / (sqrt(CAST(q1 AS DOUBLE)) * " +
+      "sqrt(CAST(q2 AS DOUBLE))) * CAST('1000000' AS DOUBLE)) " +
+      "AS BIGINT) END"
+    s"""WITH s AS (SELECT label, pos,
+       |    CAST(sum(CASE WHEN src = 0 THEN q ELSE 0 END) AS HUGEINT)
+       |      AS s0,
+       |    CAST(sum(CASE WHEN src = 1 THEN q ELSE 0 END) AS HUGEINT)
+       |      AS s1,
+       |    sum(CASE WHEN src = 0 AND pos = 0 THEN 1 ELSE 0 END) AS nr,
+       |    sum(CASE WHEN src = 1 AND pos = 0 THEN 1 ELSE 0 END) AS nc
+       |  FROM $rowsRel GROUP BY 1, 2),
+       |a AS (SELECT label, sum(nr) AS n_ref, sum(nc) AS n_cur,
+       |    sum(s0 * s1) AS dot, sum(s0 * s0) AS q1, sum(s1 * s1) AS q2
+       |  FROM s GROUP BY 1)
+       |SELECT label, CAST(n_ref AS BIGINT) AS n_ref,
+       |  CAST(n_cur AS BIGINT) AS n_cur, $cosE6 AS cos_e6,
+       |  coalesce(($cosE6) < $thresholdE6, TRUE) AS drifted
+       |FROM a ORDER BY label""".stripMargin.replace('\n', ' ')
+  }
 }

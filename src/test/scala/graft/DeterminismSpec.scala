@@ -49,7 +49,10 @@ class DeterminismSpec extends AnyFunSuite {
     "ml24_loo_influence",    // held-out integer Cramer per row
     "t36_temperature_mix",   // q6-quantized n^alpha, integer normalizer
     "mm7_media_exact_dedup", // sha-256 digest grain
-    "ml25_conformal_intervals") // rank-pick q-hat + sdiv micro preds
+    "ml25_conformal_intervals", // rank-pick q-hat + sdiv micro preds
+    "ml26_grouped_ols",      // per-segment Cramer ints, two-stage agg
+    "dq11_ks_test",          // integer CDF numerators, squared gate
+    "t37_ngram_novelty")     // df-grain counts, truncating e6 share
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)
