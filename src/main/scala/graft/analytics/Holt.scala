@@ -109,10 +109,16 @@ object Holt {
     * int64, the smoothing constants are integer rationals, and every
     * step is one truncating division (toward-zero parity with
     * DuckDB's `//` established in x84 — negative trend/seasonal terms
-    * occur). Deterministic init convention (fixed here AND in the
-    * oracle): L₀ = week-1 mean, B₀ = (week-2 mean − week-1 mean)/7,
-    * S_i = y_i·1000 − L₀ for the first week; recursion starts day 8.
-    * int64 headroom: 9·S bounds daily revenue at ~$1e14. */
+    * occur). Deterministic DETRENDED init convention (fixed here AND
+    * in the oracle, Hyndman-style): with m₁ = week-1 mean and
+    * B₀ = (week-2 mean − m₁)/7, the level starts at the END of week 1
+    * (L₀ = m₁ + 3·B₀) and the seasonal slots are trend-free
+    * (S_i = y_i − m₁ − (i−3)·B₀) — so a pure trend+season series is
+    * an EXACT fixed point of the recursion and the forecast is its
+    * exact continuation (HoltWintersSpec pins this; the naive
+    * S_i = y_i − m₁ init leaks ±3·B₀ of trend into the seasonals).
+    * Recursion starts day 8. int64 headroom: 9·S bounds daily revenue
+    * at ~$1e14. */
   def holtWinters(daily: DataFrame, horizon: Int = 7): DataFrame = {
     val spark = daily.sparkSession
     import spark.implicits._
@@ -126,14 +132,16 @@ object Holt {
     val series = Iterator.iterate(first)(_.plusDays(1))
       .takeWhile(!_.isAfter(last))
       .map(d => byDay.getOrElse(d, 0L)).toArray
-    var l = series.take(7).map(_ * 1000L).sum / 7L
+    val m1 = series.take(7).map(_ * 1000L).sum / 7L
     var b = {
       val w1 = series.take(7).sum
       val w2 = series.slice(7, 14).sum
       val d = (w2 - w1) * 1000L
       if (d >= 0) d / 49L else -((-d) / 49L)
     }
-    val s = Array.tabulate(7)(i => series(i) * 1000L - l)
+    var l = m1 + 3L * b
+    val s = Array.tabulate(7)(i =>
+      series(i) * 1000L - m1 - (i - 3).toLong * b)
     var t = 7
     while (t < series.length) {
       val si = t % 7
@@ -164,7 +172,8 @@ object Holt {
         s"((s.y * 1000 - x.lnew) + 9 * x.s$i) // 10 ELSE x.s$i END"
     val sCols = (0 until 7).map(i => s"s$i").mkString(", ")
     val sInit = (0 until 7).map(i =>
-      s"(SELECT y * 1000 FROM serie WHERE i = ${i + 1}) - ini.l0")
+      s"(SELECT y * 1000 FROM serie WHERE i = ${i + 1}) - ini.m1 - " +
+        s"(${i - 3}) * ini.b0")
       .mkString(", ")
     val sPick = s"CASE ${(0 until 7).map(i =>
       s"WHEN (s.i - 1) % 7 = $i THEN st.s$i").mkString(" ")} END"
@@ -183,13 +192,13 @@ object Holt {
        |    coalesce(y, CAST(0 AS BIGINT)) AS y
        |  FROM spine s LEFT JOIN days ON s.dd = days.dd),
        |nn AS (SELECT max(i) AS n FROM serie),
-       |ini AS (SELECT
-       |    (SELECT sum(y * 1000) FROM serie WHERE i <= 7) // 7 AS l0,
+       |ini AS (SELECT m1, b0, m1 + 3 * b0 AS l0 FROM (SELECT
+       |    (SELECT sum(y * 1000) FROM serie WHERE i <= 7) // 7 AS m1,
        |    (SELECT CASE WHEN d >= 0 THEN d // 49 ELSE -((-d) // 49) END
        |     FROM (SELECT ((SELECT sum(y) FROM serie
        |         WHERE i BETWEEN 8 AND 14) -
        |       (SELECT sum(y) FROM serie WHERE i <= 7)) * 1000 AS d))
-       |      AS b0),
+       |      AS b0)),
        |st(i, l, b, $sCols) AS (
        |  SELECT CAST(7 AS BIGINT), ini.l0, ini.b0, $sInit FROM ini
        |  UNION ALL

@@ -46,22 +46,28 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
     // EMBEDDING CENTROID DRIFT (sim13): per-label cosine between the
-    // reference batch's centroid and the current batch's — the
-    // embedding-space monitor after a model/upstream change. Cosine on
-    // per-coordinate SUM vectors (scale-invariant ⇒ no mean division);
-    // dot/norms² exact DECIMAL(38,0) integers, one x87 double tree.
-    // Harness plants a +5.0 shift on coordinate 0 of even labels'
-    // current batch (post-quantization: +5e6 q-units) — those labels
-    // must flag, odd labels stay ≈ 1.0 and quiet
+    // reference embedding's centroid and the re-embedded corpus's —
+    // the monitor every vector pipeline runs after a MODEL change
+    // (same documents, new encoder: did any class's region move?).
+    // Cosine on per-coordinate SUM vectors (scale-invariant ⇒ no mean
+    // division); dot/norms² exact DECIMAL(38,0) integers, one x87
+    // double tree. Harness re-embeds the SAME corpus with a +5.0
+    // shift on coordinate 0 of even labels (post-quantization: +5e6
+    // q-units, which dominates the noise-centroid norm) — those
+    // labels must flag; odd labels are bit-identical re-embeddings,
+    // cos ≈ 1.0, quiet
     "sim13_centroid_drift" -> ((s, d) => {
-      val rows = table(s, d, "embeddings")
-        .select(col("label"), (col("vec_id") % 2).cast("int").as("src"),
-          posexplode(col("embedding")).as(Seq("pos", "c")))
-        .withColumn("q",
-          expr("CAST(floor(CAST(c AS DOUBLE) * 1000000D) AS BIGINT) + " +
-            "CASE WHEN src = 1 AND label % 2 = 0 AND pos = 0 " +
-            "THEN 5000000 ELSE 0 END"))
-        .select(col("label"), col("src"), col("pos"), col("q"))
+      val base = table(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding"))
+          .as(Seq("pos", "c")))
+        .withColumn("q0",
+          expr("CAST(floor(CAST(c AS DOUBLE) * 1000000D) AS BIGINT)"))
+      val rows = base.select(col("label"), lit(0).as("src"),
+          col("pos"), col("q0").as("q"))
+        .unionAll(base.select(col("label"), lit(1).as("src"),
+          col("pos"),
+          expr("q0 + CASE WHEN label % 2 = 0 AND pos = 0 " +
+            "THEN 5000000 ELSE 0 END").as("q")))
       Similarity.centroidDrift(rows)
     }),
     // HARD-NEGATIVE MINING (sim12): per anchor, the top-k most-similar
@@ -240,14 +246,15 @@ object SimilarityQueries {
     "sim1_knn_bruteforce" ->
       Similarity.bruteForceTopKSql(5, "vec_id < 20"),
     "sim13_centroid_drift" -> Similarity.centroidDriftSql(
-      """(SELECT label, CAST(vec_id % 2 AS INT) AS src,
-        |  CAST(u.i - 1 AS INT) AS pos,
-        |  CAST(floor(CAST(embedding[u.i] AS DOUBLE) *
-        |      CAST('1000000' AS DOUBLE)) AS BIGINT) +
-        |    CASE WHEN vec_id % 2 = 1 AND label % 2 = 0 AND u.i = 1
-        |      THEN 5000000 ELSE 0 END AS q
+      """(WITH base AS (SELECT label, CAST(u.i - 1 AS INT) AS pos,
+        |    CAST(floor(CAST(embedding[u.i] AS DOUBLE) *
+        |      CAST('1000000' AS DOUBLE)) AS BIGINT) AS q0
         |  FROM embeddings,
-        |    unnest(generate_series(1, len(embedding))) AS u(i))"""
+        |    unnest(generate_series(1, len(embedding))) AS u(i))
+        |SELECT label, 0 AS src, pos, q0 AS q FROM base
+        |UNION ALL SELECT label, 1 AS src, pos,
+        |  q0 + CASE WHEN label % 2 = 0 AND pos = 0
+        |    THEN 5000000 ELSE 0 END AS q FROM base)"""
         .stripMargin.replace('\n', ' ')),
     "sim12_hard_negatives" ->
       Similarity.hardNegativesSql(5, "vec_id < 20"),

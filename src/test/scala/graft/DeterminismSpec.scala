@@ -52,7 +52,9 @@ class DeterminismSpec extends AnyFunSuite {
     "ml25_conformal_intervals", // rank-pick q-hat + sdiv micro preds
     "ml26_grouped_ols",      // per-segment Cramer ints, two-stage agg
     "dq11_ks_test",          // integer CDF numerators, squared gate
-    "t37_ngram_novelty")     // df-grain counts, truncating e6 share
+    "t37_ngram_novelty",     // df-grain counts, truncating e6 share
+    "x92_holt_winters",      // 7-slot integer seasonal recursion
+    "sim13_centroid_drift")  // integer sum-vector cosine, floor tree
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)
