@@ -160,7 +160,61 @@ object StreamingQueries {
       .parquet(dir.toString)
   }
 
+  /** Events as two ORDERED stream files for the s17 KS gate:
+    * micro-batch 1 = the clean quarter (event_id%4 = 1), micro-batch
+    * 2 = the drifted quarter (event_id%4 = 3, value ×1.5 — the
+    * collector regression every row-level gate passes). Built once
+    * per sf dir behind a `_done` marker; the planted product is
+    * stored in the file, and the oracle recomputes the identical IEEE
+    * double from the source table. */
+  private def splitKsFileStream(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val dir =
+      Paths.get(s"/tmp/graft_stream_${d.hashCode.toHexString}/ks_split")
+    val done = dir.resolve("_done")
+    if (!Files.exists(done)) {
+      Files.createDirectories(dir)
+      val base = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val slices = Seq(
+        0 -> base.filter(col("event_id") % 4 === 1),
+        1 -> base.filter(col("event_id") % 4 === 3)
+          .withColumn("value", col("value") * lit(1.5d)))
+      slices.foreach { case (i, df) =>
+        val tmp = dir.resolve(s"_build_$i")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.move(part, dir.resolve(s"slice_$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dir.resolve(s"slice_$i.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
+      }
+      Files.createFile(done)
+    }
+    val schema = s.read.parquet(s"$d/events.parquet")
+      .select(col("event_id"), col("user_id"), col("value")).schema
+    s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // STREAMING KS drift gate (s17): dq11 per micro-batch against the
+    // static reference — batch 1 (clean quarter) must pass, batch 2
+    // (value ×1.5 collector regression, which trips no row-level
+    // rule) must flag; one content-tagged verdict row per batch,
+    // replay-idempotent via the tag dedup
+    "s17_stream_ks_gate" -> ((s, d) => {
+      val ref = PipelineQueries.table(s, d, "events")
+        .filter(col("event_id") % 2 === 0)
+        .select(col("value"))
+      val out = SinkQueries.tmp(s"ks_gate_${java.util.UUID
+        .randomUUID().toString.take(8)}", d)
+      StreamPipeline.streamKsGate(s, splitKsFileStream(s, d), ref,
+        binExpr = "CAST(floor(value * 10000D) AS BIGINT)",
+        tagExpr = "event_id % 4", outRoot = out)
+    }),
     // UPDATE-output-mode streaming aggregate — the third output mode next
     // to append (s5) and complete (x19): each micro-batch emits ONLY the
     // keys it changed, so the memory sink accumulates one row per
@@ -565,6 +619,22 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // batch twin: dq11's ksTestSql per slice, tagged like the stream's
+    // content-derived batch keys (the planted ×1.5 product recomputes
+    // to the identical IEEE double the stream file stores)
+    "s17_stream_ks_gate" -> {
+      val refRel = "(SELECT value FROM events WHERE event_id % 2 = 0)"
+      val bin = "CAST(floor(value * CAST('10000' AS DOUBLE)) AS BIGINT)"
+      def leg(tag: Int, curRel: String) =
+        s"SELECT CAST($tag AS BIGINT) AS batch_tag, * FROM (" +
+          graft.quality.Checks.ksTestSql(refRel, curRel,
+            Seq("value" -> bin)) + ")"
+      leg(1, "(SELECT value FROM events WHERE event_id % 4 = 1)") +
+        " UNION ALL " +
+        leg(3, "(SELECT value * CAST('1.5' AS DOUBLE) AS value " +
+          "FROM events WHERE event_id % 4 = 3)") +
+        " ORDER BY batch_tag"
+    },
     // batch twin: identical interval build + as-of range join
     "s12_stream_scd2_enrich" ->
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,

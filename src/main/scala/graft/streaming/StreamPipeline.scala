@@ -424,6 +424,62 @@ object StreamPipeline {
     Wap.readPublished(spark, root)
   }
 
+  /** STREAMING KS drift gate (s17): dq11's two-sample
+    * Kolmogorov–Smirnov test run per MICRO-BATCH against a static
+    * reference distribution — the shape monitor on the ingest path
+    * itself. s15 alerts on individual rows beyond a learned p99; this
+    * alerts on a whole batch whose DISTRIBUTION moved (a collector
+    * sending values scaled ×1.5 passes every row-level gate and
+    * trips this one). Each batch appends ONE verdict row tagged with
+    * a content-derived key (`tagExpr` — never the engine's batch id,
+    * so replays and re-splits produce identical output).
+    *
+    * Per batch the work is dq11's: one pass over the batch to bins,
+    * the bounded-grain CDF compare against the (pre-aggregated,
+    * broadcastable) reference — state is the verdict store, not the
+    * stream. `Checks.ksTest`'s integer disciplines carry over
+    * unchanged, which is what makes the streamed verdicts
+    * oracle-checkable at all. */
+  def streamKsGate(spark: SparkSession, stream: DataFrame,
+      ref: DataFrame, binExpr: String, tagExpr: String,
+      outRoot: String): DataFrame = {
+    import graft.quality.Checks
+    val ckpt = scratchRoot().resolve(
+      s"graft_ckpt_sks_${java.util.UUID.randomUUID().toString.take(8)}")
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val b = batch.toDF()
+          if (!b.isEmpty) {
+            val tag = b.agg(min(expr(tagExpr)).as("batch_tag"))
+            Checks.ksTest(ref, b, Seq("value" -> expr(binExpr)))
+              .crossJoin(broadcast(tag))
+              .select(col("batch_tag"), col("metric"), col("n_ref"),
+                col("n_cur"), col("d_e6"), col("crit_e6"),
+                col("drifted"))
+              .write.mode("append").parquet(outRoot)
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set(key, saved)
+      try deleteRecursively(ckpt) catch { case _: Throwable => () }
+    }
+    // content-derived tags make a replayed batch's verdict row
+    // byte-identical — the dedup turns at-least-once appends into
+    // exactly-once verdicts (the x16 argument, one row per batch)
+    spark.read.parquet(outRoot)
+      .dropDuplicates(Seq("batch_tag")).orderBy("batch_tag")
+  }
+
   /** Harness entry: replay a bounded wire DataFrame through the streaming
     * engine via a file re-read as stream + AvailableNow, collecting into a
     * memory sink. Returns the materialized result table. Re-entrant: the
