@@ -147,6 +147,58 @@ object DataQualityQueries {
         "value" -> expr("CAST(floor(value * 10000D) AS BIGINT)"),
         "user_id" -> col("user_id")))
     }),
+    // join-key skew report (dq12): rows-per-key percentiles for every
+    // candidate join/partition key of the fact table — the diagnostic
+    // that decides SALTING before a skewed key decides it for you at
+    // 3 a.m. The scalable trick is the COUNT-OF-COUNTS histogram:
+    // (key → rows) reduces to (rows_per_key → n_keys), whose grain is
+    // bounded by the maximum multiplicity, not the key cardinality —
+    // so the percentile rank-picks run over a metadata-sized table
+    // even when the key grain is corpus-sized (l_orderkey). All keys
+    // ride ONE fact pass via row-local explode (the dq11 shape); all
+    // outputs exact integers (p99 by the cum*100 ≥ n*99 x79
+    // discipline, hot key = min key among the argmax)
+    "dq12_key_skew" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = table(s, d, "lineitem")
+      val keyed = li.select(explode(array(
+        struct(lit("l_suppkey").as("k"), col("l_suppkey").as("key")),
+        struct(lit("l_partkey").as("k"), col("l_partkey").as("key")),
+        struct(lit("l_orderkey").as("k"), col("l_orderkey").as("key"))))
+        .as("e"))
+        .select(col("e.k").as("k"), col("e.key").as("key"))
+      val counts = keyed.groupBy(col("k"), col("key"))
+        .agg(count(lit(1)).as("c"))
+      val hist = counts.groupBy(col("k"), col("c"))
+        .agg(count(lit(1)).as("nk"))
+      val w = Window.partitionBy(col("k")).orderBy(col("c"))
+      val wAll = Window.partitionBy(col("k"))
+      val ranked = hist
+        .withColumn("cum", sum(col("nk")).over(w))
+        .withColumn("n_keys", sum(col("nk")).over(wAll))
+        .withColumn("total_rows", sum(col("c") * col("nk")).over(wAll))
+        .withColumn("max_rows", max(col("c")).over(wAll))
+      val picks = ranked.groupBy(col("k"), col("n_keys"),
+          col("total_rows"), col("max_rows"))
+        .agg(
+          min(when(col("cum") * 2 >= col("n_keys") + 1, col("c")))
+            .as("p50_rows"),
+          min(when(col("cum") * 100 >= col("n_keys") * 99, col("c")))
+            .as("p99_rows"))
+      // argmax without a key-grain window: 3-row max table broadcast
+      // back onto the counts (partial-agg + metadata join)
+      val mx = counts.groupBy(col("k")).agg(max(col("c")).as("mx"))
+      val hot = counts.join(broadcast(mx), Seq("k"))
+        .filter(col("c") === col("mx"))
+        .groupBy(col("k")).agg(min(col("key")).as("hot_key"))
+      picks.join(hot, Seq("k"))
+        .select(col("k").as("key_name"), col("n_keys"),
+          col("total_rows"), col("max_rows"), col("p50_rows"),
+          col("p99_rows"),
+          expr("(max_rows * 1000000) div p50_rows").as("skew_ratio_e6"),
+          col("hot_key"))
+        .orderBy("key_name")
+    }),
     "dq6_column_profile" -> ((s, d) => {
       val ev = eventsUs(s, d)
         .select(col("user_id"), col("event_type"), col("value"),
@@ -422,6 +474,42 @@ object DataQualityQueries {
         "value" ->
           "CAST(floor(value * CAST('10000' AS DOUBLE)) AS BIGINT)",
         "user_id" -> "user_id")),
+    // same count-of-counts reduction; the three keys union instead of
+    // exploding (oracle runs at test scale)
+    "dq12_key_skew" ->
+      """WITH keyed AS (
+        |  SELECT 'l_suppkey' AS k, l_suppkey AS key FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL SELECT 'l_orderkey', l_orderkey FROM lineitem),
+        |counts AS (SELECT k, key, count(*) AS c FROM keyed
+        |  GROUP BY 1, 2),
+        |hist AS (SELECT k, c, count(*) AS nk FROM counts GROUP BY 1, 2),
+        |ranked AS (SELECT k, c, nk,
+        |    sum(nk) OVER (PARTITION BY k ORDER BY c) AS cum,
+        |    sum(nk) OVER (PARTITION BY k) AS n_keys,
+        |    sum(c * nk) OVER (PARTITION BY k) AS total_rows,
+        |    max(c) OVER (PARTITION BY k) AS max_rows
+        |  FROM hist),
+        |picks AS (SELECT k, n_keys, total_rows, max_rows,
+        |    min(CASE WHEN cum * 2 >= n_keys + 1 THEN c END)
+        |      AS p50_rows,
+        |    min(CASE WHEN cum * 100 >= n_keys * 99 THEN c END)
+        |      AS p99_rows
+        |  FROM ranked GROUP BY 1, 2, 3, 4),
+        |mx AS (SELECT k, max(c) AS mx FROM counts GROUP BY 1),
+        |hot AS (SELECT counts.k, min(key) AS hot_key
+        |  FROM counts JOIN mx ON counts.k = mx.k AND c = mx
+        |  GROUP BY 1)
+        |SELECT picks.k AS key_name, CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(total_rows AS BIGINT) AS total_rows,
+        |  CAST(max_rows AS BIGINT) AS max_rows,
+        |  CAST(p50_rows AS BIGINT) AS p50_rows,
+        |  CAST(p99_rows AS BIGINT) AS p99_rows,
+        |  CAST((max_rows * 1000000) // p50_rows AS BIGINT)
+        |    AS skew_ratio_e6,
+        |  hot_key
+        |FROM picks JOIN hot ON picks.k = hot.k
+        |ORDER BY key_name""".stripMargin.replace('\n', ' '),
     "dq6_column_profile" -> {
       def num(c: String) =
         s"""SELECT '$c' AS "column", count(*) AS n_rows,

@@ -54,7 +54,8 @@ class DeterminismSpec extends AnyFunSuite {
     "dq11_ks_test",          // integer CDF numerators, squared gate
     "t37_ngram_novelty",     // df-grain counts, truncating e6 share
     "x92_holt_winters",      // 7-slot integer seasonal recursion
-    "sim13_centroid_drift")  // integer sum-vector cosine, floor tree
+    "sim13_centroid_drift",  // integer sum-vector cosine, floor tree
+    "dq12_key_skew")         // count-of-counts histogram rank-picks
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)
