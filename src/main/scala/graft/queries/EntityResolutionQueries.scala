@@ -260,6 +260,40 @@ object EntityResolutionQueries {
           col("component").as("cluster_id"), col("cluster_size"))
         .orderBy("entity_id")
     }),
+    // INCREMENTAL ER against a persisted golden-record store (er9):
+    // the production lifecycle er1–er8 stop short of. Seed = all
+    // customers except %10=7. Batch 1: 'K…' typo variants of %10=3
+    // (sources stored → matched) and of %10=7 (sources absent,
+    // distance ≥ 2 to every stored name → NEW entities). Batch 2:
+    // 'Kustomer0…' second-generation typos of the %10=7 names —
+    // distance 1 from the DIRTY names batch 1 stored, ≥ 2 from
+    // everything else, so they resolve ONLY because batch 1's new
+    // entities joined the store — plus exact redeliveries of batch
+    // 1's records, which match their own entity at distance 0 and
+    // create nothing. er2's all-integer matcher; sequential-replay
+    // oracle
+    "er9_incremental_er" -> ((s, d) => {
+      import graft.er.EntityStore
+      val root = SinkQueries.tmp(s"er_store_${java.util.UUID
+        .randomUUID().toString.take(8)}", d)
+      val cust = table(s, d, "customer")
+      EntityStore.init(cust.filter(col("c_custkey") % 10 =!= 7)
+        .select(col("c_custkey").as("entity_id"),
+          col("c_name").as("name")), root)
+      def leg(mod: Int, slot: Int, nameExpr: String) =
+        cust.filter(col("c_custkey") % 10 === mod)
+          .select((col("c_custkey") * 100 + slot).as("record_id"),
+            expr(nameExpr).as("name"))
+      val kVar = "concat('K', substring(c_name, 2))"
+      val b1 = leg(3, 1, kVar).unionAll(leg(7, 2, kVar))
+      val r1 = EntityStore.ingest(s, root, b1)
+      val b2 = leg(7, 3, "concat('Kustomer0', substring(c_name, 10))")
+        .unionAll(leg(7, 4, kVar))
+      val r2 = EntityStore.ingest(s, root, b2)
+      r1.withColumn("batch", lit(1))
+        .unionAll(r2.withColumn("batch", lit(2)))
+        .orderBy("record_id")
+    }),
     // er1's blocked fuzzy join with an EDIT-DISTANCE scorer instead of
     // Jaro-Winkler: integer levenshtein ≤ 2 over the same 5-char
     // blocking key, best match = min (distance, custkey) — all-integer
@@ -656,6 +690,52 @@ object EntityResolutionQueries {
         |SELECT d_key, dirty_name, matched_key, matched_name, jw
         |FROM best WHERE rn = 1 ORDER BY d_key"""
         .stripMargin.replace('\n', ' '),
+    // sequential replay: resolve batch 1 against the seed, grow the
+    // store with its new entities, resolve batch 2 against the grown
+    // store — the lifecycle as CTEs
+    "er9_incremental_er" -> {
+      def resolve(batch: String, store: String, out: String) =
+        s"""cand_$out AS (
+           |  SELECT b.record_id, b.name, s.entity_id,
+           |    row_number() OVER (PARTITION BY b.record_id
+           |      ORDER BY levenshtein(b.name, s.name), s.entity_id)
+           |      AS rn
+           |  FROM $batch b JOIN $store s
+           |    ON substr(b.name, 12, 5) = substr(s.name, 12, 5)
+           |    AND levenshtein(b.name, s.name) <= 1),
+           |$out AS (
+           |  SELECT b.record_id, b.name,
+           |    coalesce(c.entity_id, b.record_id) AS entity_id,
+           |    c.entity_id IS NULL AS is_new
+           |  FROM $batch b LEFT JOIN
+           |    (SELECT record_id, entity_id FROM cand_$out
+           |     WHERE rn = 1) c
+           |    ON b.record_id = c.record_id)"""
+      s"""WITH seed AS (SELECT c_custkey AS entity_id, c_name AS name
+         |  FROM customer WHERE c_custkey % 10 <> 7),
+         |b1 AS (
+         |  SELECT c_custkey * 100 + 1 AS record_id,
+         |    concat('K', substr(c_name, 2)) AS name
+         |  FROM customer WHERE c_custkey % 10 = 3
+         |  UNION ALL SELECT c_custkey * 100 + 2,
+         |    concat('K', substr(c_name, 2))
+         |  FROM customer WHERE c_custkey % 10 = 7),
+         |${resolve("b1", "seed", "r1")},
+         |store2 AS (SELECT * FROM seed
+         |  UNION ALL SELECT entity_id, name FROM r1 WHERE is_new),
+         |b2 AS (
+         |  SELECT c_custkey * 100 + 3 AS record_id,
+         |    concat('Kustomer0', substr(c_name, 10)) AS name
+         |  FROM customer WHERE c_custkey % 10 = 7
+         |  UNION ALL SELECT c_custkey * 100 + 4,
+         |    concat('K', substr(c_name, 2))
+         |  FROM customer WHERE c_custkey % 10 = 7),
+         |${resolve("b2", "store2", "r2")}
+         |SELECT record_id, name, entity_id, is_new, batch FROM (
+         |  SELECT *, 1 AS batch FROM r1
+         |  UNION ALL SELECT *, 2 FROM r2)
+         |ORDER BY record_id""".stripMargin.replace('\n', ' ')
+    },
     "er2_edit_distance_match" ->
       """WITH dirty AS (
         |  SELECT c_custkey AS d_key,
