@@ -169,8 +169,12 @@ object DataQualityQueries {
         .select(col("e.k").as("k"), col("e.key").as("key"))
       val counts = keyed.groupBy(col("k"), col("key"))
         .agg(count(lit(1)).as("c"))
+      // carry min(key) per (k, c) into the histogram so the hot-key
+      // argmax derives from the multiplicity-bounded table too —
+      // everything downstream of this line reads histogram rows, so
+      // the FACT table is scanned exactly once
       val hist = counts.groupBy(col("k"), col("c"))
-        .agg(count(lit(1)).as("nk"))
+        .agg(count(lit(1)).as("nk"), min(col("key")).as("min_key"))
       val w = Window.partitionBy(col("k")).orderBy(col("c"))
       val wAll = Window.partitionBy(col("k"))
       val ranked = hist
@@ -184,14 +188,10 @@ object DataQualityQueries {
           min(when(col("cum") * 2 >= col("n_keys") + 1, col("c")))
             .as("p50_rows"),
           min(when(col("cum") * 100 >= col("n_keys") * 99, col("c")))
-            .as("p99_rows"))
-      // argmax without a key-grain window: 3-row max table broadcast
-      // back onto the counts (partial-agg + metadata join)
-      val mx = counts.groupBy(col("k")).agg(max(col("c")).as("mx"))
-      val hot = counts.join(broadcast(mx), Seq("k"))
-        .filter(col("c") === col("mx"))
-        .groupBy(col("k")).agg(min(col("key")).as("hot_key"))
-      picks.join(hot, Seq("k"))
+            .as("p99_rows"),
+          min(when(col("c") === col("max_rows"), col("min_key")))
+            .as("hot_key"))
+      picks
         .select(col("k").as("key_name"), col("n_keys"),
           col("total_rows"), col("max_rows"), col("p50_rows"),
           col("p99_rows"),
@@ -483,8 +483,9 @@ object DataQualityQueries {
         |  UNION ALL SELECT 'l_orderkey', l_orderkey FROM lineitem),
         |counts AS (SELECT k, key, count(*) AS c FROM keyed
         |  GROUP BY 1, 2),
-        |hist AS (SELECT k, c, count(*) AS nk FROM counts GROUP BY 1, 2),
-        |ranked AS (SELECT k, c, nk,
+        |hist AS (SELECT k, c, count(*) AS nk, min(key) AS min_key
+        |  FROM counts GROUP BY 1, 2),
+        |ranked AS (SELECT k, c, nk, min_key,
         |    sum(nk) OVER (PARTITION BY k ORDER BY c) AS cum,
         |    sum(nk) OVER (PARTITION BY k) AS n_keys,
         |    sum(c * nk) OVER (PARTITION BY k) AS total_rows,
@@ -494,13 +495,10 @@ object DataQualityQueries {
         |    min(CASE WHEN cum * 2 >= n_keys + 1 THEN c END)
         |      AS p50_rows,
         |    min(CASE WHEN cum * 100 >= n_keys * 99 THEN c END)
-        |      AS p99_rows
-        |  FROM ranked GROUP BY 1, 2, 3, 4),
-        |mx AS (SELECT k, max(c) AS mx FROM counts GROUP BY 1),
-        |hot AS (SELECT counts.k, min(key) AS hot_key
-        |  FROM counts JOIN mx ON counts.k = mx.k AND c = mx
-        |  GROUP BY 1)
-        |SELECT picks.k AS key_name, CAST(n_keys AS BIGINT) AS n_keys,
+        |      AS p99_rows,
+        |    min(CASE WHEN c = max_rows THEN min_key END) AS hot_key
+        |  FROM ranked GROUP BY 1, 2, 3, 4)
+        |SELECT k AS key_name, CAST(n_keys AS BIGINT) AS n_keys,
         |  CAST(total_rows AS BIGINT) AS total_rows,
         |  CAST(max_rows AS BIGINT) AS max_rows,
         |  CAST(p50_rows AS BIGINT) AS p50_rows,
@@ -508,8 +506,7 @@ object DataQualityQueries {
         |  CAST((max_rows * 1000000) // p50_rows AS BIGINT)
         |    AS skew_ratio_e6,
         |  hot_key
-        |FROM picks JOIN hot ON picks.k = hot.k
-        |ORDER BY key_name""".stripMargin.replace('\n', ' '),
+        |FROM picks ORDER BY key_name""".stripMargin.replace('\n', ' '),
     "dq6_column_profile" -> {
       def num(c: String) =
         s"""SELECT '$c' AS "column", count(*) AS n_rows,
