@@ -80,7 +80,8 @@ object Explain {
         "sim12_hard_negatives", "g22_rich_club", "dq10_profile_drift",
         "ml26_grouped_ols", "dq11_ks_test", "t37_ngram_novelty",
         "x92_holt_winters", "sim13_centroid_drift",
-        "s17_stream_ks_gate", "dq12_key_skew", "er9_incremental_er")
+        "s17_stream_ks_gate", "dq12_key_skew", "er9_incremental_er",
+        "ml27_ndcg_eval", "mm8_shard_plan")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

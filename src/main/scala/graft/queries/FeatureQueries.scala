@@ -393,6 +393,19 @@ object FeatureQueries {
     // integer micro-units via sign-safe truncating division
     "ml26_grouped_ols" -> ((s, d) =>
       graft.ml.GroupedOls.brandLines(s, d)),
+    // NDCG@5 retrieval eval (ml27): sim1's ranking scored for ORDER
+    // with binary label-match relevance — sim11 measures recall (did
+    // truth make the list), this scores whether relevant results rank
+    // FIRST. Position discounts are metric constants, embedded as
+    // precomputed e6 integer literals (dq9 discipline): DCG is an
+    // exact integer dot product, IDCG a literal lookup, no doubles
+    "ml27_ndcg_eval" -> ((s, d) => {
+      val emb = PipelineQueries.table(s, d, "embeddings")
+      graft.ml.RankingMetrics.ndcgAtK(
+        graft.sim.Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 20), k = 5),
+        emb, k = 5)
+    }),
     // exact tied-rank ROC-AUC + fixed-threshold confusion metrics over
     // the embeddings table (label >= 5 plays the positive class, one
     // embedding coordinate plays the model score)
@@ -1198,6 +1211,8 @@ object FeatureQueries {
         |  FROM events GROUP BY 1)""".stripMargin.replace('\n', ' '),
       "id % 40 = 7"),
     "ml26_grouped_ols" -> graft.ml.GroupedOls.brandLinesSql(),
+    "ml27_ndcg_eval" -> graft.ml.RankingMetrics.ndcgAtKSql(
+      graft.sim.Similarity.bruteForceTopKSql(5, "vec_id < 20"), 5),
     "ml15_linear_shap" -> graft.ml.LinearShap.sql(
       """(SELECT user_id AS id,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)

@@ -468,6 +468,35 @@ object SinkQueries {
         Multimodal.withBinaryPayload(base.unionAll(reup)))
         .orderBy("canonical_id")
     }),
+    // TRAINING-SHARD PLANNER (mm8): pack the media corpus into
+    // ~target-byte shards in deterministic doc_id order — the
+    // WebDataset/tar-shard build every multimodal training run starts
+    // from (shuffled reads happen at the SHARD level, so shards must
+    // be size-balanced and reproducible). Assignment rule: a blob
+    // belongs to the shard its START offset lands in
+    // (exclusive-cumsum div target) — stateless and deterministic, no
+    // sequential packing loop; shards overshoot by at most one blob.
+    // The global byte cumsum is Ids.keyedCumsum's TWO-PHASE shape
+    // (range-partitioned local sums + broadcast offsets), never a
+    // single-task window; the manifest output is shard-grain metadata
+    "mm8_shard_plan" -> ((s, d) => {
+      val media = Multimodal.withBinaryPayload(
+        table(s, d, "documents"))
+        .select(col("doc_id"),
+          length(col("media")).cast("long").as("bytes"))
+      val target = 16384L
+      graft.etl.Ids.keyedCumsum(
+        media.withColumn("__k", lit(0)), "__k", Seq("doc_id"),
+        "bytes", "cum_bytes")
+        .withColumn("shard_id",
+          expr(s"(cum_bytes - bytes) div $target"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("bytes")).as("shard_bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("shard_id")
+    }),
     // bucketed layout → co-located join: zero Exchange on either join
     // side (PlanShapeSpec pins the plan; the oracle checks the result
     // equals the plain join)
@@ -593,6 +622,23 @@ object SinkQueries {
         |  min(aqi) AS min_aqi, round(stddev_pop(aqi), 4) AS std_aqi
         |FROM gold GROUP BY country
         |ORDER BY avg_aqi DESC, country""".stripMargin.replace('\n', ' ')),
+    // plain window cumsum replays the two-phase distributed one
+    // (prefix sums are order-deterministic integers)
+    "mm8_shard_plan" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+        |  FROM documents),
+        |c AS (SELECT doc_id, bytes,
+        |    sum(bytes) OVER (ORDER BY doc_id) AS cum
+        |  FROM m),
+        |a AS (SELECT doc_id, bytes,
+        |    CAST((cum - bytes) // 16384 AS BIGINT) AS shard_id
+        |  FROM c)
+        |SELECT shard_id, count(*) AS n_items,
+        |  CAST(sum(bytes) AS BIGINT) AS shard_bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM a GROUP BY 1 ORDER BY shard_id"""
+        .stripMargin.replace('\n', ' '),
     // DuckDB md5 only accepts VARCHAR; md5(text) hashes the same UTF-8
     // bytes as Spark's md5(encode(text,'UTF-8'))
     "mm1_media_features" ->

@@ -55,7 +55,9 @@ class DeterminismSpec extends AnyFunSuite {
     "t37_ngram_novelty",     // df-grain counts, truncating e6 share
     "x92_holt_winters",      // 7-slot integer seasonal recursion
     "sim13_centroid_drift",  // integer sum-vector cosine, floor tree
-    "dq12_key_skew")         // count-of-counts histogram rank-picks
+    "dq12_key_skew",         // count-of-counts histogram rank-picks
+    "ml27_ndcg_eval",        // literal-weight integer DCG/IDCG
+    "mm8_shard_plan")        // two-phase cumsum shard assignment
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)
