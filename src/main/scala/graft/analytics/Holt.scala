@@ -89,6 +89,122 @@ object Holt {
        |ORDER BY h""".stripMargin.replace('\n', ' ')
   }
 
+  // ------------------------------------------- rolling-origin backtest (x93)
+
+  /** Rolling-origin h=1 backtest of the Holt forecaster (x93) — the
+    * eval every forecast deployment needs before anyone trusts x85's
+    * numbers: at every day t past a warmup, the model trained on days
+    * 1..t predicts day t+1, and the realized error is scored against
+    * the naive carry-forward baseline (skill > 0 = the smoother earns
+    * its keep; MASE's comparison, reported as an e6 skill ratio).
+    *
+    * The trick that makes this ONE pass instead of T model fits: the
+    * Holt state after consuming day t IS the model trained on prefix
+    * t, so a single state walk yields every origin's forecast — the
+    * backtest costs exactly what x85 costs. Same scale/determinism
+    * contract: span-bounded driver recursion, exact milli-cent
+    * integers, truncating-div parity; the oracle reads every
+    * intermediate state from the same WITH RECURSIVE table. Ties for
+    * the worst day break to the earliest. */
+  def backtest(daily: DataFrame, warmup: Int = 28): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val rows = daily.select(col("day"), col("y"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    require(rows.length >= warmup + 2,
+      s"backtest needs at least warmup+2 = ${warmup + 2} days")
+    val first = rows.head._1
+    val last = rows.last._1
+    val byDay = rows.toMap
+    val series = Iterator.iterate(first)(_.plusDays(1))
+      .takeWhile(!_.isAfter(last))
+      .map(d => byDay.getOrElse(d, 0L)).toArray
+    def tdiv(a: Long, b: Long) = if (a >= 0) a / b else -((-a) / b)
+    var l = series(0) * 1000L
+    var b = (series(1) - series(0)) * 1000L
+    var n = 0L; var sa = 0L; var se = 0L; var sn = 0L
+    var worstAbs = -1L; var worstDi = 0
+    // x85's exact loop with the prediction inserted BEFORE each
+    // update: at loop top the state is st(t) (absorbed through 1-based
+    // day t), which predicts day t+1 = 0-based series(t) — the same
+    // (st.i, s.i = st.i+1) alignment the oracle's ev CTE reads
+    var t = 1
+    while (t < series.length) {
+      if (t >= warmup) {
+        val err = series(t) * 1000L - (l + b)
+        val nerr = (series(t) - series(t - 1)) * 1000L
+        n += 1; sa += math.abs(err); se += err; sn += math.abs(nerr)
+        if (math.abs(err) > worstAbs) {
+          worstAbs = math.abs(err); worstDi = t + 1 // 1-based day index
+        }
+      }
+      val lNew = (series(t) * 1000L + 4L * (l + b)) / 5L
+      b = ((lNew - l) + 9L * b) / 10L
+      l = lNew
+      t += 1
+    }
+    // worstDi ties resolve to the earliest because > is strict.
+    // skill in BigInt: (sn−sa)·10⁶ overflows int64 at corpus error
+    // magnitudes (≈4×10¹⁹ at sf0.01) — BigInt `/` truncates toward
+    // zero, matching the oracle's HUGEINT CASE form
+    val skill = if (sn > 0)
+      Some(((BigInt(sn) - BigInt(sa)) * 1000000 / BigInt(sn)).toLong)
+    else None
+    Seq((n, sa / n, tdiv(se, n), sn / n, skill,
+      java.sql.Date.valueOf(first.plusDays(worstDi - 1))))
+      .toDF("n_evals", "mae_milli", "bias_milli", "mae_naive_milli",
+        "skill_e6", "worst_day")
+  }
+
+  /** DuckDB twin of [[backtest]] over `orders`. */
+  def backtestSql(warmup: Int = 28): String =
+    s"""WITH RECURSIVE
+       |days AS (SELECT CAST(o_orderdate AS DATE) AS dd,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       |      AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |bounds AS (SELECT min(dd) AS d0, max(dd) AS d1 FROM days),
+       |spine AS (SELECT CAST(unnest(generate_series(d0, d1,
+       |    INTERVAL 1 DAY)) AS DATE) AS dd FROM bounds),
+       |serie AS (SELECT CAST(row_number() OVER (ORDER BY s.dd)
+       |      AS BIGINT) AS i,
+       |    coalesce(y, CAST(0 AS BIGINT)) AS y
+       |  FROM spine s LEFT JOIN days ON s.dd = days.dd),
+       |st(i, l, b) AS (
+       |  SELECT CAST(1 AS BIGINT), y1.y * 1000, (y2.y - y1.y) * 1000
+       |  FROM (SELECT y FROM serie WHERE i = 1) y1,
+       |    (SELECT y FROM serie WHERE i = 2) y2
+       |  UNION ALL
+       |  SELECT x.i + 1, x.lnew, ((x.lnew - x.l) + 9 * x.b) // 10
+       |  FROM (SELECT st.i, st.l, st.b,
+       |      (s.y * 1000 + 4 * (st.l + st.b)) // 5 AS lnew
+       |    FROM st JOIN serie s ON s.i = st.i + 1) x),
+       |ev AS (SELECT st.i + 1 AS di,
+       |    s.y * 1000 - (st.l + st.b) AS err,
+       |    (s.y - p.y) * 1000 AS nerr
+       |  FROM st
+       |  JOIN serie s ON s.i = st.i + 1
+       |  JOIN serie p ON p.i = st.i
+       |  WHERE st.i >= $warmup),
+       |agg AS (SELECT count(*) AS n, sum(abs(err)) AS sa,
+       |    sum(err) AS se, sum(abs(nerr)) AS sn FROM ev),
+       |worst AS (SELECT di FROM ev ORDER BY abs(err) DESC, di
+       |  LIMIT 1)
+       |SELECT CAST(n AS BIGINT) AS n_evals,
+       |  CAST(sa // n AS BIGINT) AS mae_milli,
+       |  CAST(CASE WHEN se >= 0 THEN se // n
+       |    ELSE -((-se) // n) END AS BIGINT) AS bias_milli,
+       |  CAST(sn // n AS BIGINT) AS mae_naive_milli,
+       |  CASE WHEN sn > 0 THEN CAST(CASE WHEN sn - sa >= 0
+       |    THEN ((sn - sa) * 1000000) // sn
+       |    ELSE -(((sa - sn) * 1000000) // sn) END AS BIGINT) END
+       |    AS skill_e6,
+       |  CAST(d0 + (worst.di - 1) * INTERVAL 1 DAY AS DATE)
+       |    AS worst_day
+       |FROM agg CROSS JOIN worst CROSS JOIN bounds"""
+      .stripMargin.replace('\n', ' ')
+
   // ------------------------------------------ Holt-Winters additive (x92)
 
   /** Holt-Winters additive seasonal forecast (x92) — [[forecast]]'s

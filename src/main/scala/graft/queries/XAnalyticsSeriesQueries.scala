@@ -790,6 +790,18 @@ object XAnalyticsSeriesQueries {
           .groupBy(to_date(col("o_orderdate")).as("day"))
           .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
             .as("y")))),
+    // ROLLING-ORIGIN FORECAST BACKTEST (x93): h=1 eval of x85's Holt
+    // smoother vs the naive carry-forward baseline — the Holt state
+    // after day t IS the model trained on prefix t, so ONE state walk
+    // yields every origin's forecast and the backtest costs exactly
+    // what x85 costs; exact milli-cent errors, integer MAE/bias,
+    // e6 skill ratio, earliest-tie worst day
+    "x93_forecast_backtest" -> ((s, d) =>
+      graft.analytics.Holt.backtest(
+        table(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("y")))),
     // DAY-N RETENTION CURVE (x83): share of users active EXACTLY N
     // days after their first active day, N ∈ {1,7,14,30} — the classic
     // curve next to x24's cohort-week matrix and x75's daily
@@ -988,6 +1000,7 @@ object XAnalyticsSeriesQueries {
         |FROM j""".stripMargin.replace('\n', ' '),
     "x85_holt_forecast" -> graft.analytics.Holt.forecastSql(),
     "x92_holt_winters" -> graft.analytics.Holt.holtWintersSql(),
+    "x93_forecast_backtest" -> graft.analytics.Holt.backtestSql(),
     // same (user, day) reduction, first-day equi-probe per N
     "x83_retention_curve" ->
       """WITH ua AS (SELECT DISTINCT user_id,

@@ -57,7 +57,8 @@ class DeterminismSpec extends AnyFunSuite {
     "sim13_centroid_drift",  // integer sum-vector cosine, floor tree
     "dq12_key_skew",         // count-of-counts histogram rank-picks
     "ml27_ndcg_eval",        // literal-weight integer DCG/IDCG
-    "mm8_shard_plan")        // two-phase cumsum shard assignment
+    "mm8_shard_plan",        // two-phase cumsum shard assignment
+    "x93_forecast_backtest") // one-walk backtest, BigInt skill ratio
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)
