@@ -147,6 +147,45 @@ object GraphExtQueries {
     // node-keyed joins. phi in exact e6 via truncating div on
     // non-negative DECIMAL(38,0)/HUGEINT operands (2·E_k·10⁶
     // overflows BIGINT at web-graph scale); NULL when N_k < 2
+    // DETERMINISTIC NEIGHBOR SAMPLING (g24): per-node fixed-fanout
+    // neighbor sample over the g1 bipartite graph — GraphSAGE-style
+    // minibatch construction, where hub nodes must be CUT to a fanout
+    // or one supplier's million edges blow the batch. "Random" but
+    // reproducible: priority = a fixed odd-multiplier integer mix of
+    // (src, dst) both engines compute exactly (change the multiplier
+    // to reseed epochs); per-node bottom-3 by (priority, id) rides
+    // the x22 typed TopK aggregator — ≤3 items of state per node,
+    // map-side combined, NEVER a per-node window sort over hub
+    // degrees. Self-contained int64: node·2654435761 < 2⁶³ to ~10¹²
+    // nodes
+    "g24_neighbor_sampling" -> ((s, d) => {
+      import s.implicits._
+      import graft.agg.{TopItem, TopK}
+      val e = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
+        .distinct()
+      val both = e.unionAll(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      both.select(col("src"),
+          expr("(src * 2654435761 + dst * 40503) % 2147483647")
+            .as("p"), col("dst"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        // bottom-k by priority = top-k of the negated value
+        .mapValues { case (_, p, dst) => TopItem(-p.toDouble, dst) }
+        .agg(new TopK(3).toColumn.name("top"))
+        .toDF("node", "top")
+        .select(col("node"), posexplode(col("top")))
+        .select(col("node"), (col("pos") + 1).cast("int").as("slot"),
+          col("col.id").as("neighbor"),
+          (-col("col.value")).cast("long").as("priority"))
+        .orderBy("node", "slot")
+    }),
     "g22_rich_club" -> ((s, d) => {
       val pairs = table(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
@@ -487,6 +526,24 @@ object GraphExtQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // same integer mix, row_number bottom-3 replays the TopK kept set
+    "g24_neighbor_sampling" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey * 2 AS src,
+        |    o_custkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |b AS (SELECT src, dst FROM e
+        |  UNION ALL SELECT dst, src FROM e),
+        |p AS (SELECT src AS node, dst AS neighbor,
+        |    (src * 2654435761 + dst * 40503) % 2147483647 AS p
+        |  FROM b),
+        |r AS (SELECT node, neighbor, p,
+        |    row_number() OVER (PARTITION BY node
+        |      ORDER BY p, neighbor) AS slot
+        |  FROM p)
+        |SELECT node, CAST(slot AS INT) AS slot, neighbor,
+        |  CAST(p AS BIGINT) AS priority
+        |FROM r WHERE slot <= 3 ORDER BY node, slot"""
+        .stripMargin.replace('\n', ' '),
     "g1_pagerank" -> (graft.graph.PageRank.sql(
       """(SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -58,7 +58,8 @@ class DeterminismSpec extends AnyFunSuite {
     "dq12_key_skew",         // count-of-counts histogram rank-picks
     "ml27_ndcg_eval",        // literal-weight integer DCG/IDCG
     "mm8_shard_plan",        // two-phase cumsum shard assignment
-    "x93_forecast_backtest") // one-walk backtest, BigInt skill ratio
+    "x93_forecast_backtest", // one-walk backtest, BigInt skill ratio
+    "g24_neighbor_sampling") // integer-mix bottom-k via typed TopK
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)
