@@ -546,6 +546,69 @@ object Dedup {
        |GROUP BY id ORDER BY id""".stripMargin.replace('\n', ' ')
   }
 
+  /** Cross-source n-gram overlap matrix (t38) — the data-MIXING
+    * diagnostic: which corpus sources duplicate each other's content,
+    * and by how much? A mixing recipe that weights two 90%-overlapping
+    * crawls as independent sources double-counts their mass; this
+    * reports every source pair's shared distinct-gram count and the
+    * containment-style overlap ratio shared/min(|A|,|B|). t37 scores
+    * documents, this scores the SOURCE digraph — the view a curation
+    * run reads before setting t36's mixture weights.
+    *
+    * Scale shape: one token pass to DISTINCT (source, gram) postings
+    * (grain: grams × sources, not docs), then a gram-keyed self-join
+    * whose per-gram fan-out is capped by |sources|² — a metadata-sized
+    * dimension, never corpus-sized — and a pair-grain aggregate. The
+    * full matrix (zeros included) comes from the |sources|²-row size
+    * cross join, so absent overlap is reported, not silently missing.
+    * Integer e6 ratio by truncating division. */
+  def sourceOverlap(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val g = gramRows(docs, groupCol, textCol, n)
+      .select(col(groupCol).as("src"), col("gram")).distinct()
+    val sz = g.groupBy(col("src")).agg(count(lit(1)).as("sz"))
+    val shared = g.select(col("src").as("src_a"), col("gram"))
+      .join(g.select(col("src").as("src_b"), col("gram")), Seq("gram"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    sz.select(col("src").as("src_a"), col("sz").as("sz_a"))
+      .join(sz.select(col("src").as("src_b"), col("sz").as("sz_b")),
+        col("src_a") < col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .withColumn("shared", coalesce(col("shared"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("sz_a"), col("sz_b"),
+        col("shared"),
+        expr("(shared * 1000000) div least(sz_a, sz_b)")
+          .as("overlap_e6"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** DuckDB twin of [[sourceOverlap]]; `docsRel` yields (src, text). */
+  def sourceOverlapSql(docsRel: String, n: Int = 3): String = {
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val toks = s"regexp_split_to_array($norm, '\\s+')"
+    val grams = s"[array_to_string(toks[i:i+${n - 1}], ' ') " +
+      s"for i in range(1, len(toks)-$n+2)]"
+    s"""WITH g AS (
+       |  SELECT DISTINCT src, unnest(list_distinct($grams)) AS gram
+       |  FROM (SELECT src, $toks AS toks FROM $docsRel)
+       |  WHERE len(toks) >= $n),
+       |sz AS (SELECT src, count(*) AS sz FROM g GROUP BY src),
+       |sh AS (SELECT a.src AS src_a, b.src AS src_b,
+       |    count(*) AS shared
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+       |  GROUP BY 1, 2)
+       |SELECT sa.src AS src_a, sb.src AS src_b,
+       |  sa.sz AS sz_a, sb.sz AS sz_b,
+       |  CAST(coalesce(shared, 0) AS BIGINT) AS shared,
+       |  CAST((coalesce(shared, 0) * 1000000) // least(sa.sz, sb.sz)
+       |    AS BIGINT) AS overlap_e6
+       |FROM sz sa JOIN sz sb ON sa.src < sb.src
+       |LEFT JOIN sh ON sh.src_a = sa.src AND sh.src_b = sb.src
+       |ORDER BY src_a, src_b""".stripMargin.replace('\n', ' ')
+  }
+
   /** Benchmark decontamination: drop every corpus document sharing at
     * least one word n-gram with the benchmark (eval-set) documents — the
     * standard guard against test-set leakage into training corpora

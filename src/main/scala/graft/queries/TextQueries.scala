@@ -318,6 +318,14 @@ object TextQueries {
     "t37_ngram_novelty" -> ((s, d) =>
       graft.dedup.Dedup.ngramNovelty(
         table(s, d, "documents").select(col("doc_id"), col("text")))),
+    // cross-source n-gram overlap matrix (t38): which sources
+    // duplicate each other's content — the mixing diagnostic read
+    // before setting t36's weights; full |sources|² matrix with
+    // zeros reported, per-gram join fan-out capped by the source
+    // dimension, integer e6 containment ratios
+    "t38_source_overlap" -> ((s, d) =>
+      graft.dedup.Dedup.sourceOverlap(
+        table(s, d, "documents").select(col("source"), col("text")))),
     "t28_lm_perplexity" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val clean = docs.select(col("doc_id"), col("text"))
@@ -549,6 +557,8 @@ object TextQueries {
       graft.text.SourceMix.temperatureMixSql(),
     "t37_ngram_novelty" -> graft.dedup.Dedup.ngramNoveltySql(
       "(SELECT doc_id AS id, text FROM documents)"),
+    "t38_source_overlap" -> graft.dedup.Dedup.sourceOverlapSql(
+      "(SELECT source AS src, text FROM documents)"),
     // same add-one bigram model: vocabulary-bounded count tables from
     // the full reference, per-bigram -ln terms as one double division
     // of exact integers rounded to 6dp, DECIMAL-summed per doc

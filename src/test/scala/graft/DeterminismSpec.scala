@@ -59,7 +59,8 @@ class DeterminismSpec extends AnyFunSuite {
     "ml27_ndcg_eval",        // literal-weight integer DCG/IDCG
     "mm8_shard_plan",        // two-phase cumsum shard assignment
     "x93_forecast_backtest", // one-walk backtest, BigInt skill ratio
-    "g24_neighbor_sampling") // integer-mix bottom-k via typed TopK
+    "g24_neighbor_sampling", // integer-mix bottom-k via typed TopK
+    "t38_source_overlap")    // source-grain postings matrix, e6 ratio
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)
