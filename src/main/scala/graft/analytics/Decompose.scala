@@ -127,4 +127,75 @@ object Decompose {
        |    AS remainder_micro
        |FROM dt d LEFT JOIN sea s ON d.h % 24 = s.hod
        |ORDER BY d.h""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------- decomposition strength (x94)
+
+  /** Seasonal / trend STRENGTH of the x70 decomposition (x94) —
+    * Hyndman's feature-store numbers F_s = max(0, 1 − Var(R)/Var(S+R))
+    * and F_t = max(0, 1 − Var(R)/Var(T+R)): is the series actually
+    * seasonal, and is there a real trend, stated as a fraction of
+    * explained variance? The scalar a forecasting router reads to
+    * pick x85 (trend only) vs x92 (trend+season), and the one-number
+    * summary dashboards show next to x70's 3 000-row table.
+    *
+    * Determinism: all three components are x70's exact micro-unit
+    * integers, so each variance is the EXACT integer m·Σx² − (Σx)²
+    * (products in DECIMAL(38,0)/HUGEINT) and each strength is one
+    * truncating division with non-negative operands — the subtraction
+    * clamps at 0 BEFORE dividing, so no sign convention is ever
+    * exercised. Scale: one aggregate over the span-bounded dense hour
+    * series (x70's own grain); the corpus contributes only x70's one
+    * partial-aggregatable pass. */
+  def strength(events: DataFrame, usCol: String = "us",
+      valueCol: String = "value"): DataFrame = {
+    val dec = hourlyAdditive(events, usCol, valueCol)
+      .filter(col("remainder_micro").isNotNull)
+      .select(col("remainder_micro").as("r"),
+        (col("seasonal_micro") + col("remainder_micro")).as("d"),
+        (col("trend_micro") + col("remainder_micro")).as("t"))
+    def big(c: String) = s"CAST($c AS DECIMAL(38,0))"
+    def vexpr(c: String) =
+      s"(${big("m")} * ${big(s"s2_$c")} - ${big(s"s1_$c")} * ${big(s"s1_$c")})"
+    def f(vx: String) =
+      s"CASE WHEN $vx > vr THEN CAST((($vx - vr) * 1000000) div $vx " +
+        s"AS BIGINT) WHEN $vx > 0 THEN 0 END"
+    dec.agg(
+      count(lit(1)).as("m"),
+      sum(col("r")).as("s1_r"),
+      sum(expr(s"${big("r")} * ${big("r")}")).as("s2_r"),
+      sum(col("d")).as("s1_d"),
+      sum(expr(s"${big("d")} * ${big("d")}")).as("s2_d"),
+      sum(col("t")).as("s1_t"),
+      sum(expr(s"${big("t")} * ${big("t")}")).as("s2_t"))
+      .withColumn("vr", expr(vexpr("r")))
+      .select(col("m").cast("long").as("n_hours"),
+        expr(f(vexpr("d"))).as("seasonal_strength_e6"),
+        expr(f(vexpr("t"))).as("trend_strength_e6"))
+  }
+
+  /** DuckDB twin of [[strength]]. */
+  def strengthSql(eventsRel: String =
+      "(SELECT epoch_us(ts) AS us, value FROM events)"): String = {
+    def big(c: String) = s"CAST($c AS HUGEINT)"
+    def vexpr(c: String) =
+      s"(${big("m")} * ${big(s"s2_$c")} - ${big(s"s1_$c")} * ${big(s"s1_$c")})"
+    def f(vx: String) =
+      s"CASE WHEN $vx > vr THEN CAST((($vx - vr) * 1000000) // $vx " +
+        s"AS BIGINT) WHEN $vx > 0 THEN 0 END"
+    s"""WITH dec AS (${hourlyAdditiveSql(eventsRel)}),
+       |c AS (SELECT remainder_micro AS r,
+       |    seasonal_micro + remainder_micro AS d,
+       |    trend_micro + remainder_micro AS t
+       |  FROM dec WHERE remainder_micro IS NOT NULL),
+       |a AS (SELECT count(*) AS m,
+       |    sum(r) AS s1_r, sum(${big("r")} * ${big("r")}) AS s2_r,
+       |    sum(d) AS s1_d, sum(${big("d")} * ${big("d")}) AS s2_d,
+       |    sum(t) AS s1_t, sum(${big("t")} * ${big("t")}) AS s2_t
+       |  FROM c),
+       |v AS (SELECT *, ${vexpr("r")} AS vr FROM a)
+       |SELECT CAST(m AS BIGINT) AS n_hours,
+       |  ${f(vexpr("d"))} AS seasonal_strength_e6,
+       |  ${f(vexpr("t"))} AS trend_strength_e6
+       |FROM v""".stripMargin.replace('\n', ' ')
+  }
 }

@@ -387,6 +387,13 @@ object XAnalyticsSeriesQueries {
     // windows run on the span-bounded dense hour series
     "x70_stl_decompose" -> ((s, d) =>
       graft.analytics.Decompose.hourlyAdditive(eventsUs(s, d))),
+    // SEASONAL/TREND STRENGTH (x94): Hyndman's explained-variance
+    // fractions over x70's exact integer components — the scalar a
+    // forecasting router reads to pick x85 vs x92; variances as exact
+    // m·Σx²−(Σx)² integers, strengths clamped-then-divided so only
+    // non-negative truncating divisions ever run
+    "x94_decomposition_strength" -> ((s, d) =>
+      graft.analytics.Decompose.strength(eventsUs(s, d))),
     // KAPLAN-MEIER churn survival (x67): per-user lifetime = days
     // between first and last event, EVENT observed iff the user went
     // quiet >= 7 days before the as-of instant (else right-censored —
@@ -1258,6 +1265,8 @@ object XAnalyticsSeriesQueries {
         .stripMargin.replace('\n', ' '),
     "x70_stl_decompose" ->
       graft.analytics.Decompose.hourlyAdditiveSql(),
+    "x94_decomposition_strength" ->
+      graft.analytics.Decompose.strengthSql(),
     "x71_mann_kendall" ->
       graft.analytics.TrendTest.mannKendallHourlySql(),
     "x76_acf" -> graft.analytics.Autocorrelation.hourlyAcfSql(),

@@ -60,7 +60,8 @@ class DeterminismSpec extends AnyFunSuite {
     "mm8_shard_plan",        // two-phase cumsum shard assignment
     "x93_forecast_backtest", // one-walk backtest, BigInt skill ratio
     "g24_neighbor_sampling", // integer-mix bottom-k via typed TopK
-    "t38_source_overlap")    // source-grain postings matrix, e6 ratio
+    "t38_source_overlap",    // source-grain postings matrix, e6 ratio
+    "x94_decomposition_strength") // exact integer variance ratios
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)
