@@ -552,4 +552,53 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.collect { case w: WindowExec => w }.isEmpty,
       "feature propagation must be join+aggregate, never windows")
   }
+
+  // ------------------------------------------ round-8 session shapes
+
+  test("ml26 grouped OLS: the fact scan reads 3 columns, reduces to " +
+    "FK-grain stats BEFORE the dimension join, and the 2-column dim " +
+    "broadcasts — fact rows never transit the join") {
+    val f = formatted("ml26_grouped_ols")
+    assert(f.contains("ReadSchema: struct<l_partkey:bigint," +
+      "l_quantity:double,l_extendedprice:double>"),
+      "fact scan must prune to the three used columns")
+    assert(f.contains("ReadSchema: struct<p_partkey:bigint," +
+      "p_brand:string>"), "dim scan must prune to key+segment")
+    val p = plan("ml26_grouped_ols")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "the part dimension must broadcast")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "no shuffle join anywhere — the join input is key-grain stats")
+    assert(shuffles(p) <= 3,
+      "FK-grain agg + segment agg + output sort only")
+  }
+
+  test("g24 neighbor sampling: the per-node bottom-k is the typed " +
+    "TopK aggregation — zero windows over any degree distribution") {
+    val p = plan("g24_neighbor_sampling")
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "hub-degree window sorts are exactly what g24 exists to avoid")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("dq12 key skew: everything derives from ONE fact pass — a " +
+    "single lineitem scan in the whole plan, windows only over the " +
+    "multiplicity-bounded histogram") {
+    val p = plan("dq12_key_skew")
+    val scans = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size
+    assert(scans == 1,
+      s"the hot-key leg must reuse the histogram, not rescan: $scans")
+  }
+
+  test("sim13 centroid drift: pure aggregate pipeline — no joins of " +
+    "any kind, no windows; batches reduce map-side") {
+    val p = plan("sim13_centroid_drift")
+    assert(p.collect { case w: WindowExec => w }.isEmpty)
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      "centroid drift is sums and one scalar tree, never a join")
+  }
 }
