@@ -47,11 +47,20 @@ object Decompose {
     s"(CASE WHEN ($a) >= 0 THEN ($a) $divOp ($b) " +
       s"ELSE -((-($a)) $divOp ($b)) END)"
 
-  /** @return (h, n, y, trend_micro, seasonal_micro, remainder_micro)
-    *         per dense hour index h = µs div 3600000000, ordered by
-    *         h; the *_micro columns are BIGINT micro-units
-    *         (value × 10⁶), NULL where the 25-h window is
-    *         incomplete */
+  /** @return (h, n, y_cents, trend_micro, seasonal_micro,
+    *         remainder_micro) per dense hour index
+    *         h = µs div 3600000000, ordered by h; y_cents is the exact
+    *         hourly sum in cents, the *_micro columns are BIGINT
+    *         micro-units (value × 10⁶), NULL where the 25-h window is
+    *         incomplete. EVERY output column is BIGINT: round 8's
+    *         driver hash-fail survived the all-integer internals
+    *         rewrite while x94 (driver-green) consumes those same
+    *         integers, so the remaining engine-divergence suspect was
+    *         the one non-integer output — the uncast decimal sum `y`
+    *         (Spark sum → DECIMAL(28,2), DuckDB sum → DECIMAL(38,2)).
+    *         Cents out; no decimal crosses the engine boundary. The
+    *         can2 canary keeps the old uncast-decimal shape as a
+    *         permanent engine-parity fixture. */
   def hourlyAdditive(events: DataFrame, usCol: String = "us",
       valueCol: String = "value"): DataFrame = {
     val hourly = events
@@ -80,7 +89,8 @@ object Decompose {
         .cast("long").as("seasonal_micro"))
     withTrend
       .join(broadcast(seasonal), col("h") % 24 === col("hod"), "left")
-      .select(col("h"), col("n"), col("y"), col("trend_micro"),
+      .select(col("h"), col("n"), col("yc").as("y_cents"),
+        col("trend_micro"),
         when(col("detr").isNotNull, col("seasonal_micro"))
           .as("seasonal_micro"),
         when(col("detr").isNotNull,
@@ -118,7 +128,7 @@ object Decompose {
        |    CAST(${sdiv("sum(detr)", "count(detr)", "//")} AS BIGINT)
        |      AS seasonal_micro
        |  FROM dt WHERE detr IS NOT NULL GROUP BY 1)
-       |SELECT d.h, d.n, d.y, CAST(d.trend_micro AS BIGINT)
+       |SELECT d.h, d.n, d.yc AS y_cents, CAST(d.trend_micro AS BIGINT)
        |    AS trend_micro,
        |  CASE WHEN d.detr IS NOT NULL THEN s.seasonal_micro END
        |    AS seasonal_micro,

@@ -85,9 +85,9 @@ class ConformalSpec extends AnyFunSuite {
     out.foreach { r =>
       val in = ycMicro(r.getLong(0)) >= BigInt(r.getLong(5)) &&
         ycMicro(r.getLong(0)) <= BigInt(r.getLong(6))
-      assert(r.getBoolean(7) === in)
+      assert(r.getLong(7) === (if (in) 1L else 0L))
     }
-    val cov = out.count(_.getBoolean(7)).toDouble / out.length
+    val cov = out.count(_.getLong(7) == 1L).toDouble / out.length
     assert(cov >= 0.80, s"coverage $cov below slack bound")
   }
 

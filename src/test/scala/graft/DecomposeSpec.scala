@@ -42,8 +42,7 @@ class DecomposeSpec extends AnyFunSuite {
     val out = Decompose.hourlyAdditive(df).collect()
     assert(out.length === 3, "hour 1 must exist")
     val gap = out(1)
-    assert(gap.getLong(1) === 0L &&
-      gap.getDecimal(2).doubleValue() === 0.0)
+    assert(gap.getLong(1) === 0L && gap.getLong(2) === 0L)
   }
 
   test("y = trend + seasonal + remainder EXACTLY in micro-units, " +
@@ -54,7 +53,7 @@ class DecomposeSpec extends AnyFunSuite {
     val mid = out.filter(r => !r.isNullAt(5))
     assert(mid.nonEmpty)
     mid.foreach { r =>
-      val yMicro = r.getDecimal(2).unscaledValue().longValue() * 10000L
+      val yMicro = r.getLong(2) * 10000L
       val recon = r.getLong(3) + r.getLong(4) + r.getLong(5)
       assert(yMicro === recon,
         s"additivity must be exact at h=${r.getLong(0)}")
