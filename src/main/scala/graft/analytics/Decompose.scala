@@ -58,9 +58,7 @@ object Decompose {
     *         integers, so the remaining engine-divergence suspect was
     *         the one non-integer output — the uncast decimal sum `y`
     *         (Spark sum → DECIMAL(28,2), DuckDB sum → DECIMAL(38,2)).
-    *         Cents out; no decimal crosses the engine boundary. The
-    *         can2 canary keeps the old uncast-decimal shape as a
-    *         permanent engine-parity fixture. */
+    *         Cents out; no decimal crosses the engine boundary. */
   def hourlyAdditive(events: DataFrame, usCol: String = "us",
       valueCol: String = "value"): DataFrame = {
     val hourly = events

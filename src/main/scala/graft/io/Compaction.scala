@@ -65,6 +65,8 @@ object Compaction {
     * (rows-before-p) div targetRows. */
   def plan(parts: Seq[PartInfo], targetRows: Long)
       : Seq[(Long, Seq[PartInfo])] = {
+    require(targetRows > 0,
+      s"targetRows must be positive, got $targetRows")
     var cum = 0L
     parts.map { p =>
       val bin = cum / targetRows

@@ -1,7 +1,6 @@
 package graft.ml
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Permutation feature importance (ml19) — the model-agnostic "which
@@ -24,8 +23,12 @@ import org.apache.spark.sql.functions._
   * order is irrelevant and the output surface (SSEs and the
   * importance ratio) is pure integer arithmetic — no data-dependent
   * round(double) an engine's rounding mode could flip (round-8
-  * audit). The hash-rank window is an entity-grain global sort —
-  * the accepted x78-class cost (entities, not events).
+  * audit). The hash-rank is the [[graft.etl.Ids.withOrderedIds]]
+  * two-phase range-partitioned rank (no single-partition WindowExec):
+  * the (md5, id) ordering pair collapses into one fixed-width sort
+  * key — 32 hex chars + zero-padded id — so string order equals the
+  * pair order, and ranks stay partition-parallel even when the
+  * entity grain is itself huge.
   *
   * Guard rails baked into the ratio: a singular design NULLs the
   * betas (LinearShap's guard) and propagates NULL importances; an
@@ -101,9 +104,11 @@ object PermutationImportance {
       sum(col("x1") * col("x2")).as("s12"),
       sum(col("x1") * col("y")).as("s1y"),
       sum(col("x2") * col("y")).as("s2y"))
-    val ranked = prep.withColumn("r", row_number().over(Window.orderBy(
-      md5(col("id").cast("string").cast("binary")), col("id")))
-      .cast("long"))
+    val keyed = prep.withColumn("__ok", concat(
+      md5(col("id").cast("string").cast("binary")),
+      lpad(col("id").cast("string"), 24, "0")))
+    val ranked = graft.etl.Ids.withOrderedIds(keyed, "__ok",
+      idName = "r").drop("__ok")
     val joined = ranked
       .crossJoin(broadcast(stats))
       .join(ranked.select(col("r").as("rd"), col("x1").as("x1p"),

@@ -45,7 +45,11 @@ object RankingMetrics {
     val idcgExpr = "CASE " + (1 to k).map(r =>
       s"WHEN n_rel_total >= $r THEN ${cumW(math.min(r, k))}")
       .reverse.mkString(" ") + " END"
+    // NDCG@k scores the TOP k only: cap the rank here rather than
+    // trusting callers to pre-truncate — an uncapped list would
+    // inflate n_rel_topk past what the rank-capped DCG counts
     val scored = ranked
+      .filter(col("rank") <= k)
       .join(lab.select(col("vec_id").as("query_id"),
         col("label").as("q_label")), Seq("query_id"))
       .join(lab.select(col("vec_id").as("corpus_id"),
@@ -78,7 +82,7 @@ object RankingMetrics {
     val idcg = "CASE " + (1 to k).map(r =>
       s"WHEN n_rel_total >= $r THEN ${cumW(math.min(r, k))}")
       .reverse.mkString(" ") + " END"
-    s"""WITH ranked AS ($rankedSql),
+    s"""WITH ranked AS (SELECT * FROM ($rankedSql) WHERE rank <= $k),
        |lab AS (SELECT vec_id, label FROM embeddings),
        |lc AS (SELECT label, count(*) AS n_label FROM lab GROUP BY 1),
        |scored AS (SELECT r.query_id, r.rank, ql.label AS q_label,

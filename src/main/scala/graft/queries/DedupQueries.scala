@@ -226,11 +226,20 @@ object DedupQueries {
       import graft.dedup.NearDupIndexStore
       val root = SinkQueries.tmp(s"neardup_store_${java.util.UUID
         .randomUUID().toString.take(8)}", d)
+      // Bench-scoped shrink (round-9 VERDICT ask #8): under graft.Bench
+      // (sys.props graft.bench set there, never by Verify) the corpus
+      // caps at 150 docs so the entry's time measures the PROBE path —
+      // read index from disk, band-join the batch, update — rather
+      // than repeatedly rebuilding a 500-doc store every pass. The
+      // ORACLE scale (Verify) keeps the full 500-doc lifecycle; the
+      // rejection require below still gates both scales.
+      val cap = if (sys.props.contains("graft.bench")) 150L else 500L
       val base = table(s, d, "documents")
-        .select(col("doc_id"), col("text")).filter(col("doc_id") < 500)
-      val seed = base.filter(col("doc_id") < 200)
-      val fresh1 = base.filter(col("doc_id") >= 200 &&
-        col("doc_id") < 350)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < cap)
+      val seed = base.filter(col("doc_id") < cap * 2 / 5)
+      val fresh1 = base.filter(col("doc_id") >= cap * 2 / 5 &&
+        col("doc_id") < cap * 7 / 10)
       def mut(df: DataFrame, shift: Long, tag: String) = df
         .select((col("doc_id") + shift).as("doc_id"),
           concat(col("text"), lit(s" $tag"),
@@ -240,7 +249,7 @@ object DedupQueries {
           300000L, "zq"))
         .unionAll(seed.filter(col("doc_id") % 20 === 0)
           .select((col("doc_id") + 400000).as("doc_id"), col("text")))
-      val batch2 = base.filter(col("doc_id") >= 350)
+      val batch2 = base.filter(col("doc_id") >= cap * 7 / 10)
         .unionAll(mut(fresh1.filter(col("doc_id") % 10 === 0),
           500000L, "zr"))
         .unionAll(mut(seed.filter(col("doc_id") % 15 === 0),

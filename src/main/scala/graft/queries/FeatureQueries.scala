@@ -340,16 +340,27 @@ object FeatureQueries {
     // train/cal/test split, integer rank-pick q-hat at
     // ceil((ncal+1)*0.9), all-integer micro outputs; the uncertainty
     // half of the eval stack next to ml16's calibration
-    "ml25_conformal_intervals" -> ((s, d) => {
-      val per = PipelineQueries.table(s, d, "events")
-        .groupBy(col("user_id"))
-        .agg(
-          sum(when(col("event_type") === "click", 1L).otherwise(0L))
-            .as("x"),
-          coalesce(sum(col("value").cast("decimal(18,2)")),
-            lit(0).cast("decimal(18,2)")).as("y"))
-      graft.ml.Conformal.intervals(per, "user_id", "x", "y")
-    }),
+    "ml25_conformal_intervals" -> ((s, d) =>
+      graft.ml.Conformal.intervals(perUserSpendClicks(s, d),
+        "user_id", "x", "y")),
+    // ml25c_* CANARIES: one-column slices of the SAME ml25 pipeline.
+    // ml25 passes the local DuckDB exact compare but hash-fails on
+    // the driver's build three rounds running, with every individual
+    // construct proven driver-green elsewhere — so these fingerprint
+    // WHICH output column the driver's DuckDB computes/canonicalizes
+    // differently: ids → split membership, pred → OLS micro
+    // prediction, qhat → the 1-row rank-pick, y → decimal
+    // passthrough, cov → the interval-membership flag.
+    "ml25c_ids" -> ((s, d) => graft.ml.Conformal.slice(
+      perUserSpendClicks(s, d), "user_id", "x", "y", "ids")),
+    "ml25c_pred" -> ((s, d) => graft.ml.Conformal.slice(
+      perUserSpendClicks(s, d), "user_id", "x", "y", "pred")),
+    "ml25c_qhat" -> ((s, d) => graft.ml.Conformal.slice(
+      perUserSpendClicks(s, d), "user_id", "x", "y", "qhat")),
+    "ml25c_y" -> ((s, d) => graft.ml.Conformal.slice(
+      perUserSpendClicks(s, d), "user_id", "x", "y", "y")),
+    "ml25c_cov" -> ((s, d) => graft.ml.Conformal.slice(
+      perUserSpendClicks(s, d), "user_id", "x", "y", "cov")),
     // EXACT linear-model Shapley (ml15): spend regressed on clicks
     // and views (closed-form 2-feature OLS from nine exact sums in
     // one pass), then per-row attributions phi_j = beta_j(x_j - mean)
@@ -824,6 +835,27 @@ object FeatureQueries {
   /** (label, score) pairs for the evaluation metrics: positive class =
     * label ≥ 5, score = the second embedding coordinate (a float —
     * cast to double losslessly, identical in both engines). */
+  /** Per-user (id, x = clicks, y = spend) — the ml15/ml24/ml25 unit
+    * frame. */
+  private def perUserSpendClicks(s: SparkSession, d: String)
+      : DataFrame =
+    PipelineQueries.table(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+        coalesce(sum(col("value").cast("decimal(18,2)")),
+          lit(0).cast("decimal(18,2)")).as("y"))
+
+  /** DuckDB twin of [[perUserSpendClicks]] as a parenthesized rel. */
+  private val perUserSpendClicksSql: String =
+    """(SELECT user_id AS id,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS x,
+      |  CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))),
+      |    CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+      |  FROM events GROUP BY 1)""".stripMargin.replace('\n', ' ')
+
   private def scoredEmbeddings(s: SparkSession, d: String): DataFrame =
     PipelineQueries.table(s, d, "embeddings")
       .select((col("label") >= 5).cast("int").as("label"),
@@ -1195,13 +1227,18 @@ object FeatureQueries {
         "FROM gold ORDER BY location_id, datetime"),
     "ml2_normal_equations" ->
       withPipeline(graft.ml.NormalEquations.gramSql),
-    "ml25_conformal_intervals" -> graft.ml.Conformal.sql(
-      """(SELECT user_id AS id,
-        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS x,
-        |  CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))),
-        |    CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
-        |  FROM events GROUP BY 1)""".stripMargin.replace('\n', ' ')),
+    "ml25_conformal_intervals" ->
+      graft.ml.Conformal.sql(perUserSpendClicksSql),
+    "ml25c_ids" ->
+      graft.ml.Conformal.sliceSql(perUserSpendClicksSql, "ids"),
+    "ml25c_pred" ->
+      graft.ml.Conformal.sliceSql(perUserSpendClicksSql, "pred"),
+    "ml25c_qhat" ->
+      graft.ml.Conformal.sliceSql(perUserSpendClicksSql, "qhat"),
+    "ml25c_y" ->
+      graft.ml.Conformal.sliceSql(perUserSpendClicksSql, "y"),
+    "ml25c_cov" ->
+      graft.ml.Conformal.sliceSql(perUserSpendClicksSql, "cov"),
     "ml24_loo_influence" -> graft.ml.LooInfluence.sql(
       """(SELECT user_id AS id,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)

@@ -27,6 +27,16 @@ class IoSpec extends AnyFunSuite {
       spark.read.parquet(src).count())
   }
 
+  test("io14 compaction plan rejects non-positive targetRows") {
+    import graft.io.Compaction
+    val parts = Seq(Compaction.PartInfo(1L, 10L),
+      Compaction.PartInfo(2L, 20L))
+    intercept[IllegalArgumentException](Compaction.plan(parts, 0L))
+    intercept[IllegalArgumentException](Compaction.plan(parts, -5L))
+    // and the boundary case still plans: one bin per 10 rows
+    assert(Compaction.plan(parts, 10L).map(_._1) === Seq(0L, 1L))
+  }
+
   test("io10 zone maps: footer stats match the data per file, the " +
     "predicate skips files on the clustered layout, and the pruned " +
     "scan equals the full filter") {

@@ -49,4 +49,22 @@ class NdcgSpec extends AnyFunSuite {
     assert(q300.getLong(2) === 0L && q300.isNullAt(5),
       "no relevant corpus ⇒ NULL, not a number")
   }
+
+  test("ranks beyond k are ignored, not summed into n_rel_topk") {
+    import spark.implicits._
+    val labels = Seq(100L -> "A", 1L -> "A", 2L -> "A", 3L -> "A")
+      .toDF("vec_id", "label")
+    // a 4-deep list scored at k=2: the two tail hits must count
+    // neither toward DCG (rank-capped by construction) nor toward
+    // n_rel_topk (the regression this test pins)
+    val ranked = Seq(
+      (100L, 1, 1L), (100L, 2, 2L), (100L, 3, 3L), (100L, 4, 3L))
+      .toDF("query_id", "rank", "corpus_id")
+    val out = RankingMetrics.ndcgAtK(ranked, labels, k = 2).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 2L,
+      "n_rel_topk counts only ranks <= k")
+    assert(out(0).getLong(3) === w(1) + w(2))
+    assert(out(0).getLong(5) === 1000000L)
+  }
 }

@@ -266,6 +266,25 @@ class PlanShapeSpec extends AnyFunSuite {
       "offsets must broadcast-join back to the ranked corpus")
   }
 
+  test("ml19/ml25: entity-grain ranks are two-phase — every " +
+      "unpartitioned window sits above an aggregate (the partition-" +
+      "count offsets table), never the unit frame") {
+    Seq("ml19_permutation_importance", "ml25_conformal_intervals",
+      "ml25c_qhat").foreach { q =>
+      val p = plan(q)
+      val wins = p.collect { case w: WindowExec => w }
+      assert(wins.exists(_.partitionSpec.nonEmpty),
+        s"$q: per-partition rank window missing")
+      wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+        assert(w.child.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        }.nonEmpty,
+          s"$q: unpartitioned window must run over the per-partition " +
+            "counts aggregate, not the entity-grain input")
+      }
+    }
+  }
+
   test("t10 token budget: every window is partitioned — no " +
       "single-task cumsum over a stratum") {
     val p = plan("t10_token_budget")
