@@ -97,6 +97,28 @@ object SimilarityQueries {
         Similarity.bruteForceTopK(emb, q, k = 5),
         Similarity.labelCentroidIvfTopK(emb, q, k = 5, probes = 2))
     }),
+    // PERSISTED ANN INDEX LIFECYCLE (sim14): d15's store discipline
+    // for vectors — centroids train ONCE on the half of the corpus
+    // with even vec_id and persist; two batches (vec_id % 4 = 1, then
+    // % 4 = 3) assign against the FROZEN quantizer read from disk and
+    // append to the inverted lists; the final probe searches the
+    // store as it exists on disk. The oracle recomputes the whole
+    // lifecycle from the raw table (seed-trained centroids, full
+    // grown corpus in cells), so a green row certifies the store's
+    // CONTENTS — appends really landed, centroids really froze — not
+    // just the probe code. AnnStoreSpec pins probe-after-grow.
+    "sim14_index_lifecycle" -> ((s, d) => {
+      import graft.sim.AnnIndexStore
+      val emb = table(s, d, "embeddings")
+      val root = SinkQueries.tmp(s"ann_store_${java.util.UUID
+        .randomUUID().toString.take(8)}", d)
+      AnnIndexStore.init(emb.filter(col("vec_id") % 2 === 0), root)
+      AnnIndexStore.append(s, root, emb.filter(col("vec_id") % 4 === 1))
+      AnnIndexStore.append(s, root, emb.filter(col("vec_id") % 4 === 3))
+      AnnIndexStore.search(s, root, emb.filter(col("vec_id") < 20),
+          k = 5, probes = 2)
+        .orderBy("query_id", "rank")
+    }),
     // FILTERED VECTOR SEARCH (sim10): top-k under a metadata predicate
     // — "nearest EVEN-LABEL neighbors" — the filtered-search mode every
     // vector store serves (tenant, language, date filters). This is
@@ -277,6 +299,14 @@ object SimilarityQueries {
          |${Similarity.annRecallReportSql("truth", "ann")}
          |SELECT * FROM rep ORDER BY query_id"""
         .stripMargin.replace('\n', ' '),
+    // the full lifecycle replayed from the raw table: centroids from
+    // the even-id seed only, cells over the whole corpus (what the
+    // grown store must contain), the same 2-probe top-5
+    "sim14_index_lifecycle" ->
+      s"""WITH ${Similarity.labelCentroidIvfTopKSql(5, 2,
+           "vec_id < 20", seedPred = "vec_id % 2 = 0")}
+         |SELECT query_id, rank, corpus_id, sim FROM ann
+         |ORDER BY query_id, rank""".stripMargin.replace('\n', ' '),
     // same pre-filtered candidate side
     "sim10_filtered_knn" ->
       Similarity.bruteForceTopKSql(5, "vec_id < 20",

@@ -40,7 +40,7 @@ object Similarity {
     graft.expr.VectorExprs.cosineSim(a, b)
 
   /** Native Cast (codegen'd) — not a per-element transform lambda. */
-  private def toDouble(c: Column): Column = c.cast("array<double>")
+  private[sim] def toDouble(c: Column): Column = c.cast("array<double>")
 
   /** Two-phase distributed top-k: a single row_number window partitioned
     * by query would hash ALL scored rows into only |queries| sort groups —
@@ -50,7 +50,7 @@ object Similarity {
     * k×salts rows per query. The union of per-salt top-ks contains the
     * global top-k, and the (sim DESC, corpus_id) ordering is total, so
     * the result is identical to the single-window form. */
-  private def topKPerQuery(scored: DataFrame, k: Int,
+  private[sim] def topKPerQuery(scored: DataFrame, k: Int,
       salts: Int = 64, extraCols: Seq[String] = Nil): DataFrame = {
     val salted = scored.withColumn("salt",
       pmod(xxhash64(col("corpus_id")), lit(salts)))
@@ -675,13 +675,17 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** DuckDB twin of [[labelCentroidIvfTopK]] (embeddings table). */
+  /** DuckDB twin of [[labelCentroidIvfTopK]] (embeddings table).
+    * `seedPred` restricts centroid TRAINING rows only (the sim14
+    * frozen-quantizer lifecycle: centroids from the seed, cells over
+    * the whole grown corpus); the default trains on everything,
+    * matching [[labelCentroidIvfTopK]]. */
   def labelCentroidIvfTopKSql(k: Int, probes: Int,
-      queryPred: String): String =
+      queryPred: String, seedPred: String = "TRUE"): String =
     s"""ex AS (SELECT label AS cl,
        |    generate_subscripts(embedding, 1) - 1 AS pos,
        |    unnest(embedding) AS val
-       |  FROM embeddings),
+       |  FROM embeddings WHERE $seedPred),
        |dims AS (SELECT cl, pos, round(avg(CAST(val AS DOUBLE)), 6)
        |    AS dim_avg FROM ex GROUP BY 1, 2),
        |cents AS (SELECT cl, list(dim_avg ORDER BY pos) AS centroid
