@@ -335,8 +335,83 @@ object TextQueries {
           .select((col("doc_id") + 600000).as("doc_id"),
             regexp_replace(col("text"), "(\\S+)", "q$1").as("text")))
       graft.text.NgramLm.avgNll(docs, scored).orderBy("doc_id")
+    }),
+    // CAPSTONE composed pipeline (t39, round-9 VERDICT ask #7) — the
+    // north star's actual claim, operators COMPOSE: t7 clean (exact
+    // dedup → lang gate → quality gate → stable sample) → d11
+    // near-dup probe of the cleaned additions against the cleaned
+    // corpus (planted exact re-deliveries and mutated twins of corpus
+    // docs must reject) → t26 target-mixture over sources → t13
+    // sequence packing → mm8-style shard manifest. After the dedup
+    // stage the pipeline runs on (id, source, fingerprint, n_tokens)
+    // metadata — document TEXT never rides a shuffle again
+    // (PlanShapeSpec pins the text-bearing exchange count), which is
+    // the property that makes the composition viable at 100 TB.
+    "t39_capstone_pipeline" -> ((s, d) => {
+      import graft.text.TextAnalysis
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      // plant exact duplicates so the clean's dedup stage bites
+      val planted = docs.unionAll(docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+      // materialize the cleaned corpus once: it fans out to five
+      // downstream references (old + three incoming legs + the probe),
+      // and re-expanding the langid/quality expression trees per
+      // reference blows the logical plan up combinatorially — exactly
+      // what a production pipeline's stage boundary (checkpoint /
+      // table write) does between clean and dedup
+      val clean = TextAnalysis
+        .cleanCorpus(planted, lang = "en", sampleRate = 0.5)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .localCheckpoint()
+      val old = clean.filter(col("doc_id") % 2 === 0)
+      // incoming = the odd half, plus an exact re-delivery and a
+      // mutated twin of corpus (even) docs — both must reject against
+      // the probed corpus, proving the near-dup stage bites
+      val incoming = clean.filter(col("doc_id") % 2 === 1)
+        .unionAll(clean.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 400000).as("doc_id"), col("text"),
+            col("lang"), col("source")))
+        .unionAll(clean.filter(col("doc_id") % 10 === 4)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat(col("text"), lit(" zq"),
+              col("doc_id").cast("string"), lit("x")).as("text"),
+            col("lang"), col("source")))
+      val survivors = graft.dedup.Dedup.incrementalNearDedup(
+        old.select(col("doc_id"), col("text")),
+        incoming.select(col("doc_id"), col("text")))
+      // text ends at the dedup stage: fingerprint + token count
+      // compute ROW-LOCALLY off the checkpointed clean, and the
+      // survivor selection joins the metadata frame — so no exchange
+      // downstream of the probe ever carries document text
+      def metaOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), col("source"),
+          TextAnalysis.fingerprint(col("text")).as("__fp"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+      val meta = metaOf(old).unionAll(metaOf(incoming).join(
+        survivors.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      val mixed = TextAnalysis.targetMixtureSamplePre(meta, "source",
+        t39Weights, fpCol = "__fp")
+      val packed = TextAnalysis.packSequencesPre(mixed, "source",
+        capacity = 512)
+      packed
+        .groupBy(col("source"), expr("pack_id div 8").as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("pack_id")).as("n_packs"),
+          sum(col("n_tokens")).as("shard_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "shard_id")
     })
   )
+
+  /** t39's training-mix weights: ten sources kept at 5:4:4:3:3:2:2:2:
+    * 1:1, the other ten dropped (weightless strata drop — the t26
+    * contract). */
+  private val t39Weights: Map[String, Int] = Map(
+    "src0" -> 5, "src1" -> 4, "src2" -> 4, "src3" -> 3, "src4" -> 3,
+    "src5" -> 2, "src6" -> 2, "src7" -> 2, "src8" -> 1, "src9" -> 1)
 
   val oracle: Map[String, String] = Map(
     "t25_readability" ->
@@ -594,6 +669,89 @@ object TextQueries {
          |    ELSE -((-s) // n_bigrams) END AS BIGINT) AS avg_nll_micro
          |FROM ag ORDER BY doc_id"""
         .stripMargin.replace('\n', ' ')
+    },
+    // the whole capstone replayed: clean (t7 fragments), ground-truth
+    // all-pairs near-dup rejection (the d11 oracle discipline — no
+    // LSH oracle-side, so green certifies band recall too), t26
+    // mixture arithmetic, t13 packing window, shard roll-up
+    "t39_capstone_pipeline" -> {
+      val fp = TextAnalysis.fingerprintSql("text")
+      val norm = TextAnalysis.normalizedSql("text")
+      val toks = TextAnalysis.tokensSql("text")
+      val sh = "list_distinct([substr(n, i, 5) " +
+        "for i in range(1, greatest(len(n) - 4, 1) + 1)])"
+      val wCase = t39Weights.toSeq.sortBy(_._1)
+        .map { case (s, w) => s"WHEN source = '$s' THEN $w" }
+        .mkString("(CASE ", " ", " ELSE NULL END)")
+      s"""WITH planted AS (
+         |  SELECT doc_id, text, lang, source FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text, lang, source
+         |    FROM documents WHERE doc_id % 7 = 0),
+         |dedup AS (SELECT doc_id, text, lang, source FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY $fp) AS keep_id
+         |    FROM planted)
+         |  WHERE doc_id = keep_id),
+         |scoredc AS (SELECT doc_id, text, lang, source,
+         |    ${TextAnalysis.langIdSql("text")},
+         |    ${TextAnalysis.qualityFeaturesSql("text")}
+         |  FROM dedup),
+         |clean AS (SELECT doc_id, text, lang, source FROM scoredc
+         |  WHERE predicted_lang = 'en' AND is_quality
+         |    AND ${TextAnalysis.stableSampleSql("text", 0.5)}),
+         |old AS (SELECT * FROM clean WHERE doc_id % 2 = 0),
+         |incoming AS (SELECT * FROM clean WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id + 400000, text, lang, source
+         |    FROM clean WHERE doc_id % 20 = 0
+         |  UNION ALL SELECT doc_id + 500000,
+         |    text || ' zq' || CAST(doc_id AS VARCHAR) || 'x',
+         |    lang, source
+         |    FROM clean WHERE doc_id % 10 = 4),
+         |csh AS (SELECT doc_id, $sh AS s FROM
+         |  (SELECT doc_id, $norm AS n FROM old)),
+         |ish AS (SELECT doc_id, $sh AS s FROM
+         |  (SELECT doc_id, $norm AS n FROM incoming)),
+         |rej AS (SELECT DISTINCT i.doc_id FROM ish i JOIN csh c
+         |  ON CAST(len(list_intersect(i.s, c.s)) AS DOUBLE)
+         |     / CAST(len(list_distinct(i.s || c.s)) AS DOUBLE)
+         |     >= 0.7),
+         |surv AS (SELECT min(doc_id) AS doc_id FROM (
+         |    SELECT doc_id, $fp AS fpp FROM incoming
+         |    WHERE doc_id NOT IN (SELECT doc_id FROM rej))
+         |  GROUP BY fpp),
+         |finalc AS (SELECT * FROM old UNION ALL
+         |  SELECT i.* FROM incoming i JOIN surv sv
+         |    ON sv.doc_id = i.doc_id),
+         |meta AS (SELECT doc_id, source, $fp AS fp,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens FROM finalc),
+         |ww AS (SELECT *, $wCase AS w FROM meta
+         |  WHERE $wCase IS NOT NULL),
+         |cnt AS (SELECT source AS stratum, count(*) AS n, max(w) AS wt
+         |  FROM ww GROUP BY 1),
+         |m AS (SELECT stratum AS m_stratum, n AS m_n, wt AS m_w
+         |  FROM cnt a WHERE NOT EXISTS (SELECT 1 FROM cnt b
+         |    WHERE b.n * a.wt < a.n * b.wt
+         |      OR (b.n * a.wt = a.n * b.wt AND b.stratum < a.stratum))),
+         |mixed AS (SELECT ww.doc_id, ww.source, ww.fp, ww.n_tokens
+         |  FROM ww JOIN cnt ON ww.source = cnt.stratum CROSS JOIN m
+         |  WHERE CAST(CAST(('0x' || substr(fp, 1, 4)) AS BIGINT)
+         |      AS DECIMAL(5,0))
+         |      * CAST(m_w AS DECIMAL(7,0)) * CAST(n AS DECIMAL(15,0))
+         |    < CAST(65536 AS DECIMAL(6,0)) * CAST(wt AS DECIMAL(7,0))
+         |      * CAST(m_n AS DECIMAL(15,0))),
+         |pk AS (SELECT doc_id, source, n_tokens,
+         |    CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS pack_id
+         |  FROM (SELECT *, CAST(sum(n_tokens) OVER (
+         |      PARTITION BY source ORDER BY fp, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_tokens
+         |    FROM mixed))
+         |SELECT source, pack_id // 8 AS shard_id,
+         |  count(*) AS n_docs,
+         |  count(DISTINCT pack_id) AS n_packs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM pk GROUP BY 1, 2
+         |ORDER BY source, shard_id""".stripMargin.replace('\n', ' ')
     }
   )
 }

@@ -322,7 +322,18 @@ object TextAnalysis {
     * predicate under broadcast joins of the |D|-row count table and the
     * 1-row binding stratum — the corpus never shuffles. */
   def targetMixtureSample(docs: DataFrame, strataCol: String,
-      textCol: String, weights: Map[String, Int]): DataFrame = {
+      textCol: String, weights: Map[String, Int]): DataFrame =
+    targetMixtureSamplePre(
+      docs.withColumn("__mixfp", fingerprint(col(textCol))),
+      strataCol, weights, fpCol = "__mixfp").drop("__mixfp")
+
+  /** [[targetMixtureSample]] over a PRECOMPUTED content fingerprint —
+    * the t39 composition path: once the capstone pipeline has reduced
+    * documents to (id, strata, fingerprint, n_tokens) metadata after
+    * its dedup stage, the mixture runs on the narrow frame and text
+    * never rides another operator. */
+  def targetMixtureSamplePre(docs: DataFrame, strataCol: String,
+      weights: Map[String, Int], fpCol: String): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
     require(weights.values.forall(w => w > 0 && w <= 1000000),
       s"weights must be in [1, 1e6]: $weights")
@@ -344,7 +355,7 @@ object TextAnalysis {
         "left_anti")
       .select(col("_stratum").as("_m_stratum"), col("_n").as("_m_n"),
         col("_wt").as("_m_w"))
-    val h = conv(substring(fingerprint(col(textCol)), 1, 4), 16, 10)
+    val h = conv(substring(col(fpCol), 1, 4), 16, 10)
       .cast("decimal(5,0)")
     withW
       .join(broadcast(counts), col(strataCol) === col("_stratum"))
@@ -919,19 +930,29 @@ object TextAnalysis {
     * this must scale with corpus size, not stratum count. */
   def packSequences(docs: DataFrame, strataCol: String, capacity: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(capacity > 0, s"capacity must be positive: $capacity")
     val withTok = docs
       .withColumn("__fp", fingerprint(col(textCol)))
       .withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
-    val cum = graft.etl.Ids.keyedCumsum(withTok, strataCol,
-      Seq("__fp", idCol), "n_tokens", "cum_tokens")
-    val start = col("cum_tokens") - col("n_tokens")
+    packSequencesPre(withTok, strataCol, capacity, idCol).drop("__fp")
+  }
+
+  /** [[packSequences]] over PRECOMPUTED (`fpCol`, `nTokensCol`) — the
+    * t39 composition path: the packing shuffle (keyedCumsum's range
+    * repartition) then moves only metadata-width rows, never text. */
+  def packSequencesPre(docs: DataFrame, strataCol: String,
+      capacity: Int, idCol: String = "doc_id", fpCol: String = "__fp",
+      nTokensCol: String = "n_tokens"): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val cum = graft.etl.Ids.keyedCumsum(docs, strataCol,
+      Seq(fpCol, idCol), nTokensCol, "cum_tokens")
+    val start = col("cum_tokens") - col(nTokensCol)
     cum
-      .withColumn("pack_id", expr(s"(cum_tokens - n_tokens) div $capacity"))
+      .withColumn("pack_id",
+        expr(s"(cum_tokens - $nTokensCol) div $capacity"))
       .withColumn("offset_in_pack", start % capacity)
       .withColumn("crosses_boundary",
-        start % capacity + col("n_tokens") > capacity)
-      .drop("__fp", "cum_tokens")
+        start % capacity + col(nTokensCol) > capacity)
+      .drop("cum_tokens")
   }
 
   // -------------------------------------------------- chunking w/ overlap

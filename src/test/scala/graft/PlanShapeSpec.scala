@@ -438,6 +438,38 @@ class PlanShapeSpec extends AnyFunSuite {
       "corpus/batch text must reduce to fingerprints before any exchange")
   }
 
+  test("t39 capstone: after the dedup stage, no exchange carries " +
+      "document text — mixture, packing and sharding move only " +
+      "(id, source, fingerprint, n_tokens) metadata") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val p = plan("t39_capstone_pipeline")
+    val textShuffles = p.collect {
+      case e: ShuffleExchangeExec if e.output.exists(_.name == "text") => e
+    }
+    // the only text-bearing exchanges allowed are the near-dup
+    // probe's verify legs — batch/candidate-bounded (doc_id, text)
+    // hashed by doc_id for the shingle-verify joins (statically
+    // sort-merge; AQE broadcasts the candidate-id sides at runtime).
+    // The mixture filter is row-local and the packing shuffle is a
+    // RANGE repartition on (source, fingerprint, id) — if text ever
+    // leaked past the dedup stage it would ride a non-doc_id or
+    // range partitioning and fail here.
+    assert(textShuffles.size <= 4,
+      s"text rode ${textShuffles.size} exchanges — the dedup probe " +
+        "plans 4 verify legs; more means a post-dedup stage regressed")
+    textShuffles.foreach { e =>
+      val byDocId = e.outputPartitioning match {
+        case h: HashPartitioning =>
+          h.expressions.forall(_.references.forall(_.name == "doc_id"))
+        case _ => false
+      }
+      assert(byDocId,
+        s"text-bearing exchange partitions by ${e.outputPartitioning}" +
+          " — only the dedup probe (hash by doc_id) may move text")
+    }
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("t26 target mixture: counts + binding stratum ride broadcasts; " +
     "the corpus side never sort-merges or cartesians") {
     val p = plan("t26_target_mixture")
