@@ -83,7 +83,9 @@ object Explain {
         "s17_stream_ks_gate", "dq12_key_skew", "er9_incremental_er",
         "ml27_ndcg_eval", "mm8_shard_plan", "x93_forecast_backtest",
         "g24_neighbor_sampling", "t38_source_overlap",
-        "x94_decomposition_strength")
+        "x94_decomposition_strength",
+        // round-10 additions
+        "sim14_index_lifecycle", "t39_capstone_pipeline")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -97,8 +97,13 @@ object Dedup {
       incoming: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 5, numHashes: Int = 16,
       bands: Int = 4, minAgree: Double = 0.7): DataFrame = {
+    // Both signature frames feed two consumers each (banding + the
+    // verify join); materialize them once — K longs per doc, and the
+    // corpus side IS the "persisted index" this operator models.
     val cs = minhashSignatures(corpus, idCol, textCol, k, numHashes)
+      .localCheckpoint()
     val is = minhashSignatures(incoming, idCol, textCol, k, numHashes)
+      .localCheckpoint()
     val index = bandBuckets(cs, idCol, numHashes, bands)
       .withColumnRenamed(idCol, "__corpus_id")
     val probes = bandBuckets(is, idCol, numHashes, bands)
@@ -239,8 +244,16 @@ object Dedup {
       .withColumnRenamed(idCol, "__corpus_id")
     val probes = lshBandIndex(incoming, idCol, textCol, k, numHashes,
       bands)
+    // The candidate list is a deliberate STAGE BOUNDARY: it feeds both
+    // the pair-verify join and the corpus-side semi join below, and
+    // without materialization each consumer re-executes the whole
+    // index+probe subtree, re-shingling BOTH texts — measured 2× the
+    // operator's cost at sf0.1. It is metadata-sized (two ids per band
+    // collision, ~10⁻³ of corpus bytes) — exactly the frame a
+    // production ingest persists between candidate-gen and verify.
     val cands = probes.join(index, Seq("band", "bucket"))
       .select(col(idCol), col("__corpus_id")).distinct()
+      .localCheckpoint()
     def sh(df: DataFrame, out: String) = df
       .select(col(idCol), TextAnalysis.normalized(col(textCol))
         .as("__norm"))
