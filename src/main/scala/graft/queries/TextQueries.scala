@@ -389,8 +389,15 @@ object TextQueries {
           TextAnalysis.fingerprint(col("text")).as("__fp"),
           size(TextAnalysis.tokens(col("text"))).cast("long")
             .as("n_tokens"))
+      // meta is the pipeline's second stage boundary (the first is the
+      // checkpointed clean): 4 narrow columns per surviving doc, and
+      // every downstream consumer (mixture counts + sample, packing's
+      // two-phase cumsum, the shard roll-up) re-expands it into the
+      // plan — unmaterialized, the query's physical plan carries ~3.7k
+      // nodes and the driver pays seconds of pure optimization time.
       val meta = metaOf(old).unionAll(metaOf(incoming).join(
         survivors.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+        .localCheckpoint()
       val mixed = TextAnalysis.targetMixtureSamplePre(meta, "source",
         t39Weights, fpCol = "__fp")
       val packed = TextAnalysis.packSequencesPre(mixed, "source",
