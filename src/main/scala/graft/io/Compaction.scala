@@ -78,18 +78,29 @@ object Compaction {
 
   /** Plan from footers, rewrite each bin as ONE file under
     * `dstRoot/bin=<b>`, and return the compacted frame (original
-    * columns + `bin`). */
+    * columns + `bin`).
+    *
+    * Execution is ONE job, not a driver loop over bins: the
+    * (partition value → bin) map is broadcast onto a single read of
+    * the source tree, rows shuffle once on `bin`
+    * (`repartition(bin)` puts every bin in exactly one task), and
+    * `partitionBy(bin)` makes each task emit one file per bin it
+    * holds — together: exactly one file per bin. A per-bin driver
+    * loop serializes what the cluster should do in parallel and pays
+    * job-submission latency per bin (at 100 TB, thousands of bins). */
   def compact(spark: SparkSession, srcRoot: String, dstRoot: String,
       partCol: String, targetRows: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     val bins = plan(partitionRows(spark, srcRoot, partCol), targetRows)
-    bins.foreach { case (b, ps) =>
-      val dirs = ps.map(p => s"$srcRoot/$partCol=${p.value}")
-      // basePath keeps the partition column as DATA in the bin file,
-      // so partition values survive the rewrite
-      spark.read.option("basePath", srcRoot).parquet(dirs: _*)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$dstRoot/bin=$b")
-    }
+    val binOf = spark.createDataFrame(
+      bins.flatMap { case (b, ps) => ps.map(p => (p.value, b)) })
+      .toDF(partCol, "bin")
+    // basePath keeps the partition column as DATA in the bin file,
+    // so partition values survive the rewrite
+    spark.read.option("basePath", srcRoot).parquet(srcRoot)
+      .join(broadcast(binOf), partCol)
+      .repartition(col("bin"))
+      .write.partitionBy("bin").mode("overwrite").parquet(dstRoot)
     spark.read.parquet(dstRoot)
   }
 }
