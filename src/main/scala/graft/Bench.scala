@@ -103,6 +103,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.expr.GraftExtensions")
+      // Stopped streaming queries' state-store providers hold their
+      // last-version maps until the maintenance thread notices the
+      // query is gone; with ~25 streaming replays per pass, the
+      // default 60 s sweep lets tens of store instances linger —
+      // sweep more often so their memory returns promptly.
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "15s")
     // Shuffle/spill files on tmpfs when available: at bench scale they are
     // small, and it removes disk-contention noise from a shared machine
     // (round-1 driver runs saw 8-37x inflation consistent with slow /tmp).
@@ -114,6 +120,13 @@ object Bench {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The inter-query cleanup below unpersists locally-checkpointed
+    // RDDs that are finished by design; Spark warns per RDD, and
+    // thousands of stderr lines risk interleaving into the driver's
+    // bounded output capture around the final JSON line.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm the JVM once on the smallest SF (codegen compilation, parquet
     // reader, shuffle + streaming machinery) so first-query JIT cost
     // doesn't land on an arbitrary query's timing.
@@ -159,6 +172,20 @@ object Bench {
           val q0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           ran += name -> (System.nanoTime() - q0) / 1e9
+          // Outside the timed window: drop the finished query's
+          // leavings. Iterative operators persist edge/frontier frames
+          // and localCheckpoint stage boundaries that nothing
+          // references once the count returns; left to the weak-ref
+          // ContextCleaner, ~340 queries of them accumulate in the
+          // block manager and late-pass queries pay eviction + GC for
+          // their predecessors' litter (observed: late-alphabet
+          // queries 2-3x their solo times with disp=1.0, both passes
+          // sharing the one JVM).
+          try {
+            spark.sharedState.cacheManager.clearCache()
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+          } catch { case _: Throwable => () }
         }
       }
       val steal = stealSince(s0)

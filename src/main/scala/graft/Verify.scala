@@ -25,6 +25,11 @@ object Verify {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // inter-query unpersist of finished localCheckpoint RDDs is
+    // intentional — silence the per-RDD warning (see Bench)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated filter for iterating on specific queries
     // (driver never sets it — its runs always dump the full surface).
@@ -38,6 +43,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Drop the finished query's persisted/checkpointed blocks —
+      // nothing references them once the write returns, and across
+      // ~340 queries they otherwise pile up in the block manager
+      // (same hygiene as Bench's inter-query cleanup).
+      try {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      } catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
