@@ -429,10 +429,15 @@ object FeatureQueries {
       graft.ml.Metrics.calibrationTable(scoredEmbeddings(s, d),
         lo = -0.5, hi = 0.5, bins = 10)),
     // decile lift table — the campaign-targeting eval: users ranked by
-    // predicted propensity (click count), ntile(10) over a tie-free
+    // predicted propensity (click count), decile over a tie-free
     // total order, per-decile conversion rate / cumulative capture /
     // lift vs the base rate. Every metric is int/int divisions of
-    // identical operands; the cumulative window runs over 10 rows
+    // identical operands; the cumulative window runs over 10 rows.
+    // The rank is USER-GRAIN, so it uses the two-phase range-
+    // partitioned rank (Ids.withOrderedIds) rather than ntile's
+    // single-partition global window; the decile boundary arithmetic
+    // below reproduces SQL NTILE exactly (first n%10 buckets take one
+    // extra row), so the DuckDB twin keeps its plain ntile(10)
     "ml8_lift_table" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val per = PipelineQueries.table(s, d, "events")
@@ -441,8 +446,25 @@ object FeatureQueries {
           .as("n_clicks"),
           max(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .as("converted"))
-      val deciled = per.withColumn("decile",
-        ntile(10).over(Window.orderBy(desc("n_clicks"), col("user_id"))))
+      // one ascending sort key = (desc n_clicks, asc user_id): both
+      // legs zero-padded fixed width, clicks complemented for DESC
+      val keyed = per.withColumn("__ord", concat(
+        lpad((lit(Long.MaxValue) - col("n_clicks")).cast("string"),
+          20, "0"),
+        lpad(col("user_id").cast("string"), 20, "0")))
+      val ranked = graft.etl.Ids.withOrderedIds(keyed, "__ord", "__rnk")
+        .drop("__ord")
+      val deciled = ranked
+        .crossJoin(broadcast(ranked.agg(count(lit(1)).as("__n"))))
+        .withColumn("decile",
+          // NTILE(10): q = n div 10 rows per bucket, first r = n % 10
+          // buckets take q+1
+          expr("""CASE WHEN __rnk <= (__n % 10) * (__n div 10 + 1)
+                  THEN (__rnk - 1) div (__n div 10 + 1) + 1
+                  ELSE (__n % 10) +
+                    (__rnk - (__n % 10) * (__n div 10 + 1) - 1)
+                      div (__n div 10) + 1 END""").cast("int"))
+        .drop("__rnk", "__n")
       val tot = deciled.agg(count(lit(1)).as("t_users"),
         sum(col("converted")).as("t_conv"))
       deciled
@@ -568,8 +590,11 @@ object FeatureQueries {
       val hc = hist(ev.filter(col("us") >= cutoff))
       val nr = hr.agg(sum(col("c")).as("nr"))
       val nc = hc.agg(sum(col("c")).as("nc"))
-      val edges = hr
-        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("value"))))
+      // the reference histogram is raw-VALUE grain (unbounded distinct
+      // values at scale) — cumulate two-phase, not through one task
+      val edges = graft.etl.Ids.keyedCumsum(
+          hr.withColumn("__k", lit(1)), "__k", Seq("value"), "c", "cum")
+        .drop("__k")
         .crossJoin(broadcast(nr))
         .select(col("value"), col("cum"), col("nr"),
           explode(sequence(lit(1), lit(9))).as("i"))

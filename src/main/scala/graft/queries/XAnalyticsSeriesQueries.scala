@@ -449,7 +449,12 @@ object XAnalyticsSeriesQueries {
       def edges(dim: String) = {
         val h = per.groupBy(col(dim).as("v"))
           .agg(count(lit(1)).as("c"))
-        h.withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
+        // dim histograms are value-grain (m = floor(money) is
+        // unbounded distinct at scale) — two-phase cumsum, not a
+        // single-task global window
+        graft.etl.Ids.keyedCumsum(
+            h.withColumn("__k", lit(1)), "__k", Seq("v"), "c", "cum")
+          .drop("__k")
           .crossJoin(broadcast(h.agg(sum(col("c")).as("n"))))
           .select(col("v"), col("cum"), col("n"),
             explode(sequence(lit(1), lit(3))).as("i"))
