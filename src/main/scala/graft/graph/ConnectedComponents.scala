@@ -125,6 +125,10 @@ object ConnectedComponents {
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
+        // three consumers below (smins + both small-star legs) —
+        // materialize once instead of re-running the large-star round
+        // per consumer
+        .localCheckpoint()
       // small-star over the big→small edges large-star produced
       val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
       val small = large.join(smins, "u")

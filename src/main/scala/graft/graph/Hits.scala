@@ -26,20 +26,25 @@ object Hits {
       .withColumn("hub", lit(1.0))
     var auth: DataFrame = null
     for (_ <- 1 to rounds) {
+      // checkpoint the RAW sums, not the normalized frame: the max-
+      // normalizer action and the next-round join both consume them,
+      // and an uncheckpointed araw would re-execute the edge join for
+      // each consumer (the normalized projection needs no checkpoint
+      // of its own — it is a row-local map over the materialized scan)
       val araw = e.join(hub, "src").groupBy(col("dst"))
         .agg(sum(col("hub").cast("decimal(18,6)")).as("raw_d"))
+        .localCheckpoint()
       val amax = araw.agg(max(col("raw_d"))).first()
         .getDecimal(0).doubleValue
       auth = araw.select(col("dst"),
         round(col("raw_d").cast("double") / lit(amax), 6).as("auth"))
-        .localCheckpoint()
       val hraw = e.join(auth, "dst").groupBy(col("src"))
         .agg(sum(col("auth").cast("decimal(18,6)")).as("raw_d"))
+        .localCheckpoint()
       val hmax = hraw.agg(max(col("raw_d"))).first()
         .getDecimal(0).doubleValue
       hub = hraw.select(col("src"),
         round(col("raw_d").cast("double") / lit(hmax), 6).as("hub"))
-        .localCheckpoint()
     }
     auth.select(lit("authority").as("role"), col("dst").as("node"),
         col("auth").as("score"))
