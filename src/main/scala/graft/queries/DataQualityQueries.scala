@@ -269,6 +269,25 @@ object DataQualityQueries {
         ev.filter(col("us") < cutoff),
         ev.filter(col("us") >= cutoff), "event_type")
         .orderBy("event_type")
+    }),
+    // SCHEMA-DRIFT GATE (dq13, round-8 VERDICT ask #8): diff an
+    // incoming batch's schema against the reference table's — added /
+    // removed / type-changed columns — the STRUCTURAL gate that runs
+    // before any value profile can (dq10 cannot even profile a column
+    // whose type changed). The batch plants all three drift classes:
+    // lang dropped, quality_score added (DOUBLE), doc_id narrowed to
+    // INTEGER. Both engines INTROSPECT their own schemas (Spark
+    // StructType; DuckDB information_schema.columns + DESCRIBE) —
+    // neither side hardcodes the expected column list, so a green row
+    // certifies the drift computation end to end. Metadata-sized: no
+    // row of either frame is scanned.
+    "dq13_schema_drift" -> ((s, d) => {
+      val ref = table(s, d, "documents")
+      val cur = ref.drop("lang")
+        .withColumn("doc_id", col("doc_id").cast("int"))
+        .withColumn("quality_score", lit(0.5).cast("double"))
+      graft.quality.SchemaDrift.drift(s, ref, cur)
+        .orderBy("column_name")
     })
   )
 
@@ -542,6 +561,10 @@ object DataQualityQueries {
         |     (1706745600000000 - epoch_us(max(ts))) // 1000000) <= 88200
         |   AND epoch_us(max(ts)) <= 1706745600000000) AS pass
         |FROM events GROUP BY 1 ORDER BY event_type"""
-        .stripMargin.replace('\n', ' ')
+        .stripMargin.replace('\n', ' '),
+    "dq13_schema_drift" -> graft.quality.SchemaDrift.driftSql(
+      "documents",
+      "SELECT CAST(doc_id AS INTEGER) AS doc_id, text, source, " +
+        "n_chars, CAST(0.5 AS DOUBLE) AS quality_score FROM documents")
   )
 }
