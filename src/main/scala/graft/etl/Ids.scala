@@ -91,4 +91,18 @@ object Ids {
       .withColumn(idName, col("__offset") + col("__rank"))
       .drop("__pid", "__rank", "__offset")
   }
+
+  /** Fixed-width zero-padded rank-key leg that FAILS LOUDLY instead of
+    * silently mis-ordering: the lexicographic-equals-numeric trick
+    * behind every `withOrderedIds` sort key assumes a non-negative
+    * integral rendering that fits `width` digits — `lpad` silently
+    * TRUNCATES overlong strings and a '-' sign breaks the order. Any
+    * future caller feeding negative/string ids hits a runtime
+    * raise_error naming the offending value, not a wrong rank-pick. */
+  def fixedWidthKey(c: Column, width: Int): Column =
+    when(c.cast("string").rlike(s"^\\d{1,$width}$$"),
+      lpad(c.cast("string"), width, "0"))
+      .otherwise(raise_error(concat(
+        lit(s"fixed-width rank key: need a non-negative integer with" +
+          s" <= $width digits, got "), c.cast("string"))))
 }

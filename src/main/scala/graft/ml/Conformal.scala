@@ -106,8 +106,8 @@ object Conformal {
     val ncal = cal.agg(count(lit(1)).as("ncal"))
     val keyed = cal.withColumn("__ok", concat(
       when(col("absr").isNull, lit("!"))
-        .otherwise(lpad(col("absr").cast("string"), 20, "0")),
-      lpad(col("id").cast("string"), 24, "0")))
+        .otherwise(graft.etl.Ids.fixedWidthKey(col("absr"), 20)),
+      graft.etl.Ids.fixedWidthKey(col("id"), 24)))
     graft.etl.Ids.withOrderedIds(keyed, "__ok", idName = "rn")
       .crossJoin(broadcast(ncal))
       // k = min(ncal, ceil((ncal+1)(100-a)/100)), ceil via (x+99) div
@@ -118,11 +118,16 @@ object Conformal {
 
   /** @param data one row per unit: idCol, integral xCol, decimal yCol
     * @param alphaPct miscoverage in percent (10 = 90% intervals)
-    * @return test-split rows: (id, x, y, pred_micro, qhat_micro,
+    * @return test-split rows: (id, x, y_cents, pred_micro, qhat_micro,
     *         lo_micro, hi_micro, covered) ordered by id; `covered` is
     *         BIGINT 1/0 and stays NULL when the prediction itself is
     *         NULL (singular train design) — an unknown interval is
-    *         unknown coverage, not "not covered" */
+    *         unknown coverage, not "not covered". The observed value
+    *         rides out as BIGINT cents (round-8 discipline: no decimal
+    *         crosses the engine boundary — the round-10 ml25c_*
+    *         canaries fingerprinted the 4-round driver hash-red to
+    *         exactly the raw DECIMAL(18,2) passthrough column, with
+    *         every integer column green). */
   def intervals(data: DataFrame, idCol: String, xCol: String,
       yCol: String, alphaPct: Int = 10): DataFrame = {
     val prep = prepare(data, idCol, xCol, yCol)
@@ -130,7 +135,8 @@ object Conformal {
       col("yc") * 10000L <= col("pred_micro") + col("qhat_micro")
     scored(prep, 3)
       .crossJoin(broadcast(qhat(prep, alphaPct)))
-      .select(col("id"), col("x"), col("y"), col("pred_micro"),
+      .select(col("id"), col("x"), col("yc").as("y_cents"),
+        col("pred_micro"),
         col("qhat_micro"),
         (col("pred_micro") - col("qhat_micro")).as("lo_micro"),
         (col("pred_micro") + col("qhat_micro")).as("hi_micro"),
@@ -150,7 +156,7 @@ object Conformal {
       case "ids" => prep.filter(col("split") === 3)
         .select(col("id")).orderBy("id")
       case "y" => prep.filter(col("split") === 3)
-        .select(col("id"), col("y")).orderBy("id")
+        .select(col("id"), col("yc").as("y_cents")).orderBy("id")
       case "pred" => scored(prep, 3)
         .select(col("id"), col("pred_micro")).orderBy("id")
       case "qhat" => qhat(prep, alphaPct)
@@ -189,7 +195,7 @@ object Conformal {
   /** DuckDB twin; `dataRel` must yield (id, x, y DECIMAL(18,2)). */
   def sql(dataRel: String, alphaPct: Int = 10): String =
     s"""${cte(dataRel, alphaPct)}
-       |SELECT id, x, y, pred_micro, qhat_micro,
+       |SELECT id, x, yc AS y_cents, pred_micro, qhat_micro,
        |  pred_micro - qhat_micro AS lo_micro,
        |  pred_micro + qhat_micro AS hi_micro,
        |  CAST(CASE WHEN yc * 10000 >= pred_micro - qhat_micro AND
@@ -207,7 +213,7 @@ object Conformal {
     val tail = which match {
       case "ids" => "SELECT id FROM prep WHERE split = 3 ORDER BY id"
       case "y" =>
-        "SELECT id, y FROM prep WHERE split = 3 ORDER BY id"
+        "SELECT id, yc AS y_cents FROM prep WHERE split = 3 ORDER BY id"
       case "pred" =>
         "SELECT id, pred_micro FROM sc WHERE split = 3 ORDER BY id"
       case "qhat" => "SELECT qhat_micro FROM qh"

@@ -106,7 +106,7 @@ object PermutationImportance {
       sum(col("x2") * col("y")).as("s2y"))
     val keyed = prep.withColumn("__ok", concat(
       md5(col("id").cast("string").cast("binary")),
-      lpad(col("id").cast("string"), 24, "0")))
+      graft.etl.Ids.fixedWidthKey(col("id"), 24)))
     val ranked = graft.etl.Ids.withOrderedIds(keyed, "__ok",
       idName = "r").drop("__ok")
     val joined = ranked

@@ -344,13 +344,14 @@ object FeatureQueries {
       graft.ml.Conformal.intervals(perUserSpendClicks(s, d),
         "user_id", "x", "y")),
     // ml25c_* CANARIES: one-column slices of the SAME ml25 pipeline.
-    // ml25 passes the local DuckDB exact compare but hash-fails on
-    // the driver's build three rounds running, with every individual
-    // construct proven driver-green elsewhere — so these fingerprint
-    // WHICH output column the driver's DuckDB computes/canonicalizes
-    // differently: ids → split membership, pred → OLS micro
-    // prediction, qhat → the 1-row rank-pick, y → decimal
-    // passthrough, cov → the interval-membership flag.
+    // In round 10 they fingerprinted the 4-round driver hash-red to
+    // EXACTLY the raw DECIMAL(18,2) y passthrough (ids/pred/qhat/cov
+    // all green, y red — a decimal canonicalization difference in the
+    // driver's DuckDB build, not a value difference: pred is derived
+    // from yc and was green). Round 11 applies the round-8 discipline
+    // — no decimal crosses the engine boundary — so the observed value
+    // now rides as BIGINT cents (y_cents) in ml25 and the y slice;
+    // ConformalSpec keeps a raw-decimal parity fixture locally.
     "ml25c_ids" -> ((s, d) => graft.ml.Conformal.slice(
       perUserSpendClicks(s, d), "user_id", "x", "y", "ids")),
     "ml25c_pred" -> ((s, d) => graft.ml.Conformal.slice(
@@ -449,9 +450,9 @@ object FeatureQueries {
       // one ascending sort key = (desc n_clicks, asc user_id): both
       // legs zero-padded fixed width, clicks complemented for DESC
       val keyed = per.withColumn("__ord", concat(
-        lpad((lit(Long.MaxValue) - col("n_clicks")).cast("string"),
-          20, "0"),
-        lpad(col("user_id").cast("string"), 20, "0")))
+        graft.etl.Ids.fixedWidthKey(
+          lit(Long.MaxValue) - col("n_clicks"), 20),
+        graft.etl.Ids.fixedWidthKey(col("user_id"), 20)))
       val ranked = graft.etl.Ids.withOrderedIds(keyed, "__ord", "__rnk")
         .drop("__ord")
       val deciled = ranked

@@ -91,6 +91,18 @@ class ConformalSpec extends AnyFunSuite {
     assert(cov >= 0.80, s"coverage $cov below slack bound")
   }
 
+  test("y_cents is the exact integer-cents rendering of the raw " +
+    "decimal y — the raw-decimal parity fixture kept local now that " +
+    "no decimal crosses the engine boundary") {
+    val out = Conformal.intervals(
+      rows.toDF("id", "x", "y"), "id", "x", "y").collect()
+    val cents = rows.map { case (id, _, y) =>
+      id -> (y * 100).toLongExact
+    }.toMap
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(2) === cents(r.getLong(0))))
+  }
+
   test("tighter alpha widens intervals: q-hat at 1% >= q-hat at 20%") {
     val df = rows.toDF("id", "x", "y")
     val q01 = Conformal.intervals(df, "id", "x", "y", alphaPct = 1)
