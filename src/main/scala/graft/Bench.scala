@@ -92,10 +92,6 @@ object Bench {
     // mandatory second pass and suspect re-runs stop AT it.
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1500").toDouble
-    // Bench-scoped workload shrink for store-lifecycle queries (d15):
-    // their ORACLE scale is fixed by Verify, but the bench entry
-    // should measure the probe path, not repeated store builds.
-    sys.props("graft.bench") = "1"
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -141,9 +137,16 @@ object Bench {
     // Optional comma-separated filter for iterating on specific queries.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).toSet)
-    val selected = SparkEntry.queries
+    // Bench-scoped workload substitutions (explicit parameter, not a
+    // JVM-global flag): the override map swaps a handful of
+    // fixture-heavy entries (d15 store rebuild, t39 planted corpus)
+    // for the same composition at bench scale. Names are recorded in
+    // BENCH_FULL.json so the artifact carries the workload delta.
+    val overrides = SparkEntry.benchOverrides
+    val selected = (SparkEntry.queries ++ overrides)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .toSeq.sortBy(_._1)
+    val overridden = selected.map(_._1).filter(overrides.contains)
     // per query: (seconds, steal fraction of the window it ran in)
     val samples = mutable.LinkedHashMap[String, List[(Double, Double)]]()
     selected.foreach { case (n, _) => samples(n) = Nil }
@@ -228,6 +231,14 @@ object Bench {
             val t = (System.nanoTime() - q0) / 1e9
             samples(name) = samples(name) :+ (t, stealSince(s0))
             reruns += 1
+            // same post-query litter sweep as the pass loop: a re-run
+            // exists to REPLACE a contaminated sample, so it must not
+            // hand its own persists/checkpoints to the next suspect
+            try {
+              spark.sharedState.cacheManager.clearCache()
+              spark.sparkContext.getPersistentRDDs.values
+                .foreach(_.unpersist(blocking = false))
+            } catch { case _: Throwable => () }
           }
         }
         round += 1
@@ -271,6 +282,8 @@ object Bench {
           s""""steal_per_pass":$stealArr,""" +
           s""""steal_threshold":$stealThreshold,""" +
           s""""clean_passes":$cleanPassN,""" +
+          overridden.map(n => s""""$n"""")
+            .mkString(""""bench_overrides":[""", ",", "],") +
           s""""queries":$detail}""")
     } catch { case _: Throwable => () }
     // Final line LAST on stdout, adaptively sized to survive a bounded

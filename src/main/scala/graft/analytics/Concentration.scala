@@ -1,7 +1,6 @@
 package graft.analytics
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Gini coefficient of a per-entity integer quantity (x78) — the
@@ -15,18 +14,23 @@ import org.apache.spark.sql.functions._
   * y·Σi whatever the permutation), so the one entity-grain window is
   * deterministic; Σ(i·y) accumulates in DECIMAL(38,0) for headroom
   * (the doubling is iy + iy so no decimal width ever exceeds 38 in
-  * either engine). One corpus aggregate to entity grain upstream, one
-  * entity-grain window here, one rounded division — the entity-grain
-  * sort is the accepted cost (same class as x6/ml8's rankings). */
+  * either engine). One corpus aggregate to entity grain upstream; the
+  * entity-grain rank is the two-phase [[graft.etl.Ids.withOrderedIds]]
+  * shape (range-partitioned slices + broadcast offsets) — a global
+  * `row_number() OVER (ORDER BY …)` would funnel the whole entity
+  * grain through one task, the ml8-class anti-pattern. */
 object Concentration {
 
   /** @param per one row per entity: (`keyCol`, `centsCol` integer ≥ 0)
     * @return one row (n_entities, total, gini) */
   def gini(per: DataFrame, keyCol: String, centsCol: String): DataFrame = {
-    val ranked = per
+    val keyed = per
       .select(col(keyCol).as("k"), col(centsCol).cast("long").as("y"))
-      .withColumn("i", row_number().over(
-        Window.orderBy(col("y"), col("k"))).cast("long"))
+      .withColumn("__ord", concat(
+        graft.etl.Ids.fixedWidthKey(col("y"), 20),
+        graft.etl.Ids.fixedWidthKey(col("k"), 20)))
+    val ranked = graft.etl.Ids.withOrderedIds(keyed, "__ord", "i")
+      .withColumn("i", col("i").cast("long"))
     ranked
       .agg(count(lit(1)).as("n_entities"),
         sum(col("y")).as("total"),

@@ -46,9 +46,20 @@ object Ids {
       partitions: Int = 0): DataFrame = {
     val parts = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint PINS the range partitioning: the frame is
+    // consumed by BOTH the local-window leg and the offsets leg, and
+    // repartitionByRange boundaries are SAMPLED — if the exchange is
+    // not reused between the two consumers (AQE re-planning, differing
+    // column pruning), each leg can see a slightly different
+    // partitioning and the offsets silently misalign (observed: x53's
+    // ranks went non-contiguous). One materialization of the
+    // (key, ord, value) projection is the price of a consistent
+    // snapshot — the same twice-consumed-frame discipline as the graph
+    // iteratives.
     val ranged = df.repartitionByRange(parts,
         (keyCol +: orderCols).map(col): _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val local = Window.partitionBy(col(keyCol), col("__pid"))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -71,8 +82,11 @@ object Ids {
       idName: String = "assigned_id", partitions: Int = 0): DataFrame = {
     val parts = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint pins the sampled range boundaries across the two
+    // consumers (ranked leg + counts leg) — see keyedCumsum above.
     val ranged = df.repartitionByRange(parts, col(orderCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     // rank within each range partition — parallel window, bounded state
     val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
     val ranked = ranged.withColumn("__rank", row_number().over(w))
@@ -91,6 +105,24 @@ object Ids {
       .withColumn(idName, col("__offset") + col("__rank"))
       .drop("__pid", "__rank", "__offset")
   }
+
+  /** Exact NTILE(k) from a contiguous 1-based rank column — the
+    * arithmetic twin of `ntile(k) OVER (ORDER BY …)` without the
+    * single-partition WindowExec that a global ntile window plans:
+    * q = n div k rows per bucket, the first n % k buckets take q+1,
+    * and the bucket of a rank is pure integer arithmetic against the
+    * broadcast 1-row count. Pair with [[withOrderedIds]] for the
+    * rank. */
+  def exactNtile(df: DataFrame, rnkCol: String, buckets: Int,
+      outName: String): DataFrame =
+    df.crossJoin(broadcast(df.agg(count(lit(1)).as("__n"))))
+      .withColumn(outName, expr(
+        s"""CASE WHEN $rnkCol <= (__n % $buckets) * (__n div $buckets + 1)
+            THEN ($rnkCol - 1) div (__n div $buckets + 1) + 1
+            ELSE (__n % $buckets) +
+              ($rnkCol - (__n % $buckets) * (__n div $buckets + 1) - 1)
+                div (__n div $buckets) + 1 END""").cast("int"))
+      .drop("__n")
 
   /** Fixed-width zero-padded rank-key leg that FAILS LOUDLY instead of
     * silently mis-ordering: the lexicographic-equals-numeric trick

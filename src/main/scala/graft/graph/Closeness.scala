@@ -11,80 +11,150 @@ import org.apache.spark.sql.functions._
   * applied to closeness). Complements g6 (one source, distances out)
   * with a per-source summary over many sources at once.
   *
-  * One BFS runs for ALL sources simultaneously over (source, node)
-  * composite state: per level the combined frontier joins the edge
-  * list once — k sources cost one traversal with k× state, not k
-  * traversals — with the usual anti-join against visited,
-  * localCheckpoint lineage truncation, and a driver emptiness check
-  * (the Bfs/KTruss fixpoint pattern), hop-capped to bound worst-case
-  * diameter chains. The DuckDB twin is the g6 recursive-reach shape
-  * seeded with every source, collapsed by min distance.
+  * BITSET BFS: per-node state is ONE row with a 64-bit mask of the
+  * sources that have reached it (sources beyond 64 run in chunked
+  * panels of 64 — an outer loop over ⌈k/64⌉ passes, each node-grain).
+  * Per hop the frontier's new bits ride the edge join, OR-reduce per
+  * destination (`bit_or` — commutative, deterministic), and the bits
+  * not yet in the visited mask are that hop's discoveries. This is
+  * the exact-bitset form of the HyperBall/ANF neighborhood-function
+  * iteration (Boldi & Vigna; Palmer et al.'s ANF) — the way
+  * multi-source reachability is actually run at 100 TB: state and
+  * shuffle volume are node-grain (n rows × 16 B) instead of the
+  * (source × node) composite grain, a k× reduction with k = panel
+  * size. localCheckpoint truncates per-hop lineage and the driver
+  * emptiness check ends the fixpoint (the Bfs/KTruss pattern),
+  * hop-capped to bound worst-case diameter chains.
+  *
+  * The DuckDB twin is the g6 recursive-reach shape seeded with every
+  * source, collapsed by min distance — semantics are unchanged from
+  * the composite-state form (a bit first appears at a node exactly at
+  * their BFS distance).
   *
   * Everything is exact integers until the one closeness division
   * (rounded 6 dp, identical tree both engines). A source reaching
   * nothing within the cap is absent from the report in both. */
 object Closeness {
 
-  /** The shared multi-source BFS: (s, node, hops) rows for every node
-    * reachable from each source within `maxHops` (self at hops 0). */
-  private def reachSet(edges: DataFrame, sources: DataFrame,
-      maxHops: Int): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"),
         col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
+
+  /** One ≤64-source panel of the bitset BFS: (node, hop, newmask)
+    * rows — the source-bits FIRST reaching `node` at exactly `hop`
+    * (hop 0 = the sources themselves). Node-grain per hop. */
+  private def reachBitsChunk(sym: DataFrame, chunk: Seq[Long],
+      maxHops: Int): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    require(chunk.size <= 64, "one panel holds at most 64 source bits")
+    val init = chunk.zipWithIndex
+      .map { case (n, b) => (n, 1L << b) }
+      .toDF("node", "newmask")
+    var state = init.withColumnRenamed("newmask", "vis")
       .localCheckpoint()
-    var visited = sources
-      .select(col("node").as("s"), col("node"),
-        lit(0).as("hops"))
-      .localCheckpoint()
-    var frontier = visited
+    var frontier = init.localCheckpoint()
+    val perHop = scala.collection.mutable.ListBuffer[DataFrame](
+      frontier.withColumn("hop", lit(0)))
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
-      frontier = sym
-        .join(frontier.select(col("s"), col("node").as("src")), "src")
-        .select(col("s"), col("dst").as("node")).distinct()
-        .join(visited.select(col("s"), col("node")),
-          Seq("s", "node"), "left_anti")
-        .withColumn("hops", lit(hop))
+      // bits ride the edge join; OR-reduce per destination, then keep
+      // only bits the visited mask doesn't already hold
+      val cand = sym
+        .join(frontier.select(col("node").as("src"), col("newmask")),
+          "src")
+        .groupBy(col("dst").as("node"))
+        .agg(expr("bit_or(newmask)").as("cand"))
+      frontier = cand
+        .join(state, Seq("node"), "left")
+        .select(col("node"),
+          expr("cand & ~coalesce(vis, 0L)").as("newmask"))
+        .filter(col("newmask") =!= 0)
         .localCheckpoint()
-      visited = visited.unionAll(frontier).localCheckpoint()
+      state = state
+        .join(frontier.withColumnRenamed("newmask", "nm"),
+          Seq("node"), "full_outer")
+        .select(col("node"),
+          expr("coalesce(vis, 0L) | coalesce(nm, 0L)").as("vis"))
+        .localCheckpoint()
+      perHop += frontier.withColumn("hop", lit(hop))
     }
-    visited
+    perHop.reduce(_.unionAll(_))
+  }
+
+  /** All panels, hop > 0 only: (chunk-local `bit`, absolute source
+    * `src_node`, `node`, `hop`, `newmask`) discovery rows plus the
+    * per-chunk bit→source map for the caller's accounting. The source
+    * panel is metadata-sized BY CONSTRUCTION (sampled closeness), so
+    * collecting its ids to drive the ⌈k/64⌉ chunk loop is a
+    * driver-side loop over a sample, not over data. */
+  private def discoveries(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): Seq[(Seq[Long], DataFrame)] = {
+    val sym = symmetrize(edges).localCheckpoint()
+    val srcIds = sources.select(col("node").cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    srcIds.grouped(64).toSeq.map { chunk =>
+      (chunk, reachBitsChunk(sym, chunk, maxHops)
+        .filter(col("hop") > 0))
+    }
   }
 
   /** @param sources one `node` column
     * @return (node, n_reached, sum_dist, closeness), self excluded */
   def multiSource(edges: DataFrame, sources: DataFrame,
       maxHops: Int = 10): DataFrame = {
-    reachSet(edges, sources, maxHops).filter(col("hops") > 0)
-      .groupBy(col("s"))
-      .agg(count(lit(1)).as("n_reached"),
-        sum(col("hops").cast("long")).as("sum_dist"))
-      .select(col("s").as("node"), col("n_reached"), col("sum_dist"),
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val perSource = discoveries(edges, sources, maxHops)
+      .map { case (chunk, rows) =>
+        val bits = chunk.zipWithIndex.map { case (n, b) => (b, n) }
+          .toDF("bit", "src_node")
+        // unpack each discovery row's bits: ≤64× blowup of integer
+        // triples, aggregated immediately — the per-source accounting
+        // runs on the node-grain discovery set, never on edges
+        rows
+          .select(col("hop"), col("newmask"),
+            explode(sequence(lit(0), lit(chunk.size - 1))).as("bit"))
+          .filter(expr("((newmask >> bit) & 1) = 1"))
+          .groupBy(col("bit"))
+          .agg(count(lit(1)).as("n_reached"),
+            sum(col("hop").cast("long")).as("sum_dist"))
+          .join(broadcast(bits), "bit")
+          .select(col("src_node").as("node"), col("n_reached"),
+            col("sum_dist"))
+      }
+      .reduce(_.unionAll(_))
+    perSource
+      .select(col("node"), col("n_reached"), col("sum_dist"),
         expr("round(CAST(n_reached AS DOUBLE) " +
           "/ CAST(sum_dist AS DOUBLE), 6)").as("closeness"))
       .orderBy("node")
   }
 
   /** Hop-distance distribution + EFFECTIVE DIAMETER (g18) over the
-    * same sampled-source BFS: per hop, the number of (source, node)
-    * pairs at that exact distance, the running cumulative, and the
-    * integer-exact test cum·10 ≥ 9·total marking the 90th-percentile
-    * hop — the smallest flagged hop IS the effective diameter
-    * (Leskovec & Faloutsos's graph-over-time statistic, computed the
-    * only way it ever is at scale: from a source sample). Exact
-    * integers throughout except the one rounded cum fraction; the
-    * distribution is hop-grained (≤ maxHops rows) no matter the SF. */
+    * same sampled-source bitset BFS: per hop, the number of
+    * (source, node) pairs at that exact distance — `bit_count` of the
+    * discovery masks, no per-bit unpack needed — the running
+    * cumulative, and the integer-exact test cum·10 ≥ 9·total marking
+    * the 90th-percentile hop: the smallest flagged hop IS the
+    * effective diameter (Leskovec & Faloutsos's graph-over-time
+    * statistic, computed the only way it ever is at scale: from a
+    * source sample). Exact integers throughout except the one rounded
+    * cum fraction; the distribution is hop-grained (≤ maxHops rows) no
+    * matter the SF, so the one cumulative window runs over ≤ maxHops
+    * rows. */
   def hopDistribution(edges: DataFrame, sources: DataFrame,
       maxHops: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byHop = reachSet(edges, sources, maxHops)
-      .filter(col("hops") > 0)
-      .groupBy(col("hops").as("hop"))
-      .agg(count(lit(1)).as("n_pairs"))
+    val byHop = discoveries(edges, sources, maxHops)
+      .map(_._2)
+      .reduce(_.unionAll(_))
+      .groupBy(col("hop"))
+      .agg(sum(bit_count(col("newmask")).cast("long")).as("n_pairs"))
     val total = byHop.agg(sum(col("n_pairs")).as("tot"))
     byHop
       .withColumn("cum_pairs", sum(col("n_pairs")).over(Window
@@ -118,15 +188,16 @@ object Closeness {
        |cm AS (SELECT hop, n_pairs,
        |    CAST(sum(n_pairs) OVER (ORDER BY hop) AS BIGINT) AS cum_pairs
        |  FROM bh),
-       |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tot FROM bh)
-       |SELECT CAST(hop AS INT) AS hop, n_pairs, cum_pairs,
+       |tt AS (SELECT sum(n_pairs) AS tot FROM bh)
+       |SELECT CAST(hop AS INTEGER) AS hop, n_pairs, cum_pairs,
        |  round(CAST(cum_pairs AS DOUBLE) / CAST(tot AS DOUBLE), 6)
        |    AS cum_frac,
        |  cum_pairs * 10 >= tot * 9 AS reaches_p90
-       |FROM cm CROSS JOIN t ORDER BY hop"""
-      .stripMargin.replace('\n', ' ')
+       |FROM cm CROSS JOIN tt ORDER BY hop""".stripMargin
+      .replace('\n', ' ')
 
-  /** DuckDB twin: recursive multi-source reach, min-d collapse. */
+  /** DuckDB twin of [[multiSource]]: recursive reach seeded with every
+    * source, min-distance collapse, per-source summary. */
   def multiSourceSql(edgesSql: String, sourcesSql: String,
       maxHops: Int = 10): String =
     s"""WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM

@@ -34,7 +34,12 @@ object SchemaDrift {
     case BooleanType       => "BOOLEAN"
     case BinaryType        => "BLOB"
     case DateType          => "DATE"
-    case TimestampType     => "TIMESTAMP"
+    // Spark's TimestampType is the UTC-adjusted instant (parquet
+    // isAdjustedToUTC=true), which DuckDB introspects as TIMESTAMP
+    // WITH TIME ZONE; only NTZ maps to plain TIMESTAMP. Collapsing
+    // both to one name would mask a real tz-semantics change (or
+    // report a spurious one against a DuckDB-introspected reference).
+    case TimestampType     => "TIMESTAMP WITH TIME ZONE"
     case TimestampNTZType  => "TIMESTAMP"
     case d: DecimalType    => s"DECIMAL(${d.precision},${d.scale})"
     case other             => other.sql

@@ -70,12 +70,13 @@ object DecisionSupportQueries {
 
   /** TPC-DS Q11-shaped top-decile spenders: per segment, the top
     * ⌈n/10⌉ customers by lifetime order total and their share of the
-    * segment's revenue. The rank window runs over the CUSTOMER-grain
-    * aggregate partitioned by segment (5 partitions of |customers|/5
-    * rows — at extreme scale the salted two-phase top-k of
-    * Similarity.topKPerQuery applies; the shape here mirrors the
-    * reference-class single-window form). Decimal totals with custkey
-    * tie-break make the cut deterministic. */
+    * segment's revenue. The per-segment rank is the two-phase
+    * [[graft.etl.Ids.keyedCumsum]] of ones — range-partitioned on
+    * (segment, -cents, custkey) so every shuffle partition works,
+    * instead of a rank window whose parallelism is the SEGMENT
+    * cardinality (5 tasks carrying the whole customer grain at any
+    * SF). Cent-exact totals with custkey tie-break make the cut
+    * deterministic. */
   def ds3TopDecile(s: SparkSession, d: String): DataFrame = {
     val perCust = table(s, d, "orders")
       .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
@@ -83,9 +84,12 @@ object DecisionSupportQueries {
       .agg(sum(dec2(col("o_totalprice"))).as("tot_d"))
     val segTot = perCust.groupBy(col("c_mktsegment").as("seg"))
       .agg(count(lit(1)).as("seg_n"), sum(col("tot_d")).as("seg_d"))
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("tot_d").desc, col("c_custkey"))
-    perCust.withColumn("rn", row_number().over(w))
+    val ranked = graft.etl.Ids.keyedCumsum(
+      perCust
+        .withColumn("__negc", -(col("tot_d") * 100).cast("long"))
+        .withColumn("__one", lit(1L)),
+      "c_mktsegment", Seq("__negc", "c_custkey"), "__one", "rn")
+    ranked
       .join(broadcast(segTot), col("c_mktsegment") === col("seg"))
       .filter(col("rn") <= expr("(seg_n + 9) div 10"))
       .groupBy(col("c_mktsegment"), col("seg_n"), col("seg_d"))

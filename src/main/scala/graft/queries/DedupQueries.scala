@@ -222,53 +222,8 @@ object DedupQueries {
     // 10000·|∩| ≥ 7000·|∪| in pure integers; oracle = ground-truth
     // all-pairs Jaccard replayed sequentially over both stages, so
     // green also certifies total band-probe recall per stage.
-    "d15_index_lifecycle" -> ((s, d) => {
-      import graft.dedup.NearDupIndexStore
-      val root = SinkQueries.tmp(s"neardup_store_${java.util.UUID
-        .randomUUID().toString.take(8)}", d)
-      // Bench-scoped shrink (round-9 VERDICT ask #8): under graft.Bench
-      // (sys.props graft.bench set there, never by Verify) the corpus
-      // caps at 150 docs so the entry's time measures the PROBE path —
-      // read index from disk, band-join the batch, update — rather
-      // than repeatedly rebuilding a 500-doc store every pass. The
-      // ORACLE scale (Verify) keeps the full 500-doc lifecycle; the
-      // rejection require below still gates both scales.
-      val cap = if (sys.props.contains("graft.bench")) 150L else 500L
-      val base = table(s, d, "documents")
-        .select(col("doc_id"), col("text"))
-        .filter(col("doc_id") < cap)
-      val seed = base.filter(col("doc_id") < cap * 2 / 5)
-      val fresh1 = base.filter(col("doc_id") >= cap * 2 / 5 &&
-        col("doc_id") < cap * 7 / 10)
-      def mut(df: DataFrame, shift: Long, tag: String) = df
-        .select((col("doc_id") + shift).as("doc_id"),
-          concat(col("text"), lit(s" $tag"),
-            col("doc_id").cast("string"), lit("x")).as("text"))
-      val batch1 = fresh1
-        .unionAll(mut(seed.filter(col("doc_id") % 10 === 0),
-          300000L, "zq"))
-        .unionAll(seed.filter(col("doc_id") % 20 === 0)
-          .select((col("doc_id") + 400000).as("doc_id"), col("text")))
-      val batch2 = base.filter(col("doc_id") >= cap * 7 / 10)
-        .unionAll(mut(fresh1.filter(col("doc_id") % 10 === 0),
-          500000L, "zr"))
-        .unionAll(mut(seed.filter(col("doc_id") % 15 === 0),
-          600000L, "zs"))
-      NearDupIndexStore.init(seed, root)
-      val s1 = NearDupIndexStore.ingest(s, root, batch1)
-      val s2 = NearDupIndexStore.ingest(s, root, batch2)
-      // the lifecycle proof: at least one mutated re-delivery of a
-      // batch-1 survivor was rejected by the UPDATED index
-      require(s2.filter(col("doc_id") >= 500000 &&
-        col("doc_id") < 600000).count() <
-        batch2.filter(col("doc_id") >= 500000 &&
-          col("doc_id") < 600000).count(),
-        "batch 2 must reject re-deliveries of batch 1 survivors")
-      s1.select(lit(1L).as("batch"), col("doc_id"), col("fingerprint"))
-        .unionAll(s2.select(lit(2L).as("batch"), col("doc_id"),
-          col("fingerprint")))
-        .orderBy("batch", "doc_id")
-    }),
+    "d15_index_lifecycle" -> ((s, d) => d15Lifecycle(s, d, cap = 500L)),
+
     // signature-only cross-batch near-dedup (d13): the d11 scenario
     // verified by ESTIMATED Jaccard from the stored minhash signatures
     // — corpus text never re-read after index build. xxhash-derived
@@ -318,6 +273,57 @@ object DedupQueries {
         .orderBy("vec_id")
     })
   )
+
+  private def d15Lifecycle(s: SparkSession, d: String,
+      cap: Long): DataFrame = {
+      import graft.dedup.NearDupIndexStore
+      val root = SinkQueries.tmp(s"neardup_store_${java.util.UUID
+        .randomUUID().toString.take(8)}", d)
+      val base = table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < cap)
+      val seed = base.filter(col("doc_id") < cap * 2 / 5)
+      val fresh1 = base.filter(col("doc_id") >= cap * 2 / 5 &&
+        col("doc_id") < cap * 7 / 10)
+      def mut(df: DataFrame, shift: Long, tag: String) = df
+        .select((col("doc_id") + shift).as("doc_id"),
+          concat(col("text"), lit(s" $tag"),
+            col("doc_id").cast("string"), lit("x")).as("text"))
+      val batch1 = fresh1
+        .unionAll(mut(seed.filter(col("doc_id") % 10 === 0),
+          300000L, "zq"))
+        .unionAll(seed.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 400000).as("doc_id"), col("text")))
+      val batch2 = base.filter(col("doc_id") >= cap * 7 / 10)
+        .unionAll(mut(fresh1.filter(col("doc_id") % 10 === 0),
+          500000L, "zr"))
+        .unionAll(mut(seed.filter(col("doc_id") % 15 === 0),
+          600000L, "zs"))
+      NearDupIndexStore.init(seed, root)
+      val s1 = NearDupIndexStore.ingest(s, root, batch1)
+      val s2 = NearDupIndexStore.ingest(s, root, batch2)
+      // the lifecycle proof: at least one mutated re-delivery of a
+      // batch-1 survivor was rejected by the UPDATED index
+      require(s2.filter(col("doc_id") >= 500000 &&
+        col("doc_id") < 600000).count() <
+        batch2.filter(col("doc_id") >= 500000 &&
+          col("doc_id") < 600000).count(),
+        "batch 2 must reject re-deliveries of batch 1 survivors")
+      s1.select(lit(1L).as("batch"), col("doc_id"), col("fingerprint"))
+        .unionAll(s2.select(lit(2L).as("batch"), col("doc_id"),
+          col("fingerprint")))
+        .orderBy("batch", "doc_id")
+  }
+
+  /** Bench-scoped workload overrides (see SparkEntry.benchOverrides):
+    * d15 at 150 docs so the bench entry measures the PROBE path — read
+    * index from disk, band-join the batch, update — rather than
+    * repeatedly rebuilding a 500-doc store every pass. The scale is an
+    * EXPLICIT parameter (round-10 ADVICE: no JVM-global flag keying
+    * query semantics); Verify always runs the 500-doc lifecycle, and
+    * the rejection require gates both scales. */
+  val benchOverrides: Map[String, (SparkSession, String) => DataFrame] =
+    Map("d15_index_lifecycle" -> ((s, d) => d15Lifecycle(s, d, 150L)))
 
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" -> {

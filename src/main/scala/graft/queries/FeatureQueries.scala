@@ -455,17 +455,10 @@ object FeatureQueries {
         graft.etl.Ids.fixedWidthKey(col("user_id"), 20)))
       val ranked = graft.etl.Ids.withOrderedIds(keyed, "__ord", "__rnk")
         .drop("__ord")
-      val deciled = ranked
-        .crossJoin(broadcast(ranked.agg(count(lit(1)).as("__n"))))
-        .withColumn("decile",
-          // NTILE(10): q = n div 10 rows per bucket, first r = n % 10
-          // buckets take q+1
-          expr("""CASE WHEN __rnk <= (__n % 10) * (__n div 10 + 1)
-                  THEN (__rnk - 1) div (__n div 10 + 1) + 1
-                  ELSE (__n % 10) +
-                    (__rnk - (__n % 10) * (__n div 10 + 1) - 1)
-                      div (__n div 10) + 1 END""").cast("int"))
-        .drop("__rnk", "__n")
+      // NTILE(10) as exact boundary arithmetic from the broadcast count
+      val deciled = graft.etl.Ids
+        .exactNtile(ranked, "__rnk", 10, "decile")
+        .drop("__rnk")
       val tot = deciled.agg(count(lit(1)).as("t_users"),
         sum(col("converted")).as("t_conv"))
       deciled

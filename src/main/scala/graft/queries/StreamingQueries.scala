@@ -398,6 +398,158 @@ object StreamingQueries {
       goldCanonical(
         StreamPipeline.replayToMemory(s, gold, "s5_stream_gold"))
     }),
+    // ONE SOURCE → THREE SINKS (T1, the reference's fan-out topology —
+    // collect_data.py's producer feeding raw/clean/aggregate consumers):
+    // a foreachBatch query writes the stateless raw + clicks parquet
+    // sinks from ONE read of each micro-batch (the production
+    // multi-sink shape — per-batch persist, two writes, unpersist), and
+    // the stateful hourly leg runs as its own topology into a third
+    // parquet sink (watermark append — aggregations can't share the
+    // stateless query). The harness row summarizes all three sinks
+    // (rows + integer checksum) so the driver oracle certifies the
+    // fan-out end to end: every sink complete, nothing duplicated.
+    "s18_fanout_sinks" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val scratch = StreamPipeline.scratchRoot()
+      val run = scratch.resolve(s"graft_fanout_${java.util.UUID
+        .randomUUID().toString.take(8)}")
+      val (rawDir, clickDir, hourDir) = (run.resolve("raw").toString,
+        run.resolve("clicks").toString, run.resolve("hourly").toString)
+      val key = "spark.sql.shuffle.partitions"
+      val saved = s.conf.get(key)
+      s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+      try {
+        val ev = fullEventsStream(s, d)
+        val fan = ev.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val b = batch.persist()
+            b.select(col("event_id"), col("user_id"), col("event_type"))
+              .write.mode("append").parquet(rawDir)
+            b.filter(col("event_type") === "click")
+              .select(col("event_id"), col("user_id"))
+              .write.mode("append").parquet(clickDir)
+            b.unpersist(); ()
+          }
+          .option("checkpointLocation",
+            run.resolve("ckpt_fan").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        fan.awaitTermination()
+        val hourly = ev
+          .withColumn("hour", date_trunc("hour", col("ts")))
+          .withWatermark("hour", "1 hour")
+          .groupBy(col("hour"))
+          .agg(count(lit(1)).as("n_events"))
+        val hq = hourly.writeStream.format("parquet")
+          .option("path", hourDir)
+          .option("checkpointLocation",
+            run.resolve("ckpt_hour").toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        hq.awaitTermination()
+        val raw = s.read.parquet(rawDir)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("event_id")).as("checksum"))
+          .select(lit("raw").as("sink"), col("n_rows"), col("checksum"))
+        val clicks = s.read.parquet(clickDir)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("event_id")).as("checksum"))
+          .select(lit("clicks").as("sink"), col("n_rows"),
+            col("checksum"))
+        val hours = s.read.parquet(hourDir)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_events")).as("checksum"))
+          .select(lit("hourly").as("sink"), col("n_rows"),
+            col("checksum"))
+        raw.unionAll(clicks).unionAll(hours).orderBy("sink")
+          .localCheckpoint()
+      } finally {
+        s.conf.set(key, saved)
+        StreamPipeline.clearDir(run)
+      }
+    }),
+    // CHECKPOINT RECOVERY (T6): the same stateful hourly-count topology
+    // run TWICE against one checkpoint — stage 1 sees only the first
+    // (time-ordered) half of the corpus, stops, stage 2 restarts after
+    // the second half lands. Recovery must (a) NOT reprocess the
+    // already-committed half (file-source log) and (b) restore the
+    // in-flight window state so boundary hours emit complete counts —
+    // a stale or ignored checkpoint double-counts (a) or undercounts
+    // (b), and the batch oracle catches both. The halves split on an
+    // hour-aligned midpoint, so no stage-2 row can land in an hour the
+    // stage-1 watermark already finalized (no late-drop ambiguity: the
+    // oracle is the plain batch count under the s5 watermark cutoff).
+    "s19_checkpoint_recovery" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.streaming.Trigger
+      val scratch = StreamPipeline.scratchRoot()
+      // halves built once per sf dir behind a _done marker
+      val prep = scratch.resolve(
+        s"graft_recovery_halves_${d.hashCode.toHexString}")
+      if (!Files.exists(prep.resolve("_done"))) {
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val norm = raw.select(col("event_id"),
+          EventsAdapter.tsTimestamp(raw).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        val Array(mn, mx) = norm
+          .agg(unix_micros(min(col("ts"))), unix_micros(max(col("ts"))))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val hourUs = 3600L * 1000000L
+        val cutoffUs = ((mn + (mx - mn) / 2) / hourUs) * hourUs
+        val cutoff = expr(s"timestamp_micros(${cutoffUs}L)")
+        norm.filter(col("ts") < cutoff).coalesce(1)
+          .write.mode("overwrite").parquet(prep.resolve("h0").toString)
+        norm.filter(col("ts") >= cutoff).coalesce(1)
+          .write.mode("overwrite").parquet(prep.resolve("h1").toString)
+        Files.createFile(prep.resolve("_done"))
+      }
+      val run = scratch.resolve(s"graft_recovery_${java.util.UUID
+        .randomUUID().toString.take(8)}")
+      val srcDir = run.resolve("src"); Files.createDirectories(srcDir)
+      val sinkDir = run.resolve("sink").toString
+      val ckpt = run.resolve("ckpt").toString
+      val sch = s.read.parquet(prep.resolve("h0").toString).schema
+      def addHalf(name: String): Unit = {
+        val half = prep.resolve(name)
+        Files.list(half).filter(_.toString.endsWith(".parquet"))
+          .forEach(f => Files.copy(f,
+            srcDir.resolve(s"${name}_${f.getFileName}")))
+      }
+      def runStage(): Unit = {
+        val q = s.readStream.schema(sch).parquet(srcDir.toString)
+          .withColumn("hour", date_trunc("hour", col("ts")))
+          .withWatermark("hour", "1 hour")
+          .groupBy(col("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val key = "spark.sql.shuffle.partitions"
+      val saved = s.conf.get(key)
+      s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+      try {
+        addHalf("h0"); runStage()
+        val afterStage1 = s.read.parquet(sinkDir).count()
+        addHalf("h1"); runStage()
+        val out = s.read.parquet(sinkDir).localCheckpoint()
+        // the recovery proof: stage 1 emitted finalized hours, stage 2
+        // added strictly more WITHOUT re-emitting (every (hour, type)
+        // appears exactly once across both stages)
+        require(afterStage1 > 0, "stage 1 must finalize some hours")
+        require(out.count() > afterStage1,
+          "stage 2 must emit hours beyond stage 1's watermark")
+        require(out.select(col("hour"), col("event_type")).distinct()
+          .count() == out.count(),
+          "a restarted checkpoint must never re-emit a finalized group")
+        out.orderBy("hour", "event_type")
+      } finally {
+        s.conf.set(key, saved)
+        StreamPipeline.clearDir(run)
+      }
+    }),
     // stream-stream interval join: purchases attributed to a click by the
     // same user within the following hour — two live streams, join state
     // bounded by watermark + the interval condition
@@ -811,6 +963,39 @@ object StreamingQueries {
       "SELECT * FROM silver ORDER BY location_id, datetime, parameter, value"),
     // the CTE casts ns → µs FIRST so the interval condition compares the
     // same µs-truncated instants the engine sees
+    // fan-out twin: raw/clicks straight from the table; the hourly
+    // sink under the same watermark cutoff as s5 (hour <= trunc(max)-1h)
+    "s18_fanout_sinks" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  event_type FROM events),
+        |wm AS (SELECT date_trunc('hour', max(ts)) - INTERVAL 1 HOUR
+        |  AS w FROM ev),
+        |hourly AS (SELECT date_trunc('hour', ts) AS hour,
+        |  CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1),
+        |hsel AS (SELECT hour, c FROM hourly CROSS JOIN wm
+        |  WHERE hour <= w)
+        |SELECT 'clicks' AS sink, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS checksum
+        |FROM ev WHERE event_type = 'click'
+        |UNION ALL SELECT 'hourly', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT) FROM hsel
+        |UNION ALL SELECT 'raw', CAST(count(*) AS BIGINT),
+        |  CAST(sum(event_id) AS BIGINT) FROM ev
+        |ORDER BY sink""".stripMargin.replace('\n', ' '),
+    // recovery twin: the restarted stream's union of emissions equals
+    // the one-shot batch count under the final watermark — recovery
+    // that reprocessed the first half or dropped boundary-window state
+    // diverges from this
+    "s19_checkpoint_recovery" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |wm AS (SELECT date_trunc('hour', max(ts)) - INTERVAL 1 HOUR
+        |  AS w FROM ev)
+        |SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM ev CROSS JOIN wm
+        |GROUP BY 1, 2, w HAVING hour <= w
+        |ORDER BY hour, event_type""".stripMargin.replace('\n', ' '),
     "x14_stream_stream_join" ->
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
         |  user_id, event_type, value FROM events)

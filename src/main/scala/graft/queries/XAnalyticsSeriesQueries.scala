@@ -310,11 +310,16 @@ object XAnalyticsSeriesQueries {
         .agg(sum(expr(
           "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
           .as("cents"))
-      val byRev = Window.orderBy(desc("cents"), col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      rev
-        .withColumn("cum", sum(col("cents")).over(byRev))
-        .withColumn("total", sum(col("cents")).over(Window.partitionBy()))
+      // the Pareto cumulative runs DESC by revenue over the whole part
+      // grain — as the two-phase keyedCumsum (ascending on -cents with
+      // partkey tie-break), never a global single-task window; the
+      // grand total broadcasts from a 1-row aggregate
+      val tot = rev.agg(sum(col("cents")).as("total"))
+      graft.etl.Ids.keyedCumsum(
+          rev.withColumn("__k", lit(1))
+            .withColumn("__negc", -col("cents")),
+          "__k", Seq("__negc", "l_partkey"), "cents", "cum")
+        .crossJoin(broadcast(tot))
         .withColumn("abc_class",
           when(col("cum") * 5 <= col("total") * 4, "A")
             .when(col("cum") * 20 <= col("total") * 19, "B")
@@ -472,42 +477,55 @@ object XAnalyticsSeriesQueries {
           sum(col("m")).as("sum_m_units"))
         .orderBy("r_bin", "f_bin", "m_bin")
     }),
-    // weighted median: first row where 2·cumweight ≥ total along a
-    // tie-free (price, orderkey, linenumber) total order — integer
-    // cumulative weights (TPC-H quantities are integral doubles, cast
-    // exact), so the pick is pure integer comparison in both engines;
-    // the w8 rank-pick convention generalized to weights
+    // weighted median: first price where 2·cumweight ≥ total — as a
+    // HISTOGRAM rank-pick (the ml12/x64 discipline), not a cumulative
+    // window over the fact table: the previous 3-partition
+    // `sum OVER (PARTITION BY l_returnflag ORDER BY …)` funneled the
+    // whole lineitem scan through |flags| tasks. Here the fact table
+    // map-side-combines to (flag, price) → weight, the cumulative runs
+    // on the aggregated grain via the two-phase keyedCumsum, and
+    // min(price) over the crossing rows IS the first-crossing price:
+    // the row-level cumw crosses tot/2 inside the same price group
+    // either way, and only the price rides out. Integer weights
+    // (TPC-H quantities are integral doubles, cast exact), so the
+    // pick is pure integer comparison in both engines.
     "x58_weighted_median" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val ord = Seq(col("l_extendedprice"), col("l_orderkey"),
-        col("l_linenumber"))
-      val cw = Window.partitionBy(col("l_returnflag"))
-        .orderBy(ord: _*)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val tw = Window.partitionBy(col("l_returnflag"))
-      table(s, d, "lineitem")
+      val hist = table(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"),
-          col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("long").as("qty"))
-        .withColumn("cumw", sum(col("qty")).over(cw))
-        .withColumn("tot", sum(col("qty")).over(tw))
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(sum(col("qty")).as("w"))
+      val tot = hist.groupBy(col("l_returnflag").as("t_flag"))
+        .agg(sum(col("w")).as("tot"))
+      graft.etl.Ids.keyedCumsum(hist, "l_returnflag",
+          Seq("l_extendedprice"), "w", "cumw")
+        .join(broadcast(tot), col("l_returnflag") === col("t_flag"))
         .filter(lit(2L) * col("cumw") >= col("tot"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)))
-        .filter(col("rn") === 1)
-        .select(col("l_returnflag"), col("tot").as("total_weight"),
-          col("l_extendedprice").as("weighted_median_price"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("tot")).as("total_weight"),
+          min(col("l_extendedprice")).as("weighted_median_price"))
         .orderBy("l_returnflag")
     }),
     // equi-DEPTH histogram (the quantile twin of x39's equi-width):
-    // ntile(8) over a tie-free total order IS the depth binning; per
-    // bin the depth, value span, and DECIMAL-exact mean. One window
-    // pass + one hash aggregate
+    // ntile(8) over a tie-free total order IS the depth binning — but
+    // a global ntile window is a single-task global sort, so this is
+    // the ml8 recipe instead: fixed-width (cents, orderkey) sort key →
+    // two-phase distributed rank → exact NTILE boundary arithmetic
+    // from the broadcast count. Cent quantization is order-preserving
+    // here because prices are exact cents (generator property; the
+    // fixedWidthKey raise_errors on anything that doesn't render as a
+    // non-negative integer, so a non-cent-exact price domain shows up
+    // as a loud failure of the round(), not silent misbinning)
     "x53_equi_depth_histogram" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      table(s, d, "orders")
-        .withColumn("bin", ntile(8).over(
-          Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      val keyed = table(s, d, "orders")
+        .select(col("o_totalprice"), col("o_orderkey"))
+        .withColumn("__ord", concat(
+          graft.etl.Ids.fixedWidthKey(
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)"), 20),
+          graft.etl.Ids.fixedWidthKey(col("o_orderkey"), 20)))
+      val ranked = graft.etl.Ids
+        .withOrderedIds(keyed, "__ord", "__rnk").drop("__ord")
+      graft.etl.Ids.exactNtile(ranked, "__rnk", 8, "bin")
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("depth"),
           min(col("o_totalprice")).as("lo"),

@@ -334,36 +334,67 @@ object Similarity {
         shiftright(col("sig"), b * bandBits)
           .bitwiseAND((1L << bandBits) - 1).as("bucket"))
     }
-    vecs.join(sigs, Seq(idCol))
-      .select(col(idCol), col("v"), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("v"), col("bb.band"), col("bb.bucket"))
+    // scalars ONLY ride the band explosion — (id, sig, band, bucket),
+    // never the vector: the candidate join shuffles bands × 24 B/row
+    // instead of bands × the full double vector
+    sigs
+      .select(col(idCol), col("sig"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("sig"), col("bb.band"), col("bb.bucket"))
   }
 
   /** Scale path for embedding near-dup: candidates from a banded-LSH
     * bucket self-join (never a cross join — same shape as
-    * Dedup.simhashNearPairs), verified with exact cosine ≥ threshold.
-    * Approximate only in recall (a pair colliding in no band is missed);
-    * every emitted pair is exact-verified. Shuffle volume is
-    * bands × (id, vector) per row; the per-bucket self-join is quadratic
-    * only within a bucket, and hyperplane buckets split the corpus
-    * ~uniformly (data-independent), so no bucket is corpus-sized. */
+    * Dedup.simhashNearPairs), a signature-Hamming prefilter, then an
+    * exact-cosine verify on the survivors. Approximate only in recall
+    * (a pair colliding in no band is missed; the +4σ Hamming cut adds
+    * ≤ ~3e-5); every emitted pair is exact-verified. The band
+    * explosion and the bucket self-join carry SCALARS only (id + one
+    * 64-bit signature); vectors join back once for the verify leg.
+    * The per-bucket self-join is quadratic only within a bucket, and
+    * hyperplane buckets split the corpus ~uniformly (data-independent),
+    * so no bucket is corpus-sized — at larger corpora raise `bandBits`
+    * so the per-band bucket count ~tracks corpus size (expected bucket
+    * occupancy n/2^bandBits stays O(1): 20–24 bits at 10^9 vectors;
+    * recall lost to narrower buckets is bought back with more bands). */
   def cosineLshNearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bands: Int = 4, bandBits: Int = 8): DataFrame = {
+    val bits = bands * bandBits
     val blocked = bandedBuckets(corpus, idCol, vecCol, bands, bandBits)
-    val left = blocked.select(col("band"), col("bucket"),
-      col(idCol).as("id_a"), col("v").as("va"))
-    val right = blocked.select(col("band"), col("bucket"),
-      col(idCol).as("id_b"), col("v").as("vb"))
-    left.join(right, Seq("band", "bucket"))
+    // candidate generation is SCALAR end to end: bucket self-join on
+    // (band, bucket) over (id, sig) rows, distinct BEFORE any vector
+    // is fetched (a pair colliding in several bands verifies once)
+    val candScalar = blocked
+      .select(col("band"), col("bucket"),
+        col(idCol).as("id_a"), col("sig").as("sig_a"))
+      .join(blocked.select(col("band"), col("bucket"),
+        col(idCol).as("id_b"), col("sig").as("sig_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+    // signature-Hamming prefilter before the exact-cosine verify: a
+    // pair at cosine ≥ t disagrees on each hyperplane bit with
+    // p = acos(t)/π, so its Hamming distance over `bits` bits is
+    // Binomial(bits, p) — cut at mean + 4σ (recall loss ≤ ~3e-5 by the
+    // normal tail, far inside SimilaritySpec's 0.9 planted floor) so
+    // clearly-unrelated bucket collisions never reach the 64-dim dot
+    val p = math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val maxHam = math.min(bits.toDouble,
+      math.ceil(bits * p + 4.0 * math.sqrt(bits * p * (1 - p)))).toLong
+    val cand = candScalar
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHam)
+      .select(col("id_a"), col("id_b"))
+    // vectors join back ONCE, only for surviving candidates — at
+    // corpus scale the heavy payload never rides the band explosion
+    val vecs = corpus.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    cand
+      .join(vecs.select(col(idCol).as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
-      // a pair may collide in several bands: dedup AFTER the threshold
-      // filter so the distinct shuffles surviving scalars, not vectors
-      // (re-verifying a duplicate candidate is cheap codegen'd flops)
-      .distinct()
   }
 
   /** Embedding-cosine near-duplicate pairs (corpus self-similarity ≥

@@ -51,6 +51,25 @@ class ClosenessSpec extends AnyFunSuite {
       (4, 1L, 4L, 1.0, true)))
   }
 
+  test("a panel wider than one 64-bit mask chunks transparently: " +
+    "70 sources on a star all report identical exact stats") {
+    // star: center 0 — leaves 1..100. Every leaf-source reaches the
+    // center at hop 1 and the 99 other leaves at hop 2.
+    val star = (1L to 100L).map(i => (0L, i)).toDF("src", "dst")
+    val out = Closeness.multiSource(star,
+      (1L to 70L).toDF("node")).collect()
+    assert(out.length === 70)
+    out.foreach { r =>
+      assert(r.getLong(1) === 100L, s"n_reached for ${r.getLong(0)}")
+      assert(r.getLong(2) === (1L + 99L * 2L))
+    }
+    // and the pooled hop distribution counts every (source, node) pair
+    // exactly once across both chunks: 70 at hop 1, 70*99 at hop 2
+    val hd = Closeness.hopDistribution(star, (1L to 70L).toDF("node"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(hd.toSeq === Seq((1, 70L), (2, 70L * 99L)))
+  }
+
   test("hop distribution pools pairs across sources and flags the " +
     "first hop covering 90% of reachable pairs") {
     // sources 1 and 3 on the 5-path: 8 reachable pairs total;

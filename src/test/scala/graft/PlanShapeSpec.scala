@@ -357,14 +357,51 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
   }
 
-  test("x58 weighted median: both windows share one partitioning " +
-    "(single shuffle feeds them)") {
+  /** The round-10 verdict's pin, generalized: a WindowExec is
+    * scale-safe iff it runs over a REDUCED grain (an aggregate sits
+    * below it in the same subtree) or it is a two-phase SLICE window
+    * (partitionSpec includes the synthetic `__pid`, so parallelism is
+    * the shuffle-partition count regardless of key cardinality). A
+    * window over fact-grain input partitioned by a low-cardinality
+    * key — or by nothing — fails both arms. keyedCumsum/withOrderedIds
+    * localCheckpoint their ranged frame (boundary-consistency), which
+    * truncates the visible plan at an RDD scan; the slice-window arm
+    * is what certifies those. */
+  private def windowsScaleSafe(p: SparkPlan): Unit = {
+    import org.apache.spark.sql.execution.aggregate.{
+      HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val ws = p.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty)
+    ws.foreach { w =>
+      val hasAgg = w.child.exists {
+        case _: HashAggregateExec | _: ObjectHashAggregateExec |
+            _: SortAggregateExec => true
+        case _ => false
+      }
+      val isSlice = w.partitionSpec.exists(_.references.exists(
+        _.name == "__pid"))
+      assert(hasAgg || isSlice,
+        s"window over unreduced input without a __pid slice: $w")
+    }
+  }
+
+  test("x58 weighted median: no fact-grain window — the cumulative " +
+    "runs on the (flag, price) histogram via __pid slice windows, " +
+    "and the totals join broadcasts") {
     val p = plan("x58_weighted_median")
-    // cumulative + total + rank windows all partition by l_returnflag:
-    // planner must not insert an exchange between them
-    assert(shuffles(p) <= 2,
-      s"expected <=2 exchanges (group shuffle + output sort), got " +
-        s"${shuffles(p)}")
+    windowsScaleSafe(p)
+    // the per-flag totals (|flags| rows) must broadcast onto the
+    // histogram, never sort-merge
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+  }
+
+  test("x53 equi-depth histogram: no global ntile window — the rank " +
+    "is two-phase (__pid slices) and NTILE is boundary arithmetic") {
+    val p = plan("x53_equi_depth_histogram")
+    windowsScaleSafe(p)
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "the 1-row count must broadcast, not cartesian")
   }
 
   test("w12 EWMA: all 11 lags come from ONE window pass") {
@@ -479,23 +516,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "the 1-row binding stratum must broadcast, not cartesian")
   }
 
-  test("ml12 psi: every window runs over an aggregated histogram, " +
-    "never event-sized input") {
-    import org.apache.spark.sql.execution.aggregate.{
-      HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
-    val p = plan("ml12_psi")
-    val ws = p.collect { case w: WindowExec => w }
-    assert(ws.nonEmpty)
-    ws.foreach { w =>
-      val hasAgg = w.child.exists {
-        case _: HashAggregateExec | _: ObjectHashAggregateExec |
-            _: SortAggregateExec => true
-        case _ => false
-      }
-      assert(hasAgg,
-        "cumulative-histogram window must sit above the (value,count) " +
-          "aggregate, not raw events")
-    }
+  test("ml12 psi: every window runs over an aggregated histogram or a " +
+    "__pid slice of it, never event-sized single-task input") {
+    windowsScaleSafe(plan("ml12_psi"))
   }
 
   test("w14 rolling slope: all five sufficient statistics share ONE " +

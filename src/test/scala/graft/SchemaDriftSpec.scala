@@ -42,6 +42,11 @@ class SchemaDriftSpec extends AnyFunSuite {
     import org.apache.spark.sql.types._
     assert(SchemaDrift.normType(LongType) === "BIGINT")
     assert(SchemaDrift.normType(StringType) === "VARCHAR")
+    // the tz split matters: DuckDB introspects UTC-adjusted parquet
+    // timestamps as TIMESTAMP WITH TIME ZONE and only NTZ as plain
+    // TIMESTAMP — collapsing them would mask a tz-semantics change
+    assert(SchemaDrift.normType(TimestampType) ===
+      "TIMESTAMP WITH TIME ZONE")
     assert(SchemaDrift.normType(TimestampNTZType) === "TIMESTAMP")
     assert(SchemaDrift.normType(DecimalType(18, 2)) === "DECIMAL(18,2)")
     assert(SchemaDrift.normType(BinaryType) === "BLOB")
