@@ -115,14 +115,22 @@ object Ids {
     * rank. */
   def exactNtile(df: DataFrame, rnkCol: String, buckets: Int,
       outName: String): DataFrame =
-    df.crossJoin(broadcast(df.agg(count(lit(1)).as("__n"))))
-      .withColumn(outName, expr(
-        s"""CASE WHEN $rnkCol <= (__n % $buckets) * (__n div $buckets + 1)
-            THEN ($rnkCol - 1) div (__n div $buckets + 1) + 1
-            ELSE (__n % $buckets) +
-              ($rnkCol - (__n % $buckets) * (__n div $buckets + 1) - 1)
-                div (__n div $buckets) + 1 END""").cast("int"))
+    exactNtileByCount(
+      df.crossJoin(broadcast(df.agg(count(lit(1)).as("__n")))),
+      rnkCol, "__n", buckets, outName)
       .drop("__n")
+
+  /** [[exactNtile]] against an EXISTING count column — the keyed form:
+    * the caller joins per-key counts (broadcast, key-cardinality-sized)
+    * and NTILE-within-key is the same boundary arithmetic. */
+  def exactNtileByCount(df: DataFrame, rnkCol: String, nCol: String,
+      buckets: Int, outName: String): DataFrame =
+    df.withColumn(outName, expr(
+      s"""CASE WHEN $rnkCol <= ($nCol % $buckets) * ($nCol div $buckets + 1)
+          THEN ($rnkCol - 1) div ($nCol div $buckets + 1) + 1
+          ELSE ($nCol % $buckets) +
+            ($rnkCol - ($nCol % $buckets) * ($nCol div $buckets + 1) - 1)
+              div ($nCol div $buckets) + 1 END""").cast("int"))
 
   /** Fixed-width zero-padded rank-key leg that FAILS LOUDLY instead of
     * silently mis-ordering: the lexicographic-equals-numeric trick

@@ -103,20 +103,22 @@ object DecisionSupportQueries {
   }
 
   /** Exact distributed percentiles (p50/p90 of event value per type) via
-    * rank-and-pick: row_number + window count per partition, select the
-    * ⌈p·n⌉-th row — pure integer index math, no interpolation, so both
-    * engines pick the identical stored double. The window partitions by
-    * event_type; at extreme skew the t10 keyed-cumsum two-phase shape
-    * applies, but percentile-by-rank is the standard exact form. */
+    * rank-and-pick: per-type rank from the two-phase
+    * [[graft.etl.Ids.keyedCumsum]] of ones (range-partitioned on
+    * (type, value, event_id) — every shuffle partition works, never
+    * |types| tasks carrying the event grain), per-type counts broadcast
+    * from a key-cardinality aggregate, select the ⌈p·n⌉-th row — pure
+    * integer index math, no interpolation, so both engines pick the
+    * identical stored double. */
   def w8Percentile(s: SparkSession, d: String): DataFrame = {
     val ev = table(s, d, "events")
       .filter(col("value").isNotNull)
       .select(col("event_type"), col("value"), col("event_id"))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
-    ev.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1))
-        .over(Window.partitionBy(col("event_type"))))
+    val counts = ev.groupBy(col("event_type").as("n_type"))
+      .agg(count(lit(1)).as("n"))
+    graft.etl.Ids.keyedCumsum(ev.withColumn("__one", lit(1L)),
+        "event_type", Seq("value", "event_id"), "__one", "rn")
+      .join(broadcast(counts), col("event_type") === col("n_type"))
       .filter(col("rn") === expr("(n + 1) div 2") ||
         col("rn") === expr("(9 * n + 9) div 10"))
       .groupBy(col("event_type"), col("n").as("n_events"))
@@ -194,17 +196,25 @@ object DecisionSupportQueries {
     * a tie-free total order (acctbal, custkey), aggregated to quartile
     * summaries. With a unique ordering key percent_rank = (rn-1)/(N-1)
     * and cume_dist = rn/N in BOTH engines — integer-operand IEEE
-    * quotients, deterministic unrounded. The window partitions by
-    * segment (5 partitions of |customers|/5 rows — same scale posture
-    * as ds3). */
+    * quotients, deterministic unrounded. The per-segment rank is the
+    * two-phase keyedCumsum of ones (the ds3 shape — parallelism is the
+    * shuffle-partition count, not the segment count); ntile(4) is the
+    * exact boundary arithmetic against broadcast per-segment counts. */
   def w9RankFunctions(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("c_acctbal"), col("c_custkey"))
-    table(s, d, "customer")
+    val cust = table(s, d, "customer")
       .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
-      .withColumn("quartile", ntile(4).over(w))
-      .withColumn("pr", percent_rank().over(w))
-      .withColumn("cd", cume_dist().over(w))
+    val counts = cust.groupBy(col("c_mktsegment").as("n_seg"))
+      .agg(count(lit(1)).as("__n"))
+    val ranked = graft.etl.Ids.keyedCumsum(
+        cust.withColumn("__one", lit(1L)),
+        "c_mktsegment", Seq("c_acctbal", "c_custkey"), "__one", "rn")
+      .join(broadcast(counts), col("c_mktsegment") === col("n_seg"))
+    graft.etl.Ids
+      .exactNtileByCount(ranked, "rn", "__n", 4, "quartile")
+      .withColumn("pr", (col("rn") - 1).cast("double") /
+        (col("__n") - 1).cast("double"))
+      .withColumn("cd",
+        col("rn").cast("double") / col("__n").cast("double"))
       .groupBy(col("c_mktsegment"), col("quartile"))
       .agg(count(lit(1)).as("n_customers"),
         min(col("c_acctbal")).as("min_acctbal"),

@@ -309,18 +309,17 @@ object StreamingQueries {
     // In production the baseline refreshes per batch cycle while the
     // stream keeps running. Oracle = the identical batch computation.
     "s15_stream_baseline_alert" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val hist = PipelineQueries.table(s, d, "events")
         .filter(col("value").isNotNull)
         .select(col("event_type"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
         .groupBy(col("event_type"), col("cents"))
         .agg(count(lit(1)).as("c"))
-      val baseline = hist
-        .withColumn("cum", sum(col("c")).over(
-          Window.partitionBy(col("event_type")).orderBy(col("cents"))))
-        .withColumn("n", sum(col("c")).over(
-          Window.partitionBy(col("event_type"))))
+      val tots = hist.groupBy(col("event_type").as("n_type"))
+        .agg(sum(col("c")).as("n"))
+      val baseline = graft.etl.Ids.keyedCumsum(hist, "event_type",
+          Seq("cents"), "c", "cum")
+        .join(broadcast(tots), col("event_type") === col("n_type"))
         .filter(col("cum") * 100 >= col("n") * 99)
         .groupBy(col("event_type"))
         .agg(min(col("cents")).as("p99_cents"))

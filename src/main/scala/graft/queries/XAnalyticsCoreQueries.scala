@@ -325,19 +325,21 @@ object XAnalyticsCoreQueries {
     // absolute deviations (MAD); a row is an outlier when dev > 3·MAD.
     // All comparisons are exact ops on identical stored doubles, so no
     // rounding convention is needed anywhere. Each median is one
-    // per-group sort window; group count is small (event types)
+    // per-group median by rank-pick — two-phase keyedCumsum rank (the
+    // w8 shape), never a |types|-task window over the event grain
     "x42_mad_outliers" -> ((s, d) => {
       val ev = table(s, d, "events")
         .filter(col("value").isNotNull)
         .select(col("event_id"), col("event_type"), col("value"))
-      def lowerMedian(df: DataFrame, c: String, out: String) = df
-        .withColumn("rn", row_number().over(Window
-          .partitionBy(col("event_type"))
-          .orderBy(col(c), col("event_id"))))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy(col("event_type"))))
-        .filter(col("rn") === expr("(n + 1) div 2"))
-        .select(col("event_type").as("m_type"), col(c).as(out))
+      def lowerMedian(df: DataFrame, c: String, out: String) = {
+        val counts = df.groupBy(col("event_type").as("n_type"))
+          .agg(count(lit(1)).as("n"))
+        graft.etl.Ids.keyedCumsum(df.withColumn("__one", lit(1L)),
+            "event_type", Seq(c, "event_id"), "__one", "rn")
+          .join(broadcast(counts), col("event_type") === col("n_type"))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("event_type").as("m_type"), col(c).as(out))
+      }
       val med = lowerMedian(ev, "value", "med")
       val withDev = ev
         .join(broadcast(med), col("event_type") === col("m_type"))

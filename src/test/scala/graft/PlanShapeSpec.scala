@@ -396,6 +396,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
   }
 
+  test("w8/w9/x42/ds3/x81/x78: every fact- or entity-grain rank is " +
+    "two-phase — no window whose parallelism is the key cardinality") {
+    Seq("w8_percentile", "w9_rank_functions", "x42_mad_outliers",
+      "ds3_top_decile", "x81_abc_class", "x78_gini")
+      .foreach(n => windowsScaleSafe(plan(n)))
+  }
+
   test("x53 equi-depth histogram: no global ntile window — the rank " +
     "is two-phase (__pid slices) and NTILE is boundary arithmetic") {
     val p = plan("x53_equi_depth_histogram")
