@@ -1094,9 +1094,11 @@ object TextAnalysis {
     * with g19's degree-tail Hill exponent: natural language sits near
     * slope −1; templated/generated text flattens, boilerplate steepens.
     *
-    * Scale: one scan to the vocabulary grain, one rank window over the
-    * vocabulary-bounded table (the accepted x6-class cost), then a
-    * topK-row aggregate. Determinism: ln terms are 6dp-rounded doubles
+    * Scale: one scan to the vocabulary grain, a top-K cut as
+    * `orderBy(...).limit(topK)` — TakeOrderedAndProject, per-partition
+    * heaps + a driver merge of K rows, never a global rank window over
+    * the vocabulary — then the rank window runs over the K retained
+    * rows only (metadata-sized). Determinism: ln terms are 6dp-rounded doubles
     * (the g19 ln discipline), products widen through DECIMAL(28,12)
     * before the order-free decimal sums; slope/intercept are fixed
     * double trees over the exact sums, rounded once. */
@@ -1107,9 +1109,9 @@ object TextAnalysis {
       .select(explode(tokens(normalized(col(textCol)))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val ranked = freq
+      .orderBy(desc("cnt"), col("term")).limit(topK)
       .withColumn("rnk", row_number().over(
         Window.orderBy(desc("cnt"), col("term"))))
-      .filter(col("rnk") <= topK)
     val xy = ranked.select(
       round(log(col("rnk").cast("double")), 6)
         .cast("decimal(12,6)").as("x"),
