@@ -46,7 +46,11 @@ object SemDedup {
     * duplicate sets are transitive closures of such pairs. */
   def semanticDedup(vecs: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", threshold: Double = 0.95): DataFrame = {
-    val assigned = assign(vecs, centroids, idCol)
+    // consumed three times below (pair join, keeper pick, final
+    // anti join) — materialize the argmax once instead of re-running
+    // the corpus x centroid assignment per consumer (the
+    // twice-consumed-frame discipline)
+    val assigned = assign(vecs, centroids, idCol).localCheckpoint()
     val members = assigned.join(vecs, Seq(idCol))
     val pairs = members
       .select(col("cluster"), col(idCol).as("id_a"), col("vec").as("va"))
