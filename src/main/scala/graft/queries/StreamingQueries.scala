@@ -481,9 +481,15 @@ object StreamingQueries {
       import java.nio.file.{Files, Paths}
       import org.apache.spark.sql.streaming.Trigger
       val scratch = StreamPipeline.scratchRoot()
-      // halves built once per sf dir behind a _done marker
+      // halves built once per sf dir behind a _done marker; the key
+      // includes the source file's size+mtime so a regenerated events
+      // table (new round, same path) never reuses stale halves
+      val srcStat = {
+        val p = Paths.get(s"$d/events.parquet")
+        s"${Files.size(p)}_${Files.getLastModifiedTime(p).toMillis}"
+      }
       val prep = scratch.resolve(
-        s"graft_recovery_halves_${d.hashCode.toHexString}")
+        s"graft_recovery_halves_${d.hashCode.toHexString}_$srcStat")
       if (!Files.exists(prep.resolve("_done"))) {
         val raw = s.read.parquet(s"$d/events.parquet")
         val norm = raw.select(col("event_id"),
