@@ -92,8 +92,14 @@ object StreamingQueries {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
     import scala.jdk.CollectionConverters._
-    val dir =
-      Paths.get(s"/tmp/graft_stream_${d.hashCode.toHexString}/docs_split")
+    // key the cached split by source size+mtime — a regenerated
+    // documents table at the same path must never reuse stale fixtures
+    val docStat = {
+      val p = Paths.get(s"$d/documents.parquet")
+      s"${Files.size(p)}_${Files.getLastModifiedTime(p).toMillis}"
+    }
+    val dir = Paths.get(
+      s"/tmp/graft_stream_${d.hashCode.toHexString}/docs_split_$docStat")
     val done = dir.resolve("_done")
     if (!Files.exists(done)) {
       Files.createDirectories(dir)
@@ -138,8 +144,14 @@ object StreamingQueries {
     import scala.jdk.CollectionConverters._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s"$d/events.parquet"
-    val dir =
-      Paths.get(s"/tmp/graft_stream_${d.hashCode.toHexString}/events_split")
+    // cache key includes source size+mtime: a regenerated events table
+    // at the same path must never reuse stale split fixtures
+    val evStat = {
+      val p = Paths.get(src)
+      s"${Files.size(p)}_${Files.getLastModifiedTime(p).toMillis}"
+    }
+    val dir = Paths.get(
+      s"/tmp/graft_stream_${d.hashCode.toHexString}/events_split_$evStat")
     val done = dir.resolve("_done")
     if (!Files.exists(done)) {
       Files.createDirectories(dir)
@@ -170,8 +182,12 @@ object StreamingQueries {
   private def splitKsFileStream(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
-    val dir =
-      Paths.get(s"/tmp/graft_stream_${d.hashCode.toHexString}/ks_split")
+    val ksStat = {
+      val p = Paths.get(s"$d/events.parquet")
+      s"${Files.size(p)}_${Files.getLastModifiedTime(p).toMillis}"
+    }
+    val dir = Paths.get(
+      s"/tmp/graft_stream_${d.hashCode.toHexString}/ks_split_$ksStat")
     val done = dir.resolve("_done")
     if (!Files.exists(done)) {
       Files.createDirectories(dir)
