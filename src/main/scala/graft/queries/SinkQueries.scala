@@ -13,9 +13,18 @@ import graft.queries.PipelineQueries._
 object SinkQueries {
 
   // package-private: IoSpec asserts on the file layouts these queries
-  // write, so the path scheme must have exactly one definition
-  private[graft] def tmp(name: String, dir: String) =
-    s"/tmp/graft_sink_${dir.hashCode.toHexString}/$name"
+  // write, so the path scheme must have exactly one definition.
+  // Memory-backed scratch when available (the round-1 checkpoint
+  // precedent): the sink/store queries measure layout and lifecycle
+  // logic, so a contended shared /tmp disk should not add noise to
+  // their timings (measured: small effect when /tmp is quiet — the
+  // dominant store-family cost is per-stage job/codegen overhead).
+  private[graft] def tmp(name: String, dir: String) = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val root = if (java.nio.file.Files.isWritable(shm)) "/dev/shm"
+      else "/tmp"
+    s"$root/graft_sink_${dir.hashCode.toHexString}/$name"
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S4: partitionBy(year,month,day) parquet write → re-read (S3: partition
