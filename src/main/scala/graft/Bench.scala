@@ -167,7 +167,14 @@ object Bench {
       val s0 = procStat()
       val ran = mutable.ListBuffer[(String, Double)]()
       var aborted = false
-      selected.foreach { case (name, fn) =>
+      // pass 2+ iterates MOST-EXPENSIVE-FIRST (by best sample so far):
+      // when the wall budget aborts a later pass mid-way, the queries
+      // left single-sampled are the cheap tail, not the expensive
+      // high-variance ones the artifact's evidence quality hinges on
+      val order = if (passes == 0) selected
+        else selected.sortBy { case (n, _) =>
+          -samples(n).map(_._1).minOption.getOrElse(Double.MaxValue) }
+      order.foreach { case (name, fn) =>
         // pass >= 2 may abort mid-pass at the budget line; pass 1
         // always completes (every query needs >= 1 sample)
         if (passes >= 1 && elapsed > budgetSec) aborted = true
