@@ -315,6 +315,9 @@ object Similarity {
     * |projection| ≲ 1e-12, and candidates are exact-verified anyway. */
   private def bandedBuckets(corpus: DataFrame, idCol: String,
       vecCol: String, bands: Int, bandBits: Int): DataFrame = {
+    require(bands >= 1 && bandBits >= 1 && bandBits <= 62,
+      s"need 1 <= bandBits <= 62 per 64-bit band word; got " +
+        s"bands=$bands bandBits=$bandBits")
     val bits = bands * bandBits
     val vecs = corpus.select(col(idCol), toDouble(col(vecCol)).as("v"))
     val exploded = vecs.select(col(idCol), posexplode(col("v")))
@@ -325,14 +328,25 @@ object Similarity {
     }
     val projs = exploded.groupBy(col(idCol))
       .agg(planeSums.head, planeSums.tail: _*)
-    val sig = (0 until bits).map { b =>
-      when(col(s"p_$b") >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    val sigs = projs.select(col(idCol), sig.as("sig"))
+    // ONE 64-bit word PER BAND (sig: array<bigint>): bands × bandBits
+    // is not capped by a single packed long, so the SCALE.md guidance
+    // (20-24 bandBits at 10^9 vectors, recall bought back with more
+    // bands) is actually expressible. Plane j of band b is global
+    // hyperplane b·bandBits+j — identical planes and buckets to the
+    // old single-word packing at the 4×8 default.
+    val words = (0 until bands).map { b =>
+      (0 until bandBits).map { j =>
+        val plane = b * bandBits + j
+        when(col(s"p_$plane") >= 0, shiftleft(lit(1L), j))
+          .otherwise(lit(0L))
+      }.reduce((a, c) => a.bitwiseOR(c)).as(s"w_$b")
+    }
+    val sigs = projs
+      .select((col(idCol) +: words): _*)
+      .withColumn("sig",
+        array((0 until bands).map(b => col(s"w_$b")): _*))
     val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sig"), b * bandBits)
-          .bitwiseAND((1L << bandBits) - 1).as("bucket"))
+      struct(lit(b).as("band"), col(s"w_$b").as("bucket"))
     }
     // scalars ONLY ride the band explosion — (id, sig, band, bucket),
     // never the vector: the candidate join shuffles bands × 24 B/row
@@ -350,13 +364,15 @@ object Similarity {
     * (a pair colliding in no band is missed; the +4σ Hamming cut adds
     * ≤ ~3e-5); every emitted pair is exact-verified. The band
     * explosion and the bucket self-join carry SCALARS only (id + one
-    * 64-bit signature); vectors join back once for the verify leg.
+    * 64-bit word per band); vectors join back once for the verify leg.
     * The per-bucket self-join is quadratic only within a bucket, and
     * hyperplane buckets split the corpus ~uniformly (data-independent),
     * so no bucket is corpus-sized — at larger corpora raise `bandBits`
     * so the per-band bucket count ~tracks corpus size (expected bucket
     * occupancy n/2^bandBits stays O(1): 20–24 bits at 10^9 vectors;
-    * recall lost to narrower buckets is bought back with more bands). */
+    * recall lost to narrower buckets is bought back with more bands —
+    * the per-band signature words make any (bands, bandBits ≤ 62)
+    * expressible, not just combinations packing into one long). */
   def cosineLshNearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bands: Int = 4, bandBits: Int = 8): DataFrame = {
@@ -384,7 +400,10 @@ object Similarity {
     val maxHam = math.min(bits.toDouble,
       math.ceil(bits * p + 4.0 * math.sqrt(bits * p * (1 - p)))).toLong
     val cand = candScalar
-      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHam)
+      .filter(aggregate(
+        zip_with(col("sig_a"), col("sig_b"),
+          (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+        lit(0L), (acc, x) => acc + x) <= maxHam)
       .select(col("id_a"), col("id_b"))
     // vectors join back ONCE, only for surviving candidates — at
     // corpus scale the heavy payload never rides the band explosion
