@@ -82,6 +82,26 @@ class SimilaritySpec extends AnyFunSuite {
       s"(${lsh.size}/${brute.size})")
   }
 
+  test("wide LSH configs (bands x bandBits > 64) work with the " +
+    "per-band signature words: narrower buckets, recall bought back " +
+    "with more bands, still zero false positives") {
+    val corpus = plantedCorpus
+    val brute = Similarity.cosineNearDupPairs(corpus, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 bands x 20 bits = 160 hyperplanes — impossible with one packed
+    // long; the large-corpus posture from SCALE.md
+    val wide = Similarity.cosineLshNearDupPairs(corpus,
+        threshold = 0.95, bands = 8, bandBits = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.subsetOf(brute), "exact verify => no false positives")
+    // band-collision prob for a 0.95 pair at 20 bits ~ 0.899^20 = 0.12;
+    // 8 bands => ~0.64 expected — assert a loose floor only (the pin
+    // here is that the wide config RUNS and amplifies, not its exact
+    // recall, which SimilaritySpec pins at the default config)
+    assert(wide.size.toDouble / brute.size >= 0.3,
+      s"wide-config recall collapsed: ${wide.size}/${brute.size}")
+  }
+
   test("cosineNearDupPairs routes to the LSH path above the brute cap") {
     val corpus = plantedCorpus
     val routed = Similarity
