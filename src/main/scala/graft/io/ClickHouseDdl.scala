@@ -1,0 +1,110 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** ClickHouse sink DDL generation — the engine half of the reference's
+  * OLAP load path: its loader inserts Spark-written parquet into
+  * MergeTree tables created ahead of time by hand-written DDL
+  * (reference `load_to_clickhouse.py:87-99` inserting into
+  * `clickhouse/init.sql:7-80`'s bronze/silver/gold tables). Keeping
+  * that DDL in sync with the pipeline schema by hand is exactly the
+  * drift dq13 gates against — so here the DDL GENERATES from the
+  * actual DataFrame schema: the type mapping, nullability rules, and
+  * MergeTree clauses are engine logic and spec-pinned
+  * (ClickHouseDdlSpec); only the network insert needs a live server,
+  * which the sandbox does not have (same S6 posture as the object
+  * store).
+  *
+  * Mapping notes (ClickHouse constraints, not style):
+  *   - MergeTree ORDER BY / PARTITION BY key columns cannot be
+  *     Nullable — key columns are emitted bare and the generator
+  *     REFUSES a nullable key rather than silently stripping it;
+  *   - Nullable(Array(...)) is illegal — arrays stay bare, element
+  *     nullability maps to Array(Nullable(T));
+  *   - Spark TimestampType is a UTC-adjusted instant →
+  *     DateTime64(6, 'UTC'); TimestampNTZType has no zone →
+  *     DateTime64(6). */
+object ClickHouseDdl {
+
+  def chType(dt: DataType, nullable: Boolean): String = {
+    val base = dt match {
+      case LongType            => "Int64"
+      case IntegerType         => "Int32"
+      case ShortType           => "Int16"
+      case ByteType            => "Int8"
+      case DoubleType          => "Float64"
+      case FloatType           => "Float32"
+      case StringType          => "String"
+      case BooleanType         => "Bool"
+      case DateType            => "Date32"
+      case TimestampType       => "DateTime64(6, 'UTC')"
+      case TimestampNTZType    => "DateTime64(6)"
+      case d: DecimalType     => s"Decimal(${d.precision}, ${d.scale})"
+      case BinaryType          => "String"
+      case ArrayType(et, ecn)  => s"Array(${chType(et, ecn)})"
+      case other => throw new IllegalArgumentException(
+        s"no ClickHouse mapping for Spark type ${other.sql}")
+    }
+    val isArray = dt.isInstanceOf[ArrayType]
+    if (nullable && !isArray) s"Nullable($base)" else base
+  }
+
+  /** CREATE TABLE IF NOT EXISTS DDL for `schema` as a MergeTree table.
+    *
+    * @param orderBy     the MergeTree primary/order key — every column
+    *                    must exist and be non-nullable in `schema`
+    * @param partitionBy optional PARTITION BY expression (e.g.
+    *                    "toYYYYMM(datetime)") */
+  def createTable(table: String, schema: StructType,
+      orderBy: Seq[String], partitionBy: Option[String] = None,
+      database: Option[String] = None): String = {
+    require(orderBy.nonEmpty, "MergeTree needs an ORDER BY key")
+    orderBy.foreach { k =>
+      val f = schema.fields.find(_.name == k).getOrElse(
+        throw new IllegalArgumentException(
+          s"ORDER BY column $k not in schema for $table"))
+      require(!f.nullable,
+        s"ORDER BY column $k is nullable — MergeTree key columns " +
+          "cannot be Nullable; make the pipeline column non-null " +
+          "(or gate it) instead of silently stripping nullability")
+    }
+    val cols = schema.fields.map { f =>
+      s"    ${f.name} ${chType(f.dataType, f.nullable)}"
+    }.mkString(",\n")
+    val qualified = database.map(db => s"$db.$table").getOrElse(table)
+    val part = partitionBy
+      .map(p => s"PARTITION BY $p\n").getOrElse("")
+    s"""CREATE TABLE IF NOT EXISTS $qualified
+       |(
+       |$cols
+       |)
+       |ENGINE = MergeTree()
+       |${part}ORDER BY (${orderBy.mkString(", ")})""".stripMargin
+  }
+
+  /** The reference's three-layer OLAP load, generated from the LIVE
+    * pipeline schemas: (layer, table_name, ddl) rows. `datetime` and
+    * the order keys are non-null by pipeline construction (P3's null
+    * gate), which the require above re-checks on every call. */
+  def medallionDdl(bronze: DataFrame, silver: DataFrame,
+      gold: DataFrame, database: String = "graft"): Seq[(String,
+      String, String)] = {
+    def nn(df: DataFrame, keys: Seq[String]): StructType =
+      StructType(df.schema.fields.map(f =>
+        if (keys.contains(f.name)) f.copy(nullable = false) else f))
+    val bKeys = Seq("location_id", "datetime", "parameter")
+    val sKeys = Seq("location_id", "datetime", "parameter")
+    val gKeys = Seq("location_id", "datetime")
+    Seq(
+      ("bronze", "bronze_measurements", createTable(
+        "bronze_measurements", nn(bronze, bKeys), bKeys,
+        Some("toYYYYMM(datetime)"), Some(database))),
+      ("silver", "silver_measurements", createTable(
+        "silver_measurements", nn(silver, sKeys), sKeys,
+        Some("toYYYYMM(datetime)"), Some(database))),
+      ("gold", "gold_hourly_aqi", createTable(
+        "gold_hourly_aqi", nn(gold, gKeys), gKeys,
+        Some("toYYYYMM(datetime)"), Some(database))))
+  }
+}

@@ -382,6 +382,19 @@ object SinkQueries {
           |FROM gold_view GROUP BY country
           |ORDER BY avg_aqi DESC, country""".stripMargin)
     }),
+    // S8 load side: the MergeTree DDL the reference hand-maintains
+    // (clickhouse/init.sql) generated from the LIVE pipeline schemas —
+    // type mapping + key-nullability rules are engine logic
+    // (io.ClickHouseDdl, spec-pinned); only the network insert needs
+    // the server the sandbox lacks. Deterministic strings → rows-only
+    // harness check; exact DDL text pinned in ClickHouseDdlSpec.
+    "ch2_clickhouse_ddl" -> ((s, d) => {
+      import s.implicits._
+      graft.io.ClickHouseDdl.medallionDdl(
+          bronze(s, d).drop("props"), silver(s, d), gold(s, d))
+        .toDF("layer", "table_name", "ddl")
+        .orderBy("layer")
+    }),
     // Hilbert-curve layout (io5's locality-preserving sibling):
     // consecutive curve positions are always grid-adjacent, so files
     // cover tighter rectangles than Morton order — content
