@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.PipelineQueries.table
@@ -347,8 +347,27 @@ object TextQueries {
     // metadata — document TEXT never rides a shuffle again
     // (PlanShapeSpec pins the text-bearing exchange count), which is
     // the property that makes the composition viable at 100 TB.
-    "t39_capstone_pipeline" -> ((s, d) => t39Pipeline(s, d, None))
+    "t39_capstone_pipeline" -> ((s, d) => t39Pipeline(s, d, None)),
+    // DSIR importance-resampling selection (t40, Xie et al. 2023):
+    // hashed-bigram likelihood-ratio weights of every raw-pool doc
+    // against a curated target slice (here: English docs from three
+    // "curated" sources), top-200 kept — the published
+    // classifier-free recipe for steering a crawl toward a target
+    // domain. λ is ≤ B=4096 rows no matter the corpus size, so
+    // scoring is one broadcast join + a doc-grain aggregate and the
+    // selection is TakeOrderedAndProject — the pool never sorts
+    // globally and its text never shuffles
+    "t40_dsir_select" -> ((s, d) =>
+      graft.text.Dsir.selectTopK(
+        table(s, d, "documents"),
+        dsirTarget, k = 200))
   )
+
+  /** t40's target slice: the "curated" corpus DSIR steers toward. */
+  private val dsirTarget: Column =
+    col("lang") === "en" && col("source").isin("src0", "src1", "src2")
+  private val dsirTargetSql: String =
+    "lang = 'en' AND source IN ('src0', 'src1', 'src2')"
 
   /** Bench-scoped workload overrides (see SparkEntry.benchOverrides):
     * the SAME composed pipeline on a quarter of the corpus, passed as
@@ -777,6 +796,8 @@ object TextQueries {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM pk GROUP BY 1, 2
          |ORDER BY source, shard_id""".stripMargin.replace('\n', ' ')
-    }
+    },
+    "t40_dsir_select" ->
+      graft.text.Dsir.selectTopKSql(dsirTargetSql, k = 200)
   )
 }
