@@ -85,7 +85,11 @@ object Explain {
         "g24_neighbor_sampling", "t38_source_overlap",
         "x94_decomposition_strength",
         // round-10 additions
-        "sim14_index_lifecycle", "t39_capstone_pipeline")
+        "sim14_index_lifecycle", "t39_capstone_pipeline",
+        // round-11 additions
+        "ds3_top_decile", "sim4_lsh_neardup",
+        "x53_equi_depth_histogram", "x58_weighted_median",
+        "t40_dsir_select")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -329,6 +329,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
   }
 
+  test("t40 DSIR: selection is TakeOrderedAndProject over a " +
+    "broadcast-scored pool — no global sort, no pool-grain window") {
+    val p = plan("t40_dsir_select")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "top-k must not be a global sort")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "the bounded lambda table must broadcast onto the features")
+    assert(p.collect { case w: WindowExec => w }.isEmpty)
+  }
+
   test("x30 mode: partial-aggregating argmax, no window") {
     val p = plan("x30_mode_per_group")
     assert(p.collect { case w: WindowExec => w }.isEmpty)
