@@ -147,6 +147,28 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .toSeq.sortBy(_._1)
     val overridden = selected.map(_._1).filter(overrides.contains)
+    // Post-query litter sweep (runs OUTSIDE every timed window).
+    // clearCache/unpersist release the finished query's frames, but
+    // BROADCASTS and SHUFFLE FILES are freed only when the weak-ref
+    // ContextCleaner sees them collected — and spark.local.dir sits on
+    // /dev/shm, so hundreds of queries' shuffle litter accumulates IN
+    // RAM until a full GC happens to run (observed: mid-alphabet
+    // queries 2-3x their solo times with disp ~1, both passes agreeing
+    // — contamination, not variance). A time-throttled System.gc()
+    // gives the cleaner its collection point at a bounded (~1/min,
+    // untimed) cost instead of waiting for heap pressure.
+    var lastGcNs = System.nanoTime()
+    def sweep(): Unit = {
+      try {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        if (System.nanoTime() - lastGcNs > 60e9.toLong) {
+          System.gc()
+          lastGcNs = System.nanoTime()
+        }
+      } catch { case _: Throwable => () }
+    }
     // per query: (seconds, steal fraction of the window it ran in)
     val samples = mutable.LinkedHashMap[String, List[(Double, Double)]]()
     selected.foreach { case (n, _) => samples(n) = Nil }
@@ -183,19 +205,8 @@ object Bench {
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           ran += name -> (System.nanoTime() - q0) / 1e9
           // Outside the timed window: drop the finished query's
-          // leavings. Iterative operators persist edge/frontier frames
-          // and localCheckpoint stage boundaries that nothing
-          // references once the count returns; left to the weak-ref
-          // ContextCleaner, ~340 queries of them accumulate in the
-          // block manager and late-pass queries pay eviction + GC for
-          // their predecessors' litter (observed: late-alphabet
-          // queries 2-3x their solo times with disp=1.0, both passes
-          // sharing the one JVM).
-          try {
-            spark.sharedState.cacheManager.clearCache()
-            spark.sparkContext.getPersistentRDDs.values
-              .foreach(_.unpersist(blocking = false))
-          } catch { case _: Throwable => () }
+          // leavings (see sweep() for why the GC point is load-bearing).
+          sweep()
         }
       }
       val steal = stealSince(s0)
@@ -241,11 +252,7 @@ object Bench {
             // same post-query litter sweep as the pass loop: a re-run
             // exists to REPLACE a contaminated sample, so it must not
             // hand its own persists/checkpoints to the next suspect
-            try {
-              spark.sharedState.cacheManager.clearCache()
-              spark.sparkContext.getPersistentRDDs.values
-                .foreach(_.unpersist(blocking = false))
-            } catch { case _: Throwable => () }
+            sweep()
           }
         }
         round += 1

@@ -35,6 +35,7 @@ object Verify {
     // (driver never sets it — its runs always dump the full surface).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).toSet)
+    var lastGcNs = System.nanoTime()
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
@@ -46,11 +47,18 @@ object Verify {
       // Drop the finished query's persisted/checkpointed blocks —
       // nothing references them once the write returns, and across
       // ~340 queries they otherwise pile up in the block manager
-      // (same hygiene as Bench's inter-query cleanup).
+      // (same hygiene as Bench's inter-query cleanup). The throttled
+      // System.gc() is the ContextCleaner's collection point: without
+      // it, broadcasts and /dev/shm shuffle files (RAM!) accumulate
+      // until heap pressure happens to trigger a full GC.
       try {
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        if (System.nanoTime() - lastGcNs > 60e9.toLong) {
+          System.gc()
+          lastGcNs = System.nanoTime()
+        }
       } catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

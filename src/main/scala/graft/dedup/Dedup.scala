@@ -754,4 +754,138 @@ object Dedup {
       .withColumn("dup_fraction",
         col("dup_tokens").cast("double") / col("n_tokens"))
   }
+
+  /** Exact-substring EXCISION — the transform half of Lee et al. 2022's
+    * ExactSubstr dedup that [[duplicateSpans]] only measures: every
+    * duplicated k-token window is CUT from the corpus except its one
+    * canonical occurrence (min (doc_id, pos) corpus-wide), overlapping
+    * removable windows merging into maximal spans first. Boilerplate
+    * mass shrinks in place; documents survive with their unique content
+    * (an empty string marks a fully-duplicated doc — the caller's
+    * drop-or-keep call). The canonical copy keeps spans readable where
+    * pair/doc-level dedup would have to drop whole documents.
+    *
+    * Like the paper's suffix-array spans, an occurrence overlapping a
+    * canonical window in the same doc can still trim part of it —
+    * "keep one copy" is per-WINDOW, and maximal-span merging is
+    * deliberately greedy.
+    *
+    * Distributed shape on top of [[duplicateSpans]]'s (16-byte keys
+    * shuffle, text stays put): the canonical pick is a `min(struct)`
+    * inside the same count aggregate; spans fold to ONE doc-grain array
+    * row per affected doc, join back on id, and the cut itself is
+    * row-local HOF arithmetic (filter positions against the span
+    * array) — the corpus text never rides a shuffle and there is no
+    * token-grain join.
+    *
+    * @return (doc_id, n_tokens, n_removed, clean_text) for EVERY doc */
+  def exciseDuplicateSpans(docs: DataFrame, k: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toksAll = docs
+      .select(col(idCol),
+        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+          .as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val sh = toksAll
+      .filter(col("n_tokens") >= k)
+      .select(col(idCol), col("n_tokens"),
+        posexplode(transform(
+          sequence(lit(1), col("n_tokens").cast("int") - (k - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(k)))
+            .cast("binary")))))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("h"))
+    // duplicated windows + their canonical occurrence in one aggregate
+    val dup = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col(idCol), col("pos"))).as("canon"))
+      .filter(col("cnt") > 1)
+      .select(col("h"), col("canon"))
+    val removable = sh.join(dup, Seq("h"))
+      .filter(!(col(idCol) === col("canon")(idCol) &&
+        col("pos") === col("canon")("pos")))
+      .select(col(idCol), col("pos"))
+    // gaps-and-islands (the duplicateSpans merge) over removable only
+    val before = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upToHere = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = removable
+      .withColumn("prev_end", max(col("pos") + (k - 1)).over(before))
+      .withColumn("st",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("st")).over(upToHere))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("pos") + (k - 1)).as("e"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    // row-local cut: keep positions no removable span covers. `kept`
+    // is bound behind its own projection (referenced twice below —
+    // size + join — and re-inlining the HOF chain per reference is the
+    // bandedBuckets trap)
+    toksAll.join(spans, Seq(idCol), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("toks")).otherwise(
+          transform(
+            filter(sequence(lit(1), col("n_tokens").cast("int")),
+              i => !exists(col("spans"),
+                sp => i >= sp.getField("s") && i <= sp.getField("e"))),
+            i => element_at(col("toks"), i))))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
+  /** DuckDB twin of [[exciseDuplicateSpans]]; `corpusRel` must yield
+    * (doc_id, text). The oracle cuts by a token-grain NOT EXISTS
+    * instead of the engine's row-local HOF — same kept set. */
+  def exciseDuplicateSpansSql(corpusRel: String, k: Int = 8): String = {
+    val toks = TextAnalysis.tokensSql(TextAnalysis.normalizedSql("text"))
+    val km1 = k - 1
+    s"""WITH corpus AS (SELECT * FROM $corpusRel),
+       |ta AS (SELECT doc_id, $toks AS toks,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens FROM corpus),
+       |sh AS (SELECT doc_id,
+       |    unnest(generate_series(1, CAST(n_tokens AS INT) - $km1))
+       |      AS pos,
+       |    unnest(list_transform(
+       |      generate_series(1, CAST(n_tokens AS INT) - $km1),
+       |      i -> md5(array_to_string(list_slice(toks, i, i + $km1),
+       |        ' ')))) AS h
+       |  FROM ta WHERE n_tokens >= $k),
+       |ranked AS (SELECT doc_id, pos, h,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos)
+       |      AS rn,
+       |    count(*) OVER (PARTITION BY h) AS cnt
+       |  FROM sh),
+       |removable AS (SELECT doc_id, pos FROM ranked
+       |  WHERE cnt > 1 AND rn > 1),
+       |isl AS (SELECT doc_id, pos,
+       |    max(pos + $km1) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS prev_end
+       |  FROM removable),
+       |gid AS (SELECT doc_id, pos,
+       |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM isl),
+       |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos + $km1) AS e
+       |  FROM gid GROUP BY 1, 2),
+       |tok AS (SELECT doc_id, n_tokens,
+       |    unnest(generate_series(1, CAST(n_tokens AS INT))) AS pos,
+       |    unnest(toks) AS tok
+       |  FROM ta),
+       |keep AS (SELECT t.doc_id, t.n_tokens, t.pos, t.tok FROM tok t
+       |  WHERE NOT EXISTS (SELECT 1 FROM sp
+       |    WHERE sp.doc_id = t.doc_id AND t.pos BETWEEN sp.s AND sp.e)),
+       |agg AS (SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |  FROM keep GROUP BY 1)
+       |SELECT ta.doc_id, ta.n_tokens,
+       |  ta.n_tokens - COALESCE(a.n_kept, 0) AS n_removed,
+       |  COALESCE(a.clean_text, '') AS clean_text
+       |FROM ta LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
 }

@@ -174,6 +174,16 @@ object DedupQueries {
     "d8_duplicate_spans" -> ((s, d) =>
       Dedup.duplicateSpans(spanCorpus(s, d), k = 8)
         .orderBy("doc_id")),
+    // exact-substring EXCISION (d16): the transform half of Lee et al.
+    // 2022 that d8 only measures — duplicated 8-token windows are CUT
+    // corpus-wide except their canonical (min doc_id, pos) occurrence.
+    // On the same planted corpus the originals are canonical and come
+    // through intact while every frankendoc collapses to its unique
+    // xq<id>x filler — readable keep-one semantics the oracle replays
+    // token for token
+    "d16_substring_excise" -> ((s, d) =>
+      Dedup.exciseDuplicateSpans(spanCorpus(s, d), k = 8)
+        .orderBy("doc_id")),
     // cross-batch incremental dedup: even docs play the already-ingested
     // corpus, the incoming batch is the odd docs plus planted cross-batch
     // re-deliveries (every 10th even doc re-arrives under a new id) and
@@ -455,6 +465,8 @@ object DedupQueries {
          |FROM sp GROUP BY doc_id, n_tokens
          |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
     },
+    "d16_substring_excise" ->
+      Dedup.exciseDuplicateSpansSql(spanCorpusSql, k = 8),
     // ground-truth all-pairs shingle Jaccard over the sliced
     // batch×corpus — NO LSH oracle-side, so a green row certifies both
     // the verify arithmetic AND the band probe's recall (see the d11
