@@ -330,6 +330,25 @@ object GraphExtQueries {
     // single-source BFS hop distances (capped): frontier-expansion
     // rounds touch only the frontier's edge boundary; source = the
     // graph's minimum node id (one metadata-sized aggregate)
+    // SAMPLED BETWEENNESS (g25): Brandes dependency accumulation for
+    // a hash-picked source panel over the g6 co-supplier graph — the
+    // bridge/broker score closeness and PageRank don't capture. Exact
+    // integer fixed-point (sigma = exact path counts, delta in 1e-6
+    // units via truncating div), so the oracle unrolls the identical
+    // forward levels + backward sweeps and hash-matches exactly
+    "g25_betweenness" -> ((s, d) => {
+      val sl = table(s, d, "lineitem")
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val edges = sl.alias("x")
+        .join(sl.alias("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      val sources = table(s, d, "supplier")
+        .filter(col("s_suppkey") % 17 === 3)
+        .select(col("s_suppkey").as("node"))
+      graft.graph.Betweenness.sampled(edges, sources, maxHops = 4)
+    }),
     "g6_bfs_hops" -> ((s, d) => {
       val sl = table(s, d, "lineitem")
         .filter(col("l_quantity") >= 45)
@@ -560,6 +579,14 @@ object GraphExtQueries {
         .stripMargin.replace('\n', ' '),
       "SELECT s_suppkey * 2 AS node FROM supplier WHERE s_nationkey < 5",
       iters = 5) + " ORDER BY node"),
+    "g25_betweenness" -> graft.graph.Betweenness.sampledSql(
+      """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem WHERE l_quantity >= 45)
+        |SELECT x.l_suppkey AS src, y.l_suppkey AS dst
+        |FROM sl x JOIN sl y ON x.l_orderkey = y.l_orderkey
+        |  AND x.l_suppkey < y.l_suppkey)""".stripMargin.replace('\n', ' '),
+      "SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 17 = 3",
+      maxHops = 4),
     "g6_bfs_hops" -> graft.graph.Bfs.bfsHopsSql(
       """(WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey
         |  FROM lineitem WHERE l_quantity >= 45)
