@@ -329,6 +329,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
   }
 
+  test("d16 substring excision: the cut is row-local — no cartesian " +
+    "product, every window doc-partitioned, no token-grain range join") {
+    val p = plan("d16_substring_excise")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    val unpart = p.collect { case w: WindowExec => w }
+      .filter(_.partitionSpec.isEmpty)
+    assert(unpart.isEmpty,
+      "gaps-and-islands must partition by doc_id, never globally")
+    // the spans fold to a doc-grain array and join back on doc_id
+    // alone; a plan that joined token positions against span ranges
+    // would carry a BETWEEN-style residual (two inequalities on the
+    // same column pair). The only residual here is the canonical-
+    // occurrence EXCLUSION pushed into the h-join — a NOT(...) guard,
+    // never a range
+    val ranged = p.collect { case j: SortMergeJoinExec => j }
+      .flatMap(_.condition)
+      .filter(c => c.sql.contains(">=") && c.sql.contains("<="))
+    assert(ranged.isEmpty,
+      s"no token-vs-span range join: ${ranged.map(_.sql)}")
+  }
+
   test("t40 DSIR: selection is TakeOrderedAndProject over a " +
     "broadcast-scored pool — no global sort, no pool-grain window") {
     val p = plan("t40_dsir_select")
