@@ -221,6 +221,33 @@ object StreamingQueries {
     // (value ×1.5 collector regression, which trips no row-level
     // rule) must flag; one content-tagged verdict row per batch,
     // replay-idempotent via the tag dedup
+    // STREAMING DSIR GATE (s20): the t40 data-selection model run the
+    // way production runs it — λ fit OFFLINE on the reference corpus
+    // and persisted (the sim14/d15 train/apply lifecycle, for a model
+    // instead of an index), then every micro-batch of incoming docs
+    // scores against the frozen artifact and carries a keep verdict.
+    // The model is fixed ⇒ verdicts are batch-boundary-independent ⇒
+    // the batch oracle recomputes identical scores over all batches;
+    // doc_id dedup makes replays exactly-once
+    "s20_stream_dsir_gate" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      val docStat = {
+        val p = Paths.get(s"$d/documents.parquet")
+        s"${Files.size(p)}_${Files.getLastModifiedTime(p).toMillis}"
+      }
+      val lamDir = StreamPipeline.scratchRoot().resolve(
+        s"graft_dsir_lambda_${d.hashCode.toHexString}_$docStat")
+      if (!Files.exists(lamDir.resolve("_SUCCESS"))) {
+        graft.text.Dsir.denseLambda(
+          PipelineQueries.table(s, d, "documents"),
+          TextQueries.dsirTarget, buckets = 4096)
+          .coalesce(1).write.mode("overwrite").parquet(lamDir.toString)
+      }
+      val out = SinkQueries.tmp(s"dsir_gate_${java.util.UUID
+        .randomUUID().toString.take(8)}", d)
+      StreamPipeline.streamDsirGate(s, splitDocsFileStream(s, d),
+        lamDir.toString, buckets = 4096, outRoot = out)
+    }),
     "s17_stream_ks_gate" -> ((s, d) => {
       val ref = PipelineQueries.table(s, d, "events")
         .filter(col("event_id") % 2 === 0)
@@ -792,6 +819,18 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // frozen model ⇒ the stream's per-doc verdicts equal the batch
+    // computation over the union of both micro-batches (incl. the
+    // planted re-deliveries and mutated twins under their own ids)
+    "s20_stream_dsir_gate" -> graft.text.Dsir.gateSql(
+      """(SELECT doc_id, text FROM documents WHERE doc_id < 500
+        |  UNION ALL SELECT doc_id + 700000, text FROM documents
+        |    WHERE doc_id < 250 AND doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 800000,
+        |      text || ' zt' || CAST(doc_id AS VARCHAR) || 'x'
+        |    FROM documents WHERE doc_id < 250 AND doc_id % 10 = 5)"""
+        .stripMargin.replace('\n', ' '),
+      TextQueries.dsirTargetSql, buckets = 4096),
     // batch twin: dq11's ksTestSql per slice, tagged like the stream's
     // content-derived batch keys (the planted ×1.5 product recomputes
     // to the identical IEEE double the stream file stores)

@@ -363,10 +363,11 @@ object TextQueries {
         dsirTarget, k = 200))
   )
 
-  /** t40's target slice: the "curated" corpus DSIR steers toward. */
-  private val dsirTarget: Column =
+  /** t40's target slice: the "curated" corpus DSIR steers toward
+    * (shared with the s20 stream gate's offline λ fit). */
+  private[queries] val dsirTarget: Column =
     col("lang") === "en" && col("source").isin("src0", "src1", "src2")
-  private val dsirTargetSql: String =
+  private[queries] val dsirTargetSql: String =
     "lang = 'en' AND source IN ('src0', 'src1', 'src2')"
 
   /** Bench-scoped workload overrides (see SparkEntry.benchOverrides):

@@ -480,6 +480,50 @@ object StreamPipeline {
       .dropDuplicates(Seq("batch_tag")).orderBy("batch_tag")
   }
 
+  /** STREAMING DSIR GATE (s20): score every micro-batch of documents
+    * against a PERSISTED λ model ([[graft.text.Dsir.denseLambda]]
+    * written to parquet by the offline fit — FAISS-style train/apply
+    * split, the sim14/d15 lifecycle shape for the data-selection
+    * model) and append per-doc keep verdicts. The model is fixed, so
+    * the verdict for a doc is independent of batch boundaries — the
+    * batch oracle recomputes the identical scores over the union of
+    * all batches, and the doc_id dedup turns at-least-once appends
+    * into exactly-once verdicts. λ is B rows read once per batch and
+    * broadcast: at 100 TB/day of ingest the gate stays one broadcast
+    * join + a doc-grain aggregate per batch. */
+  def streamDsirGate(spark: SparkSession, stream: DataFrame,
+      lambdaPath: String, buckets: Int, outRoot: String): DataFrame = {
+    val ckpt = scratchRoot().resolve(
+      s"graft_ckpt_sdsir_${java.util.UUID.randomUUID().toString.take(8)}")
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val b = batch.toDF()
+          if (!b.isEmpty) {
+            val lam = spark.read.parquet(lambdaPath)
+            graft.text.Dsir.scoreWith(lam, b, buckets)
+              .select(col("doc_id"), col("n_feats"), col("weight"),
+                when(col("weight") > 0, 1L).otherwise(0L).as("kept"))
+              .write.mode("append").parquet(outRoot)
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set(key, saved)
+      try deleteRecursively(ckpt) catch { case _: Throwable => () }
+    }
+    spark.read.parquet(outRoot)
+      .dropDuplicates(Seq("doc_id")).orderBy("doc_id")
+  }
+
   /** Harness entry: replay a bounded wire DataFrame through the streaming
     * engine via a file re-read as stream + AvailableNow, collecting into a
     * memory sink. Returns the materialized result table. Re-entrant: the

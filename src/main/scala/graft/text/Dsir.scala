@@ -70,7 +70,62 @@ object Dsir {
       .drop("bg")
   }
 
-  /** Per-raw-document DSIR importance weights.
+  /** DENSE per-bucket log-ratio model λ over ALL B buckets — the
+    * persistable artifact (write it once, gate any future batch
+    * against it; the s20 stream gate's offline half). Unseen buckets
+    * carry the pure-smoothing default ln((Nr+B)/(Nt+B)). Always
+    * exactly B rows — kilobytes at any corpus size. Each ln rounds
+    * once to 6 dp (the t16 discipline); λ is an exact decimal
+    * difference. */
+  def denseLambda(docs: DataFrame, targetCond: Column,
+      buckets: Int = 4096, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val feats = features(docs, targetCond, buckets, idCol, textCol)
+      .localCheckpoint()
+    val tAgg = feats.filter(col("is_target"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val tTot = tAgg.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    val rAgg = feats.filter(!col("is_target"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val rTot = rAgg.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"))
+    docs.sparkSession.range(buckets)
+      .select(col("id").as("bucket"))
+      .join(tAgg, Seq("bucket"), "left")
+      .join(rAgg, Seq("bucket"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("bucket"),
+        (round(log((coalesce(col("ct"), lit(0L)) + lit(1L))
+            .cast("double") / (col("nt") + lit(buckets.toLong))), 6)
+          .cast("decimal(12,6)") -
+          round(log((coalesce(col("cr"), lit(0L)) + lit(1L))
+            .cast("double") / (col("nr") + lit(buckets.toLong))), 6)
+            .cast("decimal(12,6)")).as("lmb"))
+  }
+
+  /** Score a pool against a (possibly persisted) λ model from
+    * [[denseLambda]]: (doc_id, n_feats, weight) per pool doc,
+    * featureless docs at exactly 0. One broadcast join + one
+    * doc-grain aggregate — the pool's text never shuffles. */
+  def scoreWith(lambda: DataFrame, pool: DataFrame, buckets: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val feats =
+      features(pool, lit(false), buckets, idCol, textCol)
+    val scoredDocs = feats
+      .join(broadcast(lambda), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lmb")).as("w_d"))
+    pool.select(col(idCol).as("doc_id"))
+      .join(scoredDocs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("w_d").cast("double"), lit(0d)).as("weight"))
+  }
+
+  /** Per-raw-document DSIR importance weights: [[denseLambda]] fit on
+    * the full corpus, [[scoreWith]] applied to the raw pool (pool
+    * features only ever hit raw-populated buckets, so the dense model
+    * scores identically to a raw-domain one).
     *
     * @param docs       corpus (idCol, textCol, …)
     * @param targetCond boolean Column splitting docs into target
@@ -80,42 +135,9 @@ object Dsir {
     *         weight = Σ_occurrences λ_bucket as exact decimal cast to
     *         double; featureless documents carry weight 0. */
   def weights(docs: DataFrame, targetCond: Column, buckets: Int = 4096,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(buckets > 0, s"buckets must be positive: $buckets")
-    // tokenized exactly once for both model fits and the scoring pass
-    val feats = features(docs, targetCond, buckets, idCol, textCol)
-      .localCheckpoint()
-    val tAgg = feats.filter(col("is_target"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    val tTot = tAgg.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
-    val rFeats = feats.filter(!col("is_target"))
-    val rAgg = rFeats.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
-    val rTot = rAgg.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"))
-    // λ over the raw-feature bucket domain (a raw doc can only hit
-    // buckets present in rAgg); ≤ B rows — broadcast-sized by
-    // construction. Each ln rounds once to 6 dp; λ is then an exact
-    // decimal difference.
-    val lambda = rAgg
-      .join(tAgg, Seq("bucket"), "left")
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
-      .select(col("bucket"),
-        (round(log((coalesce(col("ct"), lit(0L)) + lit(1L))
-            .cast("double") / (col("nt") + lit(buckets.toLong))), 6)
-          .cast("decimal(12,6)") -
-          round(log((col("cr") + lit(1L)).cast("double") /
-            (col("nr") + lit(buckets.toLong))), 6)
-            .cast("decimal(12,6)")).as("lmb"))
-    val scoredDocs = rFeats
-      .join(broadcast(lambda), Seq("bucket"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("lmb")).as("w_d"))
-    // featureless raw docs (< 2 tokens) score 0, not missing
-    docs.filter(!targetCond).select(col(idCol).as("doc_id"))
-      .join(scoredDocs, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("w_d").cast("double"), lit(0d)).as("weight"))
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scoreWith(denseLambda(docs, targetCond, buckets, idCol, textCol),
+      docs.filter(!targetCond), buckets, idCol, textCol)
 
   /** Top-k selection from [[weights]] — temperature-0 DSIR: highest
     * importance weight first, doc_id tie-break. Fixed k ⇒
@@ -126,6 +148,55 @@ object Dsir {
     require(k > 0, s"k must be positive: $k")
     weights(docs, targetCond, buckets, idCol, textCol)
       .orderBy(desc("weight"), col("doc_id")).limit(k)
+  }
+
+  /** Shared CTE text: bigram-bucket features of `rel` (must yield
+    * doc_id, text, plus anything `extra` needs) as CTE `name`. */
+  private def featsCte(name: String, rel: String, buckets: Int): String = {
+    val toks = TextAnalysis.tokensSql(TextAnalysis.normalizedSql("text"))
+    s"""${name}_t AS (SELECT doc_id, $toks AS toks FROM $rel),
+       |$name AS (SELECT doc_id, ${bucketSql("bg", buckets)} AS bucket
+       |  FROM (SELECT doc_id, unnest(list_transform(
+       |      range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))
+       |      AS bg
+       |    FROM ${name}_t))""".stripMargin
+  }
+
+  /** DuckDB twin of [[denseLambda]] (fit on `documents`) +
+    * [[scoreWith]] over `poolRel` with a weight>0 keep flag — the s20
+    * gate's batch oracle. */
+  def gateSql(poolRel: String, targetSql: String,
+      buckets: Int = 4096): String = {
+    val b = buckets
+    s"""WITH ${featsCte("mf",
+         s"(SELECT doc_id, text FROM documents WHERE $targetSql)", b)},
+       |${featsCte("rf",
+         s"(SELECT doc_id, text FROM documents WHERE NOT ($targetSql))",
+         b)},
+       |tagg AS (SELECT bucket, count(*) AS ct FROM mf GROUP BY 1),
+       |ttot AS (SELECT COALESCE(sum(ct), 0) AS nt FROM tagg),
+       |ragg AS (SELECT bucket, count(*) AS cr FROM rf GROUP BY 1),
+       |rtot AS (SELECT COALESCE(sum(cr), 0) AS nr FROM ragg),
+       |lam AS (SELECT g.i AS bucket,
+       |    CAST(round(ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+       |        / (nt + $b)), 6) AS DECIMAL(12,6))
+       |    - CAST(round(ln(CAST(COALESCE(r.cr, 0) + 1 AS DOUBLE)
+       |        / (nr + $b)), 6) AS DECIMAL(12,6)) AS lmb
+       |  FROM range(0, $b) g(i)
+       |  LEFT JOIN tagg t ON t.bucket = g.i
+       |  LEFT JOIN ragg r ON r.bucket = g.i
+       |  CROSS JOIN ttot CROSS JOIN rtot),
+       |pool AS (SELECT doc_id, text FROM $poolRel),
+       |${featsCte("pf", "pool", b)},
+       |scored AS (SELECT doc_id, count(*) AS n_feats, sum(lmb) AS w_d
+       |  FROM pf JOIN lam USING (bucket) GROUP BY 1)
+       |SELECT p.doc_id,
+       |  COALESCE(s.n_feats, 0) AS n_feats,
+       |  COALESCE(CAST(s.w_d AS DOUBLE), 0) AS weight,
+       |  CASE WHEN COALESCE(CAST(s.w_d AS DOUBLE), 0) > 0
+       |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept
+       |FROM pool p LEFT JOIN scored s USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin.replace('\n', ' ')
   }
 
   /** DuckDB twin of [[selectTopK]] over the `documents` table.
