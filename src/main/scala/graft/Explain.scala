@@ -90,7 +90,7 @@ object Explain {
         "ds3_top_decile", "sim4_lsh_neardup",
         "x53_equi_depth_histogram", "x58_weighted_median",
         "t40_dsir_select", "d16_substring_excise", "g25_betweenness",
-        "s20_stream_dsir_gate")
+        "s20_stream_dsir_gate", "d17_minhash_portable")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -159,6 +159,98 @@ object Dedup {
     exploded.groupBy(col(idCol)).agg(minExprs.head, minExprs.tail: _*)
   }
 
+  /** ENGINE-PORTABLE MinHash-LSH (d17): the d2 algorithm with the
+    * md5-prefix hash family `h_s(x) = int(md5("s:" || x)[0:12])`
+    * instead of seeded xxhash64, so the DuckDB oracle replays the
+    * SIGNATURES — and therefore the banding and every candidate pair —
+    * exactly. d2 (xxhash64) remains the 100 TB path (md5 is ~10×
+    * slower per shingle); this row exists so the LSH *algorithm* —
+    * min-wise signatures, band split, bucket agreement — carries
+    * oracle evidence instead of only spec fixtures.
+    *
+    * @return (id_a, id_b, n_bands, sig_agree): pairs sharing ≥ 1 full
+    *         band (id_a < id_b), how many of the B bands agree, and
+    *         how many of the K minhashes agree (K·J estimate of
+    *         Jaccard). One shuffle keyed by doc for the signatures,
+    *         band-bucket self-joins for the pairs — never all-pairs. */
+  def portableMinhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val exploded = docs
+      .select(col(idCol),
+        TextAnalysis.normalized(col(textCol)).as("__norm"))
+      .select(col(idCol),
+        explode(shinglesFromNorm(col("__norm"), k)).as("shingle"))
+    val minExprs = (0 until numHashes).map(s =>
+      min(expr("CAST(conv(substring(md5(concat('" + s +
+        ":', shingle)), 1, 12), 16, 10) AS BIGINT)")).as(s"mh_$s"))
+    val sigs = exploded.groupBy(col(idCol))
+      .agg(minExprs.head, minExprs.tail: _*)
+      .localCheckpoint() // referenced per band + for the agree join
+    val bandKeys = (0 until bands).map { b =>
+      sigs.select(col(idCol), lit(b).as("band"),
+        concat_ws(",", (0 until rows).map(r =>
+          col(s"mh_${b * rows + r}").cast("string")): _*).as("bkey"))
+    }.reduce(_.unionAll(_))
+    val pairs = bandKeys.alias("x")
+      .join(bandKeys.alias("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bkey") === col("y.bkey") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    val agree = (0 until numHashes)
+      .map(s => when(col(s"a.mh_$s") === col(s"b.mh_$s"), 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(sigs.alias("a"), col("id_a") === col(s"a.$idCol"))
+      .join(sigs.alias("b"), col("id_b") === col(s"b.$idCol"))
+      .select(col("id_a"), col("id_b"), col("n_bands"),
+        agree.as("sig_agree"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB twin of [[portableMinhashPairs]]; `corpusRel` yields
+    * (doc_id, text). */
+  def portableMinhashPairsSql(corpusRel: String, k: Int = 5,
+      numHashes: Int = 16, bands: Int = 4): String = {
+    val rows = numHashes / bands
+    val norm = TextAnalysis.normalizedSql("text")
+    val sh = s"list_distinct([substr(n, i, $k) " +
+      s"for i in range(1, greatest(len(n) - ${k - 1}, 1) + 1)])"
+    val mins = (0 until numHashes).map(s =>
+      s"min(CAST(('0x' || substr(md5('$s:' || shingle), 1, 12)) " +
+        s"AS BIGINT)) AS mh_$s").mkString(", ")
+    val bandSel = (0 until bands).map { b =>
+      val key = (0 until rows)
+        .map(r => s"CAST(mh_${b * rows + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sigs"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until numHashes)
+      .map(s => s"CASE WHEN a.mh_$s = b.mh_$s THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH corpus AS (SELECT * FROM $corpusRel),
+       |shl AS (SELECT doc_id, unnest($sh) AS shingle
+       |  FROM (SELECT doc_id, $norm AS n FROM corpus)),
+       |sigs AS (SELECT doc_id, $mins FROM shl GROUP BY 1),
+       |bk AS ($bandSel),
+       |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |    count(*) AS n_bands
+       |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+       |    AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.id_a, p.id_b, p.n_bands,
+       |  CAST($agree AS BIGINT) AS sig_agree
+       |FROM pairs p
+       |JOIN sigs a ON a.doc_id = p.id_a
+       |JOIN sigs b ON b.doc_id = p.id_b
+       |ORDER BY p.id_a, p.id_b""".stripMargin.replace('\n', ' ')
+  }
+
   /** (band, bucket, id) rows from minhash signatures — the banded LSH
     * bucketing shared by the within-corpus pair generator
     * ([[lshCandidatePairs]]) and the persistable cross-batch index

@@ -184,6 +184,24 @@ object DedupQueries {
     "d16_substring_excise" -> ((s, d) =>
       Dedup.exciseDuplicateSpans(spanCorpus(s, d), k = 8)
         .orderBy("doc_id")),
+    // ENGINE-PORTABLE MinHash-LSH (d17): the d2 algorithm under the
+    // md5-prefix hash family, so the oracle replays the signatures —
+    // and therefore the banding and every candidate pair — exactly.
+    // Planted exact re-deliveries must agree on all 16 minhashes
+    // (4 bands); suffix-mutated twins on most. d2 (xxhash64) stays
+    // the 100 TB path; this row gives the ALGORITHM oracle evidence
+    "d17_minhash_portable" -> ((s, d) => {
+      val base = table(s, d, "documents")
+        .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+      val planted = base
+        .unionAll(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat(col("text"), lit(" zq"),
+              col("doc_id").cast("string"), lit("x")).as("text")))
+        .unionAll(base.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 600000).as("doc_id"), col("text")))
+      Dedup.portableMinhashPairs(planted)
+    }),
     // cross-batch incremental dedup: even docs play the already-ingested
     // corpus, the incoming batch is the odd docs plus planted cross-batch
     // re-deliveries (every 10th even doc re-arrives under a new id) and
@@ -467,6 +485,14 @@ object DedupQueries {
     },
     "d16_substring_excise" ->
       Dedup.exciseDuplicateSpansSql(spanCorpusSql, k = 8),
+    "d17_minhash_portable" -> Dedup.portableMinhashPairsSql(
+      """(SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL SELECT doc_id + 500000,
+        |      text || ' zq' || CAST(doc_id AS VARCHAR) || 'x'
+        |    FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 600000, text FROM documents
+        |    WHERE doc_id < 200 AND doc_id % 11 = 0)"""
+        .stripMargin.replace('\n', ' ')),
     // ground-truth all-pairs shingle Jaccard over the sliced
     // batch×corpus — NO LSH oracle-side, so a green row certifies both
     // the verify arithmetic AND the band probe's recall (see the d11
