@@ -102,7 +102,14 @@ object Betweenness {
             col("sigma").as("sigma_w"), col("delta").as("delta_w")),
           Seq("src_s", "dst"))
         .select(col("src_s"), cur("node").as("node"),
-          expr(s"sigma * ($U + delta_w) div sigma_w").as("term"))
+          // σ, δ_w, σ_w are never null here (σ from inner joins, δ
+          // coalesced), so a NULL product can only mean DECIMAL(38,0)
+          // overflow — which non-ANSI Spark would otherwise silently
+          // drop from sum() while DuckDB's HUGEINT holds the value or
+          // errors. Surface it loudly instead (round-11 ADVICE).
+          expr(s"coalesce(sigma * ($U + delta_w) div sigma_w, " +
+            "CAST(raise_error('g25: DECIMAL(38,0) overflow in " +
+            "Brandes delta term') AS BIGINT))").as("term"))
       deltaNext = cur
         .join(terms.groupBy(col("src_s"), col("node"))
           .agg(sum(col("term")).as("delta")),

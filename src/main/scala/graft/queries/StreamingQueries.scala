@@ -235,18 +235,26 @@ object StreamingQueries {
         val p = Paths.get(s"$d/documents.parquet")
         s"${Files.size(p)}_${Files.getLastModifiedTime(p).toMillis}"
       }
+      val buckets = 4096
+      // cache key carries the MODEL parameters (bucket count, target
+      // predicate) and a bumpable algorithm-version tag next to the
+      // data's size+mtime, so a λ written by an older Dsir build or
+      // with different parameters is never silently reused
+      // (round-11 ADVICE)
+      val modelKey = s"${graft.text.Dsir.AlgoVersion}_b${buckets}_" +
+        Integer.toHexString(TextQueries.dsirTargetSql.hashCode)
       val lamDir = StreamPipeline.scratchRoot().resolve(
-        s"graft_dsir_lambda_${d.hashCode.toHexString}_$docStat")
+        s"graft_dsir_lambda_${d.hashCode.toHexString}_${modelKey}_$docStat")
       if (!Files.exists(lamDir.resolve("_SUCCESS"))) {
         graft.text.Dsir.denseLambda(
           PipelineQueries.table(s, d, "documents"),
-          TextQueries.dsirTarget, buckets = 4096)
+          TextQueries.dsirTarget, buckets = buckets)
           .coalesce(1).write.mode("overwrite").parquet(lamDir.toString)
       }
       val out = SinkQueries.tmp(s"dsir_gate_${java.util.UUID
         .randomUUID().toString.take(8)}", d)
       StreamPipeline.streamDsirGate(s, splitDocsFileStream(s, d),
-        lamDir.toString, buckets = 4096, outRoot = out)
+        lamDir.toString, buckets = buckets, outRoot = out)
     }),
     "s17_stream_ks_gate" -> ((s, d) => {
       val ref = PipelineQueries.table(s, d, "events")

@@ -37,6 +37,12 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
+  /** Bumped whenever the λ model's feature extraction or estimator
+    * changes shape (tokenizer, bigram builder, smoothing, bucketing) —
+    * persisted-λ cache keys (s20) embed it so artifacts written by an
+    * older algorithm are never silently reused. */
+  val AlgoVersion = "dsir-v1"
+
   /** Engine-portable feature hash: md5-prefix of the bigram, mod B
     * (48-bit non-negative, so `%` == `pmod`). */
   private def bucketExpr(bg: String, buckets: Int): String =
