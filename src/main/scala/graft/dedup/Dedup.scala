@@ -475,14 +475,82 @@ object Dedup {
     summed.select(col(idCol), sig.as("simhash"))
   }
 
-  /** Hamming-distance-≤ maxDist pairs via pigeonhole blocking: split the
-    * 64-bit signature into (maxDist+1) chunks; any qualifying pair must
-    * share at least one exact chunk → bucket-join on (chunkIdx, chunkVal),
-    * then exact popcount filter. */
-  def simhashNearPairs(sigs: DataFrame, idCol: String = "doc_id",
-      maxDist: Int = 3): DataFrame = {
+  /** ENGINE-PORTABLE SimHash (d4p): the d4 algorithm under the
+    * md5-prefix hash family — 48-bit signatures (12 hex chars of md5
+    * give exactly 48 hash bits, so every signature bit comes from the
+    * same portable hash both engines compute), so the DuckDB oracle
+    * replays bit sums → signatures → pigeonhole buckets → every
+    * near-pair exactly. d4 (xxhash64, 64-bit) remains the production
+    * path; this row gives the SimHash algorithm itself hash-matching
+    * oracle evidence (the d17 pattern). Pair with
+    * [[simhashNearPairs]](sigBits = 48). */
+  def portableSimhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", bits: Int = 48): DataFrame = {
+    require(bits >= 1 && bits <= 48, s"md5 prefix carries 48 bits; got $bits")
+    val toks = docs.select(col(idCol),
+      explode(array_distinct(TextAnalysis.tokens(
+        TextAnalysis.normalized(col(textCol))))).as("tok"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(tok), 1, 12), 16, 10) AS BIGINT)"))
+    val bitSums = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"bit_$b")
+    }
+    val summed = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map { b =>
+      when(col(s"bit_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    summed.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** DuckDB twin of [[portableSimhash]] + [[simhashNearPairs]]:
+    * identical bit sums, signature packing, pigeonhole chunks, and
+    * exact popcount filter. `docsRel` yields (doc_id, text). */
+  def portableSimhashPairsSql(docsRel: String, maxDist: Int = 3,
+      bits: Int = 48): String = {
     val chunks = maxDist + 1
-    val width = 64 / chunks
+    val width = bits / chunks
+    val norm = TextAnalysis.normalizedSql("text")
+    val bitSums = (0 until bits).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b_$b")
+      .mkString(", ")
+    // disjoint bit positions ⇒ + is exactly bitwise OR (and sidesteps
+    // cross-engine | precedence differences)
+    val sig = (0 until bits).map(b =>
+      s"(CASE WHEN b_$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH docs AS (SELECT * FROM $docsRel),
+       |toks AS (SELECT doc_id,
+       |    unnest(list_distinct(regexp_split_to_array($norm, '\\s+')))
+       |      AS tok
+       |  FROM docs),
+       |h AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS h
+       |  FROM toks),
+       |sums AS (SELECT doc_id, $bitSums FROM h GROUP BY 1),
+       |sig AS (SELECT doc_id, $sig AS simhash FROM sums),
+       |ch AS (SELECT doc_id, simhash, cs.ci,
+       |    (simhash >> (cs.ci * $width)) & ${(1L << width) - 1} AS cv
+       |  FROM sig, (SELECT CAST(x AS INT) AS ci
+       |    FROM generate_series(0, ${chunks - 1}) t(x)) cs),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv
+       |    AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sa, sb)) <= $maxDist
+       |ORDER BY id_a, id_b""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Hamming-distance-≤ maxDist pairs via pigeonhole blocking: split the
+    * `sigBits`-bit signature into (maxDist+1) chunks; any qualifying pair
+    * must share at least one exact chunk → bucket-join on (chunkIdx,
+    * chunkVal), then exact popcount filter. */
+  def simhashNearPairs(sigs: DataFrame, idCol: String = "doc_id",
+      maxDist: Int = 3, sigBits: Int = 64): DataFrame = {
+    val chunks = maxDist + 1
+    val width = sigBits / chunks
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("ci"),
         shiftright(col("simhash"), c * width)

@@ -120,6 +120,17 @@ object DedupQueries {
       Dedup.simhashNearPairs(Dedup.simhash(docs), maxDist = 3)
         .orderBy("id_a", "id_b")
     }),
+    // ENGINE-PORTABLE SimHash (d4p): the d4 algorithm with 48-bit
+    // md5-prefix token hashes — DuckDB replays bit sums, signatures,
+    // pigeonhole buckets, and every near-pair exactly (the d17
+    // pattern applied to SimHash). d4 (xxhash64/64-bit) remains the
+    // production path
+    "d4p_simhash_portable" -> ((s, d) => {
+      val docs = table(s, d, "documents").filter(col("doc_id") < 200)
+      Dedup.simhashNearPairs(Dedup.portableSimhash(docs), maxDist = 3,
+          sigBits = 48)
+        .orderBy("id_a", "id_b")
+    }),
     // near-dup pairs → clusters: connected components by min-label
     // propagation (one canonical doc per component)
     "d5_dedup_clusters" -> ((s, d) =>
@@ -485,6 +496,9 @@ object DedupQueries {
     },
     "d16_substring_excise" ->
       Dedup.exciseDuplicateSpansSql(spanCorpusSql, k = 8),
+    "d4p_simhash_portable" -> Dedup.portableSimhashPairsSql(
+      "(SELECT doc_id, text FROM documents WHERE doc_id < 200)",
+      maxDist = 3),
     "d17_minhash_portable" -> Dedup.portableMinhashPairsSql(
       """(SELECT doc_id, text FROM documents WHERE doc_id < 200
         |  UNION ALL SELECT doc_id + 500000,

@@ -230,6 +230,36 @@ object SimilarityQueries {
       Similarity.cosineLshNearDupPairs(table(s, d, "embeddings"),
         threshold = 0.4)
         .orderBy("id_a", "id_b")),
+    // ENGINE-PORTABLE banded hyperplane-LSH (sim4p): the sim4
+    // algorithm under the md5-prefix hash family + exact integer
+    // arithmetic — DuckDB replays signatures, bands, candidates, and
+    // the cosine² verify exactly (the d17 pattern for vectors).
+    // threshold 0.4 ⇒ t²e4 = 1600
+    "sim4p_lsh_portable" -> ((s, d) =>
+      graft.sim.PortableSim.portableLshPairs(table(s, d, "embeddings"),
+        t2e4 = 1600)
+        .orderBy("id_a", "id_b")),
+    // ENGINE-PORTABLE hyperplane IVF (sim2p): sim2's bucket/probe
+    // algorithm with portable planes and integer sign(c)·c² rank
+    // scores — bucket assignment, Hamming-flip probe order, and final
+    // top-k replay exactly in DuckDB
+    "sim2p_ivf_portable" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      graft.sim.PortableSim.portableIvfTopK(emb,
+        emb.filter(col("vec_id") < 20), k = 5, bits = 4, probes = 3)
+        .orderBy("query_id", "rank")
+    }),
+    // ENGINE-PORTABLE trained IVF (sim7p): sim7's hash-seeded Lloyd
+    // training made engine-exact (integer member-SUM centroids, md5
+    // seeding, rational cross-multiplied assignment scores) — DuckDB
+    // replays the TRAINING itself, then buckets, probe order, ranks
+    "sim7p_ivf_trained_portable" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      graft.sim.PortableSim.portableIvfTrainedTopK(emb,
+        emb.filter(col("vec_id") < 20), k = 5, nlist = 8, iters = 2,
+        probes = 3)
+        .orderBy("query_id", "rank")
+    }),
     // int8 scalar quantization (embedding compression for ANN at scale);
     // the int8 array is CSV-joined because the harness compare hashes
     // scalar cells, not lists (same convention as a1's parallel arrays)
@@ -352,6 +382,15 @@ object SimilarityQueries {
          |ORDER BY a.query_id""".stripMargin.replace('\n', ' ')
     },
     "sim3_cosine_neardup" -> Similarity.cosineNearDupPairsSql(0.4),
+    "sim4p_lsh_portable" ->
+      graft.sim.PortableSim.portableLshPairsSql("embeddings",
+        t2e4 = 1600),
+    "sim2p_ivf_portable" ->
+      graft.sim.PortableSim.portableIvfTopKSql("embeddings",
+        "id < 20", k = 5, bits = 4, probes = 3),
+    "sim7p_ivf_trained_portable" ->
+      graft.sim.PortableSim.portableIvfTrainedTopKSql("embeddings",
+        "dd.id < 20", k = 5, nlist = 8, iters = 2, probes = 3),
     "sim5_quantize_int8" -> Similarity.quantizeInt8Sql,
     "sim6_l2_normalize" -> Similarity.l2NormalizeSql
   )
