@@ -75,6 +75,14 @@ object RandomWalks {
       levels += cur.select(col("walk"), lit(k.toLong).as("step"),
         col("cur").as("node"))
     }
+    // Every level is localCheckpoint-materialized by now (eager), so
+    // nothing in the output's lineage references the cached adjacency
+    // — free its E-sized blocks IMMEDIATELY instead of leaving them
+    // for the inter-query sweep's GC point. This was g15's bench
+    // dispersion: each sample persisted a fresh adjacency copy whose
+    // blocks survived the sample, inflating later in-pass work
+    // (BENCH_FULL r11: samples 72.1/5.4/15.5 on identical plans).
+    adj.unpersist(blocking = false)
     levels.result().reduce(_.unionAll(_)).orderBy("walk", "step")
   }
 
