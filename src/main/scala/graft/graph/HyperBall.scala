@@ -1,0 +1,145 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** HyperBall (Boldi & Vigna 2013) — the HLL-register form of the
+  * bitset multi-source BFS in [[Closeness]], and the REAL 100 TB path
+  * once the source set outgrows chunked 64-bit panels: every node
+  * keeps one HyperLogLog sketch of its ball B(v, h) (the nodes within
+  * h hops), per hop the sketch unions along edges (element-wise
+  * register max — commutative, idempotent, order-independent), and
+  * per-node ball SIZES fall out as HLL estimates. Neighborhood
+  * function, effective diameter, and closeness for EVERY node at
+  * node-grain state — no source sampling at all — which is exactly
+  * what the exact-mask variant cannot do past ~64·chunks sources.
+  *
+  * Representation: registers live EXPLODED and SPARSE as
+  * (node, idx, rho) rows — only registers ever hit exist, and each
+  * hop propagates only the DELTA (register entries that improved), so
+  * shuffle volume tracks convergence, not state size (the classic
+  * delta iteration; HyperBall's systolic form). A packed
+  * array<byte>-per-node layout with a custom max-merge aggregate is
+  * the squeeze-the-constant production refinement; the sparse form
+  * stays pure-DataFrame and its volume is ≤ n·m integer triples.
+  *
+  * Register hash is the repo's portable md5₄₈ family: idx = h mod m,
+  * rho = trailing-zeros(h div m) + 1 via the pure-integer
+  * `bit_count((w & -w) - 1) + 1` — deterministic across engines,
+  * runs, and partitionings. Estimates are the standard α_m·m²/ΣZ
+  * with the small-range linear-counting correction; estimate rows are
+  * doubles and the harness rows are rows-only by design (estimator
+  * output; the spec pins accuracy against the exact bitset BFS).
+  *
+  * m = 64 registers (p = 6, σ ≈ 1.04/√64 ≈ 13% per node; sums over
+  * nodes concentrate further). maxHops mirrors the exact variant. */
+object HyperBall {
+
+  private val M = 64
+  private val Alpha = 0.709 // α_64 (Flajolet et al. 2007)
+
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** Per-hop per-node ball-size estimates (node, hop, est) for
+    * hop 0..maxHops (stops early at the fixpoint). est includes the
+    * node itself (|B(v,0)| ≈ 1). */
+  def ballEstimates(edges: DataFrame, maxHops: Int = 10): DataFrame = {
+    val sym = symmetrize(edges).localCheckpoint()
+    val nodes = sym.select(col("src").as("node")).distinct()
+    // one initial register row per node: its own hash
+    val init = nodes.select(col("node"),
+        expr("CAST(conv(substring(md5(CAST(node AS STRING)), 1, 12), " +
+          "16, 10) AS BIGINT)").as("h"))
+      .select(col("node"), expr(s"CAST(h % $M AS INT)").as("idx"),
+        expr(s"CAST(CASE WHEN h div $M = 0 THEN 43 ELSE " +
+          s"bit_count(((h div $M) & -(h div $M)) - 1) + 1 END AS INT)")
+          .as("rho"))
+    var state = init.localCheckpoint()
+    var delta = state
+    // per-node estimate over the CURRENT registers: ΣZ = Σ 2^-rho over
+    // present registers + one unit per absent register; small-range
+    // linear counting below 2.5m
+    def estimate(hop: Int): DataFrame =
+      state.groupBy(col("node"))
+        .agg(sum(expr("pow(CAST('2' AS DOUBLE), -rho)")).as("zsum"),
+          count(lit(1)).as("nreg"))
+        .select(col("node"), lit(hop).as("hop"),
+          expr(s"CASE WHEN ($Alpha * $M * $M) / (zsum + ($M - nreg)) " +
+            s"<= 2.5 * $M AND nreg < $M " +
+            s"THEN $M * ln(CAST($M AS DOUBLE) / ($M - nreg)) " +
+            s"ELSE ($Alpha * $M * $M) / (zsum + ($M - nreg)) END")
+            .as("est"))
+    val perHop = scala.collection.mutable.ListBuffer(estimate(0))
+    var hop = 0
+    while (hop < maxHops && !delta.isEmpty) {
+      hop += 1
+      // only IMPROVED register entries ride the edge join
+      val cand = sym
+        .join(delta.select(col("node").as("src"), col("idx"),
+          col("rho")), "src")
+        .groupBy(col("dst").as("node"), col("idx"))
+        .agg(max(col("rho")).as("cr"))
+      delta = cand
+        .join(state, Seq("node", "idx"), "left")
+        .filter(col("cr") > coalesce(col("rho"), lit(0)))
+        .select(col("node"), col("idx"), col("cr").as("rho"))
+        .localCheckpoint()
+      state = state.unionAll(delta)
+        .groupBy(col("node"), col("idx"))
+        .agg(max(col("rho")).as("rho"))
+        .localCheckpoint()
+      perHop += estimate(hop)
+    }
+    perHop.reduce(_.unionAll(_))
+  }
+
+  /** ALL-node closeness estimates (g17's statistic without the source
+    * panel): n_reached_est = E(v, H) − 1, sum_dist_est =
+    * Σ_h h·max(ΔE_h, 0). The per-node window runs over ≤ maxHops+1
+    * rows — hop-grain, never data-grain. */
+  def closeness(edges: DataFrame, maxHops: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("node")).orderBy(col("hop"))
+    ballEstimates(edges, maxHops)
+      .withColumn("d",
+        greatest(col("est") - lag(col("est"), 1).over(w), lit(0.0)))
+      .groupBy(col("node"))
+      .agg(max(col("est")).as("efin"),
+        sum(col("d") * col("hop")).as("sde"))
+      .filter(col("sde") > 0)
+      .select(col("node"),
+        round(col("efin") - 1, 4).as("n_reached_est"),
+        round(col("sde"), 4).as("sum_dist_est"),
+        round((col("efin") - 1) / col("sde"), 6).as("closeness_est"))
+      .orderBy("node")
+  }
+
+  /** Neighborhood function + effective diameter (g18's statistic over
+    * ALL pairs, not a panel): cum(h) = Σ_v E(v, h) − n, per-hop pair
+    * deltas, cumulative fraction, and the p90 hop. Hop-grain output. */
+  def hopDistribution(edges: DataFrame, maxHops: Int = 10): DataFrame = {
+    val byHop = ballEstimates(edges, maxHops)
+      .groupBy(col("hop"))
+      .agg(sum(col("est")).as("tot_est"), count(lit(1)).as("n"))
+      .select(col("hop"),
+        greatest(col("tot_est") - col("n"), lit(0.0)).as("cum_est"))
+    val w = Window.orderBy(col("hop"))
+    val tot = byHop.agg(max(col("cum_est")).as("tot"))
+    byHop
+      .withColumn("n_pairs_est",
+        greatest(col("cum_est") - coalesce(lag(col("cum_est"), 1)
+          .over(w), lit(0.0)), lit(0.0)))
+      .filter(col("hop") > 0)
+      .crossJoin(broadcast(tot))
+      .select(col("hop").cast("int").as("hop"),
+        round(col("n_pairs_est"), 4).as("n_pairs_est"),
+        round(col("cum_est"), 4).as("cum_pairs_est"),
+        round(col("cum_est") / col("tot"), 6).as("cum_frac_est"),
+        (col("cum_est") * 10 >= col("tot") * 9).as("reaches_p90"))
+      .orderBy("hop")
+  }
+}

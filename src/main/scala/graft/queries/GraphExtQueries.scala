@@ -125,6 +125,34 @@ object GraphExtQueries {
         .select((col("s_suppkey") * 2).as("node"))
       graft.graph.Closeness.hopDistribution(pairs, sources)
     }),
+    // HYPERBALL closeness (g17h): the HLL-register form of the g17
+    // bitset BFS — EVERY node's ball sizes from one node-grain sketch
+    // state, no source panel at all (the k ≫ 64 scale path; Boldi &
+    // Vigna 2013). Estimator output ⇒ rows-only by design;
+    // HyperBallSpec pins accuracy against the exact bitset BFS
+    "g17h_closeness_hll" -> ((s, d) => {
+      val pairs = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
+      graft.graph.HyperBall.closeness(pairs)
+    }),
+    // HYPERBALL neighborhood function + effective diameter (g18h):
+    // g18's statistic over ALL source nodes via HLL sketches —
+    // the true ANF. Rows-only (estimator); spec-pinned vs exact
+    "g18h_diameter_hll" -> ((s, d) => {
+      val pairs = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
+      graft.graph.HyperBall.hopDistribution(pairs)
+    }),
     // DEGREE DISTRIBUTION summary + Hill tail exponent (g19): the
     // graph-shape statistic that decides every downstream algorithm
     // choice (skew-aware joins, degree-ordered triangle counting,
