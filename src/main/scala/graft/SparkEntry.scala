@@ -34,7 +34,8 @@ object SparkEntry {
     * ("bench_overrides") so the artifact carries the workload delta
     * (round-10 ADVICE: no JVM-global flag keying query semantics). */
   def benchOverrides: Map[String, (SparkSession, String) => DataFrame] =
-    DedupQueries.benchOverrides ++ TextQueries.benchOverrides
+    DedupQueries.benchOverrides ++ TextQueries.benchOverrides ++
+      StreamingQueries.benchOverrides ++ GraphExtQueries.benchOverrides
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
