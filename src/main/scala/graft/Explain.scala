@@ -90,7 +90,11 @@ object Explain {
         "ds3_top_decile", "sim4_lsh_neardup",
         "x53_equi_depth_histogram", "x58_weighted_median",
         "t40_dsir_select", "d16_substring_excise", "g25_betweenness",
-        "s20_stream_dsir_gate", "d17_minhash_portable")
+        "s20_stream_dsir_gate", "d17_minhash_portable",
+        // round-12 additions
+        "sim4p_lsh_portable", "sim2p_ivf_portable",
+        "sim7p_ivf_trained_portable", "d4p_simhash_portable",
+        "g17h_closeness_hll", "g18h_diameter_hll")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -713,4 +713,29 @@ class PlanShapeSpec extends AnyFunSuite {
       p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
       "centroid drift is sums and one scalar tree, never a join")
   }
+
+  test("sim4p/sim2p portable LSH/IVF: no CartesianProduct — the only " +
+    "cross join is the broadcast metadata weight table; the plane " +
+    "weights broadcast onto the exploded corpus") {
+    Seq("sim4p_lsh_portable", "sim2p_ivf_portable").foreach { n =>
+      val p = plan(n)
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$n has a CartesianProduct")
+      assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"$n: weight/probe joins must broadcast")
+    }
+    // sim2p's per-query rank window is partitioned (bounded queries)
+    plan("sim2p_ivf_portable").collect { case w: WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty,
+        "sim2p rank window must be partitioned by query"))
+  }
+
+  test("g17h HyperBall closeness: the per-node delta window is " +
+    "partitioned by node — hop-grain, never a global sort of state") {
+    val p = plan("g17h_closeness_hll")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    p.collect { case w: WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty,
+        "per-node estimate window must be partitioned"))
+  }
 }
