@@ -249,6 +249,16 @@ object SimilarityQueries {
         emb.filter(col("vec_id") < 20), k = 5, bits = 4, probes = 3)
         .orderBy("query_id", "rank")
     }),
+    // ENGINE-PORTABLE PQ (sim8p): sim8's serving shape in the original
+    // Jégou L2 metric over shifted non-negative integers — subvector
+    // Lloyd codebooks, codes, per-query ADC tables, Σ-lookup ranking,
+    // exact integer-L2 re-rank; DuckDB replays training included
+    "sim8p_pq_portable" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      graft.sim.PortableSim.portablePqTopK(emb,
+        emb.filter(col("vec_id") < 20), k = 5)
+        .orderBy("query_id", "rank")
+    }),
     // ENGINE-PORTABLE trained IVF (sim7p): sim7's hash-seeded Lloyd
     // training made engine-exact (integer member-SUM centroids, md5
     // seeding, rational cross-multiplied assignment scores) — DuckDB
@@ -391,6 +401,9 @@ object SimilarityQueries {
     "sim7p_ivf_trained_portable" ->
       graft.sim.PortableSim.portableIvfTrainedTopKSql("embeddings",
         "dd.id < 20", k = 5, nlist = 8, iters = 2, probes = 3),
+    "sim8p_pq_portable" ->
+      graft.sim.PortableSim.portablePqTopKSql("embeddings",
+        "id < 20", k = 5),
     "sim5_quantize_int8" -> Similarity.quantizeInt8Sql,
     "sim6_l2_normalize" -> Similarity.l2NormalizeSql
   )

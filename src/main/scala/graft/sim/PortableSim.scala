@@ -378,6 +378,176 @@ object PortableSim {
     rankCandidates(cand, qc, k)
   }
 
+  // ------------------------------------------------ sim8p: PQ + ADC
+
+  /** Shifted quant rows for the PQ family: q = floor(x·1000) + 1024,
+    * NON-NEGATIVE by construction (|x| ≤ ~0.6 ⇒ q ∈ [~424, ~1624]),
+    * so every integer division is over non-negative operands where
+    * Spark's truncating `div` and DuckDB's flooring `//` agree — and
+    * L2 DISTANCES are shift-invariant, so the ranking is identical to
+    * the unshifted grid's. */
+  private def shiftedSubRows(corpus: DataFrame, idCol: String,
+      vecCol: String, subDim: Int): DataFrame =
+    corpus
+      .select(col(idCol).as("id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .select(col("id"),
+        expr(s"CAST(pos div $subDim AS INT)").as("j"),
+        expr(s"CAST(pos % $subDim AS INT)").as("p"),
+        expr("CAST(floor(x * 1000D) AS BIGINT) + 1024").as("q"))
+
+  /** PORTABLE product quantization + ADC + exact re-rank (sim8p): the
+    * sim8 serving shape in the ORIGINAL Jégou et al. 2011 metric (L2)
+    * under exact integer arithmetic — subvector k-means codebooks
+    * (integer Lloyd: centroid = sum div count over the shifted
+    * non-negative grid), per-corpus-row codes, per-query ADC distance
+    * tables, Σ-of-table-lookups candidate ranking, and an exact
+    * integer-L2 re-rank of the top rerank·k. Every stage — training
+    * included — replays bit-for-bit in DuckDB. sim8 (floats, cosine,
+    * xxhash seeding) remains the production path.
+    *
+    * @return (query_id, rank, corpus_id, dist2) — exact squared L2 on
+    *         the quantized grid. */
+  def portablePqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int = 64, m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      rerank: Int = 4): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val subDim = dims / m
+    val sub = shiftedSubRows(corpus, idCol, vecCol, subDim)
+      .localCheckpoint()
+    var codes = sub.select(col("id"), col("j")).distinct()
+      .withColumn("code", expr(
+        s"CAST(CAST(conv(substring(md5(concat(CAST(id AS STRING), " +
+          s"':', CAST(j AS STRING))), 1, 12), 16, 10) AS BIGINT) " +
+          s"% $ksub AS INT)"))
+    var cents: DataFrame = null
+    for (_ <- 0 until iters) {
+      // integer centroids: per (subspace, code, dim), sum div count —
+      // m·ksub·subDim rows, metadata, broadcast everywhere
+      cents = sub.join(codes, Seq("id", "j"))
+        .groupBy(col("j"), col("code"), col("p"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("cnt"))
+        .select(col("j"), col("code"), col("p"),
+          expr("s div cnt").as("mu"))
+        .localCheckpoint()
+      // reassign: argmin exact integer L2 over the ksub codes
+      codes = sub.join(broadcast(cents), Seq("j", "p"))
+        .groupBy(col("id"), col("j"), col("code"))
+        .agg(sum((col("q") - col("mu")) * (col("q") - col("mu")))
+          .as("d2"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("id"), col("j"))
+            .orderBy(col("d2"), col("code"))))
+        .filter(col("rk") === 1)
+        .select(col("id"), col("j"), col("code"))
+        .localCheckpoint()
+    }
+    // per-query ADC tables vs the SAME codebooks the codes use:
+    // T(query, j, code) = ||q_j − c_{j,code}||², m·ksub ints per query
+    val qsub = shiftedSubRows(queries, idCol, vecCol, subDim)
+    val tables = qsub.join(broadcast(cents), Seq("j", "p"))
+      .groupBy(col("id").as("query_id"), col("j"), col("code"))
+      .agg(sum((col("q") - col("mu")) * (col("q") - col("mu")))
+        .as("t"))
+    // ADC candidate ranking: Σ_j T[j][code_j(x)] — m lookups per
+    // corpus row, the PQ memory-bandwidth win
+    val adc = codes.join(broadcast(tables), Seq("j", "code"))
+      .groupBy(col("query_id"), col("id").as("corpus_id"))
+      .agg(sum(col("t")).as("adc"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc"), col("corpus_id"))))
+      .filter(col("rk") <= rerank * k)
+      .select(col("query_id"), col("corpus_id"))
+    // exact integer-L2 re-rank of the survivors
+    val qAll = corpus
+      .select(col(idCol).as("id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .select(col("id"), col("pos"),
+        expr("CAST(floor(x * 1000D) AS BIGINT)").as("q"))
+    adc
+      .join(qAll.select(col("id").as("query_id"), col("pos"),
+        col("q").as("qa")), Seq("query_id"))
+      .join(qAll.select(col("id").as("corpus_id"), col("pos"),
+        col("q").as("qb")), Seq("corpus_id", "pos"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb")))
+        .as("dist2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("dist2"), col("corpus_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("dist2"))
+  }
+
+  /** DuckDB twin of [[portablePqTopK]]: unrolled Lloyd generations,
+    * ADC tables, Σ-lookup ranking, exact re-rank. `queryPred` filters
+    * `id` (queries ⊆ corpus). */
+  def portablePqTopKSql(corpusRel: String, queryPred: String,
+      k: Int = 5, dims: Int = 64, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2, rerank: Int = 4): String = {
+    val subDim = dims / m
+    def gen(i: Int): String = {
+      val prev = if (i == 1) "cd0" else s"cd${i - 1}"
+      s"""ct$i AS (SELECT s.j, c.code, s.p,
+         |    sum(s.q) // count(*) AS mu
+         |  FROM sub s JOIN $prev c ON c.id = s.id AND c.j = s.j
+         |  GROUP BY 1, 2, 3),
+         |cd$i AS (SELECT id, j, code FROM (
+         |    SELECT s.id, s.j, ct.code, row_number() OVER (
+         |      PARTITION BY s.id, s.j
+         |      ORDER BY sum((s.q - ct.mu) * (s.q - ct.mu)), ct.code)
+         |      AS rk
+         |    FROM sub s JOIN ct$i ct ON ct.j = s.j AND ct.p = s.p
+         |    GROUP BY s.id, s.j, ct.code)
+         |  WHERE rk = 1)""".stripMargin
+    }
+    val gens = (1 to iters).map(gen).mkString(",\n")
+    s"""WITH corpus AS (SELECT * FROM $corpusRel),
+       |q0 AS (SELECT vec_id AS id, CAST(u.i - 1 AS INT) AS pos,
+       |    CAST(floor(CAST(embedding[u.i] AS DOUBLE) *
+       |      CAST('1000' AS DOUBLE)) AS BIGINT) AS q
+       |  FROM corpus,
+       |    unnest(generate_series(1, len(embedding))) AS u(i)),
+       |sub AS (SELECT id, CAST(pos // $subDim AS INT) AS j,
+       |    CAST(pos % $subDim AS INT) AS p, q + 1024 AS q
+       |  FROM q0),
+       |cd0 AS (SELECT DISTINCT id, j,
+       |    CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' ||
+       |      CAST(j AS VARCHAR)), 1, 12)) AS BIGINT) % $ksub AS INT)
+       |      AS code
+       |  FROM sub),
+       |$gens,
+       |tq AS (SELECT s.id AS query_id, s.j, ct.code,
+       |    sum((s.q - ct.mu) * (s.q - ct.mu)) AS t
+       |  FROM sub s JOIN ct$iters ct ON ct.j = s.j AND ct.p = s.p
+       |  WHERE s.$queryPred GROUP BY 1, 2, 3),
+       |adc AS (SELECT query_id, corpus_id FROM (
+       |    SELECT t.query_id, c.id AS corpus_id, row_number() OVER (
+       |      PARTITION BY t.query_id
+       |      ORDER BY sum(t.t), c.id) AS rk
+       |    FROM cd$iters c JOIN tq t ON t.j = c.j AND t.code = c.code
+       |    WHERE c.id <> t.query_id
+       |    GROUP BY t.query_id, c.id)
+       |  WHERE rk <= ${rerank * k})
+       |SELECT query_id, rank, corpus_id, CAST(dist2 AS BIGINT) AS dist2
+       |FROM (
+       |  SELECT a.query_id, a.corpus_id,
+       |    sum((qa.q - qb.q) * (qa.q - qb.q)) AS dist2,
+       |    CAST(row_number() OVER (PARTITION BY a.query_id
+       |      ORDER BY sum((qa.q - qb.q) * (qa.q - qb.q)),
+       |        a.corpus_id) AS INT) AS rank
+       |  FROM adc a
+       |  JOIN q0 qa ON qa.id = a.query_id
+       |  JOIN q0 qb ON qb.id = a.corpus_id AND qb.pos = qa.pos
+       |  GROUP BY a.query_id, a.corpus_id)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin.replace('\n', ' ')
+  }
+
   /** DuckDB twin of [[portableIvfTrainedTopK]] with the Lloyd rounds
     * statically unrolled (`iters` CTE generations). `queryPred`
     * filters `id` (queries ⊆ corpus). */

@@ -135,6 +135,35 @@ class PortableSimSpec extends AnyFunSuite {
     assert(hits >= 8, s"planted dup at rank 1 for only $hits/10 queries")
   }
 
+  test("sim8p: PQ+ADC finds planted dups at rank 1; re-ranked " +
+    "distances are exact integer L2 on the quantized grid") {
+    val corpus = plantedCorpus
+    val queries = corpus.filter(col("vec_id") < 10)
+    val got = PortableSim.portablePqTopK(corpus, queries, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val q = quantVecs
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery.keySet === (0L until 10L).toSet)
+    byQuery.foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length).toSeq)
+      // dist2 non-decreasing with rank; each value exactly Σ(qa−qb)²
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted.toSeq)
+      sorted.foreach { case (_, _, cid, d2) =>
+        val exp = q(qid).zip(q(cid))
+          .map { case (a, b) => (a - b) * (a - b) }.sum
+        assert(d2 === exp, s"($qid,$cid): dist2 $d2, exact $exp")
+      }
+    }
+    // the planted near-identical dup is the L2 nearest neighbor and
+    // must survive ADC into the re-rank for nearly every query
+    val hits = (0L until 10L).count { qid =>
+      byQuery(qid).exists(r => r._2 === 1 && r._3 === qid + 1000L)
+    }
+    assert(hits >= 8, s"planted dup at rank 1 for only $hits/10 queries")
+  }
+
   private val base =
     "the quick brown fox jumps over the lazy dog while the cat sleeps " +
       "on the warm windowsill in the afternoon sun near the garden"
