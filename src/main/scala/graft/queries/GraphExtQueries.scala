@@ -24,19 +24,40 @@ object GraphExtQueries {
     * graft.Bench times the iterative support peel's steady shape
     * instead of re-enumerating the full fixture every sample. Verify
     * never reads this; Bench records the substitution. */
+  /** The g17h/g18h bipartite workload on a quarter of the CUSTOMERS
+    * (all suppliers stay — they are the hubs, so the diameter and hop
+    * structure are unchanged). HyperBall's per-hop cost is the honest
+    * nodes·m register state + |E|·m union volume; quartering the
+    * customer side shrinks both ~4× without touching the algorithm. */
+  private def hyperballBenchEdges(s: SparkSession,
+      d: String): DataFrame =
+    table(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .filter(col("o_custkey") % 4 === 0),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"),
+        (col("o_custkey") * 2 + 1).as("dst"))
+
   val benchOverrides: Map[String, (SparkSession, String) => DataFrame] =
-    Map("g12_ktruss" -> ((s, d) => {
-      val sl = table(s, d, "lineitem")
-        .filter(col("l_quantity") >= 48)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val edges = sl.alias("x")
-        .join(sl.alias("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("src"),
-          col("y.l_suppkey").as("dst"))
-      graft.graph.KTruss.run(edges, k = 4).orderBy("a", "b")
-    }))
+    Map(
+      "g12_ktruss" -> ((s, d) => {
+        val sl = table(s, d, "lineitem")
+          .filter(col("l_quantity") >= 48)
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val edges = sl.alias("x")
+          .join(sl.alias("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_suppkey") < col("y.l_suppkey"))
+          .select(col("x.l_suppkey").as("src"),
+            col("y.l_suppkey").as("dst"))
+        graft.graph.KTruss.run(edges, k = 4).orderBy("a", "b")
+      }),
+      "g17h_closeness_hll" -> ((s, d) =>
+        graft.graph.HyperBall.closeness(hyperballBenchEdges(s, d))),
+      "g18h_diameter_hll" -> ((s, d) =>
+        graft.graph.HyperBall.hopDistribution(hyperballBenchEdges(s, d))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // damped PageRank (exact integer fixed-point, 5 iterations) over the
