@@ -17,13 +17,6 @@ import graft.text.TextAnalysis
   * the family maps so the driver contract is untouched. */
 object GraphExtQueries {
 
-  /** Bench-scoped workload substitutions (see SparkEntry
-    * .benchOverrides): the SAME k-truss peel over the same
-    * co-occurrence construction from a smaller planted slice
-    * (l_quantity ≥ 48 instead of ≥ 45 ⇒ ~4× fewer edges), so
-    * graft.Bench times the iterative support peel's steady shape
-    * instead of re-enumerating the full fixture every sample. Verify
-    * never reads this; Bench records the substitution. */
   /** The g17h/g18h bipartite workload on a quarter of the CUSTOMERS
     * (all suppliers stay — they are the hubs, so the diameter and hop
     * structure are unchanged). HyperBall's per-hop cost is the honest
@@ -40,6 +33,13 @@ object GraphExtQueries {
       .select((col("l_suppkey") * 2).as("src"),
         (col("o_custkey") * 2 + 1).as("dst"))
 
+  /** Bench-scoped workload substitutions (see SparkEntry
+    * .benchOverrides); Verify never reads these and Bench records
+    * every substitution. g12: the SAME k-truss peel over the same
+    * co-occurrence construction from a smaller planted slice
+    * (l_quantity ≥ 48 instead of ≥ 45 ⇒ ~4× fewer edges), so the
+    * iterative support peel's steady shape is timed instead of the
+    * full fixture re-enumeration. */
   val benchOverrides: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "g12_ktruss" -> ((s, d) => {

@@ -282,8 +282,12 @@ object StreamingQueries {
       // data's size+mtime, so a λ written by an older Dsir build or
       // with different parameters is never silently reused
       // (round-11 ADVICE)
+      // hash BOTH predicate representations: the Column actually
+      // passed to the fit AND its SQL twin — editing either without
+      // the other must also invalidate the cache
       val modelKey = s"${graft.text.Dsir.AlgoVersion}_b${buckets}_" +
-        Integer.toHexString(TextQueries.dsirTargetSql.hashCode)
+        Integer.toHexString((TextQueries.dsirTarget.toString +
+          "|" + TextQueries.dsirTargetSql).hashCode)
       val lamDir = StreamPipeline.scratchRoot().resolve(
         s"graft_dsir_lambda_${d.hashCode.toHexString}_${modelKey}_$docStat")
       if (!Files.exists(lamDir.resolve("_SUCCESS"))) {

@@ -302,14 +302,23 @@ object PortableSim {
 
   // ----------------------------------------- sim7p: trained IVF (Lloyd)
 
-  /** sign(d)·(d²·1e12 div s2) — the integer ASSIGNMENT score against a
+  /** sign(d)·(d²·1e6 div s2) — the integer ASSIGNMENT score against a
     * centroid represented by its member-SUM vector (cosine is
     * scale-invariant, so the un-divided integer sum stands in for the
-    * mean exactly — no rational centroid ever materializes). */
+    * mean exactly — no rational centroid ever materializes).
+    *
+    * Scale 1e6, NOT 1e8/1e12: the QUOTIENT here is cos²·‖v‖²·S,
+    * and ‖v‖² (not normalized away as in [[scoreE8]]) reaches ~1e8 on
+    * a Gaussian-ish grid — at S = 1e12 the quotient could brush
+    * Long.MaxValue, where Spark's `div`→LONG goes NULL silently while
+    * the DuckDB twin's HUGEINT→BIGINT cast errors. At S = 1e6 the
+    * quotient stays ≤ ~1e14 with orders of magnitude to spare;
+    * assignment ties at the coarser grid break identically in both
+    * engines (score, cluster-id) so parity is unaffected. */
   private val assignScore =
     "CASE WHEN d >= 0 THEN (CAST(d AS DECIMAL(38,0)) * d * " +
-      "1000000000000) div CAST(s2 AS DECIMAL(38,0)) ELSE " +
-      "-((CAST(d AS DECIMAL(38,0)) * d * 1000000000000) div " +
+      "1000000) div CAST(s2 AS DECIMAL(38,0)) ELSE " +
+      "-((CAST(d AS DECIMAL(38,0)) * d * 1000000) div " +
       "CAST(s2 AS DECIMAL(38,0))) END"
 
   /** PORTABLE trained-IVF top-k (sim7p): the
@@ -461,12 +470,10 @@ object PortableSim {
           .orderBy(col("adc"), col("corpus_id"))))
       .filter(col("rk") <= rerank * k)
       .select(col("query_id"), col("corpus_id"))
-    // exact integer-L2 re-rank of the survivors
-    val qAll = corpus
-      .select(col(idCol).as("id"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
-      .select(col("id"), col("pos"),
-        expr("CAST(floor(x * 1000D) AS BIGINT)").as("q"))
+    // exact integer-L2 re-rank of the survivors, on the family's one
+    // quant grid (L2 differences are shift-invariant, so the unshifted
+    // grid ranks identically to the shifted training grid)
+    val qAll = quantRows(corpus, idCol, vecCol)
     adc
       .join(qAll.select(col("id").as("query_id"), col("pos"),
         col("q").as("qa")), Seq("query_id"))
@@ -556,8 +563,8 @@ object PortableSim {
       probes: Int = 3): String = {
     val score =
       "CASE WHEN d >= 0 THEN CAST(CAST(d AS HUGEINT) * d * " +
-        "1000000000000 // CAST(s2 AS HUGEINT) AS BIGINT) ELSE " +
-        "-CAST(CAST(d AS HUGEINT) * d * 1000000000000 // " +
+        "1000000 // CAST(s2 AS HUGEINT) AS BIGINT) ELSE " +
+        "-CAST(CAST(d AS HUGEINT) * d * 1000000 // " +
         "CAST(s2 AS HUGEINT) AS BIGINT) END"
     // one Lloyd generation: centroid sums + norms + scores + argmin
     def gen(i: Int): String = {

@@ -730,6 +730,18 @@ class PlanShapeSpec extends AnyFunSuite {
         "sim2p rank window must be partitioned by query"))
   }
 
+  test("sim8p portable PQ: no CartesianProduct; codebooks and ADC " +
+    "tables broadcast onto the code/sub rows; every rank window is " +
+    "partitioned") {
+    val p = plan("sim8p_pq_portable")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "centroid/ADC-table joins must broadcast")
+    p.collect { case w: WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty,
+        "PQ rank windows must be partitioned (per id/query)"))
+  }
+
   test("g17h HyperBall closeness: the per-node delta window is " +
     "partitioned by node — hop-grain, never a global sort of state") {
     val p = plan("g17h_closeness_hll")
