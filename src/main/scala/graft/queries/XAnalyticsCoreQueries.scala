@@ -640,6 +640,23 @@ object XAnalyticsCoreQueries {
     // are asserted in CountMinSpec). The sketch build is the distributed
     // cost; the two driver-side reads are metadata-sized by construction
     // (the 4x256 sketch row, the |event_types| exact-count table).
+    // ENGINE-PORTABLE HLL (a3p): per event_type, distinct-user
+    // estimate with md5-hashed registers — the sketch STATE (occupied
+    // registers + Σ2^(43−ρ) as an exact BIGINT) and the raw α·m²/ΣZ
+    // estimate (exact integral division, 0.01 units) all replay in
+    // DuckDB; a3's Spark-native HLL++ stays the production path
+    "a3p_hll_portable" -> ((s, d) =>
+      graft.analytics.PortableSketch.hllDistinct(
+        PipelineQueries.table(s, d, "events"), "event_type", "user_id")
+        .orderBy("event_type")),
+    // ENGINE-PORTABLE count-min (cms1p): the cms1 algorithm under
+    // md5 row hashes — both engines fill the identical 4×256 table
+    // and take the same min-of-home-cells point estimates;
+    // est_n ≥ exact_n (the CM guarantee) is pinned in spec
+    "cms1p_portable" -> ((s, d) =>
+      graft.analytics.PortableSketch.cmsEstimates(
+        PipelineQueries.table(s, d, "events"), "event_type")
+        .orderBy("event_type")),
     "cms1_heavy_hitters" -> ((s, d) => {
       import s.implicits._
       import graft.agg.CountMin
@@ -811,6 +828,10 @@ object XAnalyticsCoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "a3p_hll_portable" -> graft.analytics.PortableSketch
+      .hllDistinctSql("events", "event_type", "user_id"),
+    "cms1p_portable" -> graft.analytics.PortableSketch
+      .cmsEstimatesSql("events", "event_type"),
     "x1_sessionize" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
         |  FROM events),
