@@ -95,7 +95,8 @@ object Explain {
         "sim4p_lsh_portable", "sim2p_ivf_portable",
         "sim7p_ivf_trained_portable", "d4p_simhash_portable",
         "g17h_closeness_hll", "g18h_diameter_hll",
-        "sim8p_pq_portable", "a3p_hll_portable", "cms1p_portable")
+        "sim8p_pq_portable", "a3p_hll_portable", "cms1p_portable",
+        "bf1p_bloom_portable")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -116,6 +116,82 @@ object PortableSketch {
       .select(col("k").as(keyCol), col("est_n"), col("exact_n"))
   }
 
+  /** Portable Bloom semi-join statistics: build a `bits`-wide filter
+    * over `buildKeys` (k md5 positions per key; the filter IS the
+    * distinct-position set — engine-replayable, unlike a packed
+    * xxhash word array), probe every distinct `probeCol` key, and
+    * report the key-level truth table: a probe passes iff ALL k of
+    * its positions are set; pass ⊇ exact (no false negatives — the
+    * Bloom guarantee, spec-pinned), and n_fp is the measured
+    * false-positive cost. One summary row of exact BIGINTs.
+    *
+    * Scale shape: the position set is ≤ k·|build| rows (dim-sized —
+    * this is a dim→fact pruning filter), the probe explodes distinct
+    * fact keys ×k and left-joins the broadcast position set; fact
+    * ROWS never explode. */
+  def bloomStats(build: DataFrame, buildKeyCol: String,
+      probe: DataFrame, probeKeyCol: String, k: Int = 5,
+      bits: Int = 16384): DataFrame = {
+    def positions(df: DataFrame, keyCol: String): DataFrame = df
+      .select(col(keyCol).cast("long").as("key"))
+      .distinct()
+      .select(col("key"),
+        explode(array((0 until k).map(lit): _*)).as("i"))
+      .withColumn("p", expr(
+        s"CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', " +
+          s"CAST(key AS STRING))), 1, 12), 16, 10) AS BIGINT) % $bits"))
+    val set = positions(build, buildKeyCol)
+      .select(col("p")).distinct()
+      .withColumn("hit", lit(1L))
+    val passKeys = positions(probe, probeKeyCol)
+      .join(broadcast(set), Seq("p"), "left")
+      .groupBy(col("key"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) === k).as("pass"))
+    val exactKeys = build.select(col(buildKeyCol).cast("long")
+      .as("key")).distinct().withColumn("ex", lit(true))
+    passKeys
+      .join(broadcast(exactKeys), Seq("key"), "left")
+      .select(col("pass"), coalesce(col("ex"), lit(false)).as("ex"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("ex"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("pass") && !col("ex"), 1L).otherwise(0L))
+          .as("n_fp"))
+  }
+
+  /** DuckDB twin of [[bloomStats]]; `buildRel`/`probeRel` yield the
+    * respective key columns. */
+  def bloomStatsSql(buildRel: String, buildKeyCol: String,
+      probeRel: String, probeKeyCol: String, k: Int = 5,
+      bits: Int = 16384): String = {
+    def cell(key: String) = s"CAST(('0x' || substr(md5(CAST(i.x AS " +
+      s"VARCHAR) || ':' || CAST($key AS VARCHAR)), 1, 12)) AS BIGINT)" +
+      s" % $bits"
+    s"""WITH bk AS (SELECT DISTINCT CAST($buildKeyCol AS BIGINT)
+       |    AS key FROM $buildRel),
+       |pos AS (SELECT DISTINCT ${cell("bk.key")} AS p
+       |  FROM bk, generate_series(0, ${k - 1}) i(x)),
+       |pk AS (SELECT DISTINCT CAST($probeKeyCol AS BIGINT) AS key
+       |  FROM $probeRel),
+       |ph AS (SELECT pk.key,
+       |    sum(CASE WHEN pos.p IS NOT NULL THEN 1 ELSE 0 END) AS hits
+       |  FROM (SELECT pk.key, ${cell("pk.key")} AS p
+       |    FROM pk, generate_series(0, ${k - 1}) i(x)) pk
+       |  LEFT JOIN pos ON pos.p = pk.p
+       |  GROUP BY 1),
+       |tt AS (SELECT ph.key, ph.hits = $k AS pass,
+       |    bk.key IS NOT NULL AS ex
+       |  FROM ph LEFT JOIN bk ON bk.key = ph.key)
+       |SELECT count(*) AS n_keys,
+       |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pass,
+       |  CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exact,
+       |  CAST(sum(CASE WHEN pass AND NOT ex THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_fp
+       |FROM tt""".stripMargin.replace('\n', ' ')
+  }
+
   /** DuckDB twin of [[cmsEstimates]]. */
   def cmsEstimatesSql(rel: String, keyCol: String, d: Int = 4,
       w: Int = 256): String = {

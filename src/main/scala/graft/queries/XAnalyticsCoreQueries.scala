@@ -657,6 +657,17 @@ object XAnalyticsCoreQueries {
       graft.analytics.PortableSketch.cmsEstimates(
         PipelineQueries.table(s, d, "events"), "event_type")
         .orderBy("event_type")),
+    // ENGINE-PORTABLE Bloom (bf1p): bf1's urgent-orders→lineitem
+    // pruning filter with md5 positions and the filter AS a
+    // distinct-position set — both engines set the same bits, probe
+    // the same keys, and count the same false positives; pass ⊇
+    // exact is spec-pinned. bf1 (codegen'd BloomMightContain over
+    // xxhash words) stays the production path
+    "bf1p_bloom_portable" -> ((s, d) =>
+      graft.analytics.PortableSketch.bloomStats(
+        PipelineQueries.table(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT"), "o_orderkey",
+        PipelineQueries.table(s, d, "lineitem"), "l_orderkey")),
     "cms1_heavy_hitters" -> ((s, d) => {
       import s.implicits._
       import graft.agg.CountMin
@@ -832,6 +843,11 @@ object XAnalyticsCoreQueries {
       .hllDistinctSql("events", "event_type", "user_id"),
     "cms1p_portable" -> graft.analytics.PortableSketch
       .cmsEstimatesSql("events", "event_type"),
+    "bf1p_bloom_portable" -> graft.analytics.PortableSketch
+      .bloomStatsSql(
+        "(SELECT o_orderkey FROM orders " +
+          "WHERE o_orderpriority = '1-URGENT')", "o_orderkey",
+        "lineitem", "l_orderkey"),
     "x1_sessionize" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
         |  FROM events),

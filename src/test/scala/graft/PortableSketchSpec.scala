@@ -60,6 +60,24 @@ class PortableSketchSpec extends AnyFunSuite {
     assert(got("big") > got("small"))
   }
 
+  test("bloom: no false negatives (pass ⊇ exact); summary arithmetic " +
+    "consistent; tiny-filter fp pressure measurable") {
+    val build = (0 until 100).map(i => i.toLong * 3).toDF("bk")
+    val probe = (0 until 600).map(_.toLong).toDF("pk")
+    val got = PortableSketch.bloomStats(build, "bk", probe, "pk")
+      .head()
+    val (nk, np, ne, nfp) = (got.getAs[Long]("n_keys"),
+      got.getAs[Long]("n_pass"), got.getAs[Long]("n_exact"),
+      got.getAs[Long]("n_fp"))
+    assert(nk === 600L)
+    assert(ne === 100L) // build keys are 3i for i < 100 (max 297)
+    assert(np >= ne, "false negative: a built key failed the probe")
+    assert(nfp === np - ne)
+    // 16 Kbits over 100 keys x 5 hashes: fp rate ~(1-e^(-500/16384))^5
+    // ~ 2e-8 — with this fixed hash family the count is deterministic
+    assert(nfp <= 2, s"unexpected fp count $nfp for a near-empty filter")
+  }
+
   test("cms: every point estimate >= the exact count; most keys " +
     "collision-free at 4x256") {
     val rows = (0 until 2000).map { i =>
