@@ -120,6 +120,13 @@ object Betweenness {
       if (hh >= 1) deltas += deltaNext
       hh -= 1
     }
+    // the returned plan references only the checkpointed delta frames
+    // in `deltas` — the forward levels, the symmetrized edge frame and
+    // the dropped hh=0 delta (sources carry no δ) are dead; release
+    // their blocks eagerly instead of waiting on a full GC
+    graft.util.Checkpoints.freeAll(levels)
+    graft.util.Checkpoints.free(sym)
+    if (!deltas.exists(_ eq deltaNext)) graft.util.Checkpoints.free(deltaNext)
     deltas.reduce(_.unionAll(_))
       .groupBy(col("node"))
       .agg(sum(col("delta")).cast("bigint").as("bt_micro"))

@@ -29,14 +29,23 @@ object Bfs {
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
-      frontier = sym
+      val nextFrontier = sym
         .join(frontier.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .withColumn("hops", lit(hop))
         .localCheckpoint()
-      visited = visited.unionAll(frontier).localCheckpoint()
+      val nextVisited = visited.unionAll(nextFrontier).localCheckpoint()
+      // both successors are materialized — the superseded round's
+      // frames are dead; release eagerly (see Checkpoints.free).
+      // Round 1: frontier eq visited — double free is a no-op.
+      graft.util.Checkpoints.free(frontier)
+      graft.util.Checkpoints.free(visited)
+      frontier = nextFrontier
+      visited = nextVisited
     }
+    graft.util.Checkpoints.free(sym)
+    if (frontier ne visited) graft.util.Checkpoints.free(frontier)
     visited
   }
 

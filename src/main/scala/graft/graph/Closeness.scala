@@ -75,14 +75,19 @@ object Closeness {
           expr("cand & ~coalesce(vis, 0L)").as("newmask"))
         .filter(col("newmask") =!= 0)
         .localCheckpoint()
-      state = state
+      val nextState = state
         .join(frontier.withColumnRenamed("newmask", "nm"),
           Seq("node"), "full_outer")
         .select(col("node"),
           expr("coalesce(vis, 0L) | coalesce(nm, 0L)").as("vis"))
         .localCheckpoint()
+      // frontiers must stay (perHop's lazy projections reference
+      // them); the superseded visited-mask generation is dead
+      graft.util.Checkpoints.free(state)
+      state = nextState
       perHop += frontier.withColumn("hop", lit(hop))
     }
+    graft.util.Checkpoints.free(state) // final mask — perHop is enough
     perHop.reduce(_.unionAll(_))
   }
 
@@ -97,10 +102,14 @@ object Closeness {
     val sym = symmetrize(edges).localCheckpoint()
     val srcIds = sources.select(col("node").cast("long"))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
-    srcIds.grouped(64).toSeq.map { chunk =>
+    val out = srcIds.grouped(64).toSeq.map { chunk =>
       (chunk, reachBitsChunk(sym, chunk, maxHops)
         .filter(col("hop") > 0))
     }
+    // every chunk's per-hop frontiers are checkpoint-materialized by
+    // now — the shared symmetrized edge frame is dead
+    graft.util.Checkpoints.free(sym)
+    out
   }
 
   /** @param sources one `node` column

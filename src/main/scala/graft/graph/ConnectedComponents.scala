@@ -70,6 +70,11 @@ object ConnectedComponents {
             .as("component"))
         .localCheckpoint() // truncate lineage — plan is self-referencing
       val nextSum = sumOf(next)
+      // next is materialized (eager checkpoint) — the superseded
+      // round's blocks can never be read again; drop them now instead
+      // of waiting on a full GC (round-12 driver bench: accumulated
+      // checkpoint blocks = 3–48× pass-2 blowups on iterative ops)
+      graft.util.Checkpoints.free(labels)
       labels = next
       converged = nextSum == checksum // labels monotone ↓; equal sum = fixpoint
       checksum = nextSum
@@ -142,6 +147,10 @@ object ConnectedComponents {
       // checksum match is a cheap screen; confirm with an exact set
       // compare (runs only on the final round or a freak collision)
       converged = next == cs && small.exceptAll(e).isEmpty
+      // small is materialized and the exceptAll above was the last
+      // reader of this round's e/large — release both eagerly
+      graft.util.Checkpoints.free(large)
+      graft.util.Checkpoints.free(e)
       cs = next
       e = small
       iter += 1

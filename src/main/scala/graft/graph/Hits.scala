@@ -25,6 +25,12 @@ object Hits {
     var hub = e.select(col("src")).distinct()
       .withColumn("hub", lit(1.0))
     var auth: DataFrame = null
+    // eager release of superseded rounds (see Checkpoints.free): the
+    // round-r araw/hraw checkpoints fold in the round-(r-1) frames, so
+    // those become dead as soon as the successors materialize. The
+    // FINAL pair stays — the returned plan projects auth/hub off it.
+    var prevAraw: DataFrame = null
+    var prevHraw: DataFrame = null
     for (_ <- 1 to rounds) {
       // checkpoint the RAW sums, not the normalized frame: the max-
       // normalizer action and the next-round join both consume them,
@@ -34,6 +40,10 @@ object Hits {
       val araw = e.join(hub, "src").groupBy(col("dst"))
         .agg(sum(col("hub").cast("decimal(18,6)")).as("raw_d"))
         .localCheckpoint()
+      // araw is materialized — last round's hraw (feeding this round's
+      // hub) and araw (consumed by last round's hraw) are both dead
+      if (prevHraw ne null) graft.util.Checkpoints.free(prevHraw)
+      if (prevAraw ne null) graft.util.Checkpoints.free(prevAraw)
       val amax = araw.agg(max(col("raw_d"))).first()
         .getDecimal(0).doubleValue
       auth = araw.select(col("dst"),
@@ -45,7 +55,10 @@ object Hits {
         .getDecimal(0).doubleValue
       hub = hraw.select(col("src"),
         round(col("raw_d").cast("double") / lit(hmax), 6).as("hub"))
+      prevAraw = araw
+      prevHraw = hraw
     }
+    graft.util.Checkpoints.free(e) // final araw/hraw are materialized
     auth.select(lit("authority").as("role"), col("dst").as("node"),
         col("auth").as("score"))
       .unionAll(hub.select(lit("hub").as("role"), col("src").as("node"),

@@ -74,7 +74,12 @@ object HyperBall {
             s"THEN $M * ln(CAST($M AS DOUBLE) / ($M - nreg)) " +
             s"ELSE ($Alpha * $M * $M) / (zsum + ($M - nreg)) END")
             .as("est"))
-    val perHop = scala.collection.mutable.ListBuffer(estimate(0))
+    // estimates are node-grain (tiny next to the register-grain state)
+    // — checkpointing each one unpins its state generation, so the
+    // superseded state/delta frames can be released per round instead
+    // of accumulating for the whole sweep (see Checkpoints.free)
+    val perHop =
+      scala.collection.mutable.ListBuffer(estimate(0).localCheckpoint())
     var hop = 0
     while (hop < maxHops && !delta.isEmpty) {
       hop += 1
@@ -84,17 +89,29 @@ object HyperBall {
           col("rho")), "src")
         .groupBy(col("dst").as("node"), col("idx"))
         .agg(max(col("rho")).as("cr"))
-      delta = cand
+      val nextDelta = cand
         .join(state, Seq("node", "idx"), "left")
         .filter(col("cr") > coalesce(col("rho"), lit(0)))
         .select(col("node"), col("idx"), col("cr").as("rho"))
         .localCheckpoint()
-      state = state.unionAll(delta)
+      val nextState = state.unionAll(nextDelta)
         .groupBy(col("node"), col("idx"))
         .agg(max(col("rho")).as("rho"))
         .localCheckpoint()
-      perHop += estimate(hop)
+      // successors are materialized — release the superseded round.
+      // Hop 1: delta eq state (both = the init checkpoint), so free
+      // only one of them; double free would be a harmless no-op anyway
+      graft.util.Checkpoints.free(delta)
+      if (state ne delta) graft.util.Checkpoints.free(state)
+      delta = nextDelta
+      state = nextState
+      perHop += estimate(hop).localCheckpoint()
     }
+    // every estimate is checkpointed — the final state/delta/edge
+    // frames are all dead; the return plan unions only the estimates
+    graft.util.Checkpoints.free(sym)
+    graft.util.Checkpoints.free(delta)
+    if (state ne delta) graft.util.Checkpoints.free(state)
     perHop.reduce(_.unionAll(_))
   }
 

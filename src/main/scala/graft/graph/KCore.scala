@@ -41,15 +41,22 @@ object KCore {
         .filter(col("deg") < k)
         .select(col("src").as("bad"))
         .localCheckpoint()
-      if (drop.isEmpty) converged = true
-      else {
+      if (drop.isEmpty) {
+        converged = true
+        graft.util.Checkpoints.free(drop)
+      } else {
         // anti joins emit no right-side columns, so each join's probe
         // column resolves unambiguously by name
         val dropDst = drop.select(col("bad").as("bad_dst"))
-        sym = sym
+        val peeled = sym
           .join(drop, col("src") === col("bad"), "left_anti")
           .join(dropDst, col("dst") === col("bad_dst"), "left_anti")
           .localCheckpoint()
+        // peeled is materialized — the pre-peel graph and the drop
+        // list are dead; release eagerly (see Checkpoints.free)
+        graft.util.Checkpoints.free(sym)
+        graft.util.Checkpoints.free(drop)
+        sym = peeled
         iter += 1
       }
     }

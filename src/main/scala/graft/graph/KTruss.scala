@@ -46,16 +46,25 @@ object KTruss {
           coalesce(col("support"), lit(0L)).as("support"))
         .localCheckpoint()
     var withSup = fullSupport(und)
+    graft.util.Checkpoints.free(und) // folded into the support frame
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       round += 1
       val kept = withSup.filter(col("support") >= k - 2).localCheckpoint()
       val m = kept.count()
-      if (m == n) converged = true
-      else if ((n - m) * 4 > m) {
+      if (m == n) {
+        converged = true
+        // the loop's last withSup stays — it backs the returned filter;
+        // this kept duplicates it and is dead
+        graft.util.Checkpoints.free(kept)
+      } else if ((n - m) * 4 > m) {
         // big drop: recount on the kept graph
-        withSup = fullSupport(kept.select(col("a"), col("b")))
+        val next = fullSupport(kept.select(col("a"), col("b")))
+        // next is materialized — pre-drop graph + kept are dead
+        graft.util.Checkpoints.free(withSup)
+        graft.util.Checkpoints.free(kept)
+        withSup = next
         n = m
       } else {
         val dropped = withSup.filter(col("support") < k - 2)
@@ -83,11 +92,15 @@ object KTruss {
           .select(col("e.a").as("a"), col("e.b").as("b"))
           .groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("dec"))
-        withSup = kept.join(dec, Seq("a", "b"), "left")
+        val next = kept.join(dec, Seq("a", "b"), "left")
           .select(col("a"), col("b"),
             (col("support") - coalesce(col("dec"), lit(0L)))
               .as("support"))
           .localCheckpoint()
+        // next is materialized — pre-drop graph + kept are dead
+        graft.util.Checkpoints.free(withSup)
+        graft.util.Checkpoints.free(kept)
+        withSup = next
         n = m
       }
     }

@@ -43,14 +43,18 @@ object LabelPropagation {
         .select(col("src").as("node"), col("nbr_label").as("label"))
         .unionAll(labels.select(col("node"),
           col("community").as("label")))
-      labels = votes
+      val next = votes
         .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("node"))
         .agg(min_by(col("label"),
           struct((-col("cnt")).as("nc"), col("label"))).as("community"))
         .localCheckpoint()
+      // eager release of the superseded round (see Checkpoints.free)
+      graft.util.Checkpoints.free(labels)
+      labels = next
     }
+    graft.util.Checkpoints.free(sym)
     labels
   }
 
@@ -103,7 +107,7 @@ object LabelPropagation {
     * community-grain aggregates; vol > 0 always (members exist only
     * via edges). */
   def conductance(edges: DataFrame, rounds: Int = 5): DataFrame = {
-    val labels = run(edges, rounds).localCheckpoint()
+    val labels = run(edges, rounds) // already checkpoint-materialized
     val e = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))

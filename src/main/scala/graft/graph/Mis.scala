@@ -58,9 +58,15 @@ object Mis {
       val excluded = sym
         .join(winners.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
-      u = u.join(winners.unionAll(excluded), Seq("node"), "left_anti")
-        .localCheckpoint()
+      val nextU = u.join(winners.unionAll(excluded), Seq("node"),
+        "left_anti").localCheckpoint()
+      // winners is checkpointed (its lazy withColumn in `out` survives
+      // this) and nextU is materialized — the old undecided set is dead
+      graft.util.Checkpoints.free(u)
+      u = nextU
     }
+    graft.util.Checkpoints.free(u) // final (empty) undecided set
+    sym.unpersist(blocking = false)
     out.result().reduce(_.unionAll(_)).orderBy("node")
   }
 

@@ -86,12 +86,16 @@ object PageRank {
       val next =
         if (symmetric) contribs // reverse edges guarantee full coverage
         else nodes.join(contribs, Seq("node"), "left")
-      ranks = next
+      val stepped = next
         .select(col("node"),
           (lit(base) + expr(s"($damping * coalesce(in_mass, 0L)) div 100"))
             .as("rank_units"))
         .localCheckpoint()
+      // eager release of the superseded round (see Checkpoints.free)
+      graft.util.Checkpoints.free(ranks)
+      ranks = stepped
     }
+    graft.util.Checkpoints.free(outdeg) // loop-only; last reader done
     // the result is materialized (checkpointed) — the caches backing the
     // iterations can drop so repeated runs in one session don't pile up
     val out = ranks.withColumn("rank",
@@ -190,12 +194,17 @@ object PageRank {
         .select(col("dst").as("node"), col("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("in_mass"))
-      ranks = withBase.join(contribs, Seq("node"), "left")
+      val stepped = withBase.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (col("base") + expr(s"($damping * coalesce(in_mass, 0L)) div 100"))
             .as("rank_units"))
         .localCheckpoint()
+      // eager release of the superseded round (see Checkpoints.free)
+      graft.util.Checkpoints.free(ranks)
+      ranks = stepped
     }
+    graft.util.Checkpoints.free(outdeg)
+    graft.util.Checkpoints.free(withBase)
     val out = ranks.withColumn("rank",
       col("rank_units").cast("double") / 1e9)
     e.unpersist()

@@ -30,6 +30,7 @@ object ShortestPaths {
       .localCheckpoint()
     var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
     var frontier = dist
+    var prevMerged: DataFrame = null
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
       round += 1
@@ -46,10 +47,21 @@ object ShortestPaths {
             (col("cd").isNotNull && col("cd") < col("dist")))
             .as("improved"))
         .localCheckpoint()
-      frontier = merged.filter(col("improved"))
+      val nextFrontier = merged.filter(col("improved"))
         .select(col("node"), col("dist")).localCheckpoint()
+      // merged (and the next frontier) are materialized — the prior
+      // round's merged/frontier frames are dead; release eagerly
+      // (round 1: frontier eq dist-init, which merged superseded too)
+      graft.util.Checkpoints.free(frontier)
+      if (prevMerged ne null) graft.util.Checkpoints.free(prevMerged)
+      prevMerged = merged
+      frontier = nextFrontier
       dist = merged.select(col("node"), col("dist"))
     }
+    // dist is a lazy projection over the LAST merged — keep that one;
+    // the final (typically empty) frontier is dead unless it IS dist
+    if (frontier ne dist) graft.util.Checkpoints.free(frontier)
+    graft.util.Checkpoints.free(sym)
     dist
   }
 

@@ -34,8 +34,17 @@ object KMeans {
     require(iters >= 1, s"iters must be >= 1: $iters")
     var centroids = initCentroids
     var lastAssign: DataFrame = null
+    // eager release runs TWO generations back: lastAssign is lazy and
+    // references the previous round's centroids until the post-loop
+    // `sizes` aggregate materializes, so only generation i-2 is
+    // provably dead inside round i (see Checkpoints.free)
+    var prevPrev: DataFrame = null
     for (_ <- 1 to iters) {
       lastAssign = graft.dedup.SemDedup.assign(vecs, centroids, idCol)
+      // never free the caller's initCentroids — only rounds we made
+      if ((prevPrev ne null) && (prevPrev ne initCentroids))
+        graft.util.Checkpoints.free(prevPrev)
+      prevPrev = centroids
       centroids = lastAssign
         .join(vecs, Seq(idCol))
         .select(col("cluster").as("label"), posexplode(col("vec")))
@@ -169,7 +178,9 @@ object KMeans {
         .orderBy(col("max_sim"), col(idCol)).limit(1)
         .select(lit(r).as("seed_rank"), col(idCol).as("seed_id"),
           col("vec").as("cvec"), col("max_sim"))
-      chosen = chosen.unionAll(next).localCheckpoint()
+      val grown = chosen.unionAll(next).localCheckpoint()
+      graft.util.Checkpoints.free(chosen) // superseded round (eager)
+      chosen = grown
     }
     chosen.select(col("seed_rank"), col("seed_id"), col("max_sim"))
       .orderBy("seed_rank")

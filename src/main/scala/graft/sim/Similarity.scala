@@ -897,8 +897,20 @@ object Similarity {
           col("score"))
         .localCheckpoint()
       selected =
-        if (r == 1) pick else selected.unionAll(pick).localCheckpoint()
+        if (r == 1) pick
+        else {
+          val grown = selected.unionAll(pick).localCheckpoint()
+          // superseded union round + this round's pick (folded into
+          // grown) are dead — release eagerly (see Checkpoints.free)
+          graft.util.Checkpoints.free(selected)
+          graft.util.Checkpoints.free(pick)
+          grown
+        }
     }
+    // the returned plan references only the final checkpointed
+    // `selected`; the candidate pool and pair-sim frames are dead
+    graft.util.Checkpoints.free(cand)
+    graft.util.Checkpoints.free(pairSim)
     selected.orderBy("query_id", "rank")
   }
 
