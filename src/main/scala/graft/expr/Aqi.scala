@@ -78,8 +78,19 @@ object Aqi {
 
   // ---------------------------------------------------------------- R1: aqi
 
-  /** Per-row AQI as a codegen-friendly when-chain (no UDF). */
-  def aqi(parameter: Column, value: Column): Column = {
+  /** Per-row AQI. Evaluates via the compact [[AqiBreakpoint]] native
+    * expression (one static kernel call in generated code) — the
+    * ~200-node when-chain form ([[aqiWhenChain]]) blew janino's 64 KB
+    * method limit when fused with R2/R3 + the wire mapping in one
+    * projection, knocking the medallion parse stage out of whole-stage
+    * codegen. Semantics are identical (AqiExprSpec pins the
+    * equivalence on a dense grid incl. gaps/clamps/ties). */
+  def aqi(parameter: Column, value: Column): Column =
+    AqiExprs.aqiBreakpoint(parameter, value.cast("double"))
+
+  /** The original when-chain form of R1 — kept as the executable spec
+    * [[AqiBreakpoint]] is tested against. */
+  def aqiWhenChain(parameter: Column, value: Column): Column = {
     val invalid = parameter.isNull || value.isNull || isnan(value) || value < 0
     breakpoints
       .foldLeft(when(invalid, lit(null).cast("double"))) {

@@ -750,4 +750,40 @@ class PlanShapeSpec extends AnyFunSuite {
       .foreach(w => assert(w.partitionSpec.nonEmpty,
         "per-node estimate window must be partitioned"))
   }
+
+  test("p5 medallion parse: the R1 projection uses the compact " +
+    "aqi_breakpoint kernel, sits inside a WholeStageCodegen span, and " +
+    "that span's generated code compiles within the 64 KB method limit") {
+    val p = plan("p5_silver_clean")
+    // the projection carries the native expression, not a when-chain
+    val proj = p.collect {
+      case pr: org.apache.spark.sql.execution.ProjectExec
+          if pr.projectList.exists(_.exists(
+            _.isInstanceOf[graft.expr.AqiBreakpoint])) => pr
+    }
+    assert(proj.nonEmpty, "aqi_breakpoint must appear in a Project")
+    // and that Project is inside a codegen stage
+    val inCodegen = p.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.exists {
+            case pr: org.apache.spark.sql.execution.ProjectExec =>
+              pr.projectList.exists(_.exists(
+                _.isInstanceOf[graft.expr.AqiBreakpoint]))
+            case _ => false
+          } => w
+    }
+    assert(inCodegen.nonEmpty,
+      "the AQI parse projection must be inside WholeStageCodegen")
+    // the round-12 defect: generated code silently fell back to
+    // interpreted eval when janino hit 64 KB. Compile the stage NOW
+    // and assert it fits (compile returns the max method size).
+    inCodegen.foreach { w =>
+      val (_, source) = w.doCodeGen()
+      val (_, stats) = org.apache.spark.sql.catalyst.expressions
+        .codegen.CodeGenerator.compile(source)
+      assert(stats.maxMethodCodeSize < 65536,
+        s"generated method size ${stats.maxMethodCodeSize} exceeds " +
+          "the JIT-able cap")
+    }
+  }
 }
