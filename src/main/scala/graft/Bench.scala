@@ -127,17 +127,26 @@ object Bench {
     // reader, shuffle + streaming machinery) so first-query JIT cost
     // doesn't land on an arbitrary query's timing.
     val warmDir = "/root/testdata/sf0.001"
-    // The streaming entries warm the paths the batch ones can't reach:
-    // foreachBatch fan-out, file sinks, checkpoint restart,
-    // stream-stream joins, session windows — round-12's six remaining
-    // suspect flags were ALL pass-1 JIT on exactly those topologies.
+    // The four streaming entries at the end warm paths the batch ones
+    // can't reach: checkpoint restart, foreachBatch fan-out,
+    // stream-stream joins, session windows — the topologies whose
+    // pass-1 samples otherwise carry first-use JIT cost. A warm-up
+    // failure is LOGGED (not fatal): a silently dead warm entry would
+    // degrade that topology back to first-sample JIT noise with no
+    // trace in the artifact.
     Seq("a1_gold_hourly", "ml_feature_matrix", "q5_revenue_by_nation",
       "sim3_cosine_neardup", "d1_exact_dedup", "s2_stream_silver",
       "mm2_decode_stub", "er1_fuzzy_match", "g2_triangle_count",
       "s19_checkpoint_recovery", "s18_fanout_sinks",
       "x37_stream_full_join", "x32_stream_session_window").foreach { n =>
-      SparkEntry.queries.get(n).foreach { f =>
-        try f(spark, warmDir).count() catch { case _: Throwable => () }
+      SparkEntry.queries.get(n) match {
+        case Some(f) =>
+          try f(spark, warmDir).count() catch {
+            case t: Throwable => System.err.println(
+              s"[bench] WARM-UP FAILED for $n: ${t.getClass.getName}")
+          }
+        case None => System.err.println(
+          s"[bench] WARM-UP entry $n no longer registered")
       }
     }
     // Optional comma-separated filter for iterating on specific queries.

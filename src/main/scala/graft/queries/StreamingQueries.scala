@@ -230,6 +230,22 @@ object StreamingQueries {
     val dir = Paths.get(
       s"/tmp/graft_stream_${d.hashCode.toHexString}/events_q_$stat")
     if (!Files.exists(dir.resolve("_SUCCESS"))) {
+      // the cache is keyed by the source's size+mtime — when testdata
+      // drifts across rounds, stale events_q_<oldstat> siblings would
+      // otherwise accumulate in /tmp unboundedly; drop them first
+      val parent = dir.getParent
+      if (Files.isDirectory(parent)) {
+        val siblings = Files.list(parent)
+        try siblings.forEach { p =>
+          if (p.getFileName.toString.startsWith("events_q_") &&
+              p != dir) {
+            val tree = Files.walk(p)
+            try tree.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.deleteIfExists(f))
+            finally tree.close()
+          }
+        } finally siblings.close()
+      }
       s.read.parquet(src.toString)
         .filter(pmod(col("event_id"), lit(4)) === 0)
         .coalesce(4).write.mode("overwrite").parquet(dir.toString)
@@ -288,9 +304,26 @@ object StreamingQueries {
       val modelKey = s"${graft.text.Dsir.AlgoVersion}_b${buckets}_" +
         Integer.toHexString((TextQueries.dsirTarget.toString +
           "|" + TextQueries.dsirTargetSql).hashCode)
+      val lamPrefix = s"graft_dsir_lambda_${d.hashCode.toHexString}_"
       val lamDir = StreamPipeline.scratchRoot().resolve(
-        s"graft_dsir_lambda_${d.hashCode.toHexString}_${modelKey}_$docStat")
+        s"$lamPrefix${modelKey}_$docStat")
       if (!Files.exists(lamDir.resolve("_SUCCESS"))) {
+        // GC stale λ caches for this sf dir (old model keys / drifted
+        // testdata) before writing the fresh one — same unbounded-/tmp
+        // leak class as the quarter-corpus stream cache
+        val root = StreamPipeline.scratchRoot()
+        if (Files.isDirectory(root)) {
+          val siblings = Files.list(root)
+          try siblings.forEach { p =>
+            if (p.getFileName.toString.startsWith(lamPrefix) &&
+                p != lamDir) {
+              val tree = Files.walk(p)
+              try tree.sorted(java.util.Comparator.reverseOrder())
+                .forEach(f => Files.deleteIfExists(f))
+              finally tree.close()
+            }
+          } finally siblings.close()
+        }
         graft.text.Dsir.denseLambda(
           PipelineQueries.table(s, d, "documents"),
           TextQueries.dsirTarget, buckets = buckets)
