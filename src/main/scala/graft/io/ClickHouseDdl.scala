@@ -83,10 +83,49 @@ object ClickHouseDdl {
        |${part}ORDER BY (${orderBy.mkString(", ")})""".stripMargin
   }
 
+  /** CREATE MATERIALIZED VIEW DDL over an existing MergeTree table —
+    * the reference's `latest_aqi` real-time view
+    * (`clickhouse/init.sql:67-80`): a column-subset projection of the
+    * Gold table into its own MergeTree with a different partitioning
+    * (PARTITION BY country — the live-dashboard access path slices by
+    * country, not by month). Columns in the SELECT are validated
+    * against the source schema; key columns get the same
+    * non-nullability rule as [[createTable]] (MergeTree keys cannot
+    * be Nullable, and the MV's implicit target table inherits them). */
+  def createMaterializedView(view: String, source: String,
+      sourceSchema: StructType, selectCols: Seq[String],
+      orderBy: Seq[String], partitionBy: Option[String] = None,
+      database: Option[String] = None): String = {
+    require(orderBy.nonEmpty, "MergeTree needs an ORDER BY key")
+    selectCols.foreach { c =>
+      require(sourceSchema.fieldNames.contains(c),
+        s"SELECT column $c not in source schema for $view")
+    }
+    (orderBy ++ partitionBy.filter(sourceSchema.fieldNames.contains))
+      .foreach { k =>
+        sourceSchema.fields.find(_.name == k).foreach(f =>
+          require(!f.nullable,
+            s"key column $k is nullable — MergeTree key/partition " +
+              "columns cannot be Nullable"))
+      }
+    val qualify: String => String =
+      t => database.map(db => s"$db.$t").getOrElse(t)
+    val part = partitionBy.map(p => s"PARTITION BY $p\n").getOrElse("")
+    s"""CREATE MATERIALIZED VIEW IF NOT EXISTS ${qualify(view)}
+       |ENGINE = MergeTree()
+       |${part}ORDER BY (${orderBy.mkString(", ")})
+       |AS SELECT
+       |${selectCols.map("    " + _).mkString(",\n")}
+       |FROM ${qualify(source)}""".stripMargin
+  }
+
   /** The reference's three-layer OLAP load, generated from the LIVE
-    * pipeline schemas: (layer, table_name, ddl) rows. `datetime` and
-    * the order keys are non-null by pipeline construction (P3's null
-    * gate), which the require above re-checks on every call. */
+    * pipeline schemas: (layer, table_name, ddl) rows — the three
+    * MergeTree tables plus the `latest_aqi` materialized view
+    * (Gold minus the array/aggregation columns, PARTITION BY country,
+    * init.sql:67-80). `datetime` and the order keys are non-null by
+    * pipeline construction (P3's null gate), which the require above
+    * re-checks on every call. */
   def medallionDdl(bronze: DataFrame, silver: DataFrame,
       gold: DataFrame, database: String = "graft"): Seq[(String,
       String, String)] = {
@@ -105,6 +144,16 @@ object ClickHouseDdl {
         Some("toYYYYMM(datetime)"), Some(database))),
       ("gold", "gold_hourly_aqi", createTable(
         "gold_hourly_aqi", nn(gold, gKeys), gKeys,
-        Some("toYYYYMM(datetime)"), Some(database))))
+        Some("toYYYYMM(datetime)"), Some(database))),
+      // the real-time view: Gold minus the array + aggregation
+      // columns, repartitioned by country for the dashboard slice
+      // (country is total by construction — user_id % 9 hits every
+      // branch of the encoding CASE — so the partition key is sound)
+      ("mv", "latest_aqi", createMaterializedView(
+        "latest_aqi", "gold_hourly_aqi",
+        nn(gold, gKeys :+ "country"),
+        Seq("datetime", "location_id", "location_name", "country",
+          "latitude", "longitude", "aqi", "aqi_category"),
+        gKeys, Some("country"), Some(database))))
   }
 }

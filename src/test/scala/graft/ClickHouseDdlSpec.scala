@@ -58,8 +58,8 @@ class ClickHouseDdlSpec extends AnyFunSuite {
       graft.queries.PipelineQueries.bronze(spark, dir).drop("props"),
       graft.queries.PipelineQueries.silver(spark, dir),
       graft.queries.PipelineQueries.gold(spark, dir))
-    assert(rows.map(_._1) === Seq("bronze", "silver", "gold"))
-    val gold = rows.last._3
+    assert(rows.map(_._1) === Seq("bronze", "silver", "gold", "mv"))
+    val gold = rows(2)._3
     assert(gold.contains("CREATE TABLE IF NOT EXISTS graft.gold_hourly_aqi"))
     assert(gold.contains("ENGINE = MergeTree()"))
     assert(gold.contains("PARTITION BY toYYYYMM(datetime)"))
@@ -69,5 +69,38 @@ class ClickHouseDdlSpec extends AnyFunSuite {
     assert(gold.contains("parameters Array("))
     // key columns emitted bare (non-Nullable) — the MergeTree rule
     assert(!gold.matches("(?s).*location_id Nullable.*"))
+  }
+
+  test("latest_aqi materialized view matches the init.sql:67-80 " +
+    "contract: MergeTree, PARTITION BY country, (location_id, datetime)" +
+    " key, Gold minus the array/aggregation columns") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = ClickHouseDdl.medallionDdl(
+      graft.queries.PipelineQueries.bronze(spark, dir).drop("props"),
+      graft.queries.PipelineQueries.silver(spark, dir),
+      graft.queries.PipelineQueries.gold(spark, dir))
+    val mv = rows.find(_._1 == "mv").map(_._3).getOrElse(
+      fail("mv row missing"))
+    assert(rows.find(_._1 == "mv").get._2 === "latest_aqi")
+    assert(mv.contains(
+      "CREATE MATERIALIZED VIEW IF NOT EXISTS graft.latest_aqi"))
+    assert(mv.contains("ENGINE = MergeTree()"))
+    assert(mv.contains("PARTITION BY country"))
+    assert(mv.contains("ORDER BY (location_id, datetime)"))
+    assert(mv.contains("FROM graft.gold_hourly_aqi"))
+    // init.sql:71-79 — exactly the eight projected columns, in order
+    val sel = mv.split("AS SELECT").last
+    val cols = sel.split("FROM").head.split(",").map(_.trim).toSeq
+    assert(cols === Seq("datetime", "location_id", "location_name",
+      "country", "latitude", "longitude", "aqi", "aqi_category"))
+    // the arrays and the aggregation timestamp stay OUT of the view
+    assert(!sel.contains("parameters") && !sel.contains("values") &&
+      !sel.contains("aggregation_timestamp"))
+    // a nullable partition column must refuse, not silently emit
+    val badGold = graft.queries.PipelineQueries.gold(spark, dir)
+    intercept[IllegalArgumentException] {
+      ClickHouseDdl.createMaterializedView("v", "t", badGold.schema,
+        Seq("country"), Seq("location_id"), Some("country"))
+    }
   }
 }
