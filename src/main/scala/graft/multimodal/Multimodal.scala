@@ -208,6 +208,82 @@ object Multimodal {
     graft.dedup.Dedup.simhashNearPairs(perceptualHashes(withMedia),
       maxDist = maxDist)
 
+  /** ENGINE-PORTABLE perceptual hash (mm6p) — the d17/d4p recipe
+    * applied to the LAST algorithmic no_oracle row: everything mm6
+    * computes after the decode (aHash bit math over a locality-
+    * preserving cell grid, pigeonhole blocking, exact popcount verify)
+    * replayed bit-for-bit in DuckDB. The one swapped piece is the
+    * decode stub itself: instead of per-byte span averages (an RDD
+    * loop no SQL engine replays), cell i is the md5₄₈-prefix of the
+    * i-th of `cells` equal CHARACTER spans of the payload text, mod
+    * 256 — still local (an edit perturbs only the spans it touches,
+    * the property aHash needs), still deterministic, and computable
+    * identically from both engines' substr/md5. Bits are the exact
+    * integer compare cell·cells > Σcells (≡ cell > mean, no division);
+    * signatures stay in non-negative 48-bit BIGINT space. */
+  def portablePerceptualHashes(docs: DataFrame, cells: Int = 48)
+      : DataFrame = {
+    require(cells >= 1 && cells <= 48,
+      s"signature carries at most 48 bits; got $cells")
+    val grid = docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .select(col("doc_id"), col("text"), col("len"),
+        explode(sequence(lit(0), lit(cells - 1))).as("i"))
+      // span i = chars [(i·len) div cells, ((i+1)·len) div cells) —
+      // 1-based substring in both engines; empty spans hash md5("")
+      .withColumn("s", expr(s"(i * len) div $cells"))
+      .withColumn("e", expr(s"((i + 1) * len) div $cells"))
+      .withColumn("cell", expr(
+        "CAST(conv(substring(md5(substring(text, CAST(s + 1 AS INT), " +
+          "CAST(e - s AS INT))), 1, 12), 16, 10) AS BIGINT) % 256"))
+    val tot = grid.groupBy(col("doc_id"))
+      .agg(sum(col("cell")).as("tot"))
+    grid.join(tot, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(sum(expr(
+        s"CASE WHEN cell * $cells > tot " +
+          "THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+  }
+
+  /** DuckDB twin of [[portablePerceptualHashes]] +
+    * [[graft.dedup.Dedup.simhashNearPairs]] over `docsRel`
+    * (doc_id, text): identical spans, cells, bit rule, pigeonhole
+    * chunks and popcount filter. */
+  def portablePerceptualPairsSql(docsRel: String, maxDist: Int = 6,
+      cells: Int = 48): String = {
+    val chunks = maxDist + 1
+    val width = cells / chunks
+    s"""WITH docs AS (SELECT doc_id, text, length(text) AS len
+       |  FROM $docsRel),
+       |grid AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(substr(text,
+       |        CAST((i * len) // $cells + 1 AS INT),
+       |        CAST(((i + 1) * len) // $cells
+       |          - (i * len) // $cells AS INT))), 1, 12)) AS BIGINT)
+       |      % 256 AS cell, i
+       |  FROM docs, (SELECT CAST(x AS BIGINT) AS i
+       |    FROM generate_series(0, ${cells - 1}) t(x)) ii),
+       |tot AS (SELECT doc_id, sum(cell) AS tot FROM grid GROUP BY 1),
+       |sig AS (SELECT g.doc_id,
+       |    CAST(sum(CASE WHEN g.cell * $cells > t.tot
+       |      THEN (CAST(1 AS BIGINT) << CAST(g.i AS INT))
+       |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |  FROM grid g JOIN tot t ON g.doc_id = t.doc_id GROUP BY 1),
+       |ch AS (SELECT doc_id, simhash, cs.ci,
+       |    (simhash >> (cs.ci * $width)) & ${(1L << width) - 1} AS cv
+       |  FROM sig, (SELECT CAST(x AS INT) AS ci
+       |    FROM generate_series(0, ${chunks - 1}) t(x)) cs),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv
+       |    AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sa, sb)) <= $maxDist
+       |ORDER BY id_a, id_b""".stripMargin.replace('\n', ' ')
+  }
+
   /** Exact media dedup by CONTENT digest (mm7): sha-256 over the raw
     * bytes — the first pass of every media-dedup stack (CSAM/copyright
     * filters, LAION-style corpus dedup) and the only multimodal

@@ -476,6 +476,25 @@ object SinkQueries {
       Multimodal.mediaNearDupPairs(base.unionAll(perturbed))
         .orderBy("id_a", "id_b")
     }),
+    // ENGINE-PORTABLE perceptual dedup (mm6p): mm6's aHash + blocking
+    // + popcount pipeline with the byte-grid decode stub swapped for
+    // the md5-span grid both engines compute identically (the
+    // d17/d4p recipe) — the whole near-dup algorithm oracle-replays,
+    // same planted locally-perturbed copies, Hamming <= 6
+    "mm6p_perceptual_portable" -> ((s, d) => {
+      val base = table(s, d, "documents")
+        .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+      val perturbed = table(s, d, "documents")
+        .filter(col("doc_id") < 200 && col("doc_id") % 9 === 0)
+        .withColumn("text", concat(expr("substring(text, 1, 20)"),
+          lit("ZZZ"), expr("substring(text, 24)")))
+        .withColumn("doc_id", col("doc_id") + 900000)
+        .select(col("doc_id"), col("text"))
+      graft.dedup.Dedup.simhashNearPairs(
+          Multimodal.portablePerceptualHashes(base.unionAll(perturbed)),
+          maxDist = 6, sigBits = 48)
+        .orderBy("id_a", "id_b")
+    }),
     // EXACT media dedup by content digest (mm7): sha-256 of the raw
     // payload bytes — the first pass of every media-dedup stack, and
     // the one multimodal operator with a full DuckDB twin (no decode
@@ -692,6 +711,16 @@ object SinkQueries {
         |  count(DISTINCT width) AS n_meta_variants
         |FROM h GROUP BY 1 HAVING count(*) > 1
         |ORDER BY canonical_id""".stripMargin.replace('\n', ' '),
+    // the portable perceptual twin: same slice + perturbation as mm6,
+    // replayed through the md5-span grid (see Multimodal scaladoc)
+    "mm6p_perceptual_portable" ->
+      graft.multimodal.Multimodal.portablePerceptualPairsSql(
+        """(SELECT doc_id, text FROM documents WHERE doc_id < 200
+          |  UNION ALL SELECT doc_id + 900000,
+          |      substr(text, 1, 20) || 'ZZZ' || substr(text, 24)
+          |    FROM documents WHERE doc_id < 200 AND doc_id % 9 = 0)"""
+          .stripMargin.replace('\n', ' '),
+        maxDist = 6),
     "mm3_frame_sample" ->
       """SELECT doc_id, n_frames,
         |  array_to_string(list_transform(range(0, k),

@@ -63,6 +63,30 @@ class MultimodalSpec extends AnyFunSuite {
       s"unrelated payload must not pair: $pairs")
   }
 
+  test("mm6p portable perceptual hash: exact copy at hamming 0, local " +
+    "edit pairs closely, unrelated text does not pair — same contract " +
+    "as mm6 through the md5-span grid") {
+    import org.apache.spark.sql.functions.col
+    val base = ("aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj " +
+      "kkkk llll mmmm nnnn oooo pppp qqqq rrrr ssss tttt") * 3
+    val edited = base.updated(50, 'Z').updated(51, 'Z')
+    val unrelated = ("zz a zz yy b xx zz ww c vv zz uu d tt zz ss e " +
+      "rr zz qq f pp zz oo g nn zz mm h ll zz kk i jj") * 3
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, edited), (4L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = graft.dedup.Dedup.simhashNearPairs(
+        Multimodal.portablePerceptualHashes(docs),
+        maxDist = 6, sigBits = 48)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 0, "exact copy must be hamming 0")
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 6,
+      s"local edit must pair closely: $pairs")
+    assert(!pairs.keys.exists(k => k._1 == 4L || k._2 == 4L),
+      s"unrelated payload must not pair: $pairs")
+  }
+
   test("mm7 exact media dedup: byte-identical payloads collapse on " +
     "the digest despite divergent metadata; unique payloads drop") {
     // ids 0 and 3 are both images (doc_id % 3 == 0) with DIFFERENT
