@@ -30,16 +30,24 @@ object Sinks {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** The exact Hadoop keys S6 sets (batch_processor.py:57-62) — a pure
+    * map so SourcesConfigSpec pins the contract without an object
+    * store to connect to. */
+  def s3aOptions(endpoint: String, accessKey: String, secretKey: String,
+      pathStyle: Boolean = true): Map[String, String] = Map(
+    "fs.s3a.endpoint" -> endpoint,
+    "fs.s3a.access.key" -> accessKey,
+    "fs.s3a.secret.key" -> secretKey,
+    "fs.s3a.path.style.access" -> pathStyle.toString,
+    "fs.s3a.impl" -> "org.apache.hadoop.fs.s3a.S3AFileSystem",
+    "fs.s3a.connection.ssl.enabled" -> "false")
+
   /** S6: object-store (S3A) wiring — same Hadoop keys as
     * batch_processor.py:57-62; inert unless an endpoint is configured. */
   def configureS3a(spark: SparkSession, endpoint: String, accessKey: String,
       secretKey: String, pathStyle: Boolean = true): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    conf.set("fs.s3a.endpoint", endpoint)
-    conf.set("fs.s3a.access.key", accessKey)
-    conf.set("fs.s3a.secret.key", secretKey)
-    conf.set("fs.s3a.path.style.access", pathStyle.toString)
-    conf.set("fs.s3a.impl", "org.apache.hadoop.fs.s3a.S3AFileSystem")
-    conf.set("fs.s3a.connection.ssl.enabled", "false")
+    s3aOptions(endpoint, accessKey, secretKey, pathStyle)
+      .foreach { case (k, v) => conf.set(k, v) }
   }
 }

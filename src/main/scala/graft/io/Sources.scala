@@ -5,6 +5,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Sources (SURVEY.md §2.1 S1-S3, S7-S8). */
 object Sources {
 
+  /** The exact reader options S1 wires (batch_processor.py:85-92) —
+    * exposed as a pure map so SourcesConfigSpec can pin the contract
+    * even though the sandbox has no broker to .load() against. */
+  def kafkaBatchOptions(brokers: String,
+      topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> brokers,
+    "subscribe" -> topic,
+    "startingOffsets" -> "earliest",
+    "endingOffsets" -> "latest")
+
   /** S1: bounded Kafka read (batch_processor.py:85-92). Config parity;
     * requires a live broker, so the offline harness substitutes JSON-lines
     * / parquet inputs through the same downstream transforms. */
@@ -12,10 +22,7 @@ object Sources {
       topic: String): DataFrame =
     spark.read
       .format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .option("endingOffsets", "latest")
+      .options(kafkaBatchOptions(brokers, topic))
       .load()
 
   /** S3: hive-partitioned parquet scan — partition columns recovered from

@@ -58,16 +58,22 @@ object StreamPipeline {
     }
   }
 
+  /** The exact reader options the streaming source wires
+    * (stream_processor.py:244-251) — pure map for SourcesConfigSpec. */
+  def kafkaSourceOptions(brokers: String,
+      topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> brokers,
+    "subscribe" -> topic,
+    "startingOffsets" -> "earliest",
+    "failOnDataLoss" -> "false")
+
   /** T1/S2: Kafka unbounded source (production path; not exercisable in
     * the offline harness — config parity with stream_processor.py:244-251). */
   def kafkaSource(spark: SparkSession, brokers: String,
       topic: String): DataFrame =
     spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .option("failOnDataLoss", "false")
+      .options(kafkaSourceOptions(brokers, topic))
       .load()
 
   /** Kafka bytes → wire columns (P1 on a stream). */
