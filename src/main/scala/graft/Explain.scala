@@ -96,7 +96,9 @@ object Explain {
         "sim7p_ivf_trained_portable", "d4p_simhash_portable",
         "g17h_closeness_hll", "g18h_diameter_hll",
         "sim8p_pq_portable", "a3p_hll_portable", "cms1p_portable",
-        "bf1p_bloom_portable")
+        "bf1p_bloom_portable",
+        // round-13 additions
+        "mm6p_perceptual_portable")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -68,14 +68,19 @@ object Bpe {
       out += best.select(lit(k.toLong).as("round"), col("l"), col("r"),
         concat(col("l"), col("r")).as("merged"),
         col("cnt").as("pair_count"))
-      cur = cur
+      val next = cur
         .crossJoin(broadcast(best.select(col("l").as("bl"),
           col("r").as("br"))))
         .select(col("w"), col("c"),
           expr("replace(s, concat(' ', bl, '  ', br, ' '), " +
             "concat(' ', bl, br, ' '))").as("s"))
         .localCheckpoint()
+      // best is its own checkpoint (out survives this) and next is
+      // materialized — the superseded corpus round is dead
+      graft.util.Checkpoints.free(cur)
+      cur = next
     }
+    graft.util.Checkpoints.free(cur) // the merge list is the result
     out.result().reduce(_.unionAll(_)).orderBy("round")
   }
 
