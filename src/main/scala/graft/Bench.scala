@@ -241,9 +241,20 @@ object Bench {
     }
     def suspect(v: List[(Double, Double)]): Boolean = {
       val c = clean(v)
-      c.size < 2 ||
-        (c.max / math.max(c.min, 1e-9) > dispRatio &&
-          c.max - c.min > dispFloor)
+      if (c.size < 2) true
+      else {
+        // with >= 3 clean samples the single worst one is attributable
+        // (first-use JIT, a stray host spike the steal window missed) —
+        // drop it before the spread test, so a query whose REMAINING
+        // evidence is consistent counts as resolved instead of being
+        // re-flagged forever. Round-13 forensics: after the re-run
+        // phase every flagged query had exactly this shape (one
+        // inflated pass-1 sample + tight re-runs), which kept the
+        // artifact's suspect count at 16 with no information content.
+        val considered = if (c.size >= 3) c.sorted.dropRight(1) else c
+        considered.max / math.max(considered.min, 1e-9) > dispRatio &&
+          considered.max - considered.min > dispFloor
+      }
     }
     // DISPERSION RE-RUNS: suspects re-measure individually (own steal
     // window), most expensive first, while budget remains — so even a
