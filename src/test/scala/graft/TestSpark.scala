@@ -16,6 +16,11 @@ object TestSpark {
       .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the eager checkpoint release (util.Checkpoints.free) unpersists
+    // finished-by-design locally-checkpointed rounds; Spark warns per
+    // RDD, flooding suite logs — same suppression Verify/Bench apply
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     s
   }
 }
