@@ -194,7 +194,10 @@ object Bench {
     var lastPass = 0.0
     val passSteal = mutable.ListBuffer[Double]()
     def wantMore: Boolean =
-      (passes < iters && elapsed + lastPass <= budgetSec) ||
+      // 1.15 margin: a third pass is only attempted when it fits even
+      // if the host degrades ~15% — an aborted pass 3 would trade a
+      // complete 2-pass + re-run artifact for a partial_passes flag
+      (passes < iters && elapsed + lastPass * 1.15 <= budgetSec) ||
         // the mandatory second pass: attempted (possibly partial)
         // whenever <85% of the budget is spent — one sample per query
         // is never evidence on this host

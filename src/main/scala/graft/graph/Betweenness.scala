@@ -126,7 +126,10 @@ object Betweenness {
     // their blocks eagerly instead of waiting on a full GC
     graft.util.Checkpoints.freeAll(levels)
     graft.util.Checkpoints.free(sym)
-    if (!deltas.exists(_ eq deltaNext)) graft.util.Checkpoints.free(deltaNext)
+    // deltaNext here is always the hh=0 sweep result (never appended
+    // to deltas — the loop adds only hh >= 1, and maxd == 0 returned
+    // early), so it is unconditionally dead
+    graft.util.Checkpoints.free(deltaNext)
     deltas.reduce(_.unionAll(_))
       .groupBy(col("node"))
       .agg(sum(col("delta")).cast("bigint").as("bt_micro"))

@@ -56,6 +56,10 @@ object HyperBall {
       m: Int = M): DataFrame = {
     val alpha = Alphas.getOrElse(m,
       throw new IllegalArgumentException(s"unsupported register count $m"))
+    // rho for an all-zero quotient: h carries 48 md5 bits, h div m
+    // drops log2(m) of them, so the zero-quotient sentinel is
+    // (48 − log2 m) + 1 — 43 at m=64, 44 at 32, 45 at 16
+    val zeroRho = 49 - java.lang.Integer.numberOfTrailingZeros(m)
     val sym = symmetrize(edges).localCheckpoint()
     val nodes = sym.select(col("src").as("node")).distinct()
     // one initial register row per node: its own hash
@@ -63,7 +67,7 @@ object HyperBall {
         expr("CAST(conv(substring(md5(CAST(node AS STRING)), 1, 12), " +
           "16, 10) AS BIGINT)").as("h"))
       .select(col("node"), expr(s"CAST(h % $m AS INT)").as("idx"),
-        expr(s"CAST(CASE WHEN h div $m = 0 THEN 43 ELSE " +
+        expr(s"CAST(CASE WHEN h div $m = 0 THEN $zeroRho ELSE " +
           s"bit_count(((h div $m) & -(h div $m)) - 1) + 1 END AS INT)")
           .as("rho"))
     var state = init.localCheckpoint()

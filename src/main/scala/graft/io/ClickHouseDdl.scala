@@ -101,12 +101,21 @@ object ClickHouseDdl {
       require(sourceSchema.fieldNames.contains(c),
         s"SELECT column $c not in source schema for $view")
     }
+    // same refusal discipline as createTable: a key column must EXIST
+    // (in the source schema AND the projected column list — the MV's
+    // implicit target table only has the projected columns) and be
+    // non-nullable; a bare-column PARTITION BY gets the same checks
     (orderBy ++ partitionBy.filter(sourceSchema.fieldNames.contains))
       .foreach { k =>
-        sourceSchema.fields.find(_.name == k).foreach(f =>
-          require(!f.nullable,
-            s"key column $k is nullable — MergeTree key/partition " +
-              "columns cannot be Nullable"))
+        val f = sourceSchema.fields.find(_.name == k).getOrElse(
+          throw new IllegalArgumentException(
+            s"key column $k not in source schema for $view"))
+        require(selectCols.contains(k),
+          s"key column $k is not projected by $view — the MV's " +
+            "target table cannot order/partition by it")
+        require(!f.nullable,
+          s"key column $k is nullable — MergeTree key/partition " +
+            "columns cannot be Nullable")
       }
     val qualify: String => String =
       t => database.map(db => s"$db.$t").getOrElse(t)

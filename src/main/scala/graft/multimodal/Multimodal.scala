@@ -236,9 +236,12 @@ object Multimodal {
       .withColumn("cell", expr(
         "CAST(conv(substring(md5(substring(text, CAST(s + 1 AS INT), " +
           "CAST(e - s AS INT))), 1, 12), 16, 10) AS BIGINT) % 256"))
-    val tot = grid.groupBy(col("doc_id"))
-      .agg(sum(col("cell")).as("tot"))
-    grid.join(tot, "doc_id")
+    // window aggregate, not groupBy+self-join: the join form evaluates
+    // the explode+md5 grid TWICE (once per plan subtree); the window
+    // computes the 48 span hashes once per document
+    val perDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    grid.withColumn("tot", sum(col("cell")).over(perDoc))
       .groupBy(col("doc_id"))
       .agg(sum(expr(
         s"CASE WHEN cell * $cells > tot " +

@@ -215,6 +215,27 @@ object StreamingQueries {
       .parquet(dir.toString)
   }
 
+  /** Recursively delete every `prefix`-named sibling of `keep` under
+    * `parent` — the GC for stat/model-keyed scratch caches whose key
+    * drifts across rounds (quarter-corpus copies, s20 λ caches): a
+    * stale key would otherwise accumulate one dead copy per drift,
+    * unboundedly. */
+  private def gcStaleSiblings(parent: java.nio.file.Path,
+      prefix: String, keep: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(parent)) {
+      val siblings = Files.list(parent)
+      try siblings.forEach { p =>
+        if (p.getFileName.toString.startsWith(prefix) && p != keep) {
+          val tree = Files.walk(p)
+          try tree.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+          finally tree.close()
+        }
+      } finally siblings.close()
+    }
+  }
+
   /** Quarter-corpus events file stream (event_id % 4 = 0),
     * materialized once per sf dir behind a _SUCCESS marker keyed by
     * the source's size+mtime — the bench-scoped stand-in source for
@@ -233,19 +254,7 @@ object StreamingQueries {
       // the cache is keyed by the source's size+mtime — when testdata
       // drifts across rounds, stale events_q_<oldstat> siblings would
       // otherwise accumulate in /tmp unboundedly; drop them first
-      val parent = dir.getParent
-      if (Files.isDirectory(parent)) {
-        val siblings = Files.list(parent)
-        try siblings.forEach { p =>
-          if (p.getFileName.toString.startsWith("events_q_") &&
-              p != dir) {
-            val tree = Files.walk(p)
-            try tree.sorted(java.util.Comparator.reverseOrder())
-              .forEach(f => Files.deleteIfExists(f))
-            finally tree.close()
-          }
-        } finally siblings.close()
-      }
+      gcStaleSiblings(dir.getParent, "events_q_", dir)
       s.read.parquet(src.toString)
         .filter(pmod(col("event_id"), lit(4)) === 0)
         .coalesce(4).write.mode("overwrite").parquet(dir.toString)
@@ -311,19 +320,7 @@ object StreamingQueries {
         // GC stale λ caches for this sf dir (old model keys / drifted
         // testdata) before writing the fresh one — same unbounded-/tmp
         // leak class as the quarter-corpus stream cache
-        val root = StreamPipeline.scratchRoot()
-        if (Files.isDirectory(root)) {
-          val siblings = Files.list(root)
-          try siblings.forEach { p =>
-            if (p.getFileName.toString.startsWith(lamPrefix) &&
-                p != lamDir) {
-              val tree = Files.walk(p)
-              try tree.sorted(java.util.Comparator.reverseOrder())
-                .forEach(f => Files.deleteIfExists(f))
-              finally tree.close()
-            }
-          } finally siblings.close()
-        }
+        gcStaleSiblings(StreamPipeline.scratchRoot(), lamPrefix, lamDir)
         graft.text.Dsir.denseLambda(
           PipelineQueries.table(s, d, "documents"),
           TextQueries.dsirTarget, buckets = buckets)
