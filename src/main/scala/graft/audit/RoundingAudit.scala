@@ -198,28 +198,64 @@ object RoundingAudit {
 
   /** Audit one query: wrap every Round site, execute once, read the
     * per-value tie counters. */
+  /** Wrap every Round in `analyzed` and execute, counting ties. */
+  private def runAudit(spark: SparkSession,
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Result = {
+    var sites = 0
+    val wrapped = analyzed.transformAllExpressions {
+      case r: Round => sites += 1; AuditedRound(r.child, r.scale)
+    }
+    if (sites == 0) NoRound
+    else {
+      Counters.reset()
+      // toRdd (not count()): a count on top would let the optimizer
+      // prune the output projection and skip the audited rounds
+      val rows = org.apache.spark.sql.graft.Bridge
+        .ofRows(spark, wrapped).queryExecution.toRdd.count()
+      import scala.jdk.CollectionConverters._
+      Audited(sites, rows, Counters.noTie.sum(),
+        Counters.exactTie.sum(), Counters.decimalTie.sum(),
+        Counters.inexactTie.sum(),
+        Counters.inexactSamples.asScala.toList)
+    }
+  }
+
   def auditOne(spark: SparkSession, name: String,
       fn: (SparkSession, String) => DataFrame,
       sfDir: String): Result =
     try {
       val df = fn(spark, sfDir)
-      var sites = 0
-      val wrapped = df.queryExecution.analyzed.transformAllExpressions {
-        case r: Round => sites += 1; AuditedRound(r.child, r.scale)
-      }
-      if (sites == 0) NoRound
-      else {
-        Counters.reset()
-        // toRdd (not count()): a count on top would let the optimizer
-        // prune the output projection and skip the audited rounds
-        val rows = org.apache.spark.sql.graft.Bridge
-          .ofRows(spark, wrapped).queryExecution.toRdd.count()
-        import scala.jdk.CollectionConverters._
-        Audited(sites, rows, Counters.noTie.sum(),
-          Counters.exactTie.sum(), Counters.decimalTie.sum(),
-          Counters.inexactTie.sum(),
-          Counters.inexactSamples.asScala.toList)
-      }
+      // R1 moved into the AqiBreakpoint kernel (round 13) whose
+      // HALF_UP is internal — swap it for its executable when-chain
+      // spec (AqiExprSpec pins the equivalence) so the flagship
+      // rounding stays tie-audited. The chain comes from the Column
+      // API (unresolved `round` calls), so the substituted plan goes
+      // through the analyzer once before the Round wrap.
+      val base = df.queryExecution.analyzed
+      // substitution + re-analysis/execution of a rewritten
+      // already-analyzed plan can trip converter/analyzer requirements
+      // on exotic shapes (grouping sets, view-backed SQL) — fall back
+      // to the original plan there: its OTHER Round sites still
+      // audit, only R1's kernel-internal HALF_UP stays
+      // un-instrumented for that one query (it remains pinned by
+      // AqiExprSpec's dense grid)
+      val substituted =
+        try {
+          var kernels = 0
+          val pre = base.transformAllExpressions {
+            case ab: graft.expr.AqiBreakpoint =>
+              kernels += 1
+              org.apache.spark.sql.graft.Bridge.eagerExpression(
+                graft.expr.Aqi.aqiWhenChain(
+                  org.apache.spark.sql.graft.Bridge.column(ab.left),
+                  org.apache.spark.sql.graft.Bridge.column(ab.right)))
+          }
+          if (kernels == 0) None
+          else Some(runAudit(spark, org.apache.spark.sql.graft.Bridge
+            .ofRows(spark, pre).queryExecution.analyzed))
+        } catch { case _: Throwable => None }
+      substituted.getOrElse(runAudit(spark, base))
     } catch { case e: Throwable =>
       Failed(Option(e.getMessage).getOrElse(e.getClass.getName))
     }
