@@ -27,6 +27,38 @@ object PageRank {
 
   private val Unit9 = 1000000000L // 1.0 in fixed-point units
 
+  /** Conservative per-row estimate for the (src, contrib) rate frame:
+    * two longs + InternalRow/compression overhead. Used only to decide
+    * whether the frame fits the broadcast budget — erring high degrades
+    * to the always-safe shuffle join. */
+  private val RateRowBytes = 32L
+
+  /** The broadcastRanks hint is a HINT, not a command: broadcasting the
+    * node-sized rate frame is only safe while it fits the session's
+    * broadcast budget. On a connected graph the nonzero-rank set
+    * converges to |nodes|, so an unconditional broadcast that is fine
+    * at benchmark scale becomes a driver/executor OOM at 100× — the
+    * guard re-checks the row bound against
+    * spark.sql.autoBroadcastJoinThreshold and falls back to the same
+    * shuffle join the unhinted path uses. Threshold ≤ 0 (broadcast
+    * disabled) always refuses. */
+  private[graft] def broadcastFits(
+      spark: org.apache.spark.sql.SparkSession, rows: Long): Boolean = {
+    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    val bytes =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      catch { case _: NumberFormatException => 10L << 20 }
+    bytes > 0 && rows * RateRowBytes <= bytes
+  }
+
+  /** The per-iteration join's build side: broadcast only when hinted
+    * AND under-threshold (see [[broadcastFits]]); factored so the plan
+    * shape is pinned by PlanShapeSpec on both sides of the guard. */
+  private[graft] def rateSide(rates: DataFrame, hint: Boolean,
+      rowBound: Long): DataFrame =
+    if (hint && broadcastFits(rates.sparkSession, rowBound)) broadcast(rates)
+    else rates
+
   /** @param edges   (src, dst) directed edge list (distinct rows)
     * @param iters   fixed iteration count (deterministic termination)
     * @param damping damping numerator out of 100 (85 = the classic 0.85)
@@ -36,7 +68,11 @@ object PageRank {
     *        shuffle for the sort-merge join. Right whenever node count
     *        fits executor memory (dimension-like graphs); for web-scale
     *        node counts leave false and pre-partition edges by src so
-    *        the per-iteration shuffle only moves the rank side
+    *        the per-iteration shuffle only moves the rank side. The
+    *        hint is THRESHOLD-GUARDED (see [[broadcastFits]]): when the
+    *        node count exceeds spark.sql.autoBroadcastJoinThreshold the
+    *        shuffle join is used regardless, so a caller's small-scale
+    *        hint can never become a large-scale OOM
     * @param assumeDistinct input edge rows are already distinct — skips
     *        the dedup shuffle (callers that build edges from a distinct
     *        pair set should pre-dedup the HALF-size pair list instead)
@@ -78,8 +114,8 @@ object PageRank {
       // (integer division per src — same value either side of the join)
       val rates = ranks.join(outdeg, ranks("node") === outdeg("src"))
         .select(outdeg("src"), expr("rank_units div outdeg").as("contrib"))
-      val rateSide = if (broadcastRanks) broadcast(rates) else rates
-      val contribs = e.join(rateSide, "src")
+      // rates has at most one row per node — n bounds it from above
+      val contribs = e.join(rateSide(rates, broadcastRanks, n), "src")
         .select(col("dst").as("node"), col("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("in_mass"))
@@ -183,14 +219,17 @@ object PageRank {
         when(col("is_src"), lit(baseSrc)).otherwise(lit(0L)).as("base"),
         when(col("is_src"), lit(init)).otherwise(lit(0L)).as("init"))
       .localCheckpoint()
+    // broadcast-guard bound: the rate frame starts seed-sized but on a
+    // connected graph converges to the full node set — guard on |nodes|
+    // (= withBase rows, already materialized), not the seed count
+    val nNodes = withBase.count()
     var ranks = withBase.select(col("node"), col("init").as("rank_units"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val rates = ranks.filter(col("rank_units") > 0)
         .join(outdeg, ranks("node") === outdeg("src"))
         .select(outdeg("src"), expr("rank_units div outdeg").as("contrib"))
-      val rateSide = if (broadcastRanks) broadcast(rates) else rates
-      val contribs = e.join(rateSide, "src")
+      val contribs = e.join(rateSide(rates, broadcastRanks, nNodes), "src")
         .select(col("dst").as("node"), col("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("in_mass"))

@@ -55,6 +55,42 @@ class PageRankSpec extends AnyFunSuite {
     assert(pall === glob)
   }
 
+  test("broadcast guard: the broadcastRanks hint is refused when the " +
+    "node count exceeds autoBroadcastJoinThreshold, and the fallback " +
+    "shuffle join produces bit-identical ranks") {
+    // guard decision: threshold-aware, refuses when disabled
+    assert(PageRank.broadcastFits(spark, 100L))
+    assert(!PageRank.broadcastFits(spark, Long.MaxValue / 64))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+      assert(!PageRank.broadcastFits(spark, 100L),
+        "a 100-node rate frame must not broadcast under a 1-byte budget")
+      // hash parity: same hint, guard now forces the shuffle join —
+      // integer fixed-point makes the comparison exact, not approximate
+      val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+        .toDF("src", "dst")
+      val guarded = PageRank.run(edges, iters = 6, broadcastRanks = true)
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val hinted = PageRank.run(edges, iters = 6, broadcastRanks = true)
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(guarded === hinted)
+      val seeds = Seq("a").toDF("node")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+      val pGuarded = PageRank
+        .personalized(edges, seeds, iters = 6, broadcastRanks = true)
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val pHinted = PageRank
+        .personalized(edges, seeds, iters = 6, broadcastRanks = true)
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(pGuarded === pHinted)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("sink node collects rank from its pointers") {
     // chain a -> b -> c: c inherits the most flowed mass after a few
     // rounds; a (no in-edges) sits at the teleport base

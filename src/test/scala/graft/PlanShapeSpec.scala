@@ -786,4 +786,42 @@ class PlanShapeSpec extends AnyFunSuite {
           "the JIT-able cap")
     }
   }
+
+  test("PageRank rate-side guard: hinted + under-threshold broadcasts; " +
+    "an over-threshold row bound falls back to the shuffle join (the " +
+    "g14 100x-scale OOM guard)") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val edges = (1 to 200).map(i => (i.toLong, (i % 50).toLong))
+        .toDF("src", "dst")
+      val rates = (1 to 50).map(i => (i.toLong, 1000L))
+        .toDF("src", "contrib")
+      def joinPlan(hint: Boolean, rowBound: Long): SparkPlan =
+        edges.join(
+            graft.graph.PageRank.rateSide(rates, hint, rowBound), "src")
+          .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution.executedPlan
+      // under threshold: the hint takes — broadcast join
+      val small = joinPlan(hint = true, rowBound = 50L)
+      assert(small.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "an under-threshold hinted rate frame must broadcast")
+      // over threshold: the SAME hint is refused. A raw broadcast()
+      // hint would force BroadcastHashJoin even at a 1-byte budget —
+      // the guard is what turns it into the shuffle join (the tiny
+      // budget also stops the planner auto-broadcasting the fixture's
+      // genuinely-small frame, isolating the guard's decision)
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        val big = joinPlan(hint = true, rowBound = 50L)
+        assert(big.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+          "an over-threshold rate frame must not broadcast despite the hint")
+        assert(big.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+          "the guard must fall back to the shuffle join")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
