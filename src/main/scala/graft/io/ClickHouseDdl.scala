@@ -104,8 +104,14 @@ object ClickHouseDdl {
     // same refusal discipline as createTable: a key column must EXIST
     // (in the source schema AND the projected column list — the MV's
     // implicit target table only has the projected columns) and be
-    // non-nullable; a bare-column PARTITION BY gets the same checks
-    (orderBy ++ partitionBy.filter(sourceSchema.fieldNames.contains))
+    // non-nullable. A PARTITION BY that is a bare identifier IS a
+    // column and gets the full checks — silently skipping an unknown
+    // one would emit DDL ClickHouse rejects (a typo'd partition column
+    // must throw here, not there); only an EXPRESSION (anything beyond
+    // an identifier, e.g. toYYYYMM(datetime)) is passed through
+    // unchecked, since its input columns are ClickHouse's to resolve
+    val bareIdent = "^[A-Za-z_][A-Za-z0-9_]*$".r
+    (orderBy ++ partitionBy.filter(p => bareIdent.matches(p)))
       .foreach { k =>
         val f = sourceSchema.fields.find(_.name == k).getOrElse(
           throw new IllegalArgumentException(

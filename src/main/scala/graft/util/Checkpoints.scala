@@ -33,11 +33,17 @@ import org.apache.spark.sql.DataFrame
   */
 object Checkpoints {
 
+  @volatile private var warnedDrift = false
+
   /** Release the storage blocks behind a `localCheckpoint()`ed frame.
     * No-op (and harmless) on frames that aren't checkpoint results.
     * The `rdd()` accessor is read reflectively: `LogicalRDD` is
     * `private[sql]` in Spark's source, but its bytecode is public and
-    * the case-class field accessor is stable across 3.x/4.x. */
+    * the case-class field accessor is stable across 3.x/4.x. If a
+    * Spark upgrade renames/hides it, the degradation back to
+    * GC-paced release is NOT silent: a once-per-JVM warning lands in
+    * every bench/suite log (and CheckpointsSpec fails loudly — it
+    * asserts the blocks actually drop after free()). */
   def free(df: DataFrame): Unit = {
     val plan = df.queryExecution.analyzed
     if (plan.getClass.getName == "org.apache.spark.sql.execution.LogicalRDD") {
@@ -46,7 +52,18 @@ object Checkpoints {
           case rdd: RDD[_] => rdd.unpersist(blocking = false)
           case _ => ()
         }
-      } catch { case _: ReflectiveOperationException => () }
+      } catch {
+        case e: ReflectiveOperationException =>
+          if (!warnedDrift) {
+            warnedDrift = true
+            System.err.println("[graft] WARN Checkpoints.free: " +
+              s"LogicalRDD.rdd reflective access failed ($e) — eager " +
+              "checkpoint release is DEGRADED to a no-op; superseded " +
+              "iterative rounds will sit in storage until a full GC " +
+              "(the round-12 leak). Spark-version drift: fix the " +
+              "accessor lookup.")
+          }
+      }
     }
   }
 

@@ -102,5 +102,23 @@ class ClickHouseDdlSpec extends AnyFunSuite {
       ClickHouseDdl.createMaterializedView("v", "t", badGold.schema,
         Seq("country"), Seq("location_id"), Some("country"))
     }
+    // a TYPO'D bare partition column must also refuse — it is a
+    // column reference ClickHouse would reject, not an expression to
+    // pass through (the old filter silently skipped its checks)
+    val goldNn = org.apache.spark.sql.types.StructType(
+      graft.queries.PipelineQueries.gold(spark, dir).schema.fields.map(
+        f => if (f.name == "datetime" || f.name == "location_id")
+          f.copy(nullable = false) else f))
+    intercept[IllegalArgumentException] {
+      ClickHouseDdl.createMaterializedView("v", "t", goldNn,
+        Seq("location_id", "datetime"), Seq("location_id"),
+        Some("countty"))
+    }
+    // an expression partition key passes through unchecked — its
+    // inputs are ClickHouse's to resolve
+    val exprMv = ClickHouseDdl.createMaterializedView("v", "t", goldNn,
+      Seq("location_id", "datetime"), Seq("location_id"),
+      Some("toYYYYMM(datetime)"))
+    assert(exprMv.contains("PARTITION BY toYYYYMM(datetime)"))
   }
 }

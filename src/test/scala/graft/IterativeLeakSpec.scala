@@ -21,9 +21,20 @@ class IterativeLeakSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
+  /** unpersist(blocking=false) settles async — poll until the census
+    * stops shrinking (or a deadline), the same discipline as
+    * CheckpointsSpec; a fixed sleep over-counts under CI load. */
   private def persistedCount: Int = {
-    Thread.sleep(200) // unpersist(blocking=false) settles async
-    spark.sparkContext.getPersistentRDDs.size
+    val deadline = System.nanoTime() + 10e9.toLong
+    var last = spark.sparkContext.getPersistentRDDs.size
+    var settled = false
+    while (!settled && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      val now = spark.sparkContext.getPersistentRDDs.size
+      settled = now >= last
+      last = now
+    }
+    last
   }
 
   private def sweep(): Unit =
