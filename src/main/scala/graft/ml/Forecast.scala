@@ -37,20 +37,26 @@ object Forecast {
       withTs.filter(col("ts_seconds") > cut))
   }
 
-  private def prepare(matrix: DataFrame): DataFrame = {
-    val base = matrix
+  /** The 22-column vector assembly shared by training and serving —
+    * the SAME null-fill and cast discipline on both sides, so a model
+    * trained here scores serving frames without skew. */
+  private def assemble(df: DataFrame): DataFrame = {
+    val base = df
       .withColumn("is_weekend", col("is_weekend").cast("int")) // bool → 0/1
-      .withColumn("ts_seconds",
-        unix_timestamp(col("datetime")).cast("double"))
     val filled = featureCols.foldLeft(base) {
-      (df, c) => df.withColumn(c, coalesce(col(c).cast("double"), lit(0.0)))
+      (d, c) => d.withColumn(c, coalesce(col(c).cast("double"), lit(0.0)))
     }
     new VectorAssembler()
       .setInputCols(featureCols.toArray)
       .setOutputCol("features")
-      .transform(filled.filter(col("aqi_next").isNotNull))
-      .withColumn("label", col("aqi_next"))
+      .transform(filled)
   }
+
+  private def prepare(matrix: DataFrame): DataFrame =
+    assemble(matrix.withColumn("ts_seconds",
+        unix_timestamp(col("datetime")).cast("double")))
+      .filter(col("aqi_next").isNotNull)
+      .withColumn("label", col("aqi_next"))
 
   def train(matrix: DataFrame, maxIter: Int = 20,
       maxDepth: Int = 5): (GBTRegressionModel, DataFrame) = {
@@ -63,6 +69,32 @@ object Forecast {
       .fit(trainDf)
     (model, model.transform(testDf))
   }
+
+  /** Model persistence — the train-once/serve-many contract the whole
+    * reference serving path depends on (`ml_training/train_lightgbm
+    * .py:192-202` saves the trained bundle; `app.py:118` loads it at
+    * serving time). Spark ML's native writer persists the tree
+    * ensemble + params as parquet/JSON under `path`; [[load]] restores
+    * a scorer whose predictions are bit-identical to the trained one
+    * (pinned by ForecastSpec). The artifact is a directory — on a
+    * cluster, any Hadoop-compatible URI (hdfs://, s3a://) works
+    * unchanged. */
+  def save(model: GBTRegressionModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def load(path: String): GBTRegressionModel =
+    GBTRegressionModel.load(path)
+
+  /** Serving twin of app.py's create_features_for_prediction →
+    * model.predict: assemble the same 22-feature vector over a serving
+    * frame (e.g. [[graft.features.Features.inferenceFeatures]]' latest
+    * per-station snapshot) and score it with a LOADED model. Row-local
+    * (assembly is a projection, the ensemble scores per-row) — no
+    * shuffle at any scale. */
+  def serve(model: GBTRegressionModel, serving: DataFrame): DataFrame =
+    model.transform(assemble(serving))
+      .drop("features")
+      .withColumnRenamed("prediction", "predicted_aqi_next")
 
   /** RMSE / MAE / MAPE / R² on held-out predictions
     * (train_lightgbm.py:17-36 metric set). */
