@@ -126,14 +126,194 @@ object HyperBall {
     perHop.reduce(_.unionAll(_))
   }
 
+  // ------------------------------------------------------------------
+  // PACKED register representation (the production constant-factor
+  // refinement the sparse form documents): one array<int> of m slots
+  // per node instead of up to m (node, idx, rho) rows. Same hash, same
+  // register algebra, bit-identical registers — the sparse form stays
+  // as the oracle twin (HyperBallSpec pins packed ≡ sparse). Per hop:
+  //   cand  = edges ⋈ changed-node arrays, groupBy(dst) with m
+  //           partial-aggregating max() slots (map-side combine — the
+  //           shuffle ships one m-int array per (dst, mapper))
+  //   merge = state ⋈ cand left, zip_with(regs, cregs, greatest)
+  //   delta = rows whose array changed (systolic delta: unchanged
+  //           nodes drop out of the next hop's join entirely)
+  // State is node-grain (m ints ≈ m bytes packed by parquet/Tungsten
+  // dictionary) vs the sparse form's up-to-n·m rows — ~m× less
+  // shuffle per hop at the same convergence.
+  // ------------------------------------------------------------------
+
+  /** init: each node's own hash in its slot, zeros elsewhere. */
+  private def initPacked(nodes: DataFrame, m: Int,
+      zeroRho: Int): DataFrame =
+    nodes.select(col("node"),
+        expr("CAST(conv(substring(md5(CAST(node AS STRING)), 1, 12), " +
+          "16, 10) AS BIGINT)").as("h"))
+      .select(col("node"), expr(s"CAST(h % $m AS INT)").as("idx"),
+        expr(s"CAST(CASE WHEN h div $m = 0 THEN $zeroRho ELSE " +
+          s"bit_count(((h div $m) & -(h div $m)) - 1) + 1 END AS INT)")
+          .as("rho"))
+      .select(col("node"),
+        expr(s"transform(sequence(0, ${m - 1}), " +
+          "i -> CASE WHEN i = idx THEN rho ELSE 0 END)").as("regs"))
+
+  /** The packed hop loop. Per-hop statistics ride INSIDE the state
+    * row as history arrays (`hist`: name → SQL-expr builder over a
+    * register-column name, appended each hop), so a hop costs exactly
+    * TWO jobs — the merge checkpoint and the (cheap, checkpoint-read)
+    * convergence probe — instead of a third per-hop derive/checkpoint
+    * job. At local bench scale the sweep is fixed-job-overhead bound,
+    * so jobs-per-hop is the constant that matters; at cluster scale
+    * the history adds hops·8 bytes per node — noise next to the m-int
+    * registers.
+    *
+    * Returns (normalized view (node, regs, hist…), backing frame,
+    * hops swept). The backing is checkpointed and NOT freed — the
+    * view reads it; callers free it once their derived result is
+    * materialized. */
+  private def packedSweep(edges: DataFrame, maxHops: Int, m: Int,
+      hist: Seq[(String, String => String)])
+      : (DataFrame, DataFrame, Int) = {
+    require(Alphas.contains(m), s"unsupported register count $m")
+    val zeroRho = 49 - java.lang.Integer.numberOfTrailingZeros(m)
+    val sym = symmetrize(edges).localCheckpoint()
+    val nodes = sym.select(col("src").as("node")).distinct()
+    // ONE checkpointed frame per round backs both the state and the
+    // delta (the delta is a filter over it — no second copy). free()
+    // only acts on the bare LogicalRDD frame, so the backing frame is
+    // tracked explicitly; state/delta are lazy selects over it.
+    val init = initPacked(nodes, m, zeroRho)
+    var backing = init
+      .select(Seq(col("node"), col("regs")) ++ hist.map { case (n, e) =>
+        expr(s"array(${e("regs")})").as(n) }: _*)
+      .localCheckpoint()
+    var state = backing
+    var delta = backing
+    val maxSlots = (0 until m).map(i =>
+      max(element_at(col("regs"), i + 1)).as(s"r$i"))
+    var hop = 0
+    while (hop < maxHops && !delta.isEmpty) {
+      hop += 1
+      val cand = sym
+        .join(delta.select(col("node").as("src"), col("regs")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(maxSlots.head, maxSlots.tail: _*)
+        .select(col("node"),
+          array((0 until m).map(i => col(s"r$i")): _*).as("cregs"))
+      val stepCols = Seq(col("node"),
+          when(col("cregs").isNull, col("regs"))
+            .otherwise(expr(
+              "zip_with(regs, cregs, (a, b) -> greatest(a, b))"))
+            .as("nregs"),
+          (col("cregs").isNotNull &&
+            expr("zip_with(regs, cregs, (a, b) -> greatest(a, b))")
+              =!= col("regs")).as("changed")) ++
+        hist.map { case (n, _) => col(n) }
+      // two selects so the history expressions see the merged `nregs`
+      // column by NAME (Catalyst collapses the projections; the O(m)
+      // folds stay per-row, per-hop)
+      val merged = state.join(cand, Seq("node"), "left")
+        .select(stepCols: _*)
+        .select(Seq(col("node"), col("nregs"), col("changed")) ++
+          hist.map { case (n, e) =>
+            concat(col(n), array(expr(e("nregs")))).as(n) }: _*)
+        .localCheckpoint()
+      graft.util.Checkpoints.free(backing) // successor is materialized
+      backing = merged
+      state = merged.select(Seq(col("node"),
+        col("nregs").as("regs")) ++ hist.map(h => col(h._1)): _*)
+      delta = merged.filter(col("changed"))
+        .select(col("node"), col("nregs").as("regs"))
+    }
+    graft.util.Checkpoints.free(sym)
+    (state, backing, hop)
+  }
+
+  /** The per-node HLL estimate as a SQL expression over register
+    * column `rc`: absent slots hold 0 → 2^-0 = 1 each, so the plain
+    * fold IS zsum + (m − nreg) of the sparse formula; the small-range
+    * linear-counting correction matches [[ballEstimates]] exactly. */
+  private def estExpr(rc: String, m: Int): String = {
+    val alpha = Alphas(m)
+    val zsum = s"aggregate($rc, CAST(0 AS DOUBLE), " +
+      "(acc, r) -> acc + pow(CAST('2' AS DOUBLE), -r))"
+    val nreg = s"size(filter($rc, r -> r > 0))"
+    s"CASE WHEN ($alpha * $m * $m) / ($zsum) <= 2.5 * $m " +
+      s"AND $nreg < $m " +
+      s"THEN $m * ln(CAST($m AS DOUBLE) / ($m - $nreg)) " +
+      s"ELSE ($alpha * $m * $m) / ($zsum) END"
+  }
+
+  /** Per-hop per-node ball-size estimates from the PACKED sweep —
+    * same (node, hop, est) contract as [[ballEstimates]], ~m× less
+    * per-hop shuffle and two jobs per hop. The per-row fold over m
+    * slots is deterministic slot order, so estimates don\'t depend on
+    * partitioning. */
+  def packedBallEstimates(edges: DataFrame, maxHops: Int = 10,
+      m: Int = M): DataFrame = {
+    val (view, backing, _) = packedSweep(edges, maxHops, m,
+      Seq("est_hist" -> (rc => estExpr(rc, m))))
+    val out = view
+      .select(col("node"), posexplode(col("est_hist")).as(Seq("hop", "est")))
+      .localCheckpoint()
+    graft.util.Checkpoints.free(backing)
+    out
+  }
+
+  /** The EXACT-INTEGER register table at hop `hops` — (node, idx, rho)
+    * for every hit slot, identical to the sparse state by construction
+    * (same md5₄₈ hash, same max algebra) and REPLAYABLE BY THE ORACLE:
+    * DuckDB computes B(v, ≤hops) with unrolled self-joins and takes
+    * per-(v, idx) max rho over the same portable hashes — the g17hp ★
+    * twin that upgrades the estimator family from rows-only to
+    * hash-checked. Convergence before `hops` is a fixpoint, so the
+    * early-stopped state equals the hop-`hops` state. */
+  def registerTable(edges: DataFrame, hops: Int = 2,
+      m: Int = M): DataFrame = {
+    val (view, _, _) = packedSweep(edges, hops, m, Nil)
+    view.select(col("node"), posexplode(col("regs")).as(Seq("idx", "rho")))
+      .filter(col("rho") > 0)
+      .select(col("node"), col("idx").cast("int").as("idx"),
+        col("rho").cast("int").as("rho"))
+      .orderBy("node", "idx")
+  }
+
+  /** Per-node per-hop EXACT-INTEGER sufficient statistics of the HLL
+    * estimate: zsum_scaled = Σ_slots 2^(49−rho) (absent slot rho=0 →
+    * 2^49; ≤ m·2^49 ≤ 2^55, BIGINT-safe) and nreg = hit slots. The
+    * double-typed estimate is exactly α·m²·2^49 / zsum_scaled — so
+    * hash-checking these integers checks everything the estimator
+    * depends on, without a double crossing the engine boundary
+    * (the g18hp ★ twin). Early convergence is a fixpoint and the
+    * oracle unrolls EVERY hop, so the converged statistics pad
+    * forward to the full hop range. */
+  def ballSums(edges: DataFrame, maxHops: Int = 2,
+      m: Int = M): DataFrame = {
+    val zs = (rc: String) => s"aggregate($rc, CAST(0 AS BIGINT), " +
+      "(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), 49 - r))"
+    val nr = (rc: String) => s"size(filter($rc, r -> r > 0))"
+    val (view, _, _) = packedSweep(edges, maxHops, m,
+      Seq("zsum_hist" -> zs, "nreg_hist" -> nr))
+    view
+      .select(col("node"), col("zsum_hist"), col("nreg_hist"),
+        explode(expr(s"sequence(0, $maxHops)")).as("hop"))
+      .select(col("node"), col("hop").cast("int").as("hop"),
+        expr("element_at(zsum_hist, " +
+          "least(hop + 1, size(zsum_hist)))").as("zsum_scaled"),
+        expr("element_at(nreg_hist, " +
+          "least(hop + 1, size(nreg_hist)))").cast("int").as("nreg"))
+      .orderBy("node", "hop")
+  }
+
   /** ALL-node closeness estimates (g17's statistic without the source
     * panel): n_reached_est = E(v, H) − 1, sum_dist_est =
     * Σ_h h·max(ΔE_h, 0). The per-node window runs over ≤ maxHops+1
     * rows — hop-grain, never data-grain. */
   def closeness(edges: DataFrame, maxHops: Int = 10,
-      m: Int = M): DataFrame = {
+      m: Int = M, packed: Boolean = true): DataFrame = {
     val w = Window.partitionBy(col("node")).orderBy(col("hop"))
-    ballEstimates(edges, maxHops, m)
+    (if (packed) packedBallEstimates(edges, maxHops, m)
+     else ballEstimates(edges, maxHops, m))
       .withColumn("d",
         greatest(col("est") - lag(col("est"), 1).over(w), lit(0.0)))
       .groupBy(col("node"))
@@ -151,8 +331,9 @@ object HyperBall {
     * ALL pairs, not a panel): cum(h) = Σ_v E(v, h) − n, per-hop pair
     * deltas, cumulative fraction, and the p90 hop. Hop-grain output. */
   def hopDistribution(edges: DataFrame, maxHops: Int = 10,
-      m: Int = M): DataFrame = {
-    val byHop = ballEstimates(edges, maxHops, m)
+      m: Int = M, packed: Boolean = true): DataFrame = {
+    val byHop = (if (packed) packedBallEstimates(edges, maxHops, m)
+      else ballEstimates(edges, maxHops, m))
       .groupBy(col("hop"))
       .agg(sum(col("est")).as("tot_est"), count(lit(1)).as("n"))
       .select(col("hop"),

@@ -100,4 +100,68 @@ class HyperBallSpec extends AnyFunSuite {
         s"node $node: sum_dist est ${est(node)} vs exact $sdExact")
     }
   }
+
+  test("packed register sweep ≡ sparse sweep: identical (node, hop) " +
+    "estimate sets for every register count") {
+    for (m <- Seq(16, 64)) {
+      val sparse = HyperBall.ballEstimates(edges, maxHops = 6, m = m)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val packed = HyperBall.packedBallEstimates(edges, maxHops = 6,
+          m = m)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(packed.keySet === sparse.keySet, s"m=$m key sets differ")
+      packed.foreach { case (k, v) =>
+        // same registers, same formula; the only freedom is FP
+        // summation order over ≤ m exact powers of two
+        assert(math.abs(v - sparse(k)) <= 1e-9 * math.max(1.0, v),
+          s"m=$m $k: packed $v vs sparse ${sparse(k)}")
+      }
+    }
+  }
+
+  test("registerTable: exact-integer registers at hop H — valid slot " +
+    "ranges, and on the fully-mixed ring every node converges to the " +
+    "IDENTICAL register set (ball = whole graph)") {
+    val m = 16
+    val regs = HyperBall.registerTable(edges, hops = 15, m = m)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(regs.map(_._1).distinct.length === n)
+    assert(regs.forall(t => t._2 >= 0 && t._2 < m))
+    assert(regs.forall(t => t._3 >= 1 && t._3 <= 49 -
+      java.lang.Integer.numberOfTrailingZeros(m)))
+    // every ball is the full node set ⇒ every node's (idx, rho) set is
+    // the global max-register set
+    val byNode = regs.groupBy(_._1)
+      .map { case (_, v) => v.map(t => (t._2, t._3)).toSet }
+    assert(byNode.toSet.size === 1,
+      "converged balls must share one register set")
+  }
+
+  test("ballSums: the integer sufficient statistics replay the " +
+    "estimate exactly (est = α·m²·2^49 / zsum_scaled outside the " +
+    "small-range regime) and pad early convergence to the hop range") {
+    val m = 16
+    val alpha = 0.673 // α₁₆ (Flajolet et al. 2007)
+    val sums = HyperBall.ballSums(edges, maxHops = 15, m = m)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getInt(3))).toMap
+    val est = HyperBall.packedBallEstimates(edges, maxHops = 15, m = m)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // estimates stop at convergence; sums pad to maxHops inclusive
+    assert(sums.keySet.filter(_._2 <= est.keys.map(_._2).max) ===
+      est.keySet)
+    assert(sums.keys.map(_._2).max === 15)
+    est.foreach { case (k, e) =>
+      val (z, nreg) = sums(k)
+      val raw = alpha * m * m * math.pow(2.0, 49) / z.toDouble
+      if (!(raw <= 2.5 * m && nreg < m)) {
+        assert(math.abs(raw - e) <= 1e-6 * e,
+          s"$k: replayed $raw vs est $e")
+      }
+    }
+  }
 }
