@@ -200,6 +200,39 @@ object GraphExtQueries {
           (col("o_custkey") * 2 + 1).as("dst"))
       graft.graph.HyperBall.hopDistribution(pairs)
     }),
+    // PORTABLE HyperBall register state (g17hp ★): the exact-integer
+    // (node, idx, rho) registers at hop 2, m = 16, over the same
+    // bipartite graph — the md5₄₈ register hash is engine-portable,
+    // so the oracle replays B(v, ≤2) with two unrolled self-joins and
+    // takes the identical per-(node, idx) max. Upgrades the HLL
+    // estimator family from rows-only to hash-checked: the registers
+    // ARE the estimator's entire state.
+    "g17hp_registers_portable" -> ((s, d) => {
+      val pairs = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
+      graft.graph.HyperBall.registerTable(pairs, hops = 2, m = 16)
+    }),
+    // PORTABLE HyperBall sufficient statistics (g18hp ★): per-node,
+    // per-hop integer zsum_scaled = Σ_slots 2^(49−rho) and nreg for
+    // hops 0..2 — the double estimate is the pure function
+    // α·m²·2^49 / zsum_scaled of these integers, so hash-checking
+    // them checks everything the g18h estimate depends on without a
+    // double crossing the engine boundary
+    "g18hp_ballsums_portable" -> ((s, d) => {
+      val pairs = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
+      graft.graph.HyperBall.ballSums(pairs, maxHops = 2, m = 16)
+    }),
     // DEGREE DISTRIBUTION summary + Hill tail exponent (g19): the
     // graph-shape statistic that decides every downstream algorithm
     // choice (skew-aware joins, degree-ordered triangle counting,
@@ -619,7 +652,72 @@ object GraphExtQueries {
     })
   )
 
+  /** Shared oracle prelude for the HyperBall portable twins: the
+    * symmetrized bipartite graph, the md5₄₈ register hash per node
+    * (idx = h mod 16, rho = trailing-zeros(h div 16) + 1, zero
+    * quotient → 45 = 48 − log2 16 + 1), and the unrolled 2-hop balls
+    * b0/b1/b2 — DuckDB's replay of `HyperBall.initPacked` + two
+    * max-merge hops. */
+  private val hyperballCte: String =
+    """pairs AS (SELECT DISTINCT l_suppkey * 2 AS s_node,
+      |    o_custkey * 2 + 1 AS c_node
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |sym AS (SELECT s_node AS src, c_node AS dst FROM pairs
+      |  UNION SELECT c_node, s_node FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS node FROM sym),
+      |hsh AS (SELECT node,
+      |    ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 12))::BIGINT
+      |      AS hv FROM nodes),
+      |reg AS (SELECT node, CAST(hv % 16 AS INT) AS idx,
+      |    CAST(CASE WHEN hv // 16 = 0 THEN 45
+      |      ELSE bit_count(((hv // 16) & (-(hv // 16))) - 1) + 1 END
+      |      AS INT) AS rho FROM hsh),
+      |b0 AS (SELECT node AS v, node AS u FROM nodes),
+      |b1 AS (SELECT DISTINCT v, u FROM (SELECT v, u FROM b0
+      |  UNION ALL SELECT b.v, e.dst AS u FROM b0 b
+      |    JOIN sym e ON b.u = e.src) t1),
+      |b2 AS (SELECT DISTINCT v, u FROM (SELECT v, u FROM b1
+      |  UNION ALL SELECT b.v, e.dst AS u FROM b1 b
+      |    JOIN sym e ON b.u = e.src) t2)"""
+      .stripMargin.replace('\n', ' ')
+
   val oracle: Map[String, String] = Map(
+    "g17hp_registers_portable" ->
+      s"""WITH $hyperballCte
+         |SELECT b2.v AS node, r.idx AS idx, CAST(max(r.rho) AS INT)
+         |  AS rho
+         |FROM b2 JOIN reg r ON b2.u = r.node
+         |GROUP BY 1, 2 ORDER BY node, idx""".stripMargin
+        .replace('\n', ' '),
+    "g18hp_ballsums_portable" ->
+      s"""WITH $hyperballCte,
+         |r0 AS (SELECT b0.v, r.idx, max(r.rho) AS rho FROM b0
+         |  JOIN reg r ON b0.u = r.node GROUP BY 1, 2),
+         |r1 AS (SELECT b1.v, r.idx, max(r.rho) AS rho FROM b1
+         |  JOIN reg r ON b1.u = r.node GROUP BY 1, 2),
+         |r2 AS (SELECT b2.v, r.idx, max(r.rho) AS rho FROM b2
+         |  JOIN reg r ON b2.u = r.node GROUP BY 1, 2),
+         |s0 AS (SELECT v AS node, CAST(0 AS INT) AS hop,
+         |    CAST(CAST(sum(CAST(power(2, 49 - rho) AS BIGINT))
+         |        AS BIGINT)
+         |      + (16 - count(*)) * CAST(power(2, 49) AS BIGINT)
+         |      AS BIGINT) AS zsum_scaled,
+         |    CAST(count(*) AS INT) AS nreg FROM r0 GROUP BY 1, 2),
+         |s1 AS (SELECT v AS node, CAST(1 AS INT) AS hop,
+         |    CAST(CAST(sum(CAST(power(2, 49 - rho) AS BIGINT))
+         |        AS BIGINT)
+         |      + (16 - count(*)) * CAST(power(2, 49) AS BIGINT)
+         |      AS BIGINT) AS zsum_scaled,
+         |    CAST(count(*) AS INT) AS nreg FROM r1 GROUP BY 1, 2),
+         |s2 AS (SELECT v AS node, CAST(2 AS INT) AS hop,
+         |    CAST(CAST(sum(CAST(power(2, 49 - rho) AS BIGINT))
+         |        AS BIGINT)
+         |      + (16 - count(*)) * CAST(power(2, 49) AS BIGINT)
+         |      AS BIGINT) AS zsum_scaled,
+         |    CAST(count(*) AS INT) AS nreg FROM r2 GROUP BY 1, 2)
+         |SELECT * FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+         |  UNION ALL SELECT * FROM s2) u
+         |ORDER BY node, hop""".stripMargin.replace('\n', ' '),
     // same integer mix, row_number bottom-3 replays the TopK kept set
     "g24_neighbor_sampling" ->
       """WITH e AS (SELECT DISTINCT l_suppkey * 2 AS src,
