@@ -85,7 +85,7 @@ object Bench {
     * Round-14 instrumentation for the residual pass-2 blowups the
     * eager-free did not kill (g18h 7.5→189.8 s at steal 0.03). */
   private case class Sample(t: Double, steal: Double,
-    gcMs: Long, shmMb: Long)
+    gcMs: Long, shmMb: Long, jitMb: Long)
 
   /** Cumulative stop-the-world milliseconds across all collectors. */
   private def gcMillis(): Long = {
@@ -93,6 +93,22 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
   }
+
+  /** Used MB across the JIT code-cache pools (segmented CodeHeaps on
+    * JDK 9+). A full bench run generates thousands of whole-stage-
+    * codegen classes; when the cache fills the JVM silently disables
+    * compilation — a 10-25× slowdown at zero host steal that looks
+    * exactly like cross-query contamination. Recording occupancy per
+    * sample makes that failure mode attributable from the artifact. */
+  private def codeCacheUsedMb(): Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .asScala
+        .filter(p => p.getName.contains("CodeHeap") ||
+          p.getName.contains("Code Cache"))
+        .map(_.getUsage.getUsed).sum >> 20
+    } catch { case _: Throwable => -1L }
 
   /** Whole-tmpfs fill of /dev/shm in MB (statfs — O(1); measures the
     * host view, which is what matters: other tenants' fill slows our
@@ -247,7 +263,7 @@ object Bench {
     while (passes == 0 || wantMore) {
       val p0 = System.nanoTime()
       val s0 = procStat()
-      val ran = mutable.ListBuffer[(String, Double, Long, Long)]()
+      val ran = mutable.ListBuffer[(String, Double, Long, Long, Long)]()
       var aborted = false
       // pass 2+ iterates MOST-EXPENSIVE-FIRST (by best sample so far):
       // when the wall budget aborts a later pass mid-way, the queries
@@ -265,15 +281,15 @@ object Bench {
           val q0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           ran += ((name, (System.nanoTime() - q0) / 1e9,
-            gcMillis() - g0, shmUsedMb()))
+            gcMillis() - g0, shmUsedMb(), codeCacheUsedMb()))
           // Outside the timed window: drop the finished query's
           // leavings (see sweep() for why the GC point is load-bearing).
           sweep()
         }
       }
       val steal = stealSince(s0)
-      ran.foreach { case (n, t, gc, shm) =>
-        samples(n) = samples(n) :+ Sample(t, steal, gc, shm) }
+      ran.foreach { case (n, t, gc, shm, jit) =>
+        samples(n) = samples(n) :+ Sample(t, steal, gc, shm, jit) }
       passSteal += steal
       lastPass = (System.nanoTime() - p0) / 1e9
       passes += 1
@@ -330,7 +346,8 @@ object Bench {
             try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
             val t = (System.nanoTime() - q0) / 1e9
             samples(name) = samples(name) :+
-              Sample(t, stealSince(s0), gcMillis() - g0, shmUsedMb())
+              Sample(t, stealSince(s0), gcMillis() - g0, shmUsedMb(),
+                codeCacheUsedMb())
             reruns += 1
             // same post-query litter sweep as the pass loop: a re-run
             // exists to REPLACE a contaminated sample, so it must not
@@ -364,6 +381,7 @@ object Bench {
           s""""steal":[${v.map(x => f"${x.steal}%.3f").mkString(",")}],""" +
           s""""gc_ms":[${v.map(_.gcMs).mkString(",")}],""" +
           s""""shm_mb":[${v.map(_.shmMb).mkString(",")}],""" +
+          s""""jit_mb":[${v.map(_.jitMb).mkString(",")}],""" +
           f""""median":${med(k)}%.3f,"min":${ts.min}%.3f,""" +
           f""""max":${ts.max}%.3f,"disp":$disp%.2f,""" +
           (if (dropResolved) """"drop_resolved":true,""" else "") +
@@ -383,6 +401,15 @@ object Bench {
           s""""steal_per_pass":$stealArr,""" +
           s""""steal_threshold":$stealThreshold,""" +
           s""""clean_passes":$cleanPassN,""" +
+          s""""code_cache_max_mb":${
+            try {
+              import scala.jdk.CollectionConverters._
+              java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+                .asScala
+                .filter(p => p.getName.contains("CodeHeap") ||
+                  p.getName.contains("Code Cache"))
+                .map(_.getUsage.getMax).sum >> 20
+            } catch { case _: Throwable => -1L }},""" +
           overridden.map(n => s""""$n"""")
             .mkString(""""bench_overrides":[""", ",", "],") +
           s""""queries":$detail}""")
