@@ -98,7 +98,10 @@ object Explain {
         "sim8p_pq_portable", "a3p_hll_portable", "cms1p_portable",
         "bf1p_bloom_portable",
         // round-13 additions
-        "mm6p_perceptual_portable")
+        "mm6p_perceptual_portable",
+        // round-14 additions
+        "g17hp_registers_portable", "g18hp_ballsums_portable",
+        "g1_pagerank")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
