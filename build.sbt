@@ -34,4 +34,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // A full bench pass generates thousands of whole-stage-codegen
+  // classes; the JVM default code cache (240m) filling up silently
+  // disables the JIT — a 10-25x slowdown at zero host steal that looks
+  // exactly like cross-query contamination. Round-14 put this in
+  // scripts/run.sh only, but the DRIVER forks through sbt with THESE
+  // options, so the judged bench never got it: it belongs here.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -142,6 +142,19 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.expr.GraftExtensions")
+      // Spark's generated-class cache holds 100 entries (static conf,
+      // spark.sql.codegen.cache.maxEntries). One bench pass compiles
+      // a multiple of that across 360+ queries, so by the time pass 2
+      // reaches a query its classes are evicted and EVERY SAMPLE pays
+      // janino compile + fresh JIT again (measured r14: rrf1 8.0 s on
+      // both passes vs 1.4 s with warm code — the cost is compilation,
+      // not data). Sizing the cache to the surface makes pass 2+ and
+      // the dispersion re-runs measure the QUERY, not the compiler.
+      // This caches compiled code keyed on generated source — results
+      // are still computed from parquet on every invocation. Same
+      // knob a long-lived production driver (Thrift server) would set.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
       // Stopped streaming queries' state-store providers hold their
       // last-version maps until the maintenance thread notices the
       // query is gone; with ~25 streaming replays per pass, the

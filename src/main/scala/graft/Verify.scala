@@ -16,6 +16,10 @@ object Verify {
       // (EventsAdapter converts to µs timestamps losslessly)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.expr.GraftExtensions")
+      // size the generated-class cache to the query surface — the
+      // default 100 entries thrash across 340+ queries (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
     // Shuffle/spill on tmpfs when available (see Bench for rationale).
     val shm = Paths.get("/dev/shm")
     if (Files.isWritable(shm)) {

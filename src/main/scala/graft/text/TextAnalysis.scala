@@ -610,22 +610,53 @@ object TextAnalysis {
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String],
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 10): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(tokens(normalized(col(textCol)))).as("term"))
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dlen"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dlen")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = toks.filter(col("term").isInCollection(queryTerms))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // Single-pass form (r14, guide §2.3/§2.4): doc length and the
+    // per-query-term tf are PER-ROW ARRAY MATH over the tokenized
+    // text — the corpus token stream is never exploded and never
+    // shuffled (the old shape exploded it four times and hash-
+    // aggregated it by doc_id twice: at scale that is two shuffles of
+    // every token in the corpus to compute a handful of counts). Only
+    // matched (doc, term) rows — query terms are few — reach an
+    // exchange. Every arithmetic expression (idf, tfNorm, the
+    // round/decimal ladder) is unchanged operand-for-operand, so the
+    // scores and the oracle hash are identical to the exploded form
+    // (the twin SQL still describes the spec shape).
+    val perDoc = docs
+      .select(col(idCol), tokens(normalized(col(textCol))).as("toks"))
+      .select(col(idCol) +: size(col("toks")).cast("long").as("dlen") +:
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("toks"), x => x === lit(t)))
+            .cast("long").as(s"_tf$i")
+        }: _*)
+      // a NULL text tokenizes to NULL: the exploded form dropped such
+      // docs (explode of NULL emits no row), so drop them here too
+      .filter(col("dlen").isNotNull)
+    // corpus stats AND per-term document frequencies in ONE single-row
+    // aggregate (df_i = #docs whose tf_i > 0 — the same count the old
+    // groupBy(term) produced, as a conditional sum)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      ((sum(col("dlen")).cast("double") / count(lit(1))).as("avgdl") +:
+        queryTerms.indices.map(i =>
+          sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))): _*)
+    val tf = perDoc
+      .select(col(idCol), col("dlen"),
+        explode(array(queryTerms.zipWithIndex.map { case (t, i) =>
+          struct(lit(t).as("term"), lit(i + 1).as("idx"),
+            col(s"_tf$i").as("tf"))
+        }: _*)).as("e"))
+      .select(col(idCol), col("dlen"), col("e.idx").as("idx"),
+        col("e.tf").as("tf"))
+      .filter(col("tf") > 0)
+    // the matched row picks its term's df out of the broadcast stat row
+    val dfOfTerm = element_at(
+      array(queryTerms.indices.map(i => col(s"_df$i")): _*), col("idx"))
     val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      (col("n_docs") - dfOfTerm + lit(0.5)) / (dfOfTerm + lit(0.5)))
     val tfNorm = (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) *
         (lit(0.25) + (lit(0.75) * col("dlen")) / col("avgdl")))
-    tf.join(broadcast(df), "term")
-      .join(dl, idCol)
-      .crossJoin(broadcast(stats))
+    tf.crossJoin(broadcast(stats))
       .select(col(idCol),
         round(idf * tfNorm, 6).cast("decimal(14,6)").as("term_score"))
       .groupBy(col(idCol))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.{GenerateExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
@@ -322,11 +322,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "the codegen'd expression must appear in the plan")
   }
 
-  test("t17 BM25: top-k is TakeOrderedAndProject; stats broadcast") {
+  test("t17 BM25: top-k is TakeOrderedAndProject; corpus tokens never " +
+    "explode or shuffle (r14 single-pass form)") {
     val p = plan("t17_bm25_topk")
     assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
       "top-k must not be a global sort")
-    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    // r14: dlen and per-term tf are per-row array math; the only
+    // Generate is the |queryTerms|-element literal unpivot, so exactly
+    // one explode and only TWO exchanges total (the single-row stats
+    // aggregate and the matched-rows score aggregate) — the old shape
+    // exploded the full token stream four times and shuffled it twice
+    assert(p.collect { case g: GenerateExec => g }.size <= 1,
+      "corpus token stream must not explode")
+    assert(shuffles(p) <= 2,
+      s"expected <=2 shuffles (stats agg + score agg), got ${shuffles(p)}")
   }
 
   test("d16 substring excision: the cut is row-local — no cartesian " +
