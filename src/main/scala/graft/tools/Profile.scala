@@ -45,6 +45,54 @@ object Profile {
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     val planDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")
     planDir.foreach(d => Files.createDirectories(Paths.get(d)))
+    // Optional per-rep job attribution (guide §1.1 empirical loop,
+    // stand-in for the Stages tab in a UI-less sandbox): counts jobs
+    // and sums job wall / task time / shuffle bytes between reps, so a
+    // query's seconds decompose into "many small jobs" vs "few big".
+    val attrib = sys.env.get("SPARK_GRAFT_PROFILE_JOBS").contains("1")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val jobMs = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    if (attrib) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        private val t0s = new java.util.concurrent.ConcurrentHashMap[
+          Int, Long]()
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          t0s.put(e.jobId, System.nanoTime())
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          jobs.incrementAndGet()
+          Option(t0s.remove(e.jobId)).foreach(t0 =>
+            jobMs.addAndGet((System.nanoTime() - t0) / 1000000L))
+        }
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler
+              .SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          tasks.addAndGet(e.stageInfo.numTasks)
+          taskMs.addAndGet(e.stageInfo.taskMetrics.executorRunTime)
+          shufRead.addAndGet(
+            e.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+          shufWrite.addAndGet(
+            e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    def snapAttrib(): String =
+      if (!attrib) "" else {
+        val s = f" jobs=${jobs.getAndSet(0)}%d" +
+          f" jobMs=${jobMs.getAndSet(0)}%d" +
+          f" stages=${stages.getAndSet(0)}%d" +
+          f" tasks=${tasks.getAndSet(0)}%d" +
+          f" taskMs=${taskMs.getAndSet(0)}%d" +
+          f" shufR=${shufRead.getAndSet(0) >> 10}%dK" +
+          f" shufW=${shufWrite.getAndSet(0) >> 10}%dK"
+        s
+      }
     names.foreach { n =>
       val fn = SparkEntryLookup.queries(n)
       planDir.foreach { d =>
@@ -55,10 +103,15 @@ object Profile {
       }
       val ts = (1 to reps).map { i =>
         spark.sparkContext.setJobDescription(s"$n rep $i")
+        snapAttrib() // reset counters at rep start
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.setJobDescription(null)
+        if (attrib) {
+          Thread.sleep(200) // let the async listener bus drain
+          println(f"  [$n rep $i] $t%6.2f s${snapAttrib()}")
+        }
         // same inter-query hygiene as Bench: drop finished frames so a
         // rep measures the query, not the previous rep's litter
         try {
