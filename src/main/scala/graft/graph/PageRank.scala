@@ -59,6 +59,23 @@ object PageRank {
     if (hint && broadcastFits(rates.sparkSession, rowBound)) broadcast(rates)
     else rates
 
+  /** SIZE-ADAPTIVE partition count for the cached loop-edge frame
+    * (guide §2.2 — fewer, larger partitions): ~2M edge rows ≈ 64 MB of
+    * (src, dst, outdeg) longs per partition, derived from the MEASURED
+    * edge count, never from the core count. The upstream union+distinct
+    * leaves 2×shuffle.partitions map partitions of tiny data; without
+    * this every iteration re-scans the cache as that many tasks (64
+    * observed at bench scale, ~50 ms scheduling+JIT floor each). At
+    * 100× the same formula yields thousands of partitions. */
+  private[graft] def edgePartitions(edgeRows: Long): Int =
+    math.min(math.max(edgeRows / 2000000L + 1L, 1L), 1 << 18).toInt
+
+  /** Coalesce `df` down to `target` partitions iff that is actually a
+    * reduction (coalesce with a larger target is a planner no-op but
+    * still clutters the plan). */
+  private def sized(df: DataFrame, target: Int): DataFrame =
+    if (df.rdd.getNumPartitions > target) df.coalesce(target) else df
+
   /** @param edges   (src, dst) directed edge list (distinct rows)
     * @param iters   fixed iteration count (deterministic termination)
     * @param damping damping numerator out of 100 (85 = the classic 0.85)
@@ -85,57 +102,100 @@ object PageRank {
   def run(edges: DataFrame, iters: Int = 10, damping: Int = 85,
       broadcastRanks: Boolean = false, assumeDistinct: Boolean = false,
       symmetric: Boolean = false): DataFrame = {
-    // the edge list is materialized exactly ONCE (cache); each iteration
-    // first folds rank/outdeg into a node-sized "rate" table (a tiny
-    // 16k⋈16k-class join, never touching edges), so the per-iteration
-    // work over the big cached edge table is ONE join + the
-    // partial-aggregating groupBy(dst) — with broadcastRanks the join is
-    // shuffle-free too. Each round localCheckpoints: the NEXT round's
-    // broadcast would otherwise rebuild the entire prior chain every
-    // time it is referenced (quadratic recompute).
+    // the edge list is materialized exactly ONCE (cache) at a
+    // SIZE-DERIVED partition count; the static outdeg column rides ON
+    // the loop state (and, for the symmetric+broadcast regime, on the
+    // cached edge rows), so an iteration is ONE join + one
+    // partial-aggregating groupBy(dst) — no per-iteration ranks⋈outdeg
+    // join at all (guide §2.4: two operations keyed the same way share
+    // one pass; outdeg never changes, so re-joining it every round
+    // bought nothing but a broadcast build per iteration). Each round
+    // localCheckpoints: the NEXT round's broadcast would otherwise
+    // rebuild the entire prior chain every time it is referenced
+    // (quadratic recompute).
     val raw = edges.select(col("src"), col("dst"))
-    val e = (if (assumeDistinct) raw else raw.distinct()).persist()
+    val e0 = (if (assumeDistinct) raw else raw.distinct()).persist()
     // materialized once — each iteration runs in its own job (the
     // checkpoint boundary), so a lazy outdeg would re-aggregate the
     // full edge list five times over
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     val nodes =
       if (symmetric) outdeg.select(col("src").as("node"))
-      else e.select(col("src").as("node"))
-        .unionAll(e.select(col("dst").as("node"))).distinct().persist()
+      else e0.select(col("src").as("node"))
+        .unionAll(e0.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count()
     val init = Unit9 / n                       // uniform start
     val base = (Unit9 / n) * (100L - damping) / 100L // teleport term
-    var ranks = nodes.withColumn("rank_units", lit(init))
-      .localCheckpoint()
+    val eParts = edgePartitions(e0.count()) // cache-local count, cheap
+    // symmetric + in-budget broadcast: contribs cover every node, so
+    // the next round's outdeg arrives through the aggregate itself —
+    // max(dst_outdeg) over rows of one dst is the dst's outdeg. The
+    // fold costs one broadcast join at build time and a long per cached
+    // edge row; it removes the static-frame join from the loop.
+    val foldDeg = symmetric && broadcastRanks && broadcastFits(
+      e0.sparkSession, n)
+    val e = sized(
+      if (foldDeg)
+        e0.join(broadcast(outdeg.select(col("src").as("dst"),
+          col("outdeg").as("dst_outdeg"))), "dst")
+      else e0, eParts).persist()
+    e.count() // materialize the loop cache, then drop the staging one
+    e0.unpersist()
+    // nodes-with-outdeg static frame for the non-symmetric loop (the
+    // left join back to the full node set already existed; it now also
+    // carries outdeg so the rates projection is join-free)
+    val nodesDeg =
+      if (symmetric) null
+      else nodes.join(outdeg.withColumnRenamed("src", "node"),
+        Seq("node"), "left").localCheckpoint()
+    // init state carries outdeg: (node, rank_units, outdeg) — a pure
+    // projection over already-checkpointed frames, no checkpoint job
+    var ranks =
+      if (symmetric) outdeg.select(col("src").as("node"),
+        lit(init).as("rank_units"), col("outdeg"))
+      else nodesDeg.withColumn("rank_units", lit(init))
+        .select(col("node"), col("rank_units"), col("outdeg"))
     for (_ <- 1 to iters) {
-      // node-sized: rank_units div outdeg, computed BEFORE the edge join
-      // (integer division per src — same value either side of the join)
-      val rates = ranks.join(outdeg, ranks("node") === outdeg("src"))
-        .select(outdeg("src"), expr("rank_units div outdeg").as("contrib"))
+      // node-sized projection: rank_units div outdeg, computed BEFORE
+      // the edge join (integer division per src — same value either
+      // side of the join). Sink nodes (null outdeg) contribute nothing.
+      val rates = ranks.filter(col("outdeg").isNotNull)
+        .select(col("node").as("src"),
+          expr("rank_units div outdeg").as("contrib"))
       // rates has at most one row per node — n bounds it from above
-      val contribs = e.join(rateSide(rates, broadcastRanks, n), "src")
-        .select(col("dst").as("node"), col("contrib"))
-        .groupBy(col("node"))
-        .agg(sum(col("contrib")).as("in_mass"))
-      val next =
-        if (symmetric) contribs // reverse edges guarantee full coverage
-        else nodes.join(contribs, Seq("node"), "left")
-      val stepped = next
-        .select(col("node"),
-          (lit(base) + expr(s"($damping * coalesce(in_mass, 0L)) div 100"))
-            .as("rank_units"))
-        .localCheckpoint()
+      val stepped = (if (foldDeg) {
+        e.join(rateSide(rates, broadcastRanks, n), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("contrib")).as("in_mass"),
+            max(col("dst_outdeg")).as("outdeg"))
+          .select(col("node"),
+            (lit(base) +
+              expr(s"($damping * coalesce(in_mass, 0L)) div 100"))
+              .as("rank_units"), col("outdeg"))
+      } else {
+        val contribs = e.join(rateSide(rates, broadcastRanks, n), "src")
+          .select(col("dst").as("node"), col("contrib"))
+          .groupBy(col("node"))
+          .agg(sum(col("contrib")).as("in_mass"))
+        (if (symmetric) contribs.join(
+          outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+         else nodesDeg.join(contribs, Seq("node"), "left"))
+          .select(col("node"),
+            (lit(base) +
+              expr(s"($damping * coalesce(in_mass, 0L)) div 100"))
+              .as("rank_units"), col("outdeg"))
+      }).localCheckpoint()
       // eager release of the superseded round (see Checkpoints.free)
       graft.util.Checkpoints.free(ranks)
       ranks = stepped
     }
     graft.util.Checkpoints.free(outdeg) // loop-only; last reader done
+    if (nodesDeg != null) graft.util.Checkpoints.free(nodesDeg)
     // the result is materialized (checkpointed) — the caches backing the
     // iterations can drop so repeated runs in one session don't pile up
-    val out = ranks.withColumn("rank",
-      col("rank_units").cast("double") / 1e9)
+    val out = ranks.select(col("node"), col("rank_units"),
+      (col("rank_units").cast("double") / 1e9).as("rank"))
     e.unpersist()
     if (!symmetric) nodes.unpersist()
     out
@@ -199,13 +259,13 @@ object PageRank {
       assumeDistinct: Boolean = false,
       symmetric: Boolean = false): DataFrame = {
     val raw = edges.select(col("src"), col("dst"))
-    val e = (if (assumeDistinct) raw else raw.distinct()).persist()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e0 = (if (assumeDistinct) raw else raw.distinct()).persist()
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     val nodes =
       if (symmetric) outdeg.select(col("src").as("node"))
-      else e.select(col("src").as("node"))
-        .unionAll(e.select(col("dst").as("node"))).distinct()
+      else e0.select(col("src").as("node"))
+        .unionAll(e0.select(col("dst").as("node"))).distinct()
     // sources restricted to graph nodes: outside seeds carry no mass
     val srcs = sources.select(col("node")).distinct()
       .join(nodes, Seq("node"), "left_semi").persist()
@@ -213,22 +273,34 @@ object PageRank {
     require(ns > 0, "sources must intersect the graph's node set")
     val init = Unit9 / ns
     val baseSrc = (Unit9 / ns) * (100L - damping) / 100L
+    // the static per-node frame CARRIES outdeg (guide §2.4): the loop
+    // already joins back to it every round for the teleport base, so
+    // the old separate per-iteration rates⋈outdeg join (one broadcast
+    // build per round) bought nothing — outdeg rides on the state rows
     val withBase = nodes
       .join(srcs.withColumn("is_src", lit(true)), Seq("node"), "left")
+      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .select(col("node"),
         when(col("is_src"), lit(baseSrc)).otherwise(lit(0L)).as("base"),
-        when(col("is_src"), lit(init)).otherwise(lit(0L)).as("init"))
+        when(col("is_src"), lit(init)).otherwise(lit(0L)).as("init"),
+        col("outdeg"))
       .localCheckpoint()
     // broadcast-guard bound: the rate frame starts seed-sized but on a
     // connected graph converges to the full node set — guard on |nodes|
     // (= withBase rows, already materialized), not the seed count
     val nNodes = withBase.count()
-    var ranks = withBase.select(col("node"), col("init").as("rank_units"))
-      .localCheckpoint()
+    // loop cache at a size-derived partition count (guide §2.2; see run)
+    val e = sized(e0, edgePartitions(e0.count())).persist()
+    e.count()
+    e0.unpersist()
+    // init state: pure projection over the checkpointed withBase
+    var ranks = withBase.select(col("node"), col("init").as("rank_units"),
+      col("outdeg"))
     for (_ <- 1 to iters) {
-      val rates = ranks.filter(col("rank_units") > 0)
-        .join(outdeg, ranks("node") === outdeg("src"))
-        .select(outdeg("src"), expr("rank_units div outdeg").as("contrib"))
+      val rates = ranks
+        .filter(col("rank_units") > 0 && col("outdeg").isNotNull)
+        .select(col("node").as("src"),
+          expr("rank_units div outdeg").as("contrib"))
       val contribs = e.join(rateSide(rates, broadcastRanks, nNodes), "src")
         .select(col("dst").as("node"), col("contrib"))
         .groupBy(col("node"))
@@ -236,7 +308,7 @@ object PageRank {
       val stepped = withBase.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (col("base") + expr(s"($damping * coalesce(in_mass, 0L)) div 100"))
-            .as("rank_units"))
+            .as("rank_units"), col("outdeg"))
         .localCheckpoint()
       // eager release of the superseded round (see Checkpoints.free)
       graft.util.Checkpoints.free(ranks)
@@ -244,8 +316,8 @@ object PageRank {
     }
     graft.util.Checkpoints.free(outdeg)
     graft.util.Checkpoints.free(withBase)
-    val out = ranks.withColumn("rank",
-      col("rank_units").cast("double") / 1e9)
+    val out = ranks.select(col("node"), col("rank_units"),
+      (col("rank_units").cast("double") / 1e9).as("rank"))
     e.unpersist()
     srcs.unpersist()
     out

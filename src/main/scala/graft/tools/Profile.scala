@@ -70,9 +70,18 @@ object Profile {
           Option(t0s.remove(e.jobId)).foreach(t0 =>
             jobMs.addAndGet((System.nanoTime() - t0) / 1000000L))
         }
+        private val dumpStages =
+          sys.env.get("SPARK_GRAFT_PROFILE_STAGES").contains("1")
         override def onStageCompleted(
             e: org.apache.spark.scheduler
               .SparkListenerStageCompleted): Unit = {
+          if (dumpStages) {
+            val si = e.stageInfo
+            val ms = si.completionTime.getOrElse(0L) -
+              si.submissionTime.getOrElse(0L)
+            println(f"    stage ${si.stageId}%4d tasks=${si.numTasks}%3d " +
+              f"${ms}%5d ms ${si.name.take(90)}")
+          }
           stages.incrementAndGet()
           tasks.addAndGet(e.stageInfo.numTasks)
           taskMs.addAndGet(e.stageInfo.taskMetrics.executorRunTime)
