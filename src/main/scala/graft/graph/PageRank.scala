@@ -60,20 +60,27 @@ object PageRank {
     else rates
 
   /** SIZE-ADAPTIVE partition count for the cached loop-edge frame
-    * (guide §2.2 — fewer, larger partitions): ~2M edge rows ≈ 64 MB of
-    * (src, dst, outdeg) longs per partition, derived from the MEASURED
+    * (guide §2.2 — fewer, larger partitions), derived from the MEASURED
     * edge count, never from the core count. The upstream union+distinct
     * leaves 2×shuffle.partitions map partitions of tiny data; without
     * this every iteration re-scans the cache as that many tasks (64
-    * observed at bench scale, ~50 ms scheduling+JIT floor each). At
-    * 100× the same formula yields thousands of partitions. */
-  private[graft] def edgePartitions(edgeRows: Long): Int =
-    math.min(math.max(edgeRows / 2000000L + 1L, 1L), 1 << 18).toInt
+    * observed at bench scale, ~50 ms scheduling+JIT floor each). The
+    * per-partition row target balances task-scheduling overhead against
+    * per-task join/aggregate compute (~1 µs/row ⇒ ~250 ms/task at the
+    * default); 2M-row partitions measured SLOWER at bench scale (g9
+    * 3.0→4.8 s — the per-round join serialized onto one core). At 100×
+    * the same formula yields thousands of partitions. */
+  private[graft] def edgePartitions(edgeRows: Long): Int = {
+    val perPart = sys.env.getOrElse("SPARK_GRAFT_EDGE_ROWS_PER_PART",
+      "250000").toLong
+    math.min(math.max((edgeRows + perPart - 1) / perPart, 1L),
+      1 << 18).toInt
+  }
 
   /** Coalesce `df` down to `target` partitions iff that is actually a
     * reduction (coalesce with a larger target is a planner no-op but
-    * still clutters the plan). */
-  private def sized(df: DataFrame, target: Int): DataFrame =
+    * still clutters the plan). Shared by the iterative graph family. */
+  private[graft] def sized(df: DataFrame, target: Int): DataFrame =
     if (df.rdd.getNumPartitions > target) df.coalesce(target) else df
 
   /** @param edges   (src, dst) directed edge list (distinct rows)
