@@ -33,12 +33,21 @@ object ConnectedComponents {
     *              undirected edge; orientation/duplication irrelevant)
     * @return (node, component) — component = min node id reachable */
   def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val sym0 = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = sym.select(col("src").as("node")).distinct()
+    var labels = sym0.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint()
+    // node-sized label frames join the cached edge list every round;
+    // broadcast them under the PageRank threshold guard (guide §3.1 —
+    // the planner sees only unsized LogicalRDDs and would sort-merge,
+    // re-shuffling the edges per round), and read the edge cache at a
+    // size-derived partition count (guide §2.2). Falls back to the
+    // identical sort-merge shape when the node set outgrows the budget.
+    val fits = PageRank.broadcastFits(sym0.sparkSession, labels.count())
+    def side(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
+    val sym = PageRank.sized(sym0, PageRank.edgePartitions(sym0.count()))
     // sum() over zero rows is a null cell — Option-guard so an empty edge
     // list returns the empty labels frame instead of an NPE
     def sumOf(df: DataFrame): Long =
@@ -49,10 +58,11 @@ object ConnectedComponents {
     var converged = false
     while (!converged && iter < maxIter) {
       val viaNeighbors = sym
-        .join(labels.select(col("node").as("dst"), col("component")), "dst")
+        .join(side(labels.select(col("node").as("dst"),
+          col("component"))), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("component")).as("nbr_min"))
-      val stepped = labels.join(viaNeighbors, Seq("node"), "left")
+      val stepped = labels.join(side(viaNeighbors), Seq("node"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
@@ -63,7 +73,7 @@ object ConnectedComponents {
       // labels (caught by StarCCSpec's equality check).
       val jump = stepped.select(col("node").as("component"),
         col("component").as("parent_comp"))
-      val next = stepped.join(jump, Seq("component"), "left")
+      val next = stepped.join(side(jump), Seq("component"), "left")
         .select(col("node"),
           least(col("component"),
             coalesce(col("parent_comp"), col("component")))
@@ -80,7 +90,7 @@ object ConnectedComponents {
       checksum = nextSum
       iter += 1
     }
-    sym.unpersist()
+    sym0.unpersist()
     labels
   }
 
@@ -110,21 +120,33 @@ object ConnectedComponents {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    def checksum(df: DataFrame): (Long, Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(col("u")), sum(col("v"))).first()
+    // the checksum pass doubles as the broadcast-guard bound: the
+    // approximate distinct endpoint counts bound next round's
+    // node-sized min-label frames (±2% HLL error is noise against the
+    // 10 MB threshold), so the guard costs no extra job (guide §3.1)
+    def checksum(df: DataFrame): (Long, Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("u")), sum(col("v")),
+        approx_count_distinct(col("u")) +
+          approx_count_distinct(col("v"))).first()
       (r.getLong(0),
         Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L),
-        Option(r.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L))
+        Option(r.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L),
+        r.getLong(3))
     }
     var cs = checksum(e)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // node-sized min-label frames broadcast under the threshold
+      // guard so the edge frame is never re-shuffled for the joins
+      // (the groupBy's node-grain shuffle remains — that IS the round)
+      val fits = PageRank.broadcastFits(e.sparkSession, cs._4)
+      def side(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
       // large-star over the symmetrized neighborhood of every node
       val sym = e.select(col("u"), col("v"))
         .unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      val large = sym.join(mins, "u")
+      val large = sym.join(side(mins), "u")
         .withColumn("m", least(col("mn"), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
@@ -136,9 +158,9 @@ object ConnectedComponents {
         .localCheckpoint()
       // small-star over the big→small edges large-star produced
       val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = large.join(smins, "u")
+      val small = large.join(side(smins), "u")
         .select(col("v").as("u"), col("m").as("v"))
-        .unionAll(large.join(smins, "u")
+        .unionAll(large.join(side(smins), "u")
           .select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()

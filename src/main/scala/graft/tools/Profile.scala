@@ -33,6 +33,12 @@ object Profile {
       .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
+    // experiment hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applied last
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';')
+      .filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      })
     val shm = Paths.get("/dev/shm")
     if (Files.isWritable(shm)) {
       val local = shm.resolve("graft_spark_local")
