@@ -159,6 +159,22 @@ object Dedup {
     exploded.groupBy(col(idCol)).agg(minExprs.head, minExprs.tail: _*)
   }
 
+  /** MinHash signatures from an ALREADY-MATERIALIZED shingle column —
+    * the reuse form of [[minhashSignatures]] for pipelines that consume
+    * the shingle arrays more than once (the NearDupIndexStore ingest
+    * shingled its batch three times before this existed: probe leg,
+    * verify leg, survivor index append — guide §1.2 "don't compute
+    * things you throw away"). Identical hash family and aggregation ⇒
+    * byte-identical signatures and band rows. */
+  def minhashFromShingles(docs: DataFrame, idCol: String,
+      shCol: String, numHashes: Int = 16): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(col(shCol)).as("shingle"))
+    val minExprs = (0 until numHashes).map(s =>
+      min(xxhash64(col("shingle"), lit(s))).as(s"mh_$s"))
+    exploded.groupBy(col(idCol)).agg(minExprs.head, minExprs.tail: _*)
+  }
+
   /** ENGINE-PORTABLE MinHash-LSH (d17): the d2 algorithm with the
     * md5-prefix hash family `h_s(x) = int(md5("s:" || x)[0:12])`
     * instead of seeded xxhash64, so the DuckDB oracle replays the

@@ -68,42 +68,55 @@ object NearDupIndexStore {
       thresholdE4: Long = 7000L): DataFrame = {
     val index = spark.read.parquet(indexPath(root))
       .withColumnRenamed(idCol, "__corpus_id")
-    val probes = Dedup.lshBandIndex(incoming, idCol, textCol, k,
-      numHashes, bands)
+    // the batch is shingled ONCE and the arrays materialize with the
+    // checkpoint: the probe leg, the verify leg, and the survivor
+    // index append all reuse them (this method used to re-normalize +
+    // re-shingle the batch three times — guide §1.2: don't recompute
+    // what you already hold). Signatures/band rows are byte-identical
+    // (same hash family over the same shingles).
+    val inc = incoming
+      .select(col(idCol), col(textCol),
+        TextAnalysis.normalized(col(textCol)).as("__norm"))
+      .select(col(idCol), col(textCol),
+        Dedup.shinglesFromNorm(col("__norm"), k).as("__sh"))
+      .localCheckpoint()
+    val probes = Dedup.bandBuckets(
+      Dedup.minhashFromShingles(inc, idCol, "__sh", numHashes),
+      idCol, numHashes, bands)
     val cands = probes.join(index, Seq("band", "bucket"))
       .select(col(idCol), col("__corpus_id")).distinct()
-    def sh(df: DataFrame, out: String) = df
-      .select(col(idCol), TextAnalysis.normalized(col(textCol))
-        .as("__norm"))
-      .select(col(idCol), Dedup.shinglesFromNorm(col("__norm"), k)
-        .as(out))
     // candidate-bounded text re-read: semi join pushes the id set
     // into the store scan
-    val corpusSh = sh(spark.read.parquet(textsPath(root)).join(
+    val corpusSh = spark.read.parquet(textsPath(root)).join(
         cands.select(col("__corpus_id").as(idCol)).distinct(),
-        Seq(idCol), "left_semi"), "__sh_c")
-      .withColumnRenamed(idCol, "__corpus_id")
+        Seq(idCol), "left_semi")
+      .select(col(idCol), TextAnalysis.normalized(col(textCol))
+        .as("__norm"))
+      .select(col(idCol).as("__corpus_id"),
+        Dedup.shinglesFromNorm(col("__norm"), k).as("__sh_c"))
     val rejected = cands
-      .join(sh(incoming, "__sh_i"), Seq(idCol))
+      .join(inc.select(col(idCol), col("__sh").as("__sh_i")), Seq(idCol))
       .join(corpusSh, Seq("__corpus_id"))
       .filter(size(array_intersect(col("__sh_i"), col("__sh_c")))
         .cast("long") * 10000L >=
         size(array_union(col("__sh_i"), col("__sh_c")))
           .cast("long") * thresholdE4)
       .select(col(idCol)).distinct()
-    val survivors = incoming
+    val survivors = inc
       .join(rejected, Seq(idCol), "left_anti")
       .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("fingerprint")).orderBy(col(idCol))))
       .filter(col("__rk") === 1)
-      .select(col(idCol), col(textCol), col("fingerprint"))
+      .select(col(idCol), col(textCol), col("fingerprint"), col("__sh"))
       .localCheckpoint() // consume durably BEFORE the store update
-    Dedup.lshBandIndex(survivors, idCol, textCol, k, numHashes, bands)
+    Dedup.bandBuckets(
+      Dedup.minhashFromShingles(survivors, idCol, "__sh", numHashes),
+      idCol, numHashes, bands)
       .write.mode("append").parquet(indexPath(root))
     survivors.select(col(idCol), col(textCol))
       .write.mode("append").parquet(textsPath(root))
-    survivors
+    survivors.select(col(idCol), col(textCol), col("fingerprint"))
   }
 }
