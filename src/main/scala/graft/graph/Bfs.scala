@@ -23,16 +23,24 @@ object Bfs {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    // guarded broadcast of the node-sized frontier/visited frames +
+    // size-derived edge partitioning (guide §3.1/§2.2; one combined
+    // stat pass — the approx node count bounds both build sides)
+    val fr = sym.agg(count(lit(1)),
+      approx_count_distinct(col("src"))).first()
+    val symL = PageRank.sized(sym, PageRank.edgePartitions(fr.getLong(0)))
+    val fits = PageRank.broadcastFits(sym.sparkSession, fr.getLong(1))
+    def side(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     var visited = Seq((source, 0)).toDF("node", "hops")
       .localCheckpoint()
     var frontier = visited
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
-      val nextFrontier = sym
-        .join(frontier.select(col("node").as("src")), "src")
+      val nextFrontier = symL
+        .join(side(frontier.select(col("node").as("src"))), "src")
         .select(col("dst").as("node")).distinct()
-        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .join(side(visited.select(col("node"))), Seq("node"), "left_anti")
         .withColumn("hops", lit(hop))
         .localCheckpoint()
       val nextVisited = visited.unionAll(nextFrontier).localCheckpoint()

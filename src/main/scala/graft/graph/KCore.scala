@@ -33,6 +33,17 @@ object KCore {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    // the per-round drop list is node-sized: broadcast it into both
+    // anti joins under the threshold guard (guide §3.1; bound = approx
+    // node count of the INITIAL graph — the peel only shrinks it).
+    // symCk stays the raw checkpoint (free() must see the bare
+    // LogicalRDD); sym is the size-partitioned view the loop reads.
+    var symCk = sym
+    val fr = sym.agg(count(lit(1)),
+      approx_count_distinct(col("src"))).first()
+    sym = PageRank.sized(symCk, PageRank.edgePartitions(fr.getLong(0)))
+    val fits = PageRank.broadcastFits(sym.sparkSession, fr.getLong(1))
+    def side(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -49,13 +60,14 @@ object KCore {
         // column resolves unambiguously by name
         val dropDst = drop.select(col("bad").as("bad_dst"))
         val peeled = sym
-          .join(drop, col("src") === col("bad"), "left_anti")
-          .join(dropDst, col("dst") === col("bad_dst"), "left_anti")
+          .join(side(drop), col("src") === col("bad"), "left_anti")
+          .join(side(dropDst), col("dst") === col("bad_dst"), "left_anti")
           .localCheckpoint()
         // peeled is materialized — the pre-peel graph and the drop
         // list are dead; release eagerly (see Checkpoints.free)
-        graft.util.Checkpoints.free(sym)
+        graft.util.Checkpoints.free(symCk)
         graft.util.Checkpoints.free(drop)
+        symCk = peeled
         sym = peeled
         iter += 1
       }

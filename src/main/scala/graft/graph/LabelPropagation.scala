@@ -36,10 +36,17 @@ object LabelPropagation {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("community", col("node"))
       .localCheckpoint()
+    // node-sized label frame joins the edge frame every round: guarded
+    // broadcast + size-derived edge partitioning (guide §3.1/§2.2, the
+    // PageRank/CC pattern — the planner sort-merges unsized
+    // LogicalRDDs otherwise)
+    val fits = PageRank.broadcastFits(sym.sparkSession, labels.count())
+    def side(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
+    val symL = PageRank.sized(sym, PageRank.edgePartitions(sym.count()))
     for (_ <- 0 until rounds) {
-      val votes = sym
-        .join(labels.select(col("node").as("dst"),
-          col("community").as("nbr_label")), "dst")
+      val votes = symL
+        .join(side(labels.select(col("node").as("dst"),
+          col("community").as("nbr_label"))), "dst")
         .select(col("src").as("node"), col("nbr_label").as("label"))
         .unionAll(labels.select(col("node"),
           col("community").as("label")))
@@ -108,16 +115,18 @@ object LabelPropagation {
     * via edges). */
   def conductance(edges: DataFrame, rounds: Int = 5): DataFrame = {
     val labels = run(edges, rounds) // already checkpoint-materialized
+    val fits = PageRank.broadcastFits(edges.sparkSession, labels.count())
+    def side(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     val e = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
     val tagged = e
-      .join(labels.select(col("node").as("a"),
-        col("community").as("ca")), Seq("a"))
-      .join(labels.select(col("node").as("b"),
-        col("community").as("cb")), Seq("b"))
+      .join(side(labels.select(col("node").as("a"),
+        col("community").as("ca"))), Seq("a"))
+      .join(side(labels.select(col("node").as("b"),
+        col("community").as("cb"))), Seq("b"))
       .localCheckpoint() // edge-grain, referenced by both counters
     val internal = tagged.filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("community"))

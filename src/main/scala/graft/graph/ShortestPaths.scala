@@ -28,15 +28,22 @@ object ShortestPaths {
       .filter(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .localCheckpoint()
+    // guarded broadcast of the node-sized frontier + size-derived edge
+    // partitioning (guide §3.1/§2.2, the PageRank/CC/BFS pattern)
+    val fr = sym.agg(count(lit(1)),
+      approx_count_distinct(col("src"))).first()
+    val symL = PageRank.sized(sym, PageRank.edgePartitions(fr.getLong(0)))
+    val fits = PageRank.broadcastFits(sym.sparkSession, fr.getLong(1))
+    def side(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
     var frontier = dist
     var prevMerged: DataFrame = null
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
       round += 1
-      val cand = sym
-        .join(frontier.select(col("node").as("src"),
-          col("dist").as("fd")), "src")
+      val cand = symL
+        .join(side(frontier.select(col("node").as("src"),
+          col("dist").as("fd"))), "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("fd") + col("w")).as("cd"))
       val merged = dist.join(cand, Seq("node"), "full_outer")
