@@ -51,12 +51,7 @@ object SemDedup {
     // the corpus x centroid assignment per consumer (the
     // twice-consumed-frame discipline)
     val assigned = assign(vecs, centroids, idCol).localCheckpoint()
-    // the pair join reads members TWICE (both self-join branches);
-    // cache it for the duration of the component build instead of
-    // re-running assigned⋈corpus per branch (guide §1.2). persist, not
-    // checkpoint: the frame is corpus-sized — spillable cache, released
-    // as soon as the component labels are materialized below.
-    val members = assigned.join(vecs, Seq(idCol)).persist()
+    val members = assigned.join(vecs, Seq(idCol))
     val pairs = members
       .select(col("cluster"), col(idCol).as("id_a"), col("vec").as("va"))
       .join(members.select(col("cluster"), col(idCol).as("id_b"),
@@ -66,9 +61,6 @@ object SemDedup {
         >= threshold)
       .select(col("id_a"), col("id_b"))
     val comp = graft.graph.ConnectedComponents.run(pairs)
-    // run() materialized its symmetrized copy of `pairs` — the cached
-    // members frame has no readers left
-    members.unpersist(blocking = false)
     val keepers = comp
       .join(assigned.select(col(idCol).as("node"), col("csim")),
         Seq("node"))

@@ -47,17 +47,10 @@ object Closeness {
     * rows — the source-bits FIRST reaching `node` at exactly `hop`
     * (hop 0 = the sources themselves). Node-grain per hop. */
   private def reachBitsChunk(sym: DataFrame, chunk: Seq[Long],
-      maxHops: Int, bcastFrontier: Boolean): DataFrame = {
+      maxHops: Int): DataFrame = {
     val spark = sym.sparkSession
     import spark.implicits._
     require(chunk.size <= 64, "one panel holds at most 64 source bits")
-    // frontier rows are node-grain (≤ |V| masks): under the PageRank
-    // threshold guard they broadcast into the per-hop edge join, so
-    // the cached symmetrized edge frame never re-shuffles (guide §3.1
-    // — the planner sees only unsized LogicalRDDs and would sort-merge
-    // every hop; measured 44 MB of shuffle per g17 run at sf0.1)
-    def side(df: DataFrame): DataFrame =
-      if (bcastFrontier) broadcast(df) else df
     val init = chunk.zipWithIndex
       .map { case (n, b) => (n, 1L << b) }
       .toDF("node", "newmask")
@@ -72,8 +65,8 @@ object Closeness {
       // bits ride the edge join; OR-reduce per destination, then keep
       // only bits the visited mask doesn't already hold
       val cand = sym
-        .join(side(frontier.select(col("node").as("src"),
-          col("newmask"))), "src")
+        .join(frontier.select(col("node").as("src"), col("newmask")),
+          "src")
         .groupBy(col("dst").as("node"))
         .agg(expr("bit_or(newmask)").as("cand"))
       frontier = cand
@@ -106,23 +99,16 @@ object Closeness {
     * driver-side loop over a sample, not over data. */
   private def discoveries(edges: DataFrame, sources: DataFrame,
       maxHops: Int): Seq[(Seq[Long], DataFrame)] = {
-    val sym0 = symmetrize(edges).localCheckpoint()
-    // loop frame at a size-derived partition count (guide §2.2) and a
-    // node-count bound for the frontier broadcast guard — one cheap
-    // combined pass over the checkpoint
-    val fr = sym0.agg(count(lit(1)),
-      approx_count_distinct(col("src"))).first()
-    val sym = PageRank.sized(sym0, PageRank.edgePartitions(fr.getLong(0)))
-    val fits = PageRank.broadcastFits(sym0.sparkSession, fr.getLong(1))
+    val sym = symmetrize(edges).localCheckpoint()
     val srcIds = sources.select(col("node").cast("long"))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
     val out = srcIds.grouped(64).toSeq.map { chunk =>
-      (chunk, reachBitsChunk(sym, chunk, maxHops, fits)
+      (chunk, reachBitsChunk(sym, chunk, maxHops)
         .filter(col("hop") > 0))
     }
     // every chunk's per-hop frontiers are checkpoint-materialized by
     // now — the shared symmetrized edge frame is dead
-    graft.util.Checkpoints.free(sym0)
+    graft.util.Checkpoints.free(sym)
     out
   }
 

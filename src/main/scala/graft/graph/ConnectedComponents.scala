@@ -120,33 +120,21 @@ object ConnectedComponents {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    // the checksum pass doubles as the broadcast-guard bound: the
-    // approximate distinct endpoint counts bound next round's
-    // node-sized min-label frames (±2% HLL error is noise against the
-    // 10 MB threshold), so the guard costs no extra job (guide §3.1)
-    def checksum(df: DataFrame): (Long, Long, Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(col("u")), sum(col("v")),
-        approx_count_distinct(col("u")) +
-          approx_count_distinct(col("v"))).first()
+    def checksum(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("u")), sum(col("v"))).first()
       (r.getLong(0),
         Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L),
-        Option(r.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L),
-        r.getLong(3))
+        Option(r.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L))
     }
     var cs = checksum(e)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // node-sized min-label frames broadcast under the threshold
-      // guard so the edge frame is never re-shuffled for the joins
-      // (the groupBy's node-grain shuffle remains — that IS the round)
-      val fits = PageRank.broadcastFits(e.sparkSession, cs._4)
-      def side(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
       // large-star over the symmetrized neighborhood of every node
       val sym = e.select(col("u"), col("v"))
         .unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      val large = sym.join(side(mins), "u")
+      val large = sym.join(mins, "u")
         .withColumn("m", least(col("mn"), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
@@ -158,9 +146,9 @@ object ConnectedComponents {
         .localCheckpoint()
       // small-star over the big→small edges large-star produced
       val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = large.join(side(smins), "u")
+      val small = large.join(smins, "u")
         .select(col("v").as("u"), col("m").as("v"))
-        .unionAll(large.join(side(smins), "u")
+        .unionAll(large.join(smins, "u")
           .select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()

@@ -20,24 +20,8 @@ object Hits {
     * partial-aggregatable sums + two metadata-sized max reads;
     * `localCheckpoint` truncates the iterative lineage. */
   def run(edges: DataFrame, rounds: Int = 3): DataFrame = {
-    val e0 = edges.select(col("src"), col("dst")).distinct()
+    val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint()
-    // loop frame at a size-derived partition count (guide §2.2): the
-    // upstream distinct leaves shuffle.partitions map partitions of
-    // tiny data; coalesce is a narrow view over the checkpoint blocks
-    val fr = e0.agg(countDistinct(col("src")),
-      countDistinct(col("dst")), count(lit(1))).first()
-    val (nSrc, nDst, ec) = (fr.getLong(0), fr.getLong(1), fr.getLong(2))
-    val e = PageRank.sized(e0, PageRank.edgePartitions(ec))
-    // node-sized score frames join the edge table every round: with the
-    // same threshold guard as PageRank's rate side, broadcast them so
-    // the cached edge table never re-shuffles (guide §3.1) — without
-    // it the planner sees only an unsized LogicalRDD and sort-merges,
-    // shuffling the full edge list twice per round. DECIMAL sums are
-    // order-independent, so the join strategy cannot move the result.
-    val fits = PageRank.broadcastFits(e0.sparkSession,
-      math.max(nSrc, nDst))
-    def side(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     var hub = e.select(col("src")).distinct()
       .withColumn("hub", lit(1.0))
     var auth: DataFrame = null
@@ -53,7 +37,7 @@ object Hits {
       // and an uncheckpointed araw would re-execute the edge join for
       // each consumer (the normalized projection needs no checkpoint
       // of its own — it is a row-local map over the materialized scan)
-      val araw = e.join(side(hub), "src").groupBy(col("dst"))
+      val araw = e.join(hub, "src").groupBy(col("dst"))
         .agg(sum(col("hub").cast("decimal(18,6)")).as("raw_d"))
         .localCheckpoint()
       // araw is materialized — last round's hraw (feeding this round's
@@ -64,7 +48,7 @@ object Hits {
         .getDecimal(0).doubleValue
       auth = araw.select(col("dst"),
         round(col("raw_d").cast("double") / lit(amax), 6).as("auth"))
-      val hraw = e.join(side(auth), "dst").groupBy(col("src"))
+      val hraw = e.join(auth, "dst").groupBy(col("src"))
         .agg(sum(col("auth").cast("decimal(18,6)")).as("raw_d"))
         .localCheckpoint()
       val hmax = hraw.agg(max(col("raw_d"))).first()
@@ -74,7 +58,7 @@ object Hits {
       prevAraw = araw
       prevHraw = hraw
     }
-    graft.util.Checkpoints.free(e0) // final araw/hraw are materialized
+    graft.util.Checkpoints.free(e) // final araw/hraw are materialized
     auth.select(lit("authority").as("role"), col("dst").as("node"),
         col("auth").as("score"))
       .unionAll(hub.select(lit("hub").as("role"), col("src").as("node"),

@@ -38,40 +38,27 @@ object Mis {
     * @return (node, round) — MIS members and the round each joined */
   def run(edges: DataFrame): DataFrame = {
     val fwd = edges.select(col("src"), col("dst"))
-    val sym0 = fwd.unionAll(fwd.select(col("dst").as("src"),
+    val sym = fwd.unionAll(fwd.select(col("dst").as("src"),
       col("src").as("dst"))).distinct().persist()
-    var u = sym0.select(col("src").as("node")).distinct()
+    var u = sym.select(col("src").as("node")).distinct()
       .withColumn("p", expr(prio)).localCheckpoint()
-    // node-sized frames (u, winners, the loser/excluded node sets)
-    // join the cached edge list every round: broadcast them under the
-    // PageRank threshold guard so sym never re-shuffles (guide §3.1 —
-    // the planner only sees unsized LogicalRDDs and would sort-merge,
-    // shuffling the full edge list twice per round), and read the edge
-    // cache at a size-derived partition count (guide §2.2) instead of
-    // the shuffle.partitions litter the upstream distinct left.
-    val n = u.count()
-    val fits = PageRank.broadcastFits(sym0.sparkSession, n)
-    def side(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
-    val sym = PageRank.sized(sym0, PageRank.edgePartitions(sym0.count()))
     val out = Seq.newBuilder[DataFrame]
     var round = 0
     while (u.limit(1).count() > 0) {
       round += 1
       val losers = sym
-        .join(side(u.select(col("node").as("src"), col("p").as("ps"))),
-          "src")
-        .join(side(u.select(col("node").as("dst"), col("p").as("pd"))),
-          "dst")
+        .join(u.select(col("node").as("src"), col("p").as("ps")), "src")
+        .join(u.select(col("node").as("dst"), col("p").as("pd")), "dst")
         .filter(col("pd") < col("ps") ||
           (col("pd") === col("ps") && col("dst") < col("src")))
         .select(col("src").as("node")).distinct()
-      val winners = u.join(side(losers), Seq("node"), "left_anti")
+      val winners = u.join(losers, Seq("node"), "left_anti")
         .select(col("node")).localCheckpoint()
       out += winners.withColumn("round", lit(round.toLong))
       val excluded = sym
-        .join(side(winners.select(col("node").as("src"))), "src")
+        .join(winners.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
-      val nextU = u.join(side(winners.unionAll(excluded)), Seq("node"),
+      val nextU = u.join(winners.unionAll(excluded), Seq("node"),
         "left_anti").localCheckpoint()
       // winners is checkpointed (its lazy withColumn in `out` survives
       // this) and nextU is materialized — the old undecided set is dead
@@ -79,7 +66,7 @@ object Mis {
       u = nextU
     }
     graft.util.Checkpoints.free(u) // final (empty) undecided set
-    sym0.unpersist(blocking = false)
+    sym.unpersist(blocking = false)
     out.result().reduce(_.unionAll(_)).orderBy("node")
   }
 

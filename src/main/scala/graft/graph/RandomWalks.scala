@@ -46,26 +46,15 @@ object RandomWalks {
     *         early at sinks */
   def run(edges: DataFrame, starts: DataFrame,
       steps: Int = 4): DataFrame = {
-    val adj0 = edges.select(col("src"), col("dst")).distinct()
+    val adj = edges.select(col("src"), col("dst")).distinct()
       .withColumn("idx",
         (row_number().over(Window.partitionBy(col("src"))
           .orderBy(col("dst"))) - 1).cast("long"))
       .persist()
-    val deg = adj0.groupBy(col("src"))
+    val deg = adj.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg")).localCheckpoint()
-    // the cached adjacency is read every step: at a size-derived
-    // partition count (guide §2.2), and with the walk frontier as the
-    // guarded-broadcast build side (guide §3.1) — the planner only sees
-    // an unsized checkpoint behind the frontier and would otherwise
-    // sort-merge, re-shuffling the full cached adjacency once per step
-    // (measured: 90 MB shuffled per g15 run at sf0.1, ~4× |adj|).
-    val adj = PageRank.sized(adj0, PageRank.edgePartitions(adj0.count()))
     var cur = starts.select(col("node").as("walk"),
       col("node").as("cur"))
-    // one walk per start row; the frontier only ever shrinks (sink
-    // termination), so the start count bounds every step's build side
-    val fits = PageRank.broadcastFits(edges.sparkSession, cur.count())
-    def side(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     val levels = Seq.newBuilder[DataFrame]
     levels += cur.select(col("walk"), lit(0L).as("step"),
       col("cur").as("node"))
@@ -78,7 +67,7 @@ object RandomWalks {
       // against the SAME cached adjacency never trips the self-join
       // ambiguity, and the final 5-way union re-reads materialized
       // levels instead of recomputing the whole chain per branch
-      cur = side(picked)
+      cur = picked
         .join(adj, picked("cur") === adj("src") &&
           picked("pick") === adj("idx"))
         .select(col("walk"), adj("dst").as("cur"))
@@ -93,7 +82,7 @@ object RandomWalks {
     // dispersion: each sample persisted a fresh adjacency copy whose
     // blocks survived the sample, inflating later in-pass work
     // (BENCH_FULL r11: samples 72.1/5.4/15.5 on identical plans).
-    adj0.unpersist(blocking = false)
+    adj.unpersist(blocking = false)
     levels.result().reduce(_.unionAll(_)).orderBy("walk", "step")
   }
 
