@@ -910,10 +910,17 @@ object Dedup {
             .cast("binary")))))
       .select(col(idCol), col("n_tokens"), (col("pos") + 1).as("pos"),
         col("col").as("h"))
-    val dupKeys = sh.groupBy(col("h"))
-      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
-      .select(col("h"))
-    val occ = sh.join(dupKeys, Seq("h"), "left_semi")
+    // duplicated-key filter as ONE window count over h instead of a
+    // count aggregate + semi-join back (guide §2.4): the old shape
+    // re-computed the tokenize+shingle explode for the join's probe
+    // side and shuffled the occurrence rows by h TWICE (partial-agg
+    // pass + semi-join pass); the window shuffles them once and keeps
+    // exactly the same occurrence set (cnt > 1 ⟺ h appears twice+).
+    val byKey = Window.partitionBy(col("h"))
+    val occ = sh
+      .withColumn("cnt", count(lit(1)).over(byKey))
+      .filter(col("cnt") > 1)
+      .drop("cnt")
     // gaps-and-islands: an occurrence starts a new span iff it leaves at
     // least one uncovered token after the running max end of everything
     // before it (touching intervals merge into one maximal span)

@@ -95,27 +95,39 @@ object Betweenness {
     var hh = maxd - 1
     while (hh >= 0) {
       val cur = levels(hh)
+      // FUSED sweep step (the shape the DuckDB twin already uses):
+      // LEFT-join the successor edges and the level-(hh+1) deltas onto
+      // cur, aggregate with a null-skipping sum, coalesce to zero — one
+      // aggregation replaces the old inner-join term build + groupBy +
+      // join-back-to-cur (3 joins + 2 exchanges per depth → 2 joins +
+      // 1 exchange; guide §2.4). Rows with no successor (null edge or
+      // no delta at (src_s, dst)) yield a NULL term that sum() skips —
+      // exactly the rows the old inner joins dropped — so the per-node
+      // delta sums are term-for-term identical.
       val terms = cur
-        .join(sym, cur("node") === sym("src"))
+        .join(sym, cur("node") === sym("src"), "left")
         .join(deltaNext
-          .select(col("src_s"), col("node").as("dst"),
+          .select(col("src_s").as("w_src_s"), col("node").as("w_dst"),
             col("sigma").as("sigma_w"), col("delta").as("delta_w")),
-          Seq("src_s", "dst"))
-        .select(col("src_s"), cur("node").as("node"),
-          // σ, δ_w, σ_w are never null here (σ from inner joins, δ
-          // coalesced), so a NULL product can only mean DECIMAL(38,0)
-          // overflow — which non-ANSI Spark would otherwise silently
-          // drop from sum() while DuckDB's HUGEINT holds the value or
-          // errors. Surface it loudly instead (round-11 ADVICE).
-          expr(s"coalesce(sigma * ($U + delta_w) div sigma_w, " +
-            "CAST(raise_error('g25: DECIMAL(38,0) overflow in " +
-            "Brandes delta term') AS BIGINT))").as("term"))
-      deltaNext = cur
-        .join(terms.groupBy(col("src_s"), col("node"))
-          .agg(sum(col("term")).as("delta")),
-          Seq("src_s", "node"), "left")
-        .select(col("src_s"), col("node"), col("sigma"),
-          coalesce(col("delta"), zero).as("delta"))
+          cur("src_s") === col("w_src_s") && sym("dst") === col("w_dst"),
+          "left")
+        .select(cur("src_s"), cur("node"), cur("sigma"),
+          // σ, δ_w, σ_w are never null on matched rows (σ from inner
+          // joins, δ coalesced), so a NULL product under a non-null
+          // σ_w can only mean DECIMAL(38,0) overflow — which non-ANSI
+          // Spark would otherwise silently drop from sum() while
+          // DuckDB's HUGEINT holds the value or errors. Surface it
+          // loudly instead (round-11 ADVICE). Unmatched rows (σ_w
+          // null) legitimately carry a NULL term that sum() skips.
+          when(col("sigma_w").isNull, lit(null).cast("decimal(38,0)"))
+            .otherwise(expr(
+              s"coalesce(sigma * ($U + delta_w) div sigma_w, " +
+                "CAST(raise_error('g25: DECIMAL(38,0) overflow in " +
+                "Brandes delta term') AS BIGINT))")).as("term"))
+      deltaNext = terms
+        .groupBy(col("src_s"), col("node"), col("sigma"))
+        .agg(coalesce(sum(col("term")), zero).as("delta"))
+        .select(col("src_s"), col("node"), col("sigma"), col("delta"))
         .localCheckpoint()
       if (hh >= 1) deltas += deltaNext
       hh -= 1

@@ -50,18 +50,25 @@ object Pca {
     // rounding n·d² doubles to 12 dp cost more than everything else
     // combined). Headroom: |u| ≤ 1e6·|x|, products ≤ 1e12·|x|², and
     // the decimal sum is exact at any n.
-    val x = emb
-      .select(col(idCol).as("vid"), posexplode(col(vecCol)))
-      .select(col("vid"), (col("pos") + 1).as("i"),
-        round(col("col").cast("double") * lit(1000000))
-          .cast("long").as("u"))
-      .unionAll(emb.select(col(idCol).as("vid"), lit(0).as("i"),
-        lit(1000000L).as("u")))
-    val sp = x
-      .join(x.select(col("vid"), col("i").as("j"), col("u").as("uj")),
-        Seq("vid"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum((col("u") * col("uj")).cast("decimal(38,0)"))
+    // The (i, j) product pairs are generated ROW-LOCALLY by two stacked
+    // posexplodes over the per-row quantized array (virtual dimension 0
+    // prepended), instead of shuffling an n·(d+1)-row exploded table
+    // through a self-join on vid (guide §2.4 — the join keyed on vid
+    // existed only to pair a row with itself; no bytes need to cross an
+    // exchange before the d²-group partial aggregate). Same u values,
+    // same product multiset per (i, j), same order-free DECIMAL sum —
+    // sij is bit-identical.
+    val uarr = concat(
+      array(lit(1000000L)),
+      transform(col(vecCol),
+        x => round(x.cast("double") * lit(1000000)).cast("long")))
+    val sp = emb
+      .select(uarr.as("ua"))
+      .select(col("ua"), posexplode(col("ua")))
+      .select(col("pos").as("i"), col("col").as("u"),
+        posexplode(col("ua")))
+      .groupBy(col("i"), col("pos").as("j"))
+      .agg(sum((col("u") * col("col")).cast("decimal(38,0)"))
         .as("sij"))
     // Everything below runs DRIVER-SIDE on the collected (d+1)²-row
     // moment table — the x72 metadata-collect pattern (a row per
