@@ -54,9 +54,21 @@ object Closeness {
     val init = chunk.zipWithIndex
       .map { case (n, b) => (n, 1L << b) }
       .toDF("node", "newmask")
-    var state = init.withColumnRenamed("newmask", "vis")
+    // ONE checkpointed frame per hop backs BOTH the visited mask and
+    // the frontier (the HyperBall packedSweep layout): merged =
+    // state ⟗ cand computes vis' = vis | cand and newmask =
+    // cand & ~vis in one full-outer join, so a hop is one
+    // materialization instead of two (frontier + state) and one join
+    // instead of two (cand⋈state + state⋈frontier) — same vis/newmask
+    // values row for row (vis | (cand & ~vis) = vis | cand). perHop's
+    // lazy frontier filters reference their hop's backing frame, which
+    // therefore stays pinned — node-grain rows, maxHops generations.
+    var backing = init
+      .select(col("node"), col("newmask").as("vis"), col("newmask"))
       .localCheckpoint()
-    var frontier = init.localCheckpoint()
+    def frontier: DataFrame = backing
+      .filter(col("newmask") =!= 0)
+      .select(col("node"), col("newmask"))
     val perHop = scala.collection.mutable.ListBuffer[DataFrame](
       frontier.withColumn("hop", lit(0)))
     var hop = 0
@@ -69,25 +81,14 @@ object Closeness {
           "src")
         .groupBy(col("dst").as("node"))
         .agg(expr("bit_or(newmask)").as("cand"))
-      frontier = cand
-        .join(state, Seq("node"), "left")
+      backing = backing.select(col("node"), col("vis"))
+        .join(cand, Seq("node"), "full_outer")
         .select(col("node"),
-          expr("cand & ~coalesce(vis, 0L)").as("newmask"))
-        .filter(col("newmask") =!= 0)
+          expr("coalesce(vis, 0L) | coalesce(cand, 0L)").as("vis"),
+          expr("coalesce(cand, 0L) & ~coalesce(vis, 0L)").as("newmask"))
         .localCheckpoint()
-      val nextState = state
-        .join(frontier.withColumnRenamed("newmask", "nm"),
-          Seq("node"), "full_outer")
-        .select(col("node"),
-          expr("coalesce(vis, 0L) | coalesce(nm, 0L)").as("vis"))
-        .localCheckpoint()
-      // frontiers must stay (perHop's lazy projections reference
-      // them); the superseded visited-mask generation is dead
-      graft.util.Checkpoints.free(state)
-      state = nextState
       perHop += frontier.withColumn("hop", lit(hop))
     }
-    graft.util.Checkpoints.free(state) // final mask — perHop is enough
     perHop.reduce(_.unionAll(_))
   }
 

@@ -38,8 +38,14 @@ object LogisticIrls {
       iters: Int = 3): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
+    // materialize the (x, y) projection ONCE: every Newton iteration's
+    // sufficient-statistics pass is a driver action, and an unbound
+    // input would re-run the caller's whole upstream pipeline per
+    // iteration (guide §1.2 — measured round 15 on t27: the scored
+    // frame's tokenize+model pipeline executed 4×). Two doubles per
+    // row, so the checkpoint is scan-sized at any SF.
     val d = data.select(col(xCol).cast("double").as("x"),
-      col(yCol).cast("double").as("y"))
+      col(yCol).cast("double").as("y")).localCheckpoint()
     var b0 = 0.0
     var b1 = 0.0
     val trajectory = Seq.newBuilder[(Int, Double, Double)]
@@ -69,6 +75,8 @@ object LogisticIrls {
       b1 = b1 + (sw * g1 - swx * g0) / det
       trajectory += ((t, b0, b1))
     }
+    // the trajectory is driver-side — the data checkpoint is dead
+    graft.util.Checkpoints.free(d)
     trajectory.result().toDF("iter", "b0", "b1")
   }
 

@@ -100,11 +100,17 @@ object QualityFilter {
       textCol: String = "text", yCol: String = "y", buckets: Int = 64,
       iters: Int = 3): DataFrame = {
     val model = tokenLogOdds(labeled, idCol, textCol, yCol, buckets)
+    // materialize the scored frame ONCE (guide §1.2): it feeds the
+    // IRLS calibration (3 driver actions) AND the returned projection
+    // — unbound, the tokenize+model pipeline re-executed for each
+    // (measured round 15: 50 jobs for t27, 4 full pipeline runs).
+    // Doc-grain rows (id, x_micro, y, x), scan-sized at any SF.
     val scored = score(labeled.select(col(idCol), col(textCol)), model,
       idCol, textCol, buckets)
       .join(labeled.select(col(idCol), col(yCol)), Seq(idCol))
       .withColumn("x",
         col("x_micro").cast("double") / lit(1000000.0))
+      .localCheckpoint()
     val last = LogisticIrls.train(scored, "x", yCol, iters)
       .collect().maxBy(_.getInt(0))
     val (b0, b1) = (last.getDouble(1), last.getDouble(2))
