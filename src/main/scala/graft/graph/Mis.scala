@@ -46,24 +46,13 @@ object Mis {
     var round = 0
     while (u.limit(1).count() > 0) {
       round += 1
-      // One aggregate instead of the loser enumeration (guide §2.3 —
-      // aggregate before you shuffle): v loses iff SOME undecided
-      // neighbor has smaller (p, id) iff the MIN neighbor (p, id)
-      // struct is smaller — so one edge⋈undecided join + a partial-
-      // aggregating min per src replaces the old second edge-sized
-      // join + distinct over the exploded loser pairs, and the winner
-      // test is a node-grain left join. Struct comparison is
-      // lexicographic, exactly the old (pd < ps) OR (pd = ps AND
-      // dst < src) predicate; same winner set every round.
-      val nmin = sym
+      val losers = sym
+        .join(u.select(col("node").as("src"), col("p").as("ps")), "src")
         .join(u.select(col("node").as("dst"), col("p").as("pd")), "dst")
-        .groupBy(col("src"))
-        .agg(min(struct(col("pd"), col("dst"))).as("m"))
-      val winners = u
-        .join(nmin.select(col("src").as("node"), col("m")),
-          Seq("node"), "left")
-        .filter(col("m").isNull ||
-          !(col("m") < struct(col("p"), col("node"))))
+        .filter(col("pd") < col("ps") ||
+          (col("pd") === col("ps") && col("dst") < col("src")))
+        .select(col("src").as("node")).distinct()
+      val winners = u.join(losers, Seq("node"), "left_anti")
         .select(col("node")).localCheckpoint()
       out += winners.withColumn("round", lit(round.toLong))
       val excluded = sym
