@@ -341,10 +341,15 @@ object XAnalyticsCoreQueries {
           .select(col("event_type").as("m_type"), col(c).as(out))
       }
       val med = lowerMedian(ev, "value", "med")
+      // two consumers (the MAD rank-pick and the final outlier filter)
+      // read the event-grain deviation frame; materialize it once
+      // (guide §1.2) instead of re-scanning events + re-joining the
+      // medians for each
       val withDev = ev
         .join(broadcast(med), col("event_type") === col("m_type"))
         .drop("m_type")
         .withColumn("dev", abs(col("value") - col("med")))
+        .localCheckpoint()
       val mad = lowerMedian(withDev, "dev", "mad")
       withDev
         .join(broadcast(mad), col("event_type") === col("m_type"))
