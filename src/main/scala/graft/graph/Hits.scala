@@ -19,9 +19,44 @@ object Hits {
     * max — no sqrt of a float sum. Per round: two edge joins + two
     * partial-aggregatable sums + two metadata-sized max reads;
     * `localCheckpoint` truncates the iterative lineage. */
-  def run(edges: DataFrame, rounds: Int = 3): DataFrame = {
+  /** Minimum edge-row count before the per-round score frames are
+    * broadcast (see [[run]]): below it the per-round broadcast build
+    * costs more than the small edge shuffle it removes (measured r14 at
+    * sf0.1: g9 3.79→4.57 s WITH broadcast on a ~600k-row edge frame);
+    * above it the per-round edge shuffle dominates (measured r15 at
+    * sf1: 18.8→13.0 s with broadcast on a ~6M-row frame, shuffle
+    * 450→223 MB). Default sits between the two measured regimes;
+    * env-overridable like the partition target. */
+  private val BcastEdgeRows =
+    sys.env.getOrElse("SPARK_GRAFT_BCAST_EDGE_ROWS", "2000000").toLong
+
+  def run(edges: DataFrame, rounds: Int = 3): DataFrame =
+    run(edges, rounds, BcastEdgeRows)
+
+  /** Threshold-explicit form so HitsSpec can pin both guard branches
+    * (always-broadcast vs never) to bit-identical output. */
+  private[graft] def run(edges: DataFrame, rounds: Int,
+      bcastEdgeRows: Long): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint()
+    // SCALE-ADAPTIVE join strategy for the per-round score joins
+    // (guide §3.1 — pick the strategy deliberately): one stats pass
+    // over the checkpointed edge frame (the Bfs/ShortestPaths pattern)
+    // bounds the edge volume and the score-frame sizes. The node-sized
+    // hub/auth frames broadcast ONLY when the edge frame is large
+    // enough that re-shuffling+sorting it every round dominates the
+    // per-round broadcast build (threshold measured at both SFs, see
+    // [[BcastEdgeRows]]) AND the score frames fit the broadcast budget
+    // (the PageRank.broadcastFits guard — never an OOM at 100×; ±2%
+    // HLL error is noise against a 10 MB threshold).
+    val st = e.agg(count(lit(1)),
+      approx_count_distinct(col("src")),
+      approx_count_distinct(col("dst"))).first()
+    val scoreBound = (math.max(st.getLong(1), st.getLong(2)) * 1.05).toLong
+    val useBcast = st.getLong(0) >= bcastEdgeRows &&
+      PageRank.broadcastFits(e.sparkSession, scoreBound)
+    def scoreSide(df: DataFrame): DataFrame =
+      if (useBcast) broadcast(df) else df
     var hub = e.select(col("src")).distinct()
       .withColumn("hub", lit(1.0))
     var auth: DataFrame = null
@@ -37,7 +72,7 @@ object Hits {
       // and an uncheckpointed araw would re-execute the edge join for
       // each consumer (the normalized projection needs no checkpoint
       // of its own — it is a row-local map over the materialized scan)
-      val araw = e.join(hub, "src").groupBy(col("dst"))
+      val araw = e.join(scoreSide(hub), "src").groupBy(col("dst"))
         .agg(sum(col("hub").cast("decimal(18,6)")).as("raw_d"))
         .localCheckpoint()
       // araw is materialized — last round's hraw (feeding this round's
@@ -48,7 +83,7 @@ object Hits {
         .getDecimal(0).doubleValue
       auth = araw.select(col("dst"),
         round(col("raw_d").cast("double") / lit(amax), 6).as("auth"))
-      val hraw = e.join(auth, "dst").groupBy(col("src"))
+      val hraw = e.join(scoreSide(auth), "dst").groupBy(col("src"))
         .agg(sum(col("auth").cast("decimal(18,6)")).as("raw_d"))
         .localCheckpoint()
       val hmax = hraw.agg(max(col("raw_d"))).first()
